@@ -1,0 +1,156 @@
+"""Composable relational operators (SURVEY §2.2-2.4, §2.6-2.7).
+
+Each function is ``(DataFrame, params) -> DataFrame`` with no I/O, so
+Catalyst sees one logical plan per query and can push filters/prune
+columns through every wrapper.
+
+Scale posture (100 TB):
+* dim joins are broadcast (``broadcast_left_join``) — zero shuffle of the
+  fact side; Spark's AQE would also auto-broadcast under the threshold,
+  the explicit hint makes it deterministic.
+* group aggregations are hash aggregates with map-side partial
+  aggregation (Catalyst does the partial/final split automatically).
+* top-k compiles to TakeOrderedAndProject — each partition keeps k rows,
+  only n_partitions*k rows move.
+* skewed group keys: ``salted_group_count`` shows the two-stage pattern
+  (salt → partial agg → unsalt → final agg).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+# -- A1/A2: null & NaN audit ------------------------------------------------
+
+_FRACTIONAL = ("double", "float")
+
+
+def null_nan_audit(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """One row: per-column count of NULL-or-NaN values.
+
+    Dtype-dispatched exactly like the reference (``isnan`` only applies to
+    fractional types; reference ml-algorithms/regression.py:57-72): a
+    single ``agg`` pass over the table — one job, map-side combined.
+    """
+    dtypes = dict(df.dtypes)
+    cols = list(cols) if cols is not None else df.columns
+    exprs = []
+    for c in cols:
+        pred = F.col(c).isNull()
+        if dtypes[c] in _FRACTIONAL:
+            pred = pred | F.isnan(F.col(c))
+        exprs.append(F.count(F.when(pred, 1)).alias(c))
+    return df.agg(*exprs)
+
+
+# -- A3/A4: group histograms ------------------------------------------------
+
+
+def group_count(df: DataFrame, keys: Sequence[str], out: str = "n") -> DataFrame:
+    """groupBy(keys).count() hash aggregate (reference regression.py:204,
+    classifier.py:59,:62,:85)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(out))
+
+
+def group_count_map(df: DataFrame, key: str) -> dict:
+    """Driver-side {key: count} map for e.g. class weights (reference
+    classifier.py:62-63 used .rdd.collectAsMap(); DataFrame-native here).
+    Only valid for low-cardinality keys — the result lands on the driver."""
+    return {r[key]: r["n"] for r in group_count(df, [key]).collect()}
+
+
+def salted_group_count(df: DataFrame, key: str, salt_buckets: int = 32, out: str = "n") -> DataFrame:
+    """Two-stage skew-resistant count: salt the key, partial-count, unsalt,
+    final-sum. Same result as ``group_count`` — use when one key holds an
+    outsized share of rows (SURVEY §7 hard part #5)."""
+    salted = df.withColumn("_salt", F.pmod(F.crc32(F.col(key).cast("string")), F.lit(salt_buckets)))
+    partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_pn"))
+    return partial.groupBy(key).agg(F.sum("_pn").cast("long").alias(out))
+
+
+# -- J1/J2: broadcast dim join ----------------------------------------------
+
+
+def broadcast_left_join(
+    fact: DataFrame, dim: DataFrame, on: str | Sequence[str], how: str = "left"
+) -> DataFrame:
+    """Fact ⟕ small dim as an explicit broadcast hash join (reference
+    regression.py:130 joins a 7,858-row fact to a 256-row dim — at 100 TB
+    the fact side must never shuffle for a dim this small)."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+# -- J3/P8: membership (semi/anti) ------------------------------------------
+
+
+def semi_filter(df: DataFrame, keep: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Distributed ``isin`` — left-semi join (reference ml_impl.py:124-135
+    does pandas .isin against collected lists; the semi join never moves
+    the allow-list to the driver)."""
+    return df.join(keep, on=on, how="left_semi")
+
+
+def anti_filter(df: DataFrame, drop: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    return df.join(drop, on=on, how="left_anti")
+
+
+# -- T2/X1: dedup -----------------------------------------------------------
+
+
+def dedup_by_key(
+    df: DataFrame, keys: Sequence[str], order: Sequence[Column] | None = None
+) -> DataFrame:
+    """Keep one row per key.
+
+    With ``order``: deterministic first-row-wins via row_number over
+    (partitionBy keys, orderBy order) — the batch form of the reference's
+    idempotent-ingest skip (scraper/main.py:69-77). Without: plain
+    ``dropDuplicates`` (nondeterministic survivor, cheaper — partial
+    dedup map-side before the shuffle).
+    """
+    if order is None:
+        return df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# -- O2: top-k --------------------------------------------------------------
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """orderBy + limit → TakeOrderedAndProject (reference ml_impl.py:191
+    sorts descending then serves the head)."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, keys: Sequence[str], order: Sequence[Column], k: int, rn_out: str = "rn"
+) -> DataFrame:
+    """Top-k within each group via row_number ≤ k (absent from the
+    reference; standard Spark pattern, one shuffle on the group key)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn(rn_out, F.row_number().over(w)).filter(F.col(rn_out) <= k)
+
+
+# -- A9: class weights ------------------------------------------------------
+
+
+def with_balanced_weights(
+    df: DataFrame, label_col: str, out: str = "class_weight"
+) -> DataFrame:
+    """weight = total/(n_classes * count_class), joined back as a column
+    (reference classifier.py:62-67 collects counts to the driver; here the
+    per-class weights stay distributed via a broadcast self-join —
+    class cardinality is tiny by definition)."""
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    total = df.count()
+    n_classes = counts.count()
+    weights = counts.select(
+        label_col, (F.lit(float(total)) / (F.lit(float(n_classes)) * F.col("_cnt"))).alias(out)
+    )
+    return df.join(F.broadcast(weights), on=label_col, how="left")

@@ -1,0 +1,131 @@
+"""Vector similarity search over an embedding column (north-star X3).
+
+Baseline: exact brute-force cosine top-k — broadcast the query set,
+compute dot products with built-in higher-order array functions
+(``F.zip_with`` + ``F.aggregate``, JVM-side), rank with a per-query
+window. Exact and SQL-expressible (the DuckDB oracle path).
+
+Scale path: LSH bucketing (BucketedRandomProjectionLSH) or an IVF-style
+coarse quantizer — candidates come from bucket equality joins instead of
+the full cross product. At 100 TB brute force against a handful of
+queries is actually fine (it's a broadcast map-side scan + top-k, no
+shuffle of the corpus); LSH pays off when the query side is also huge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise product summed — stays in codegen, no UDF."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    ``queries``: (query_id, embedding). The query side is broadcast, so the
+    corpus never shuffles for the similarity computation; the only shuffle
+    is the per-query top-k window (tiny: n_queries × corpus partitions × k
+    after partial ranking under AQE).
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rnk")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 8,
+) -> DataFrame:
+    """Approximate top-k via BucketedRandomProjectionLSH (the scale path).
+
+    Euclidean-LSH buckets generate candidates; exact cosine re-ranks them.
+    Recall is tunable via num_hash_tables/bucket_length. Returns the same
+    schema as ``brute_force_topk`` so the two are drop-in comparable.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(id_col, vec_col).withColumn(
+        "_v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    q = queries.select(query_id_col, vec_col).withColumn(
+        "_v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_v", outputCol="_h", bucketLength=bucket_length, numHashTables=num_hash_tables, seed=42
+    )
+    model = lsh.fit(c)
+    cand = model.approxSimilarityJoin(q, c, float("inf"), distCol="_d").select(
+        F.col(f"datasetA.{query_id_col}").alias(query_id_col),
+        F.col(f"datasetB.{id_col}").alias(id_col),
+        F.round(
+            cosine(F.col(f"datasetA.{vec_col}"), F.col(f"datasetB.{vec_col}")), 6
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rnk")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup flavor of X3).
+
+    Exact all-pairs via self-crossJoin — the small-scale oracle. The scale
+    path reuses ``lsh_topk``'s bucket join; kept separate so the oracle
+    stays pure SQL.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

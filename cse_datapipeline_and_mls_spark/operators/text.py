@@ -1,0 +1,120 @@
+"""Text-analysis operators over a document corpus (north-star X4).
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, no Python in the hot path — so a 100 TB corpus
+scan stays embarrassingly parallel with zero shuffle (pure map stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+# Tiny public stopword list (subset of the classic english stopwords used by
+# Spark's StopWordsRemover / NLTK; public knowledge).
+STOPWORDS = (
+    "the a an and or but if then is are was were be been being of to in on "
+    "for with as at by from that this it its not no"
+).split()
+
+# BPE-ish token regex: words with optional leading space, numbers, or single
+# non-space punctuation — the classic GPT-2-style pre-tokenizer shape,
+# simplified to what Spark's regexp engine supports.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(col: Column | str, pattern: str = TOKEN_REGEX) -> Column:
+    """Number of BPE-ish tokens: count of regex matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of whitespace tokens that are stopwords — a quality signal."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    stop = F.size(F.filter(words, lambda x: x.isin(*STOPWORDS)))
+    return stop / F.nullif(F.size(words), F.lit(0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct / F.nullif(F.length(c), F.lit(0))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    total = F.aggregate(words, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total / F.nullif(F.size(words), F.lit(0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    moderate punctuation + sane word length. A cheap filter for training-
+    data curation; each term is a clamped linear band."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    len_term = F.least(n / F.lit(200.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(c) * 4.0, F.lit(1.0))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(c) * 4.0)
+    wl = mean_word_length(c)
+    wl_term = F.when((wl >= 3) & (wl <= 10), 1.0).otherwise(0.3)
+    return F.round((len_term + stop_term + punct_term + wl_term) / 4.0, 6)
+
+
+def lang_id_heuristic(col: Column | str) -> Column:
+    """N-gram-frequency language guess (english/non-english classes from the
+    driver corpus: en/de/fr/es + code). Pure-SQL heuristic: scores presence
+    of language-marker function words; ties broken by fixed order."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    pad = F.concat(F.lit(" "), c, F.lit(" "))
+
+    def hits(words: list[str]) -> Column:
+        expr: Column = F.lit(0)
+        for wd in words:
+            expr = expr + F.when(pad.contains(f" {wd} "), 1).otherwise(0)
+        return expr
+
+    en = hits(["the", "and", "of", "is", "that", "with"])
+    de = hits(["der", "die", "das", "und", "ist", "nicht"])
+    fr = hits(["le", "la", "les", "est", "une", "dans"])
+    es = hits(["el", "los", "es", "una", "por", "que"])
+    code = hits(["def", "return", "import", "class", "void", "function"])
+    return (
+        F.when((code >= en) & (code >= de) & (code >= fr) & (code >= es) & (code > 0), "code")
+        .when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic 64-bit content fingerprint: xxhash64 of the
+    whitespace-normalized lowercased text. The rolling-hash analogue for
+    exact-dup detection; stable across partitions/runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Attach the full stats block — one codegen'd projection."""
+    return (
+        df.withColumn("n_tokens", token_count(col))
+        .withColumn("n_ws_tokens", whitespace_token_count(col))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(col), 6))
+        .withColumn("punct_ratio", F.round(punct_ratio(col), 6))
+        .withColumn("quality", quality_score(col))
+        .withColumn("lang_guess", lang_id_heuristic(col))
+        .withColumn("fingerprint", doc_fingerprint(col))
+    )

@@ -1,0 +1,302 @@
+"""Per-key time-series window feature library (SURVEY §2.5 W1-W13).
+
+This is the reference's core IP — lags, rolling means/stddevs, RSI, MACD,
+momentum, z-score anomaly flags — re-expressed as native Spark window
+expressions (reference: ml-algorithms/regression.py:75-128,
+ml-algorithms/classifier.py:18-41, data-pipeline/main-pipeline/
+spark_stream.py:131-147, ml-algorithms/ml_impl.py:73-115).
+
+Frame conventions — the reference disagrees with itself (SURVEY §7 hard
+part #1): its Spark scripts use trailing-EXCLUSIVE frames ``(-k, -1)``
+(regression.py:76-78) while its pandas twins use inclusive ``rolling(k)``
+(ml_impl.py:84). Here the convention is an explicit parameter:
+
+* ``inclusive=False`` (default) → ROWS BETWEEN k PRECEDING AND 1 PRECEDING
+* ``inclusive=True``            → ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW
+  with an optional pandas-style ``min_periods`` guard (count over the frame
+  must reach ``min_periods``, else NULL).
+
+Stddev flavors are likewise pinned per operator: ``rolling_std`` is SAMPLE
+stddev (ddof=1, matching pandas ``.rolling().std()`` and Spark ``stddev``),
+``zscore`` is POPULATION (ddof=0, matching scipy ``stats.zscore`` at
+spark_stream.py:138).
+
+Execution model: every function takes/returns a DataFrame and only adds
+window Column expressions — Catalyst plans ONE exchange (hash partition on
+the key) followed by one sort for ALL features that share the same
+(partition, order) spec, so a 20-feature build costs a single shuffle.
+
+Scale posture (100 TB): window state per key is bounded by the frame
+(rows-frames only); the shuffle hash-partitions on the series key. For
+heavy-hitter keys (one instrument = billions of rows) rows-frames still
+process a key on one task — mitigations: pre-partition the table by key
+(``partitionBy`` layout at write time) so the exchange is avoided, and
+bound per-key history with a date filter before the window. Ranking/global
+aggregations over skewed keys should use the two-stage salted variants in
+:mod:`.relational`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def series_window(keys: str | Sequence[str], order: str | Sequence[str]) -> WindowSpec:
+    """The shared (partitionBy key, orderBy time) spec.
+
+    All features built from one spec share a single exchange+sort in the
+    physical plan. ``order`` should include a unique tiebreaker column when
+    the time column can tie (deterministic lag/rank results).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order = [order] if isinstance(order, str) else list(order)
+    return Window.partitionBy(*keys).orderBy(*order)
+
+
+def trailing_frame(w: WindowSpec, k: int, inclusive: bool = False) -> WindowSpec:
+    """k-row trailing frame; exclusive (-k,-1) or inclusive (-(k-1),0)."""
+    if inclusive:
+        return w.rowsBetween(-(k - 1), 0)
+    return w.rowsBetween(-k, -1)
+
+
+# -- W1/W2: lags & leads ----------------------------------------------------
+
+
+def with_lags(df: DataFrame, col: str, offsets: Sequence[int], w: WindowSpec) -> DataFrame:
+    """price_lag_k columns (reference regression.py:81-86, classifier.py:29-31)."""
+    for k in offsets:
+        df = df.withColumn(f"{col}_lag_{k}", F.lag(col, k).over(w))
+    return df
+
+
+def with_lead(df: DataFrame, col: str, out: str, w: WindowSpec, n: int = 1) -> DataFrame:
+    """Next-step target (reference regression.py:117-127 lead; classifier.py:23
+    uses lag(price,-1) which is the same operator)."""
+    return df.withColumn(out, F.lead(col, n).over(w))
+
+
+# -- W3/W4/W12: rolling means ----------------------------------------------
+
+
+def rolling_mean(
+    df: DataFrame,
+    col: str,
+    out: str,
+    w: WindowSpec,
+    k: int,
+    inclusive: bool = False,
+    min_periods: int | None = None,
+) -> DataFrame:
+    """Rolling average with an explicit frame convention.
+
+    exclusive: ma5/ma10/MA_3/7DAY_MA (reference regression.py:76-77,:89-90,
+    classifier.py:19,:25,:35). inclusive + min_periods=k: pandas
+    ``rolling(k).mean()`` (spark_stream.py:145, ml_impl.py:83-84).
+    """
+    frame = trailing_frame(w, k, inclusive)
+    expr = F.avg(col).over(frame)
+    if min_periods is not None:
+        expr = F.when(F.count(col).over(frame) >= min_periods, expr)
+    return df.withColumn(out, expr)
+
+
+def rolling_std(
+    df: DataFrame,
+    col: str,
+    out: str,
+    w: WindowSpec,
+    k: int,
+    inclusive: bool = False,
+    min_periods: int | None = None,
+) -> DataFrame:
+    """Rolling SAMPLE stddev (ddof=1) — volatility14 / Volatility_3
+    (reference regression.py:78,:93, classifier.py:26; pandas twin
+    ml_impl.py:87)."""
+    frame = trailing_frame(w, k, inclusive)
+    expr = F.stddev_samp(col).over(frame)
+    if min_periods is not None:
+        expr = F.when(F.count(col).over(frame) >= min_periods, expr)
+    return df.withColumn(out, expr)
+
+
+# -- W6: RSI ----------------------------------------------------------------
+
+
+def with_rsi(
+    df: DataFrame, col: str, w: WindowSpec, k: int = 14, out: str = "rsi", eps: float = 1e-6
+) -> DataFrame:
+    """Relative Strength Index over a trailing-exclusive k-frame.
+
+    avg gains / avg losses of 1-step diffs, epsilon-guarded ratio
+    (reference regression.py:99-108). The pandas twin (ml_impl.py:106-115)
+    uses an inclusive min_periods=1 frame — the conventions disagree in the
+    reference; this engine pins the Spark-script convention and documents
+    the divergence.
+    """
+    diff = F.col(col) - F.lag(col, 1).over(w)
+    frame = trailing_frame(w, k, inclusive=False)
+    gain = F.avg(F.when(diff > 0, diff).otherwise(F.lit(0.0))).over(frame)
+    loss = F.avg(F.when(diff < 0, -diff).otherwise(F.lit(0.0))).over(frame)
+    rs = gain / (loss + F.lit(eps))
+    return df.withColumn(out, F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + rs))
+
+
+# -- W4/W8: MACD (SMA flavor, for reference parity) -------------------------
+
+
+def with_macd(
+    df: DataFrame,
+    col: str,
+    w: WindowSpec,
+    fast: int = 12,
+    slow: int = 26,
+    out: str = "macd",
+) -> DataFrame:
+    """MACD = ma_fast − ma_slow over trailing-INCLUSIVE frames.
+
+    The reference names these ema12/ema26 but computes plain rolling means
+    over rowsBetween(-12,0)/(-26,0) (regression.py:112-115) — replicated
+    as SMAs for oracle parity. A true exponential MACD cannot be a fixed
+    window frame (infinite memory); see ``with_ema`` for the real thing.
+    """
+    fast_ma = F.avg(col).over(w.rowsBetween(-fast, 0))
+    slow_ma = F.avg(col).over(w.rowsBetween(-slow, 0))
+    return df.withColumn(out, fast_ma - slow_ma)
+
+
+def with_ema(df: DataFrame, col: str, out: str, w: WindowSpec, span: int) -> DataFrame:
+    """True exponential moving average (extension beyond the reference).
+
+    EMA is a linear recurrence, not a fixed-frame window; expressed exactly
+    via the closed form ema_t = sum_{i<=t} a^(t-i) x_i / sum a^(t-i) using
+    running sums of x_i / a^i. Rebased per row group to avoid overflow is
+    unnecessary for typical spans; this form is exact for the unbounded
+    preceding frame.
+    """
+    alpha = 2.0 / (span + 1.0)
+    a = 1.0 - alpha
+    rn = F.row_number().over(w)
+    unb = w.rowsBetween(Window.unboundedPreceding, 0)
+    # sum(x_i * a^{-i}) * a^{t}  /  sum(a^{-i}) * a^{t}
+    num = F.sum(F.col(col) * F.pow(F.lit(a), -rn)).over(unb) * F.pow(F.lit(a), rn)
+    den = F.sum(F.pow(F.lit(a), -rn)).over(unb) * F.pow(F.lit(a), rn)
+    return df.withColumn(out, num / den)
+
+
+# -- W7: momentum / ratio-to-lag --------------------------------------------
+
+
+def with_momentum(df: DataFrame, col: str, w: WindowSpec, k: int, out: str) -> DataFrame:
+    """momentum_k = x − lag_k(x) (reference regression.py:88, classifier.py:34)."""
+    return df.withColumn(out, F.col(col) - F.lag(col, k).over(w))
+
+
+def with_pct_change_k(df: DataFrame, col: str, w: WindowSpec, k: int, out: str) -> DataFrame:
+    """(x − lag_k)/lag_k (reference classifier.py:36 PRICE_CHANGE_3D,
+    ml_impl.py:81-82). NULL when the lag is NULL or 0 (Spark /0 → NULL,
+    matching the oracle's NULLIF guard)."""
+    lagk = F.lag(col, k).over(w)
+    return df.withColumn(out, (F.col(col) - lagk) / F.nullif(lagk, F.lit(0)))
+
+
+# -- W9: volume features ----------------------------------------------------
+
+
+def with_volume_spike(
+    df: DataFrame,
+    vol_col: str,
+    w: WindowSpec,
+    k: int = 5,
+    factor: float = 1.5,
+    ma_out: str = "vol_ma",
+    flag_out: str = "volume_spike",
+) -> DataFrame:
+    """vol_ma = trailing-exclusive mean(volume); spike = volume > factor*ma
+    (reference regression.py:94-96)."""
+    ma = F.avg(vol_col).over(trailing_frame(w, k))
+    df = df.withColumn(ma_out, ma)
+    return df.withColumn(
+        flag_out, F.when(F.col(vol_col) > F.lit(factor) * F.col(ma_out), 1).otherwise(0)
+    )
+
+
+# -- W10: forward fill ------------------------------------------------------
+
+
+def forward_fill(df: DataFrame, cols: Sequence[str], w: WindowSpec) -> DataFrame:
+    """last(col, ignorenulls) over unbounded-preceding (reference
+    classifier.py:39-41)."""
+    filled = w.rowsBetween(Window.unboundedPreceding, 0)
+    for c in cols:
+        df = df.withColumn(c, F.last(c, ignorenulls=True).over(filled))
+    return df
+
+
+# -- W11: first difference / pct change -------------------------------------
+
+
+def with_diff_pct(
+    df: DataFrame,
+    col: str,
+    w: WindowSpec,
+    diff_out: str = "diff",
+    pct_out: str = "pct_change",
+) -> DataFrame:
+    """1-step diff and percentage change, PER KEY.
+
+    The reference's analyzed endpoint diffs across company boundaries
+    (global pandas ``.diff()``, spark_stream.py:131-132 — a quirk, not a
+    semantic); the engine partitions by the series key, which is the
+    evident intent. Divergence documented per SURVEY §7 #6.
+    """
+    prev = F.lag(col, 1).over(w)
+    df = df.withColumn(diff_out, F.col(col) - prev)
+    return df.withColumn(pct_out, (F.col(col) - prev) / F.nullif(prev, F.lit(0)) * 100.0)
+
+
+# -- A7 + W13: z-score anomaly flag -----------------------------------------
+
+
+def zscore(col: Column | str, w: WindowSpec) -> Column:
+    """Population z-score (ddof=0) over the full partition — matches scipy
+    ``stats.zscore`` (reference spark_stream.py:136-138). Uses an
+    unbounded frame; NULL when stddev is 0 (constant series)."""
+    c = F.col(col) if isinstance(col, str) else col
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (c - F.avg(c).over(full)) / F.nullif(F.stddev_pop(c).over(full), F.lit(0))
+
+
+def with_anomaly_flag(
+    df: DataFrame,
+    col: str,
+    w: WindowSpec,
+    threshold: float = 3.0,
+    z_out: str = "zscore",
+    flag_out: str = "anomaly",
+) -> DataFrame:
+    """|z| > 3 → 'Anomaly' else 'Normal' (reference spark_stream.py:134-142;
+    NULL z — e.g. first diff of a series — maps to 'Normal' like the
+    reference's fillna(0))."""
+    df = df.withColumn(z_out, zscore(col, w))
+    return df.withColumn(
+        flag_out,
+        F.when(F.abs(F.coalesce(F.col(z_out), F.lit(0.0))) > threshold, "Anomaly").otherwise(
+            "Normal"
+        ),
+    )
+
+
+# -- ranking family (absent from the reference; exposed per SURVEY §2.5) ----
+
+
+def with_rank_features(df: DataFrame, w: WindowSpec, prefix: str = "") -> DataFrame:
+    return (
+        df.withColumn(f"{prefix}row_number", F.row_number().over(w))
+        .withColumn(f"{prefix}rank", F.rank().over(w))
+        .withColumn(f"{prefix}dense_rank", F.dense_rank().over(w))
+    )

@@ -1,0 +1,265 @@
+"""North-star LLM-data-pipeline queries (SURVEY §2.12 X1-X5): dedup,
+similarity search, text analysis over ``documents``/``embeddings``.
+
+Approximate operators (MinHash LSH, SimHash banding) register rows-only
+(no SQL oracle — the hash functions aren't ANSI-expressible); their exact
+counterparts (n-gram Jaccard, brute-force cosine) ARE oracle-checked and
+serve as the quality reference for the approximate paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as X
+from ..sources import load_table
+from . import register
+
+
+@register(
+    "x_exact_dedup_documents",
+    oracle="""
+    SELECT d.doc_id, d.n_chars
+    FROM documents d
+    JOIN (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    ) keep USING (doc_id)
+    """,
+)
+def x_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup on the normalized-content fingerprint, deterministic
+    min-id survivor. Spark groups by a 64-bit xxhash64 fingerprint (tiny
+    shuffle key at 100 TB); the oracle groups by the normalized text
+    itself — identical survivors absent hash collisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_by_content(docs, "text", "doc_id").select("doc_id", "n_chars")
+
+
+@register(
+    "x_ngram_jaccard_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), tokens AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx FROM words
+    ), grams AS (
+      SELECT doc_id,
+             word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS g
+      FROM tokens WINDOW win AS (PARTITION BY doc_id ORDER BY idx)
+      QUALIFY lead(word, 2) OVER win IS NOT NULL
+    ), dgrams AS (
+      SELECT DISTINCT doc_id, g FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM dgrams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM dgrams a JOIN dgrams b USING (g)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+    """,
+)
+def x_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (exact flavor): word-3-gram Jaccard near-dup pairs via
+    shingle-explode + shingle equi-join — the SQL-expressible quality
+    oracle for MinHash. Cost scales with shared-shingle pairs, not n²."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+@register("x_minhash_neardup_pairs")  # rows-only: MinHash is not ANSI-expressible
+def x_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (scale flavor): MinHashLSH banding — candidates from hash-bucket
+    equality joins. Rows-only check; quality is cross-checked against
+    x_ngram_jaccard_pairs in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_neardup_pairs(docs, "text", "doc_id", jaccard_threshold=0.5)
+
+
+@register("x_simhash_neardup_pairs")  # rows-only: xxhash64 not available in DuckDB
+def x_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (SimHash flavor): 64-bit simhash + pigeonhole banding join,
+    hamming ≤ 3. Pure built-in bit arithmetic, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+@register(
+    "x_embedding_neardup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / nullif(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0),
+                 6) AS cosine_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / nullif(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0),
+                6) >= 0.4
+    """,
+)
+def x_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (embedding flavor): exact all-pairs cosine ≥ 0.4. Dot products in
+    double precision on both sides (float32 accumulation order would
+    otherwise break the hash)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@register(
+    "x_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qv, q.qv)), 0), 6) AS cosine_sim
+      FROM embeddings e, q
+    )
+    SELECT query_id, vec_id, cosine_sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+    FROM scored
+    QUALIFY rnk <= 10
+    """,
+)
+def x_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 baseline: exact brute-force cosine top-10 for 3 query vectors.
+    Query side broadcast → corpus never shuffles; per-query ranking is the
+    only exchange. The LSH scale path (lsh_topk) is tested for recall
+    against this in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk(emb, queries, k=10, id_col="vec_id", vec_col="embedding")
+
+
+@register(
+    "x_text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)                        AS n_ws_tokens,
+           round(len(list_filter(string_split(lower(trim(text)), ' '),
+                     x -> list_contains(['the','a','an','and','or','but','if','then','is',
+                                         'are','was','were','be','been','being','of','to',
+                                         'in','on','for','with','as','at','by','from',
+                                         'that','this','it','its','not','no'], x)))
+                 / nullif(len(string_split(lower(trim(text)), ' ')), 0), 6)                AS stopword_ratio,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 / nullif(length(text), 0), 6)                                             AS punct_ratio
+    FROM documents
+    """,
+)
+def x_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: token counting (BPE-ish regex + whitespace), stopword ratio,
+    punctuation ratio — all built-in JVM expressions, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.whitespace_token_count("text").alias("n_ws_tokens"),
+        F.round(X.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+@register(
+    "x_lang_quality",
+    oracle="""
+    WITH padded AS (
+      SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+             string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, text, words,
+        (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% and %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% is %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% that %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% with %' THEN 1 ELSE 0 END) AS en,
+        (CASE WHEN p LIKE '% der %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% die %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% das %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% und %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% ist %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% nicht %' THEN 1 ELSE 0 END) AS de,
+        (CASE WHEN p LIKE '% le %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% la %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% les %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% est %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% une %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% dans %' THEN 1 ELSE 0 END) AS fr,
+        (CASE WHEN p LIKE '% el %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% los %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% es %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% una %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% por %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% que %' THEN 1 ELSE 0 END) AS es,
+        (CASE WHEN p LIKE '% def %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% return %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% import %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% class %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% void %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% function %' THEN 1 ELSE 0 END) AS code
+      FROM padded
+    )
+    SELECT doc_id,
+      CASE WHEN code >= en AND code >= de AND code >= fr AND code >= es AND code > 0 THEN 'code'
+           WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+           WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+           WHEN fr >= es AND fr > 0 THEN 'fr'
+           WHEN es > 0 THEN 'es'
+           ELSE 'unknown' END AS lang_guess,
+      round((
+          least(length(text) / 200.0, 1.0)
+        + least(4.0 * len(list_filter(string_split(lower(trim(text)), ' '),
+                  x -> list_contains(['the','a','an','and','or','but','if','then','is',
+                                      'are','was','were','be','been','being','of','to',
+                                      'in','on','for','with','as','at','by','from',
+                                      'that','this','it','its','not','no'], x)))
+              / nullif(len(string_split(lower(trim(text)), ' ')), 0), 1.0)
+        + greatest(0.0, 1.0 - 4.0 * (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+              / nullif(length(text), 0))
+        + CASE WHEN list_sum(list_transform(words, x -> length(x)))
+                    / nullif(len(words), 0) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.3 END
+      ) / 4.0, 6) AS quality
+    FROM scores
+    """,
+)
+def x_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: n-gram-heuristic language ID + composite quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.lang_id_heuristic("text").alias("lang_guess"),
+        X.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "x_fingerprint_dup_groups",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_distinct,
+           count(*) - count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_dups
+    FROM documents
+    """,
+)
+def x_fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 fingerprinting: distinct-content count via the 64-bit
+    fingerprint (oracle counts distinct normalized texts — equal counts
+    absent hash collisions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(X.doc_fingerprint("text")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(X.doc_fingerprint("text"))).alias("n_dups"),
+    )

@@ -1,0 +1,286 @@
+"""Window-function queries (SURVEY §2.5 W1-W13) with DuckDB oracles.
+
+The driver's ``events`` table plays the reference's per-symbol price series
+(user_id ↔ symbol, ts ↔ date, value ↔ price; FIXTURES.md §5 mapping).
+
+Every window orders by (ts, event_id) — event_id is unique, so lag/rank
+results are deterministic across engines even if ts ever ties.
+
+Physical plan: all features in a query share one (partitionBy, orderBy)
+spec → Catalyst plans a single Exchange(hashpartition(user_id)) + Sort and
+evaluates every window expression in one WindowExec pass. That is the
+100 TB posture: one shuffle for the whole feature block, state bounded by
+the largest frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import tswindow as TS
+from ..sources import load_table
+from . import register
+
+_W_ORACLE = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "w_lag_lead_momentum",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           round(value, 6)                                    AS value,
+           round(lag(value, 1)  OVER ({_W_ORACLE}), 6)        AS value_lag_1,
+           round(lag(value, 3)  OVER ({_W_ORACLE}), 6)        AS value_lag_3,
+           round(lag(value, 7)  OVER ({_W_ORACLE}), 6)        AS value_lag_7,
+           round(lead(value, 1) OVER ({_W_ORACLE}), 6)        AS value_lead_1,
+           round(value - lag(value, 3) OVER ({_W_ORACLE}), 6) AS momentum_3
+    FROM events
+    """,
+)
+def w_lag_lead_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2/W7: lags 1/3/7, next-step lead, momentum (reference
+    regression.py:81-88, classifier.py:23,:29-34)."""
+    ev = _events_series(spark, sf_dir)
+    w = TS.series_window("user_id", ["ts", "event_id"])
+    df = TS.with_lags(ev, "value", [1, 3, 7], w)
+    df = TS.with_lead(df, "value", "value_lead_1", w)
+    df = TS.with_momentum(df, "value", w, 3, "momentum_3")
+    return df.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.round("value_lag_1", 6).alias("value_lag_1"),
+        F.round("value_lag_3", 6).alias("value_lag_3"),
+        F.round("value_lag_7", 6).alias("value_lag_7"),
+        F.round("value_lead_1", 6).alias("value_lead_1"),
+        F.round("momentum_3", 6).alias("momentum_3"),
+    )
+
+
+@register(
+    "w_rolling_mean_std",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           round(avg(value) OVER ({_W_ORACLE} ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6)  AS ma5_excl,
+           round(avg(value) OVER ({_W_ORACLE} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)  AS ma5_incl,
+           round(stddev_samp(value) OVER ({_W_ORACLE} ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING), 6) AS vol14,
+           CASE WHEN count(value) OVER ({_W_ORACLE} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 5
+                THEN round(avg(value) OVER ({_W_ORACLE} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+                ELSE 0.0 END AS trend5
+    FROM events
+    """,
+)
+def w_rolling_mean_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W4/W5/W12 with both frame conventions side by side:
+    trailing-exclusive ma5 (regression.py:76), inclusive ma5, sample-stddev
+    vol14 (regression.py:78), and the pandas rolling(5)+min_periods+fillna(0)
+    trend (spark_stream.py:145-147)."""
+    ev = _events_series(spark, sf_dir)
+    w = TS.series_window("user_id", ["ts", "event_id"])
+    df = TS.rolling_mean(ev, "value", "ma5_excl", w, 5, inclusive=False)
+    df = TS.rolling_mean(df, "value", "ma5_incl", w, 5, inclusive=True)
+    df = TS.rolling_std(df, "value", "vol14", w, 14, inclusive=False)
+    df = TS.rolling_mean(df, "value", "trend5_raw", w, 5, inclusive=True, min_periods=5)
+    df = df.withColumn("trend5", F.coalesce(F.col("trend5_raw"), F.lit(0.0)))
+    return df.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("ma5_excl", 6).alias("ma5_excl"),
+        F.round("ma5_incl", 6).alias("ma5_incl"),
+        F.round("vol14", 6).alias("vol14"),
+        F.round("trend5", 6).alias("trend5"),
+    )
+
+
+@register(
+    "w_pct_change_zscore_anomaly",
+    oracle=f"""
+    WITH diffed AS (
+      SELECT event_id, user_id, ts, value,
+             value - lag(value, 1) OVER ({_W_ORACLE}) AS diff,
+             (value - lag(value, 1) OVER ({_W_ORACLE}))
+               / nullif(lag(value, 1) OVER ({_W_ORACLE}), 0) * 100.0 AS pct_change
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           round(diff, 6)       AS diff,
+           round(pct_change, 6) AS pct_change,
+           round((pct_change - avg(pct_change) OVER (PARTITION BY user_id))
+                 / nullif(stddev_pop(pct_change) OVER (PARTITION BY user_id), 0), 6) AS zscore,
+           CASE WHEN abs(coalesce(
+                  (pct_change - avg(pct_change) OVER (PARTITION BY user_id))
+                  / nullif(stddev_pop(pct_change) OVER (PARTITION BY user_id), 0), 0)) > 3
+                THEN 'Anomaly' ELSE 'Normal' END AS anomaly
+    FROM diffed
+    """,
+)
+def w_pct_change_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11 + A7 + W13 — the reference's analyzed-data endpoint
+    (spark_stream.py:131-142): per-key diff & pct-change, POPULATION
+    z-score over the key's history, |z|>3 anomaly flag. Partitioned by
+    key (the reference's global diff is a documented quirk, SURVEY §7 #6)."""
+    ev = _events_series(spark, sf_dir)
+    w = TS.series_window("user_id", ["ts", "event_id"])
+    df = TS.with_diff_pct(ev, "value", w)
+    df = TS.with_anomaly_flag(df, "pct_change", TS.series_window("user_id", ["ts", "event_id"]))
+    return df.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("diff", 6).alias("diff"),
+        F.round("pct_change", 6).alias("pct_change"),
+        F.round("zscore", 6).alias("zscore"),
+        "anomaly",
+    )
+
+
+@register(
+    "w_rsi_14",
+    oracle=f"""
+    WITH diffed AS (
+      SELECT event_id, user_id, ts, value,
+             value - lag(value, 1) OVER ({_W_ORACLE}) AS d
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           round(100.0 - 100.0 / (1.0 +
+             avg(CASE WHEN d > 0 THEN d ELSE 0.0 END)
+                 OVER ({_W_ORACLE} ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+             / (avg(CASE WHEN d < 0 THEN -d ELSE 0.0 END)
+                 OVER ({_W_ORACLE} ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) + 1e-6)), 6) AS rsi
+    FROM diffed
+    """,
+)
+def w_rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: RSI-14, trailing-exclusive frame, epsilon-guarded ratio
+    (reference regression.py:99-108)."""
+    ev = _events_series(spark, sf_dir)
+    w = TS.series_window("user_id", ["ts", "event_id"])
+    df = TS.with_rsi(ev, "value", w, k=14, out="rsi")
+    return df.select("event_id", "user_id", "ts", F.round("rsi", 6).alias("rsi"))
+
+
+@register(
+    "w_macd_sma",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           round(avg(value) OVER ({_W_ORACLE} ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
+               - avg(value) OVER ({_W_ORACLE} ROWS BETWEEN 26 PRECEDING AND CURRENT ROW), 6) AS macd
+    FROM events
+    """,
+)
+def w_macd_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/W8: 'MACD' exactly as the reference computes it — difference of
+    trailing-INCLUSIVE rolling means named ema12/ema26
+    (regression.py:112-115). True EMA offered as with_ema extension."""
+    ev = _events_series(spark, sf_dir)
+    w = TS.series_window("user_id", ["ts", "event_id"])
+    df = TS.with_macd(ev, "value", w, fast=12, slow=26, out="macd")
+    return df.select("event_id", "user_id", "ts", F.round("macd", 6).alias("macd"))
+
+
+@register(
+    "w_volume_spike",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           round(avg(value) OVER ({_W_ORACLE} ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS vol_ma,
+           CASE WHEN value > 1.5 * avg(value) OVER ({_W_ORACLE} ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS volume_spike
+    FROM events
+    """,
+)
+def w_volume_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: trailing volume mean + 1.5× spike flag (reference
+    regression.py:94-96)."""
+    ev = _events_series(spark, sf_dir)
+    w = TS.series_window("user_id", ["ts", "event_id"])
+    df = TS.with_volume_spike(ev, "value", w, k=5, factor=1.5)
+    return df.select(
+        "event_id", "user_id", "ts", F.round("vol_ma", 6).alias("vol_ma"), "volume_spike"
+    )
+
+
+@register(
+    "w_forward_fill",
+    oracle=f"""
+    WITH gapped AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN value < 10 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           round(last_value(v IGNORE NULLS) OVER
+                 ({_W_ORACLE} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
+    FROM gapped
+    """,
+)
+def w_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: forward-fill via last(ignorenulls) over unbounded-preceding
+    (reference classifier.py:39-41). Nulls synthesized deterministically
+    (value<10) since the driver table is dense."""
+    ev = _events_series(spark, sf_dir)
+    w = TS.series_window("user_id", ["ts", "event_id"])
+    df = ev.withColumn("v", F.when(F.col("value") < 10, None).otherwise(F.col("value")))
+    df = TS.forward_fill(df, ["v"], w)
+    return df.select("event_id", "user_id", "ts", F.round("v", 6).alias("v_filled"))
+
+
+@register(
+    "w_rank_family",
+    oracle=f"""
+    SELECT event_id, event_type,
+           row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS row_number,
+           rank()       OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank,
+           dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS dense_rank,
+           ntile(4)     OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS ntile_4,
+           round(percent_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id), 6) AS pct_rank,
+           round(cume_dist()    OVER (PARTITION BY event_type ORDER BY value DESC, event_id), 6) AS cume
+    FROM events
+    """,
+)
+def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family — absent from the reference (SURVEY §2.5 absent
+    list), exposed as first-class features."""
+    ev = _events_series(spark, sf_dir)
+    w = TS.series_window("event_type", [F.desc("value"), F.asc("event_id")])
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("row_number"),
+        F.rank().over(w).alias("rank"),
+        F.dense_rank().over(w).alias("dense_rank"),
+        F.ntile(4).over(w).alias("ntile_4"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "w_running_total",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER ({_W_ORACLE} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+           count(*) OVER ({_W_ORACLE} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+    FROM events
+    """,
+)
+def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates over unbounded-preceding frames."""
+    ev = _events_series(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = TS.series_window("user_id", ["ts", "event_id"]).rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+    )
