@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via the noop sink (whole plan executes,
+nothing collects to the driver), timed after a warm-up of the JVM/session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Representative slice of the registry: scan-agg, join, window-heavy,
+# sessionization, text, vector — the shapes that dominate at 100 TB.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "top_orders_by_revenue",
+    "broadcast_join_segment_sales",
+    "w_pct_change_zscore_anomaly",
+    "w_rolling_mean_std",
+    "t_session_window_30min",
+    "t_tumbling_5min",
+    "x_text_token_stats",
+    "x_cosine_topk",
+    "x_exact_dedup_documents",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from cse_datapipeline_and_mls_spark.queries import QUERIES
+    from cse_datapipeline_and_mls_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # Warm up the session (JVM JIT, parquet footer cache) on a cheap query.
+    QUERIES["group_histogram_events"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -180,10 +180,12 @@ def parse_date_multi(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     c = F.trim(c)
-    return F.coalesce(F.to_date(c, "yyyy-MM-dd"), F.to_date(c, "yyyyMMdd"))
+    # try_to_date, not to_date: ANSI mode (Spark 4 default) makes to_date
+    # THROW on unparseable text; the reference returns NaT (ml_impl.py:30).
+    return F.coalesce(F.try_to_date(c, "yyyy-MM-dd"), F.try_to_date(c, "yyyyMMdd"))
 
 
 def parse_filename_date(col: Column | str) -> Column:
     """``'20230310.csv'`` → DATE — reference ml-algorithms/regression.py:55."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_date(F.regexp_replace(c, r"\.csv$", ""), "yyyyMMdd")
+    return F.try_to_date(F.regexp_replace(c, r"\.csv$", ""), "yyyyMMdd")

@@ -1,0 +1,78 @@
+"""North-star dedup + similarity tests: approximate methods validated
+against their exact counterparts (the production path vs the oracle path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cse_datapipeline_and_mls_spark.operators import dedup as D
+from cse_datapipeline_and_mls_spark.operators import similarity as S
+from cse_datapipeline_and_mls_spark.sources import load_table
+
+
+def test_shingle_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["shingles"] for r in D.shingle(df, "text", n=3).collect()}
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == []  # shorter than n -> empty, not garbage
+    assert got[3] == []
+
+
+def test_exact_dedup_normalized_content(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different doc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"] for r in D.exact_dedup_by_content(df).collect()}
+    # 1 and 2 normalize identically -> min-id survivor 1
+    assert out == {1, 3}
+
+
+def test_simhash_identical_texts_and_banding(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "zzz yyy xxx www vvv")],
+        "doc_id long, text string",
+    )
+    pairs = D.simhash_neardup_pairs(df, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got == {(1, 2): 0}  # identical -> hamming 0; unrelated doc not paired
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_neardup_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert exact, "test corpus should contain planted near-dups"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"MinHash recall {recall:.2f} vs exact Jaccard"
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(emb, queries, k=10)
+    approx = S.lsh_topk(emb, queries, k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"LSH top-k recall {recall:.2f} vs brute force"
+
+
+def test_cosine_self_similarity_is_one(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    out = S.brute_force_topk(
+        df, df.select(F.col("vec_id").alias("query_id"), "embedding"), k=1
+    ).collect()
+    assert out[0]["cosine_sim"] == 1.0 and out[0]["rnk"] == 1

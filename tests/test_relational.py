@@ -1,0 +1,69 @@
+"""Relational operator unit tests (SURVEY §2.2-2.4)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cse_datapipeline_and_mls_spark.operators import relational as R
+
+
+def test_null_nan_audit_distinguishes_null_and_nan(spark):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (float("nan"), "b"), (None, None), (2.0, "d")],
+        "x double, s string",
+    )
+    row = R.null_nan_audit(df).collect()[0]
+    assert row["x"] == 2  # one NULL + one NaN
+    assert row["s"] == 1  # NULLs only for non-fractional
+
+
+def test_salted_group_count_matches_plain(spark, sf_dir):
+    from cse_datapipeline_and_mls_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plain = {r["event_type"]: r["n"] for r in R.group_count(ev, ["event_type"]).collect()}
+    salted = {r["event_type"]: r["n"] for r in R.salted_group_count(ev, "event_type").collect()}
+    assert plain == salted
+
+
+def test_dedup_by_key_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [("k1", 2, "late"), ("k1", 1, "early"), ("k2", 5, "only")],
+        "k string, seq int, tag string",
+    )
+    out = R.dedup_by_key(df, ["k"], order=[F.asc("seq")]).collect()
+    got = {r["k"]: r["tag"] for r in out}
+    assert got == {"k1": "early", "k2": "only"}
+
+
+def test_semi_and_anti_partition_rows(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id int")
+    keep = spark.createDataFrame([(2,), (3,), (4,)], "id int")
+    semi = {r["id"] for r in R.semi_filter(df, keep, "id").collect()}
+    anti = {r["id"] for r in R.anti_filter(df, keep, "id").collect()}
+    assert semi == {2, 3}
+    assert anti == {1}
+    assert semi | anti == {1, 2, 3}
+
+
+def test_balanced_weights_inverse_to_frequency(spark):
+    df = spark.createDataFrame([("a",)] * 6 + [("b",)] * 2, "label string")
+    out = R.with_balanced_weights(df, "label").collect()
+    w = {r["label"]: r["class_weight"] for r in out}
+    # total=8, k=2: a -> 8/(2*6)=2/3, b -> 8/(2*2)=2
+    assert math.isclose(w["a"], 8 / 12)
+    assert math.isclose(w["b"], 2.0)
+    # weighted total balances classes
+    assert math.isclose(6 * w["a"], 2 * w["b"])
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", i, float(i)) for i in range(5)] + [("g2", i, float(-i)) for i in range(3)],
+        "g string, id int, v double",
+    )
+    out = R.top_k_per_group(df, ["g"], [F.desc("v"), F.asc("id")], 2)
+    got = {(r["g"], r["rn"]): r["id"] for r in out.collect()}
+    assert got == {("g1", 1): 4, ("g1", 2): 3, ("g2", 1): 0, ("g2", 2): 1}

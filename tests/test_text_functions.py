@@ -1,0 +1,89 @@
+"""Text operator + scalar function library tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cse_datapipeline_and_mls_spark.operators import text as X
+from cse_datapipeline_and_mls_spark.schemas import (
+    parse_date_multi,
+    parse_filename_date,
+    sanitize_column_name,
+)
+
+
+def test_token_count_bpe_ish(spark):
+    df = spark.createDataFrame([("Hello, world! x2",)], "text string")
+    row = df.select(
+        X.token_count("text").alias("n"), X.whitespace_token_count("text").alias("ws")
+    ).collect()[0]
+    # Hello , world ! x 2  -> 6 regex tokens; 3 whitespace tokens
+    assert row["n"] == 6
+    assert row["ws"] == 3
+
+
+def test_stopword_and_punct_ratio(spark):
+    df = spark.createDataFrame([("the cat and the hat",)], "text string")
+    row = df.select(
+        X.stopword_ratio("text").alias("sr"), X.punct_ratio("text").alias("pr")
+    ).collect()[0]
+    assert abs(row["sr"] - 3 / 5) < 1e-9  # the, and, the
+    assert row["pr"] == 0.0
+
+
+def test_lang_id_heuristic_basic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and that is fine"),
+            (2, "der hund ist nicht da und die katze"),
+            (3, "def foo(): return import class void function"),
+            (4, "xyzzy plugh"),
+        ],
+        "id int, text string",
+    )
+    got = {r["id"]: r["g"] for r in df.select("id", X.lang_id_heuristic("text").alias("g")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "code"
+    assert got[4] == "unknown"
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "hello worlds")],
+        "id int, text string",
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", X.doc_fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_sanitize_column_name_matches_reference_regex():
+    # reference scraper/main.py:57: [\$#\[\]\/\.\s] -> _
+    assert sanitize_column_name("Last Trade (Rs.)") == "Last_Trade_(Rs_)"
+    assert sanitize_column_name("a$b#c[d]e/f.g h") == "a_b_c_d_e_f_g_h"
+
+
+def test_multi_format_date_parse(spark):
+    df = spark.createDataFrame(
+        [("2023-03-10",), ("20230310",), (" 2023-03-10 ",), ("garbage",)], "d string"
+    )
+    got = [r["p"] for r in df.select(parse_date_multi("d").cast("string").alias("p")).collect()]
+    assert got[0] == "2023-03-10"
+    assert got[1] == "2023-03-10"
+    assert got[2] == "2023-03-10"  # trimmed
+    assert got[3] is None
+
+
+def test_filename_date_parse(spark):
+    df = spark.createDataFrame([("20230310.csv",)], "d string")
+    got = df.select(parse_filename_date("d").cast("string").alias("p")).collect()[0]["p"]
+    assert got == "2023-03-10"
+
+
+def test_quality_score_orders_good_above_garbage(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs far into the quiet green field today"
+    bad = "!!! ??? ### $$$ %%%"
+    df = spark.createDataFrame([(1, good), (2, bad)], "id int, text string")
+    got = {r["id"]: r["q"] for r in df.select("id", X.quality_score("text").alias("q")).collect()}
+    assert got[1] > got[2]

@@ -1,0 +1,112 @@
+"""Per-operator window tests on hand-built frames (SURVEY §5.2 item 3):
+partition boundaries, null runs, frame inclusivity, /0 guards."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cse_datapipeline_and_mls_spark.operators import tswindow as TS
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "sym string, t int, price double")
+
+
+def _by_key(df, *cols):
+    out = {}
+    for r in df.orderBy("sym", "t").collect():
+        out.setdefault(r["sym"], []).append(tuple(r[c] for c in cols))
+    return out
+
+
+def test_lag_respects_partition_boundaries(spark):
+    df = _series(
+        spark,
+        [("A", 1, 10.0), ("A", 2, 11.0), ("A", 3, 12.0), ("B", 1, 100.0), ("B", 2, 101.0)],
+    )
+    w = TS.series_window("sym", "t")
+    got = _by_key(TS.with_lags(df, "price", [1, 2], w), "price_lag_1", "price_lag_2")
+    assert got["A"] == [(None, None), (10.0, None), (11.0, 10.0)]
+    # lag never leaks across partitions
+    assert got["B"] == [(None, None), (100.0, None)]
+
+
+def test_rolling_mean_frame_conventions(spark):
+    df = _series(spark, [("A", i, float(i)) for i in range(1, 7)])
+    w = TS.series_window("sym", "t")
+    excl = TS.rolling_mean(df, "price", "m", w, 3, inclusive=False)
+    incl = TS.rolling_mean(df, "price", "m", w, 3, inclusive=True)
+    guard = TS.rolling_mean(df, "price", "m", w, 3, inclusive=True, min_periods=3)
+    # exclusive (-3,-1): row 1 has empty frame -> NULL; row 4 avg(1,2,3)=2
+    assert [r["m"] for r in excl.orderBy("t").collect()] == [None, 1.0, 1.5, 2.0, 3.0, 4.0]
+    # inclusive (-2,0): row 1 avg(1)=1; row 3 avg(1,2,3)=2
+    assert [r["m"] for r in incl.orderBy("t").collect()] == [1.0, 1.5, 2.0, 3.0, 4.0, 5.0]
+    # pandas-style min_periods=3: first two rows NULL
+    assert [r["m"] for r in guard.orderBy("t").collect()] == [None, None, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_rolling_std_is_sample_stddev(spark):
+    df = _series(spark, [("A", i, v) for i, v in enumerate([2.0, 4.0, 6.0, 8.0])])
+    w = TS.series_window("sym", "t")
+    out = TS.rolling_std(df, "price", "s", w, 3, inclusive=True).orderBy("t").collect()
+    # sample stddev of (2,4): sqrt(2); of (2,4,6): 2
+    assert out[0]["s"] is None  # single row -> sample std undefined
+    assert math.isclose(out[1]["s"], math.sqrt(2.0))
+    assert math.isclose(out[2]["s"], 2.0)
+
+
+def test_forward_fill_null_runs(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 5.0), ("A", 2, None), ("A", 3, None), ("A", 4, 7.0), ("B", 1, None)],
+        "sym string, t int, price double",
+    )
+    w = TS.series_window("sym", "t")
+    got = _by_key(TS.forward_fill(df, ["price"], w), "price")
+    assert got["A"] == [(5.0,), (5.0,), (5.0,), (7.0,)]
+    # leading nulls stay null (nothing to fill from)
+    assert got["B"] == [(None,)]
+
+
+def test_zscore_constant_series_is_null_flagged_normal(spark):
+    df = _series(spark, [("A", i, 5.0) for i in range(5)])
+    w = TS.series_window("sym", "t")
+    out = TS.with_anomaly_flag(df, "price", w).collect()
+    # stddev_pop = 0 -> nullif guard -> NULL z, 'Normal' flag (no /0 blowup)
+    assert all(r["zscore"] is None for r in out)
+    assert all(r["anomaly"] == "Normal" for r in out)
+
+
+def test_pct_change_zero_denominator_is_null(spark):
+    df = _series(spark, [("A", 1, 0.0), ("A", 2, 5.0)])
+    w = TS.series_window("sym", "t")
+    out = TS.with_diff_pct(df, "price", w).orderBy("t").collect()
+    assert out[0]["pct_change"] is None  # no lag
+    assert out[1]["pct_change"] is None  # lag == 0 -> nullif -> NULL, not inf
+
+
+def test_rsi_all_gains_saturates(spark):
+    df = _series(spark, [("A", i, float(i) * 2) for i in range(1, 8)])
+    w = TS.series_window("sym", "t")
+    out = TS.with_rsi(df, "price", w, k=3).orderBy("t").collect()
+    # monotone rising series: losses=0 -> RSI -> ~100 (epsilon keeps it finite)
+    assert out[-1]["rsi"] is not None and out[-1]["rsi"] > 99.99
+
+
+def test_ema_matches_pandas_ewm(spark):
+    import pandas as pd
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0]
+    df = _series(spark, [("A", i, v) for i, v in enumerate(vals)])
+    w = TS.series_window("sym", "t")
+    got = [r["ema"] for r in TS.with_ema(df, "price", "ema", w, span=5).orderBy("t").collect()]
+    want = pd.Series(vals).ewm(span=5, adjust=True).mean().tolist()
+    assert all(math.isclose(g, e, rel_tol=1e-9) for g, e in zip(got, want))
+
+
+def test_volume_spike_flag(spark):
+    df = _series(spark, [("A", 1, 10.0), ("A", 2, 10.0), ("A", 3, 10.0), ("A", 4, 100.0)])
+    w = TS.series_window("sym", "t")
+    out = TS.with_volume_spike(df, "price", w, k=3).orderBy("t").collect()
+    assert [r["volume_spike"] for r in out] == [0, 0, 0, 1]
