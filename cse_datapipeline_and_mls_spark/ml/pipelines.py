@@ -1,0 +1,212 @@
+"""MLlib pipelines replacing the reference's sklearn/XGBoost path
+(SURVEY §2.11 M1-M14).
+
+The reference trains two models:
+* a pure-Spark GBT up/down classifier (reference ml-algorithms/
+  classifier.py) — kept as-is, MLlib-native;
+* an XGBoost regressor reached through a ``toPandas()`` bulk hand-off
+  (reference ml-algorithms/regression.py:223-224) with sklearn
+  RobustScaler/LabelEncoder/RandomizedSearchCV around it.
+
+Here the JVM→Python matrix boundary disappears: features stay in a
+DataFrame, VectorAssembler → RobustScaler → GBTRegressor fit as ONE MLlib
+Pipeline distributed across executors; only fitted-model metadata reaches
+the driver. StringIndexer(handleInvalid='skip') replicates the reference's
+allow-list semi-join semantics (ml_impl.py:124-135); weightCol replaces
+the driver-side class-weight dict (classifier.py:62-67).
+
+Scale posture: GBT training shuffles once per iteration for histogram
+aggregation; feature build is the single window shuffle from
+operators.tswindow; time-based splits are partition-prunable filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import GBTClassifier
+from pyspark.ml.evaluation import BinaryClassificationEvaluator, RegressionEvaluator
+from pyspark.ml.feature import RobustScaler, StringIndexer, VectorAssembler
+from pyspark.ml.regression import GBTRegressor
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import relational as R
+from ..operators import tswindow as TS
+
+# The reference's final model sees 15 numeric features
+# (regression.py:279-283); ours mirrors the window-feature block.
+DEFAULT_FEATURES = [
+    "value_lag_1",
+    "value_lag_3",
+    "value_lag_7",
+    "ma5",
+    "ma10",
+    "vol14",
+    "rsi",
+    "macd",
+    "momentum_3",
+    "pct_change",
+]
+
+
+def build_price_features(df: DataFrame, key: str, order: list[str], price: str) -> DataFrame:
+    """The reference's feature block (regression.py:80-128) on any
+    per-key series: lags, trailing means, volatility, RSI, MACD,
+    momentum, pct-change. One window spec → one shuffle."""
+    w = TS.series_window(key, order)
+    out = TS.with_lags(df, price, [1, 3, 7], w)
+    for c, k in (("ma5", 5), ("ma10", 10)):
+        out = TS.rolling_mean(out, price, c, w, k, inclusive=False)
+    out = TS.rolling_std(out, price, "vol14", w, 14, inclusive=False)
+    out = TS.with_rsi(out, price, w, k=14, out="rsi")
+    out = TS.with_macd(out, price, w, out="macd")
+    out = TS.with_momentum(out, price, w, 3, "momentum_3")
+    out = TS.with_diff_pct(out, price, w)
+    # rename lag columns to the canonical feature names
+    for k in (1, 3, 7):
+        out = out.withColumnRenamed(f"{price}_lag_{k}", f"value_lag_{k}")
+    return out
+
+
+def time_split(df: DataFrame, ts_col: str, test_days: int) -> tuple[DataFrame, DataFrame]:
+    """M10: last-N-days test split (regression.py:216-218 uses 14,
+    classifier.py:52-56 uses 7). Better than random CV for time series —
+    the reference got this right. The max(ts) scalar is one tiny agg."""
+    split = df.agg(F.date_sub(F.max(ts_col), test_days).alias("s")).collect()[0]["s"]
+    return df.filter(F.col(ts_col) < F.lit(split)), df.filter(F.col(ts_col) >= F.lit(split))
+
+
+def classifier_pipeline(
+    feature_cols: list[str],
+    label_col: str = "label",
+    categorical_cols: list[str] | None = None,
+    max_iter: int = 50,
+    max_depth: int = 7,
+    step_size: float = 0.1,
+    subsampling_rate: float = 0.8,
+    max_bins: int = 50,
+    weight_col: str | None = "class_weight",
+) -> Pipeline:
+    """M1/M2: the reference's GBTClassifier config verbatim
+    (classifier.py:75-77: maxIter=50, maxDepth=7, stepSize=0.1,
+    subsamplingRate=0.8, maxBins=50, weighted)."""
+    stages = []
+    cols = list(feature_cols)
+    for c in categorical_cols or []:
+        stages.append(StringIndexer(inputCol=c, outputCol=f"{c}_idx", handleInvalid="skip"))
+        cols.append(f"{c}_idx")
+    stages.append(VectorAssembler(inputCols=cols, outputCol="features", handleInvalid="skip"))
+    gbt = GBTClassifier(
+        featuresCol="features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        maxDepth=max_depth,
+        stepSize=step_size,
+        subsamplingRate=subsampling_rate,
+        maxBins=max_bins,
+        seed=42,
+    )
+    if weight_col:
+        gbt = gbt.setWeightCol(weight_col)
+    stages.append(gbt)
+    return Pipeline(stages=stages)
+
+
+def regression_pipeline(
+    feature_cols: list[str],
+    label_col: str = "target",
+    max_iter: int = 50,
+    max_depth: int = 5,
+    step_size: float = 0.1,
+    subsampling_rate: float = 0.8,
+) -> Pipeline:
+    """M6/M8: assembler → RobustScaler → GBTRegressor, one distributed
+    fit. Maps the reference's XGB params (regression.py:331-339):
+    learning_rate→stepSize, max_depth→maxDepth, n_estimators→maxIter,
+    subsample→subsamplingRate. RobustScaler was imported-but-unused in
+    the reference (regression.py:21) and hand-rolled via sklearn
+    (regression.py:302-311); here it is the MLlib stage."""
+    assembler = VectorAssembler(
+        inputCols=feature_cols, outputCol="raw_features", handleInvalid="skip"
+    )
+    scaler = RobustScaler(
+        inputCol="raw_features", outputCol="features", withCentering=True, withScaling=True
+    )
+    gbt = GBTRegressor(
+        featuresCol="features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        maxDepth=max_depth,
+        stepSize=step_size,
+        subsamplingRate=subsampling_rate,
+        seed=42,
+    )
+    return Pipeline(stages=[assembler, scaler, gbt])
+
+
+def add_binary_label_and_weights(df: DataFrame, price: str, w) -> DataFrame:
+    """classifier.py:23-24: label = next price > current; A9 weights."""
+    df = TS.with_lead(df, price, "_next", w)
+    df = df.withColumn(
+        "label", F.when(F.col("_next") > F.col(price), 1.0).otherwise(0.0)
+    ).filter(F.col("_next").isNotNull())
+    return R.with_balanced_weights(df, "label").drop("_next")
+
+
+def binary_metrics(predictions: DataFrame, label_col: str = "label") -> dict[str, float]:
+    """M3/M4: AUC + accuracy + confusion counts (classifier.py:83-93)."""
+    auc = BinaryClassificationEvaluator(
+        labelCol=label_col, rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+    ).evaluate(predictions)
+    counts = {
+        (r[label_col], r["prediction"]): r["n"]
+        for r in predictions.groupBy(label_col, "prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    correct = counts.get((0.0, 0.0), 0) + counts.get((1.0, 1.0), 0)
+    return {
+        "auc": auc,
+        "accuracy": correct / total if total else float("nan"),
+        "tp": counts.get((1.0, 1.0), 0),
+        "tn": counts.get((0.0, 0.0), 0),
+        "fp": counts.get((0.0, 1.0), 0),
+        "fn": counts.get((1.0, 0.0), 0),
+    }
+
+
+def regression_metrics(
+    predictions: DataFrame, label_col: str = "target", pred_col: str = "prediction"
+) -> dict[str, float]:
+    """M11: RMSE/MSE/MAE/R² via MLlib evaluators (replaces sklearn,
+    regression.py:422-429)."""
+    out = {}
+    for m in ("rmse", "mse", "mae", "r2"):
+        out[m] = RegressionEvaluator(
+            labelCol=label_col, predictionCol=pred_col, metricName=m
+        ).evaluate(predictions)
+    return out
+
+
+def directional_accuracy(
+    predictions: DataFrame, label_col: str = "target", pred_col: str = "prediction"
+) -> float:
+    """M12: sign-match rate (regression.py:438-439) — distributed, no
+    numpy round-trip."""
+    agg = predictions.agg(
+        F.avg(
+            F.when(F.signum(F.col(label_col)) == F.signum(F.col(pred_col)), 1.0).otherwise(0.0)
+        ).alias("da")
+    ).collect()[0]
+    return agg["da"]
+
+
+def score_with_price_reconstruction(
+    model: PipelineModel, df: DataFrame, price: str = "value"
+) -> DataFrame:
+    """M13: predicted_price = price * (1 + predicted_change)
+    (ml_impl.py:146-148) — transform + column arithmetic, no pandas."""
+    return model.transform(df).withColumn(
+        "predicted_price", F.col(price) * (1 + F.col("prediction"))
+    )

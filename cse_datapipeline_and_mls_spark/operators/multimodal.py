@@ -1,0 +1,131 @@
+"""Multimodal column plumbing (north-star X5).
+
+Image/audio/video payloads are opaque ``binary`` columns plus a typed
+metadata struct. The Spark-side plumbing — schema, partitioning, Arrow
+batch shape through ``mapInPandas`` — is real and tested; the actual
+codec step is stubbed (no image/audio libraries in this environment) as
+a clearly-marked NotImplementedError with a deterministic fake used by
+tests and the feature-extraction path.
+
+Scale posture: binary payloads ride the normal columnar path (parquet
+binary + Arrow), so a 100 TB media table scans/partitions like any other
+table; per-batch Python cost is amortized by Arrow batch size
+(``spark.sql.execution.arrow.maxRecordsPerBatch``), and decode/resize
+parallelism is the scan parallelism — no shuffle anywhere in the media
+pipeline until an explicit aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+    ]
+)
+
+
+def synth_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table: each document's UTF-8 bytes stand in
+    for an opaque payload. Gives tests a real binary column with real
+    Arrow transfer without any codec dependency."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(content: bytes, modality: str):
+    """Real codec step — NOT IMPLEMENTED in this environment.
+
+    Would dispatch to PIL / soundfile / pyav per modality. The Spark-side
+    contract (bytes in, array out) is what the pipeline depends on; swap
+    this single function when codec libraries are present.
+    """
+    raise NotImplementedError(
+        f"decode_media({modality}): codec libraries not available in this build"
+    )
+
+
+def extract_features(media: DataFrame, batch_size_hint: int | None = None) -> DataFrame:
+    """Per-payload feature extraction via ``mapInPandas`` — the Arrow
+    batch path a real decoder would use (bytes → decode → embed). The
+    deterministic fake computes byte statistics; a real build swaps the
+    body for ``decode_media`` + a model forward pass, keeping the same
+    batch shape and output schema."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, modality, content in zip(pdf["media_id"], pdf["modality"], pdf["content"]):
+                arr = np.frombuffer(content, dtype=np.uint8)
+                if arr.size:
+                    counts = np.bincount(arr, minlength=256)
+                    p = counts[counts > 0] / arr.size
+                    entropy = float(-(p * np.log2(p)).sum())
+                    mean = float(arr.mean())
+                else:
+                    entropy, mean = 0.0, 0.0
+                out.append((int(mid), modality, int(arr.size), mean, entropy))
+            yield pd.DataFrame(
+                out, columns=["media_id", "modality", "n_bytes", "byte_mean", "byte_entropy"]
+            )
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video: one output row per sampled
+    offset. Offsets come from the metadata duration (a real build would
+    seek-decode at each offset via ``decode_media``); payload-less rows
+    are produced for media without duration. Pure built-in explode — the
+    fan-out happens JVM-side."""
+    offsets = F.sequence(
+        F.lit(0),
+        F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+        F.lit(every_ms),
+    )
+    return media.filter(F.col("modality") == "video").select(
+        "media_id",
+        F.explode(offsets).alias("frame_offset_ms"),
+    )

