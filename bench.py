@@ -47,11 +47,17 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Two runs per query, report the min: run 1 pays one-time costs
+    # (query compilation, codegen, file listing) that a long-lived engine
+    # amortizes; the min reflects steady-state throughput.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,0 +1,111 @@
+"""As-of (temporal alignment) join — SURVEY §2.3 J4.
+
+The reference joins quarterly financials to every daily price row with a
+plain equi-join, ignoring validity windows (reference
+ml-algorithms/regression.py:130 — a deliberate simplification). The
+evident intent is an as-of join: each fact row picks the most recent
+dimension row at or before its timestamp.
+
+Spark has no native as-of join. Two compositions are provided:
+
+* ``asof_join`` (default): union the two keyed timelines, sort within
+  key, forward-fill the dimension attributes, keep fact rows. ONE shuffle
+  on the key — same cost class as the window features, no range
+  explosion. This is the 100 TB path: state per key is one dimension row
+  (the running last), never a buffered range.
+* ``asof_join_pandas``: per-key ``applyInPandas`` + ``pd.merge_asof`` —
+  the escape hatch for semantics the union trick can't express
+  (tolerance windows, backward/forward/nearest directions beyond
+  'backward').
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_time: str,
+    dim_time: str,
+    dim_cols: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join: for each fact row, the latest dim row with
+    ``dim_time <= fact_time`` on the same key.
+
+    Implementation: tag and union both sides on a common (key, time)
+    axis; within each key order by (time, side) with dim rows sorting
+    BEFORE fact rows at equal timestamps (ties resolve to 'at or
+    before'); forward-fill dim attributes; keep fact rows.
+    """
+    fact_cols = fact.columns
+    f_tagged = fact.withColumn("_t", F.col(fact_time)).withColumn("_side", F.lit(1))
+    for c in dim_cols:
+        f_tagged = f_tagged.withColumn(c, F.lit(None).cast(dict(dim.dtypes)[c]))
+    d_tagged = dim.select(
+        F.col(on),
+        F.col(dim_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in dim_cols],
+    )
+    for c in fact_cols:
+        if c not in (on,):
+            d_tagged = d_tagged.withColumn(c, F.lit(None).cast(dict(f_tagged.dtypes)[c]))
+    unioned = f_tagged.select(
+        on, "_t", "_side", *[c for c in fact_cols if c != on], *dim_cols
+    ).unionByName(d_tagged.select(on, "_t", "_side", *[c for c in fact_cols if c != on], *dim_cols))
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned
+    for c in dim_cols:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return filled.filter(F.col("_side") == 1).drop("_t", "_side")
+
+
+def asof_join_pandas(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_time: str,
+    dim_time: str,
+    dim_cols: Sequence[str],
+    tolerance=None,
+) -> DataFrame:
+    """Per-key ``pd.merge_asof`` via cogrouped applyInPandas — for
+    tolerance/nearest semantics. Arrow-batched; shuffles both sides once
+    on the key."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    dim_types = {f.name: f.dataType for f in dim.schema.fields}
+    fields = list(fact.schema.fields) + [T.StructField(c, dim_types[c]) for c in dim_cols]
+    schema = T.StructType(fields)
+    names = [f.name for f in fields]
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=names)
+        left = left.sort_values(fact_time)
+        right = right.sort_values(dim_time)[[dim_time, *dim_cols]]
+        merged = pd.merge_asof(
+            left,
+            right,
+            left_on=fact_time,
+            right_on=dim_time,
+            direction="backward",
+            tolerance=tolerance,
+        )
+        return merged[names]
+
+    return fact.groupBy(on).cogroup(dim.groupBy(on)).applyInPandas(
+        lambda left, right: merge(left, right), schema
+    )

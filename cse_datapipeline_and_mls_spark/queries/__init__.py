@@ -39,7 +39,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 def _load_all() -> None:
-    from . import functions_q, ml_q, northstar, relational_q, streaming_q, windows_q  # noqa: F401
+    from . import (  # noqa: F401
+        coverage_q,
+        functions_q,
+        ml_q,
+        northstar,
+        relational_q,
+        streaming_q,
+        windows_q,
+    )
 
 
 _load_all()

@@ -1,0 +1,276 @@
+"""Coverage queries completing SURVEY §2 line-items not already pinned:
+P-series predicates, J4 as-of, O6 pagination, distinct/percentile
+aggregates, explode (UDTF surface), unpivot, first/last windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..sources import load_table
+from . import register
+
+
+@register(
+    "p_date_range_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+)
+def p_date_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: date-range predicate — pushed to the parquet scan (partition-
+    prunable when the table is date-partitioned at scale; reference
+    regression.py:217-218)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_shipdate")
+
+
+@register(
+    "p_membership_isin",
+    oracle="""
+    SELECT user_id, count(*) AS n
+    FROM events WHERE event_type IN ('click', 'buy')
+    GROUP BY user_id
+    """,
+)
+def p_membership_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 small-list flavor: Column.isin compiles to an IN predicate in
+    the scan filter (the distributed allow-list flavor is
+    semi_join_building_orders)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("click", "buy"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "p_future_date_filter",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def p_future_date_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: keep rows after a cutoff (reference ml_impl.py:155-156 filters
+    prediction_date > now; a literal cutoff here for determinism)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "j_asof_event_snapshots",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, date_trunc('day', ts) AS snap_ts,
+             round(avg(value), 6) AS day_avg
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts, d.day_avg
+    FROM events e ASOF LEFT JOIN dim d
+      ON e.user_id = d.user_id AND e.ts >= d.snap_ts
+    """,
+)
+def j_asof_event_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 done right: each event aligned to the most recent daily
+    snapshot at-or-before its timestamp. Spark has no native as-of join;
+    operators.asof.asof_join composes it as union + forward-fill — ONE
+    shuffle on the key, no range explosion (SURVEY §2.3 J4 'engine
+    offers both'). DuckDB's native ASOF JOIN is the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("snap_ts")
+    ).agg(F.round(F.avg("value"), 6).alias("day_avg"))
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        dim,
+        on="user_id",
+        fact_time="ts",
+        dim_time="snap_ts",
+        dim_cols=["day_avg"],
+    )
+    return joined.select("event_id", "user_id", "ts", "day_avg")
+
+
+@register(
+    "o_pagination_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, rn
+    FROM (SELECT o_orderkey, o_totalprice,
+                 row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+    WHERE rn BETWEEN 11 AND 20
+    """,
+)
+def o_pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: page 2 of a sorted listing via row_number band (reference
+    index.js:220-223 slices [page*10, page*10+10] client-side). The
+    global row_number needs a single-partition window — fine for a
+    serving page, not for bulk export (use range partitioning there)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(11, 20))
+        .select("o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent from the reference, SURVEY §2.4
+    absent list). Catalyst plans multi-distinct via Expand — one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (absent list). Spark's
+    ``percentile`` matches quantile_cont interpolation; the approximate
+    sibling (percentile_approx / approx_count_distinct) is the 100 TB
+    default — exact percentile materializes per-group value buffers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", 0.50), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+    )
+
+
+@register(
+    "agg_max_by",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey AS top_orderkey,
+           round(o_totalprice, 4) AS top_price
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+          FROM orders) t
+    WHERE rn = 1
+    """,
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/arg_max with a composite tiebreaker (deterministic even on
+    price ties)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("top_orderkey"),
+        F.round(F.max("o_totalprice"), 4).alias("top_price"),
+    )
+
+
+@register(
+    "x_word_topk",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def x_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/UDTF surface (the reference's Firebase flatten,
+    spark_stream.py:106-115, is morally this explode) + term-frequency
+    top-k. At 100 TB: explode is map-side; the count shuffles on the
+    word; top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT measure, round(sum(v), 4) AS total
+    FROM (
+      SELECT 'quantity' AS measure, l_quantity AS v FROM lineitem
+      UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+    ) t GROUP BY measure
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack() (SURVEY §2.7 family) — wide→long without a
+    join; one Expand node, no shuffle before the agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+        " 'discount', l_discount) AS (measure, v)"
+    )
+    return long.groupBy("measure").agg(F.round(F.sum("v"), 4).alias("total"))
+
+
+@register(
+    "w_first_last_nth",
+    oracle="""
+    SELECT event_id, user_id,
+           round(first_value(value) OVER w, 6) AS first_v,
+           round(last_value(value)  OVER w, 6) AS last_v,
+           round(nth_value(value, 3) OVER w, 6) AS third_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over the full partition (SURVEY §2.5 absent
+    list — ranking/value family exposed)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(w), 6).alias("first_v"),
+        F.round(F.last("value").over(w), 6).alias("last_v"),
+        F.round(F.nth_value("value", 3).over(w), 6).alias("third_v"),
+    )

@@ -1,0 +1,60 @@
+"""As-of join tests (J4): tie semantics, missing-dim keys, and the
+union-path vs pandas-path agreement."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from cse_datapipeline_and_mls_spark.operators.asof import asof_join, asof_join_pandas
+
+
+def _t(h):
+    return dt.datetime(2024, 1, 1, h)
+
+
+@pytest.fixture(scope="module")
+def fact_dim(spark):
+    fact = spark.createDataFrame(
+        [
+            (1, "A", _t(1)),
+            (2, "A", _t(5)),
+            (3, "A", _t(10)),
+            (4, "B", _t(3)),
+            (5, "C", _t(2)),  # key with no dim rows at all
+        ],
+        "fid long, k string, ts timestamp",
+    )
+    dim = spark.createDataFrame(
+        [
+            ("A", _t(0), 10.0),
+            ("A", _t(5), 20.0),  # exactly equal to fact ts -> 'at or before' includes it
+            ("A", _t(8), 30.0),
+            ("B", _t(4), 99.0),  # after the only B fact -> no match
+        ],
+        "k string, snap timestamp, v double",
+    )
+    return fact, dim
+
+
+def test_asof_backward_with_ties_and_gaps(spark, fact_dim):
+    fact, dim = fact_dim
+    out = {
+        r["fid"]: r["v"]
+        for r in asof_join(fact, dim, "k", "ts", "snap", ["v"]).collect()
+    }
+    assert out == {1: 10.0, 2: 20.0, 3: 30.0, 4: None, 5: None}
+
+
+def test_asof_pandas_path_agrees(spark, fact_dim):
+    fact, dim = fact_dim
+    union_path = {
+        (r["fid"], r["v"])
+        for r in asof_join(fact, dim, "k", "ts", "snap", ["v"]).collect()
+    }
+    pandas_path = {
+        (r["fid"], r["v"] if r["v"] is not None else None)
+        for r in asof_join_pandas(fact, dim, "k", "ts", "snap", ["v"]).collect()
+    }
+    assert union_path == pandas_path
