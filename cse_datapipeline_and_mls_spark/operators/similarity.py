@@ -107,6 +107,66 @@ def lsh_topk(
     )
 
 
+def _best_cells(vec: Column, centroids, nprobe: int) -> Column:
+    """Array of the ``nprobe`` centroid ids nearest to ``vec`` by cosine
+    (rounded to 6dp; ties break to the smaller centroid id).
+
+    ``centroids`` is a driver-side list of ``(cid, [float, ...])`` — the
+    coarse codebook is tiny by construction, so it compiles into literal
+    arrays inside whole-stage codegen: assignment is pure map-side work,
+    the corpus never shuffles to find its cell.
+    """
+    structs = []
+    for cid, cvec in centroids:
+        cv = F.array(*[F.lit(float(x)) for x in cvec])
+        sim = F.round(cosine(vec, cv), 6)
+        structs.append(F.struct((-sim).alias("neg"), F.lit(int(cid)).alias("cid")))
+    ranked = F.sort_array(F.array(*structs))
+    return F.slice(ranked, 1, nprobe).getField("cid")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via an IVF-style coarse quantizer (the scale path
+    that stays SQL-expressible, unlike LSH).
+
+    Each corpus vector is assigned map-side to its nearest centroid cell;
+    each query probes its ``nprobe`` nearest cells; candidates come from a
+    broadcast equality join on the cell id; exact cosine re-ranks. The
+    only shuffle is the per-query top-k window over candidates — at 100 TB
+    the corpus is scanned once, filtered to ~nprobe/C of itself by the
+    cell join, and never repartitioned.
+
+    ``centroids``: list of ``(cid, vector)`` — in production the k-means
+    codebook; here any deterministic seed set works.
+    """
+    c_assigned = corpus.withColumn("_cell", _best_cells(F.col(vec_col), centroids, 1)[0])
+    q_probes = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_best_cells(F.col(vec_col), centroids, nprobe)).alias("_cell"),
+    )
+    cand = c_assigned.join(F.broadcast(q_probes), "_cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rnk")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -156,6 +156,79 @@ def x_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_ann_ivf_topk",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < 8
+    ), assigned AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.cid
+      FROM embeddings e CROSS JOIN cent c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                 / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(c.cvec, c.cvec)), 0), 6) DESC, c.cid
+      ) = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0
+    ), probes AS (
+      SELECT q.query_id, q.qv, c.cid
+      FROM q CROSS JOIN cent c
+      QUALIFY row_number() OVER (
+        PARTITION BY q.query_id
+        ORDER BY round(list_dot_product(q.qv, c.cvec)
+                 / nullif(sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.cvec, c.cvec)), 0), 6) DESC, c.cid
+      ) <= 2
+    ), cand AS (
+      SELECT p.query_id, a.vec_id,
+             round(list_dot_product(a.ev, p.qv)
+               / nullif(sqrt(list_dot_product(a.ev, a.ev))
+                      * sqrt(list_dot_product(p.qv, p.qv)), 0), 6) AS cosine_sim
+      FROM probes p JOIN assigned a ON p.cid = a.cid
+    )
+    SELECT query_id, vec_id, cosine_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, vec_id) AS rnk
+    FROM cand
+    QUALIFY rnk <= 5
+    """,
+)
+def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: IVF coarse quantizer ANN. Codebook = embeddings of
+    vec_id<8 (stand-in for k-means centroids); corpus vectors assigned
+    map-side via literal-array cosine (no shuffle); queries (vec_id%100=0)
+    probe their 2 nearest cells; broadcast cell join + exact rerank,
+    top-5. Exact-same semantics in the DuckDB oracle — the one ANN
+    variant that is fully SQL-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    centroids = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+
+
+@register("x_ann_lsh_topk")  # rows-only: MLlib random-projection LSH is not ANSI-expressible
+def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path, LSH flavor: BucketedRandomProjectionLSH candidates +
+    exact cosine rerank (operators.similarity.lsh_topk). Recall vs the
+    brute-force baseline is asserted in tests/test_dedup_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_topk(emb, queries, k=10)
+
+
+@register(
     "x_text_token_stats",
     oracle="""
     SELECT doc_id,

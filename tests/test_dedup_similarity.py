@@ -70,6 +70,29 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.7, f"LSH top-k recall {recall:.2f} vs brute force"
 
 
+def test_ivf_topk_recall_and_self_hit(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    centroids = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(emb, queries, k=5)
+    approx = S.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+    a_rows = approx.collect()
+    # a query probing its own cell always finds itself at rank 1
+    self_hits = {r["query_id"] for r in a_rows if r["vec_id"] == r["query_id"] and r["rnk"] == 1}
+    assert self_hits == {0, 1, 2}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in a_rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF top-k recall {recall:.2f} vs brute force"
+
+
 def test_cosine_self_similarity_is_one(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
     out = S.brute_force_topk(
