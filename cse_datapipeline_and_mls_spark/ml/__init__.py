@@ -7,6 +7,7 @@ from .pipelines import (
     directional_accuracy,
     regression_metrics,
     regression_pipeline,
+    rolling_origin_search,
     score_with_price_reconstruction,
     time_split,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "build_price_features",
     "classifier_pipeline",
     "regression_pipeline",
+    "rolling_origin_search",
     "time_split",
     "binary_metrics",
     "regression_metrics",

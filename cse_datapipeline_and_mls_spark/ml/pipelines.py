@@ -144,6 +144,60 @@ def regression_pipeline(
     return Pipeline(stages=[assembler, scaler, gbt])
 
 
+def rolling_origin_search(
+    df: DataFrame,
+    build_pipeline,
+    param_grid: list[dict],
+    ts_col: str,
+    n_folds: int = 3,
+    label_col: str = "target",
+    metric: str = "rmse",
+) -> tuple[dict, PipelineModel, list[dict]]:
+    """M7: hyperparameter search with time-ordered folds.
+
+    The reference used RandomizedSearchCV with random K-fold
+    (regression.py:399-404) — leaky for time series (training folds see
+    the future). Rolling-origin evaluation fixes that: fold i trains on
+    everything before boundary i and validates on the slice between
+    boundaries i and i+1; boundaries are ts quantiles so folds are
+    balanced. Each candidate's metric is averaged over folds; the winner
+    is refit on ALL data.
+
+    ``build_pipeline(**params) -> Pipeline``. Candidate × fold fits run
+    sequentially — each fit is itself distributed, which is where the
+    parallelism budget goes at scale (MLlib's CrossValidator
+    parallelism knob trades the two; same trade here).
+
+    Returns (best_params, best_model_refit_on_all, per_candidate_log).
+    """
+    probs = [i / (n_folds + 1) for i in range(1, n_folds + 2)]
+    # one tiny approxQuantile action over the ts column (cast to epoch)
+    qs = df.select(F.unix_timestamp(F.col(ts_col)).cast("double").alias("_e")).approxQuantile(
+        "_e", probs, 0.001
+    )
+    with_e = df.withColumn("_e", F.unix_timestamp(F.col(ts_col)).cast("double")).cache()
+    evaluator = RegressionEvaluator(
+        labelCol=label_col, predictionCol="prediction", metricName=metric
+    )
+    log: list[dict] = []
+    for params in param_grid:
+        scores = []
+        for i in range(n_folds):
+            train = with_e.filter(F.col("_e") <= qs[i])
+            valid = with_e.filter((F.col("_e") > qs[i]) & (F.col("_e") <= qs[i + 1]))
+            if not valid.head(1):
+                continue
+            model = build_pipeline(**params).fit(train)
+            scores.append(evaluator.evaluate(model.transform(valid)))
+        avg = sum(scores) / len(scores) if scores else float("inf")
+        log.append({"params": params, "folds": scores, "avg": avg})
+    lower_is_better = metric in ("rmse", "mse", "mae")
+    best = min(log, key=lambda r: r["avg"]) if lower_is_better else max(log, key=lambda r: r["avg"])
+    best_model = build_pipeline(**best["params"]).fit(with_e)
+    with_e.unpersist()
+    return best["params"], best_model, log
+
+
 def add_binary_label_and_weights(df: DataFrame, price: str, w) -> DataFrame:
     """classifier.py:23-24: label = next price > current; A9 weights."""
     df = TS.with_lead(df, price, "_next", w)

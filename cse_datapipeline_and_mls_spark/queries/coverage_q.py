@@ -247,6 +247,128 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_range_price_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT band_id, band_id * 200.0 AS lo, (band_id + 1) * 200.0 AS hi
+      FROM (SELECT unnest(range(0, 10)) AS band_id)
+    )
+    SELECT b.band_id, count(*) AS n_parts, round(avg(p.p_retailprice), 6) AS avg_price
+    FROM part p JOIN bands b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def j_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — SURVEY §2.3 absent list. The band table is
+    tiny → Spark plans BroadcastNestedLoopJoin: the fact side streams
+    map-side against the broadcast intervals, no shuffle before the agg.
+    For band tables too big to broadcast, pre-bucket both sides on
+    floor(price/width) and equi-join the bucket first."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.range(0, 10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 200.0).alias("lo"),
+        ((F.col("id") + 1) * 200.0).alias("hi"),
+    )
+    joined = p.join(
+        F.broadcast(bands),
+        (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+    )
+
+
+@register(
+    "j_full_outer_click_buy",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, count(*) AS n_clicks FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ), buys AS (
+      SELECT user_id, count(*) AS n_buys FROM events
+      WHERE event_type = 'buy' GROUP BY user_id
+    )
+    SELECT coalesce(c.user_id, b.user_id) AS user_id,
+           coalesce(c.n_clicks, 0) AS n_clicks,
+           coalesce(b.n_buys, 0) AS n_buys
+    FROM clicks c FULL OUTER JOIN buys b ON c.user_id = b.user_id
+    """,
+)
+def j_full_outer_click_buy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — SURVEY §2.3 absent list. Both inputs share the
+    user_id hash partitioning from their aggregations, so the outer join
+    reuses the exchange (no extra shuffle under AQE)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "buy")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_buys"))
+    )
+    joined = clicks.alias("c").join(
+        buys.alias("b"), F.col("c.user_id") == F.col("b.user_id"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("c.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+        F.coalesce(F.col("n_buys"), F.lit(0)).alias("n_buys"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL sketches differ across engines by design
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB default for
+    cardinality (SURVEY §2.4 absent list). Sketches are mergeable →
+    map-side partials, O(1) memory per group vs the exact count's
+    per-group value set. Exact twin: agg_distinct_counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "w_running_zscore",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN stddev_pop(value) OVER w > 0
+                THEN round((value - avg(value) OVER w) / stddev_pop(value) OVER w, 6)
+                ELSE 0 END AS running_z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def w_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming operator
+    (streaming.stateful.running_zscore_anomalies): cumulative per-key
+    mean/stddev_pop → z-score. The streaming side maintains the same
+    quantity as O(1) Welford state per key via applyInPandasWithState;
+    stream/batch parity is asserted in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    std = F.stddev_pop("value").over(w)
+    z = (F.col("value") - F.avg("value").over(w)) / std
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(std > 0, F.round(z, 6)).otherwise(F.lit(0.0)).alias("running_z"),
+    )
+
+
+@register(
     "w_first_last_nth",
     oracle="""
     SELECT event_id, user_id,

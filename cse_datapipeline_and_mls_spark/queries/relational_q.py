@@ -70,17 +70,23 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: fact-fact equi-join on the order key then top-k.
-    Both sides shuffle on l_orderkey/o_orderkey (co-partitioned join); AQE
-    coalesces. Top-k is TakeOrderedAndProject — only 10 rows per partition
-    survive the final exchange. Tiebreaker o_orderkey makes the LIMIT
-    deterministic."""
-    o = load_table(spark, sf_dir, "orders")
+
+    Aggregation is pushed BELOW the join: o_orderkey is the orders PK, so
+    grouping lineitem by l_orderkey alone is equivalent to grouping the
+    joined set by (o_orderkey, o_orderdate) — the shuffle then carries one
+    narrow row per order instead of every joined lineitem (4×+ less at
+    TPC-H fanout; the join itself becomes 1:1). Top-k compiles to
+    TakeOrderedAndProject — only 10 rows per partition survive the final
+    exchange. Tiebreaker o_orderkey makes the LIMIT deterministic."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem")
-    joined = o.join(li, o.o_orderkey == li.l_orderkey)
-    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
+    per_order = li.groupBy("l_orderkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
     )
-    return R.top_k(agg, [F.desc("revenue"), F.asc("o_orderkey")], 10)
+    joined = per_order.join(o, per_order.l_orderkey == o.o_orderkey).select(
+        "o_orderkey", "o_orderdate", "revenue"
+    )
+    return R.top_k(joined, [F.desc("revenue"), F.asc("o_orderkey")], 10)
 
 
 @register(

@@ -6,6 +6,7 @@ from .pipeline import (
     threshold_alerts,
     windowed_aggregate,
 )
+from .stateful import running_zscore_anomalies
 
 __all__ = [
     "ingest_file_stream",
@@ -14,4 +15,5 @@ __all__ = [
     "windowed_aggregate",
     "session_aggregate",
     "run_to_memory_sink",
+    "running_zscore_anomalies",
 ]

@@ -58,6 +58,26 @@ def test_classifier_fit_metrics_and_roundtrip(spark, features, tmp_path):
     assert a == b
 
 
+def test_rolling_origin_search_picks_and_refits(spark, features):
+    w = TS.series_window("user_id", ["ts", "event_id"])
+    labeled = TS.with_lead(features, "pct_change", "target", w).filter(
+        F.col("target").isNotNull()
+    ).na.drop(subset=M.DEFAULT_FEATURES)
+
+    def build(max_depth):
+        return M.regression_pipeline(M.DEFAULT_FEATURES, max_iter=2, max_depth=max_depth)
+
+    grid = [{"max_depth": 2}, {"max_depth": 3}]
+    best, model, log = M.rolling_origin_search(
+        labeled, build, grid, ts_col="ts", n_folds=2
+    )
+    assert best in grid and len(log) == 2
+    for rec in log:
+        # every candidate evaluated on time-ordered folds, never the future
+        assert len(rec["folds"]) >= 1 and rec["avg"] > 0
+    assert model.transform(labeled.limit(10)).select("prediction").count() == 10
+
+
 def test_regressor_fit_and_directional_accuracy(spark, features):
     w = TS.series_window("user_id", ["ts", "event_id"])
     labeled = TS.with_lead(features, "pct_change", "target", w).filter(

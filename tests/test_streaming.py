@@ -80,6 +80,33 @@ def test_session_aggregate_runs_and_bounds_sessions(spark, events_dir):
         assert r["n_events"] >= 1
 
 
+def test_stateful_running_zscore_matches_batch_twin(spark, events_dir):
+    from pyspark.sql import Window
+
+    stream = ST.ingest_file_stream(spark, events_dir).dropDuplicates(["event_id"])
+    got = ST.run_to_memory_sink(ST.running_zscore_anomalies(stream), "stateful_test")
+    batch = spark.read.parquet(events_dir).dropDuplicates(["event_id"])
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    std = F.stddev_pop("value").over(w)
+    z = (F.col("value") - F.avg("value").over(w)) / std
+    want = batch.select(
+        "event_id", F.when(std > 0, F.round(z, 6)).otherwise(F.lit(0.0)).alias("z")
+    )
+    got_map = {r["event_id"]: round(r["running_z"], 6) for r in got.collect()}
+    want_map = {r["event_id"]: r["z"] for r in want.collect()}
+    assert len(got_map) == 200
+    mismatches = {
+        k: (got_map[k], want_map[k])
+        for k in want_map
+        if abs(got_map[k] - want_map[k]) > 1e-6
+    }
+    assert not mismatches, f"{len(mismatches)} mismatches, e.g. {list(mismatches.items())[:3]}"
+
+
 def test_threshold_alert_filters(spark, events_dir):
     stream = ST.ingest_file_stream(spark, events_dir)
     out = ST.run_to_memory_sink(ST.threshold_alerts(stream, threshold=45.0), "alerts_test")
