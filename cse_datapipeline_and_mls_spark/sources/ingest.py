@@ -1,0 +1,70 @@
+"""Ingest-boundary sources beyond the driver's parquet (SURVEY §2.1).
+
+* ``read_csv_with_schema`` — S5/S6 done right: the reference scanned
+  each CSV twice (``inferSchema=True``, regression.py:48, classifier.py:12)
+  and sanitized column names dynamically at scrape time
+  (scraper/main.py:57). Here the schema is explicit (single scan) and the
+  canonical sanitizer runs once at the boundary.
+* ``read_snapshot_json`` / ``flatten_envelope`` — S3/E2: the Firebase
+  RTDB snapshot is a map of ``sanitized_timestamp -> [record, ...]``
+  which the reference flattens with a driver-side double loop
+  (spark_stream.py:106-115). The engine expresses that flatten as
+  ``explode(map)`` → ``explode(array)`` — distributed, no driver loop,
+  and the shape Catalyst can push column pruning through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import sanitize_columns
+
+
+def read_csv_with_schema(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    sanitize: bool = True,
+) -> DataFrame:
+    """CSV batch scan with an explicit schema — exactly one pass over the
+    data (no inference scan). At scale, unsplittable-compression CSVs
+    parallelize per-file; prefer landing to parquet once and scanning
+    that thereafter."""
+    df = spark.read.csv(path, schema=schema, header=header)
+    return sanitize_columns(df) if sanitize else df
+
+
+def envelope_schema(record: T.StructType) -> T.MapType:
+    """Schema of one RTDB snapshot: map<ingest_key, array<record>>."""
+    return T.MapType(T.StringType(), T.ArrayType(record))
+
+
+def flatten_envelope(df: DataFrame, envelope_col: str, record: T.StructType) -> DataFrame:
+    """map<ts, array<struct>> → one row per record, stamped with its
+    envelope key as ``ingest_ts`` (the reference's appended ``timestamp``
+    column, spark_stream.py:110-114). Two generators, both map-side —
+    zero shuffle."""
+    exploded = df.select(F.explode(F.col(envelope_col)).alias("ingest_ts", "_records"))
+    rows = exploded.select("ingest_ts", F.explode("_records").alias("_r"))
+    return rows.select("ingest_ts", *[F.col(f"_r.{f.name}").alias(f.name) for f in record.fields])
+
+
+def read_snapshot_json(
+    spark: SparkSession, path: str, record: T.StructType
+) -> DataFrame:
+    """S3 batch form: read an exported RTDB snapshot (one JSON document of
+    the envelope shape) and flatten it to a record table."""
+    raw = spark.read.option("multiLine", "true").json(
+        path, schema=T.StructType([T.StructField("root", envelope_schema(record))])
+    )
+    # Files whose top level IS the envelope (no "root" wrapper): fall back
+    # to reading the document as the map itself.
+    if raw.select("root").first()["root"] is None:
+        text = spark.read.text(path, wholetext=True)
+        raw = text.select(
+            F.from_json(F.col("value"), envelope_schema(record)).alias("root")
+        )
+    return flatten_envelope(raw, "root", record)

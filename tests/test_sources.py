@@ -1,0 +1,76 @@
+"""Ingest-boundary source tests (SURVEY §2.1 S3/S5/S6 + the E2 envelope
+flatten): CSV with explicit schema + sanitizer, RTDB-snapshot JSON."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import types as T
+
+from cse_datapipeline_and_mls_spark.sources import (
+    flatten_envelope,
+    read_csv_with_schema,
+    read_snapshot_json,
+)
+
+PRICE_RECORD = T.StructType(
+    [
+        T.StructField("Symbol", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("volume", T.LongType()),
+    ]
+)
+
+
+def test_csv_explicit_schema_and_sanitizer(spark, tmp_path):
+    p = tmp_path / "prices.csv"
+    p.write_text("Symbol,Last Trade (Rs.),Share Volume\nABC.N,12.5,1000\nXYZ.N,3.25,20\n")
+    schema = T.StructType(
+        [
+            T.StructField("Symbol", T.StringType()),
+            T.StructField("Last Trade (Rs.)", T.DoubleType()),
+            T.StructField("Share Volume", T.LongType()),
+        ]
+    )
+    df = read_csv_with_schema(spark, str(p), schema)
+    # sanitizer applied once at the boundary — reference scraper/main.py:57
+    assert df.columns == ["Symbol", "Last_Trade_(Rs_)", "Share_Volume"]
+    rows = {r["Symbol"]: r for r in df.collect()}
+    assert rows["ABC.N"]["Last_Trade_(Rs_)"] == 12.5
+    assert rows["XYZ.N"]["Share_Volume"] == 20
+
+
+def test_snapshot_json_envelope_flatten(spark, tmp_path):
+    snapshot = {
+        "2024-01-01T09:00:00_000": [
+            {"Symbol": "ABC.N", "price": 10.0, "volume": 100},
+            {"Symbol": "XYZ.N", "price": 5.0, "volume": 50},
+        ],
+        "2024-01-01T09:05:00_000": [
+            {"Symbol": "ABC.N", "price": 10.5, "volume": 120},
+        ],
+    }
+    p = tmp_path / "snapshot.json"
+    p.write_text(json.dumps(snapshot))
+    df = read_snapshot_json(spark, str(p), PRICE_RECORD)
+    assert df.columns == ["ingest_ts", "Symbol", "price", "volume"]
+    assert df.count() == 3
+    by_key = df.groupBy("ingest_ts").count().collect()
+    assert {r["ingest_ts"]: r["count"] for r in by_key} == {
+        "2024-01-01T09:00:00_000": 2,
+        "2024-01-01T09:05:00_000": 1,
+    }
+
+
+def test_flatten_envelope_is_shuffle_free(spark):
+    data = [({"t1": [("A", 1.0, 1)], "t2": [("B", 2.0, 2), ("C", 3.0, 3)]},)]
+    df = spark.createDataFrame(
+        data,
+        T.StructType(
+            [T.StructField("env", T.MapType(T.StringType(), T.ArrayType(PRICE_RECORD)))]
+        ),
+    )
+    out = flatten_envelope(df, "env", PRICE_RECORD)
+    assert out.count() == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"envelope flatten should not shuffle:\n{plan}"
