@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "top_orders_by_revenue",
+    "tpch_q5_regional_revenue",
     "broadcast_join_segment_sales",
     "w_pct_change_zscore_anomaly",
     "w_rolling_mean_std",
