@@ -336,6 +336,99 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_limit
+          FROM lineitem GROUP BY l_partkey) t
+      ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.qty_limit
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg
+    quantity) decorrelated into an aggregate + self-join — exactly how
+    Catalyst rewrites it. Both sides hash-partition on l_partkey; the agg
+    side is one narrow row per part, broadcast when it fits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    limits = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_limit")
+    )
+    joined = li.join(limits, li.l_partkey == limits.p_key).filter(
+        F.col("l_quantity") < F.col("qty_limit")
+    )
+    return joined.agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+
+
+@register(
+    "tpch_q4_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join with a
+    compound (equi + inequality) condition; this data has no
+    l_commitdate/l_receiptdate, so "late" = shipped >90 days after the
+    order date. The equi key still drives the hash partitioning; the
+    inequality is evaluated as the join residual."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, on=cond, how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "w_range_frame_hourly_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS hour_sum,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_n
+    FROM events
+    """,
+)
+def w_range_frame_hourly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-based window frame (SURVEY §2.5 absent list): trailing
+    1-hour sum per key, frame bounded by the ORDER BY VALUE (epoch
+    seconds), not row offsets — rows at identical timestamps share a
+    frame. Same single per-key shuffle as the row-frame windows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("hour_n"),
+    )
+
+
+@register(
     "w_running_zscore",
     oracle="""
     SELECT event_id, user_id,

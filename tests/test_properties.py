@@ -1,0 +1,105 @@
+"""Property-based invariants (SURVEY §5.2 item 4) via hypothesis.
+
+Each property drives a real Spark plan on a small generated frame, so
+examples are capped and the deadline disabled (JVM round-trips dominate).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from cse_datapipeline_and_mls_spark.operators import dedup as D
+from cse_datapipeline_and_mls_spark.operators import tswindow as TS
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=32
+)
+
+
+def _series_df(spark, values):
+    rows = [("k", i, float(v)) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, "key string, i long, v double")
+
+
+@given(v=finite, n=st.integers(min_value=2, max_value=8))
+@SETTINGS
+def test_zscore_of_constant_series_is_null_and_normal(spark, v, n):
+    df = _series_df(spark, [v] * n)
+    w = TS.series_window("key", ["i"])
+    out = TS.with_anomaly_flag(df, "v", w).collect()
+    # stddev_pop = 0 → z NULL (nullif guard), flag coalesces to Normal
+    assert all(r["zscore"] is None for r in out)
+    assert all(r["anomaly"] == "Normal" for r in out)
+
+
+@given(vals=st.lists(finite, min_size=1, max_size=6), k=st.integers(min_value=2, max_value=5))
+@SETTINGS
+def test_inclusive_rolling_mean_min_periods_guard(spark, vals, k):
+    df = _series_df(spark, vals)
+    w = TS.series_window("key", ["i"])
+    out = TS.rolling_mean(df, "v", "m", w, k, inclusive=True, min_periods=k)
+    rows = sorted(out.collect(), key=lambda r: r["i"])
+    for idx, r in enumerate(rows):
+        if idx + 1 < k:  # pandas rolling(k): first k-1 rows are NaN
+            assert r["m"] is None
+        else:
+            want = sum(vals[idx + 1 - k : idx + 1]) / k
+            assert math.isclose(r["m"], want, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=12), min_size=1, max_size=8
+    )
+)
+@SETTINGS
+def test_exact_dedup_is_idempotent_and_keeps_min_id(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = D.exact_dedup_by_content(df)
+    twice = D.exact_dedup_by_content(once)
+    got_once = sorted(r["doc_id"] for r in once.collect())
+    got_twice = sorted(r["doc_id"] for r in twice.collect())
+    assert got_once == got_twice  # idempotent
+    # survivor is the minimum doc_id of its normalized-content group
+    norm = lambda t: " ".join(t.lower().strip().split())  # noqa: E731
+    groups: dict[str, int] = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(norm(t), i)
+    assert got_once == sorted(groups.values())
+
+
+@given(vals=st.lists(finite, min_size=2, max_size=8))
+@SETTINGS
+def test_pct_change_sign_matches_diff(spark, vals):
+    df = _series_df(spark, vals)
+    w = TS.series_window("key", ["i"])
+    out = sorted(TS.with_diff_pct(df, "v", w).collect(), key=lambda r: r["i"])
+    assert out[0]["diff"] is None  # no predecessor
+    for prev, r in zip(vals, out[1:]):
+        assert math.isclose(r["diff"], r["v"] - prev, rel_tol=1e-9, abs_tol=1e-9)
+        if r["pct_change"] is not None and prev > 0:
+            assert (r["pct_change"] > 0) == (r["diff"] > 0) or r["diff"] == 0
+
+
+@given(
+    text=st.text(alphabet="abcdef gh", min_size=0, max_size=30),
+    pad=st.text(alphabet=" ", min_size=0, max_size=3),
+)
+@SETTINGS
+def test_simhash_invariant_to_leading_trailing_whitespace(spark, text, pad):
+    df = spark.createDataFrame([(0, text), (1, pad + text + pad)], "doc_id long, text string")
+    out = {r["doc_id"]: r["simhash"] for r in D.with_simhash(df).collect()}
+    assert out[0] == out[1]
