@@ -16,6 +16,42 @@ from . import register
 
 
 @register(
+    "f_array_higher_order",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT)                                         AS dim,
+           round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+                                'sum'), 6)                                      AS sq_sum,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INT)       AS n_pos,
+           round(list_aggregate(embedding::DOUBLE[], 'max'), 6)                 AS max_v,
+           round(embedding[1]::DOUBLE, 6)                                       AS first_v
+    FROM embeddings
+    """,
+)
+def f_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order functions (SURVEY §2.8 absent list):
+    transform, filter, aggregate, array_max, element_at — all JVM-side
+    lambdas inside one map stage, the idiom every vector/text operator
+    in this engine builds on."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    return emb.select(
+        "vec_id",
+        F.size("e").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("sq_sum"),
+        F.size(F.filter("e", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max("e"), 6).alias("max_v"),
+        F.round(F.element_at("e", 1), 6).alias("first_v"),
+    )
+
+
+@register(
     "f_date_parts_arithmetic",
     oracle="""
     SELECT o_orderkey,

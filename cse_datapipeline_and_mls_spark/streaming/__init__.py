@@ -1,6 +1,7 @@
 from .pipeline import (
     bronze_ingest,
     ingest_file_stream,
+    interval_join,
     run_to_memory_sink,
     session_aggregate,
     threshold_alerts,
@@ -15,5 +16,6 @@ __all__ = [
     "windowed_aggregate",
     "session_aggregate",
     "run_to_memory_sink",
+    "interval_join",
     "running_zscore_anomalies",
 ]

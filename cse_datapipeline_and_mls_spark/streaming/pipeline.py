@@ -126,6 +126,34 @@ def session_aggregate(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    within: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join within a time interval (SURVEY §2.9
+    absent list): right events within [left_ts, left_ts + within].
+
+    Both sides are watermarked so the join state is bounded — Spark
+    evicts buffered rows once event time passes the interval + watermark.
+    At scale, state size ≈ keys × events-per-interval, independent of
+    stream length. The identical expression joins two batch DataFrames
+    (how the test checks it).
+    """
+    cond = (
+        (left[key] == right[f"{key}_r"])
+        & (right[right_ts] >= left[left_ts])
+        & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    return l.join(r, cond, "inner")
+
+
 def run_to_memory_sink(
     df: DataFrame,
     query_name: str,

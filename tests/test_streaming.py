@@ -107,6 +107,28 @@ def test_stateful_running_zscore_matches_batch_twin(spark, events_dir):
     assert not mismatches, f"{len(mismatches)} mismatches, e.g. {list(mismatches.items())[:3]}"
 
 
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    raw = ST.ingest_file_stream(spark, events_dir)
+    clicks = raw.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys = raw.filter(F.col("event_type") == "buy").select(
+        F.col("user_id").alias("user_id_r"), F.col("ts").alias("ts_r"),
+        F.col("event_id").alias("buy_id"),
+    )
+    joined = ST.interval_join(clicks, buys).select("event_id", "buy_id")
+    got = sorted(map(tuple, ST.run_to_memory_sink(joined, "ssj_test").collect()))
+
+    b = spark.read.parquet(events_dir)
+    bc = b.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    bb = b.filter(F.col("event_type") == "buy").select(
+        F.col("user_id").alias("user_id_r"), F.col("ts").alias("ts_r"),
+        F.col("event_id").alias("buy_id"),
+    )
+    want = sorted(
+        map(tuple, ST.interval_join(bc, bb).select("event_id", "buy_id").collect())
+    )
+    assert got and got == want
+
+
 def test_threshold_alert_filters(spark, events_dir):
     stream = ST.ingest_file_stream(spark, events_dir)
     out = ST.run_to_memory_sink(ST.threshold_alerts(stream, threshold=45.0), "alerts_test")
