@@ -52,14 +52,25 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("names", nargs="*")
     ap.add_argument("--keep-going", action="store_true")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a plain SparkSession (driver-mimic) instead of the tuned factory",
+    )
     args = ap.parse_args()
 
     import duckdb
 
     from cse_datapipeline_and_mls_spark.queries import ORACLE, QUERIES
-    from cse_datapipeline_and_mls_spark.session import get_spark
 
-    spark = get_spark("correctness-check")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("vanilla-check").getOrCreate()
+    else:
+        from cse_datapipeline_and_mls_spark.session import get_spark
+
+        spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
