@@ -107,6 +107,27 @@ def lsh_topk(
     )
 
 
+def fit_codebook(
+    corpus: DataFrame,
+    k: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list:
+    """Train the IVF coarse quantizer: MLlib KMeans over the corpus (one
+    distributed fit), returning ``[(cid, [float, ...]), ...]`` for
+    ``ivf_topk``. The codebook is k × dim floats — driver-resident by
+    design, like every IVF implementation. At 100 TB fit on a sample
+    (``corpus.sample(...)``): codebook quality needs representative
+    coverage, not every row."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="_v").fit(vecs)
+    return [(i, list(c)) for i, c in enumerate(model.clusterCenters())]
+
+
 def _best_cells(vec: Column, centroids, nprobe: int) -> Column:
     """Array of the ``nprobe`` centroid ids nearest to ``vec`` by cosine
     (rounded to 6dp; ties break to the smaller centroid id).
