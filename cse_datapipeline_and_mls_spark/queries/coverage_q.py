@@ -322,6 +322,30 @@ def j_full_outer_click_buy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT event_type,
+           round(corr(value, floor(epoch(ts))), 6)      AS corr_value_time,
+           round(covar_pop(value, floor(epoch(ts))), 4) AS covar_pop_value_time,
+           round(var_pop(value), 6)                     AS var_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics aggregates (corr / covar_pop / var_pop) —
+    the statistical-profiling surface next to the null audit. Single-pass
+    mergeable moments: map-side partials, one shuffle of 5 tiny states."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr(F.col("value"), epoch), 6).alias("corr_value_time"),
+        F.round(F.covar_pop(F.col("value"), epoch), 4).alias("covar_pop_value_time"),
+        F.round(F.var_pop("value"), 6).alias("var_value"),
+    )
+
+
 @register("agg_approx_distinct")  # rows-only: HLL sketches differ across engines by design
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB default for
@@ -401,19 +425,21 @@ def tpch_q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT event_id, user_id,
            round(sum(value) OVER (
-             PARTITION BY user_id ORDER BY epoch(ts)
+             PARTITION BY user_id ORDER BY floor(epoch(ts))
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS hour_sum,
            count(*) OVER (
-             PARTITION BY user_id ORDER BY epoch(ts)
+             PARTITION BY user_id ORDER BY floor(epoch(ts))
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_n
     FROM events
     """,
 )
 def w_range_frame_hourly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-based window frame (SURVEY §2.5 absent list): trailing
-    1-hour sum per key, frame bounded by the ORDER BY VALUE (epoch
-    seconds), not row offsets — rows at identical timestamps share a
-    frame. Same single per-key shuffle as the row-frame windows."""
+    1-hour sum per key, frame bounded by the ORDER BY VALUE (whole epoch
+    seconds — Spark's unix_timestamp truncates, the oracle floors
+    epoch() to match), not row offsets — rows at identical timestamps
+    share a frame. Same single per-key shuffle as the row-frame
+    windows."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
