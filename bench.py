@@ -31,6 +31,9 @@ HEADLINE = [
     "x_text_token_stats",
     "x_cosine_topk",
     "x_exact_dedup_documents",
+    "x_ann_ivf_topk",
+    "w_rsi_14",
+    "ml_feature_block",
 ]
 
 

@@ -128,19 +128,37 @@ def fit_codebook(
     return [(i, list(c)) for i, c in enumerate(model.clusterCenters())]
 
 
+def _py_l2_norm(vec) -> float:
+    """Driver-side centroid norm with the SAME IEEE operation sequence as
+    ``l2_norm``'s left-to-right fold (and DuckDB's list_dot_product), so
+    precomputing it changes nothing numerically."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def _best_cells(vec: Column, centroids, nprobe: int) -> Column:
     """Array of the ``nprobe`` centroid ids nearest to ``vec`` by cosine
     (rounded to 6dp; ties break to the smaller centroid id).
 
     ``centroids`` is a driver-side list of ``(cid, [float, ...])`` — the
     coarse codebook is tiny by construction, so it compiles into literal
-    arrays inside whole-stage codegen: assignment is pure map-side work,
-    the corpus never shuffles to find its cell.
+    arrays: assignment is pure map-side work, the corpus never shuffles
+    to find its cell. The row's own norm is written once (CSE keeps it
+    to one evaluation) and centroid norms are precomputed literals, so
+    per-row cost is one array fold per centroid — the dot product.
+    (Unrolling the dots into scalar arithmetic was tried and is ~8×
+    WORSE: the 500+-node expression tree exceeds codegen limits and
+    falls back to interpreted eval. Array folds are the right shape.)
     """
+    vnorm = l2_norm(vec)
     structs = []
     for cid, cvec in centroids:
         cv = F.array(*[F.lit(float(x)) for x in cvec])
-        sim = F.round(cosine(vec, cv), 6)
+        sim = F.round(dot(vec, cv) / F.nullif(vnorm * F.lit(_py_l2_norm(cvec)), F.lit(0.0)), 6)
         structs.append(F.struct((-sim).alias("neg"), F.lit(int(cid)).alias("cid")))
     ranked = F.sort_array(F.array(*structs))
     return F.slice(ranked, 1, nprobe).getField("cid")
