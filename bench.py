@@ -51,13 +51,14 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Two runs per query, report the min: run 1 pays one-time costs
+    # Three runs per query, report the min: run 1 pays one-time costs
     # (query compilation, codegen, file listing) that a long-lived engine
-    # amortizes; the min reflects steady-state throughput.
+    # amortizes; the min reflects steady-state throughput and damps
+    # co-tenant machine noise.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

@@ -346,6 +346,28 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_collect_sorted_list",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(count(*) AS INT) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested aggregation surface: collect_list → array_sort →
+    array_join ≡ ordered string_agg. collect_list arrival order is
+    nondeterministic across partitions, so the sort inside the array is
+    what makes this reproducible — the same discipline any
+    array-building agg needs at scale."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+
+
 @register("agg_approx_distinct")  # rows-only: HLL sketches differ across engines by design
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB default for
