@@ -21,8 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # sessionization, text, vector — the shapes that dominate at 100 TB.
 HEADLINE = [
     "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
     "top_orders_by_revenue",
     "tpch_q5_regional_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customer",
     "broadcast_join_segment_sales",
     "w_pct_change_zscore_anomaly",
     "w_rolling_mean_std",

@@ -163,6 +163,188 @@ def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey, o.o_orderdate,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c, orders o, lineitem l
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+      AND o.o_orderdate < TIMESTAMP '1996-06-30'
+      AND l.l_shipdate > TIMESTAMP '1996-06-30'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 proper (dates adapted to the 1995-2001 testdata span;
+    no o_shippriority column in this schema). Plan at scale: the date
+    filters push into both scans; lineitem pre-aggregates by l_orderkey
+    BEFORE the join (l_orderkey ⊂ orders PK makes the rewrite exact),
+    so the orderkey shuffle carries one row per order; the BUILDING
+    allow-list semi-joins orders via broadcast; top-10 is
+    TakeOrderedAndProject."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1996-06-30").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    o = R.semi_filter(o, c, on="o_custkey")
+    per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+    joined = per_order.join(o, per_order.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "o_orderdate", "revenue"
+    )
+    return R.top_k(joined, [F.desc("revenue"), F.asc("l_orderkey")], 10)
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure pushdown showcase — scan → filter → global agg,
+    ZERO shuffles of data rows (each task emits one partial sum). All
+    three predicates reach the parquet reader as PushedFilters; at
+    100 TB this query is I/O-bound and embarrassingly parallel."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c, orders o, lineitem l, nation n
+    WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: who returned the most revenue last quarter. Plan at
+    scale: both filters push to the scans; lineitem⋈orders is the one
+    big shuffle; the joined rows then pre-aggregate by o_custkey (a
+    second, much smaller shuffle bounded by |customer|) BEFORE the
+    customer and nation dims broadcast in — the dims never see
+    lineitem-sized traffic. Top-20 is TakeOrderedAndProject."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+    return R.top_k(joined, [F.desc("revenue"), F.asc("c_custkey")], 20)
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 4) AS o_totalprice,
+           round(sum(l.l_quantity), 4) AS total_qty
+    FROM customer c, orders o, lineitem l
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 300 (~p99.3 of this
+    data). The oracle's IN-subquery re-joins lineitem and re-aggregates;
+    the Spark plan fuses both into ONE lineitem aggregation — groupBy
+    l_orderkey → sum → filter — because quantities are integral doubles
+    the sums are exact and the HAVING threshold is deterministic. The
+    surviving ~0.7% of orders then join orders and customer; the tiny
+    filtered side broadcasts, so the big tables are probed without
+    shuffling them."""
+    per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = (
+        o.join(F.broadcast(per_order), o.o_orderkey == per_order.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+    return R.top_k(joined, [F.desc("o_totalprice"), F.asc("o_orderkey")], 100)
+
+
+@register(
     "semi_join_building_orders",
     oracle="""
     SELECT o_orderpriority, count(*) AS n
