@@ -9,7 +9,7 @@ serve as the quality reference for the approximate paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -335,4 +335,68 @@ def x_fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(X.doc_fingerprint("text")).alias("n_distinct"),
         (F.count(F.lit(1)) - F.countDistinct(X.doc_fingerprint("text"))).alias("n_dups"),
+    )
+
+
+@register(
+    "x_hash_split_train_test",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n
+    FROM t GROUP BY 1, 2
+    """,
+)
+def x_hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by hashing the
+    document id (md5 hex → int mod 10). The split is a pure map-side
+    projection — no RNG, no shuffle, stable across reruns and engines —
+    which is what a 100 TB training-data pipeline needs: re-running the
+    split on new hardware or after a repartition must not move documents
+    between splits. (Spark's df.randomSplit is seed-stable only for a
+    fixed partitioning — repartition and the split changes.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "valid").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split"), F.col("lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "x_stratified_sample_documents",
+    oracle="""
+    SELECT lang, source, doc_id, n_chars
+    FROM (SELECT lang, source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+          FROM documents) t
+    WHERE rn % 20 = 1
+    """,
+)
+def x_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: every 20th document per
+    (lang, source) stratum in doc_id order — an exact 5% rate per
+    stratum, reproducible across engines (unlike RNG df.sampleBy).
+    Costs one shuffle on the stratum key; when strata are balanced the
+    shuffle-free alternative is hash-mod sampling (see
+    x_hash_split_train_test), which is uniform WITHIN each stratum by
+    construction but only approximately hits the per-stratum rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") % 20 == 1)
+        .select("lang", "source", "doc_id", "n_chars")
     )

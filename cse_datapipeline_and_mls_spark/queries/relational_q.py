@@ -608,3 +608,36 @@ def class_weights_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted.select(
         "o_orderstatus", F.round("class_weight", 6).alias("class_weight")
     ).distinct()
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT)  AS g_flag,
+           CAST(grouping(l_linestatus) AS INT)  AS g_status,
+           round(sum(l_extendedprice), 4)       AS sum_price,
+           count(*)                             AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() markers — the general form
+    of the grouping family (rollup/cube are its special cases; SURVEY
+    §2.4 absent list). Catalyst compiles it to ONE Expand + hash
+    aggregate: the input is scanned once and each row fans out to its 2-3
+    grouping combinations map-side, so at 100 TB the cost is one shuffle
+    of partial aggregates, not one pass per set."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT)  AS g_flag,
+               CAST(grouping(l_linestatus) AS INT)  AS g_status,
+               round(sum(l_extendedprice), 4)       AS sum_price,
+               count(*)                             AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
