@@ -118,3 +118,32 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("lang_guess", lang_id_heuristic(col))
         .withColumn("fingerprint", doc_fingerprint(col))
     )
+
+
+def word_repetition_ratio(col: Column | str) -> Column:
+    """Fraction of words that are repeats of an earlier word in the same
+    document: 1 − |distinct words| / |words|. A Gopher-style repetition
+    quality signal (high → boilerplate / keyword-stuffed text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    return F.lit(1.0) - F.size(F.array_distinct(words)) / F.nullif(
+        F.size(words), F.lit(0)
+    )
+
+
+def bigram_repetition_ratio(col: Column | str) -> Column:
+    """Fraction of word bigrams that are repeats — catches looped phrases
+    that word-level repetition misses. Built from a sequence-index
+    transform (JVM-side, zero shuffle); documents with <2 words score 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    n = F.size(words)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)),
+    )
+    ratio = F.lit(1.0) - F.size(F.array_distinct(bigrams)) / F.nullif(
+        F.size(bigrams), F.lit(0)
+    )
+    # sequence(1, 0) would count DOWN in Spark — guard short docs explicitly.
+    return F.when(n >= 2, ratio).otherwise(F.lit(0.0))

@@ -400,3 +400,39 @@ def x_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rn") % 20 == 1)
         .select("lang", "source", "doc_id", "n_chars")
     )
+
+
+@register(
+    "x_repetition_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents
+    ), r AS (
+      SELECT doc_id,
+             round(1.0 - len(list_distinct(words)) / nullif(len(words), 0), 6) AS word_rep,
+             CASE WHEN len(words) >= 2 THEN
+               round(1.0 - len(list_distinct(list_transform(range(1, len(words)),
+                         i -> words[i] || ' ' || words[i+1])))
+                   / nullif(len(words) - 1, 0), 6)
+             ELSE 0.0 END AS bigram_rep
+      FROM t
+    )
+    SELECT doc_id, word_rep, bigram_rep,
+           CASE WHEN word_rep > 0.6 OR bigram_rep > 0.4 THEN 1 ELSE 0 END AS flag_repetitive
+    FROM r
+    """,
+)
+def x_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 quality filtering, Gopher-style repetition signals: repeated-word
+    and repeated-bigram fractions with a filter flag. Pure map-side
+    built-in array expressions — at 100 TB this is a zero-shuffle corpus
+    scan whose cost is the tokenize, same as any quality pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    word_rep = F.round(X.word_repetition_ratio("text"), 6)
+    bigram_rep = F.round(X.bigram_repetition_ratio("text"), 6)
+    return docs.select(
+        "doc_id",
+        word_rep.alias("word_rep"),
+        bigram_rep.alias("bigram_rep"),
+        F.when((word_rep > 0.6) | (bigram_rep > 0.4), 1).otherwise(0).alias("flag_repetitive"),
+    )

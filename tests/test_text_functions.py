@@ -87,3 +87,26 @@ def test_quality_score_orders_good_above_garbage(spark):
     df = spark.createDataFrame([(1, good), (2, bad)], "id int, text string")
     got = {r["id"]: r["q"] for r in df.select("id", X.quality_score("text").alias("q")).collect()}
     assert got[1] > got[2]
+
+
+def test_repetition_ratios(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),  # heavy word+bigram repeats
+            (2, "each word here is fully unique today"),  # none
+            (3, "single"),  # <2 words: bigram ratio must be 0, not negative/null
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: (r["w"], r["b"])
+        for r in df.select(
+            "id",
+            X.word_repetition_ratio("text").alias("w"),
+            X.bigram_repetition_ratio("text").alias("b"),
+        ).collect()
+    }
+    assert got[1][0] == 0.75  # 8 words, 2 distinct
+    assert got[1][1] > 0.5  # 7 bigrams, 2 distinct
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (0.0, 0.0)
