@@ -436,3 +436,66 @@ def x_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigram_rep.alias("bigram_rep"),
         F.when((word_rep > 0.6) | (bigram_rep > 0.4), 1).otherwise(0).alias("flag_repetitive"),
     )
+
+
+@register(
+    "x_neardup_clusters",
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), tokens AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx FROM words
+    ), grams AS (
+      SELECT doc_id,
+             word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS g
+      FROM tokens WINDOW win AS (PARTITION BY doc_id ORDER BY idx)
+      QUALIFY lead(word, 2) OVER win IS NOT NULL
+    ), dgrams AS (
+      SELECT DISTINCT doc_id, g FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM dgrams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM dgrams a JOIN dgrams b USING (g)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.3
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+)
+def x_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 completed end-to-end: near-dup pairs (word-3-gram Jaccard ≥ 0.3)
+    → connected components → dedup clusters with canonical min-id label.
+    Pairs alone can't drive dedup (near-dup is transitive only through
+    the graph); the component label is what a 100 TB pipeline groups on
+    to keep one survivor per cluster. The DuckDB oracle computes the
+    same components via a recursive CTE — an iterative DataFrame loop
+    and recursive SQL agreeing is strong evidence both are right."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    labels = D.connected_components(pairs)
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )

@@ -118,3 +118,15 @@ def test_cosine_self_similarity_is_one(spark):
         df, df.select(F.col("vec_id").alias("query_id"), "embedding"), k=1
     ).collect()
     assert out[0]["cosine_sim"] == 1.0 and out[0]["rnk"] == 1
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (one component), island 10-11, singleton edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
