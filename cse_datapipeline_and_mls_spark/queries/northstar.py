@@ -499,3 +499,60 @@ def x_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
     )
+
+
+@register(
+    "x_tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2
+    ), df AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT t.doc_id, t.word,
+             round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)), 6) AS tfidf
+      FROM tf t JOIN df d USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf, rn
+    FROM (SELECT doc_id, word, tfidf,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+          FROM scored) z
+    WHERE rn <= 3
+    """,
+)
+def x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: exact TF-IDF, top-3 terms per document — the SQL-checkable
+    twin of the HashingTF+IDF MLlib path. Plan at scale: explode →
+    (doc, word) count [shuffle 1] → df via count-over-word window on the
+    tf rows [shuffle 2] → per-doc top-3 via WindowGroupLimit [shuffle 3
+    on doc_id]. The corpus scans ONCE; the corpus-size scalar is a 1-row
+    broadcast, not a driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # df comes from tf via a per-word window — tf already holds exactly one
+    # row per (doc, word), so count-over-word ≡ countDistinct(doc_id) but
+    # costs ONE shuffle instead of a second explode + distinct-agg + join.
+    df = F.count(F.lit(1)).over(Window.partitionBy("word"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / df.cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf", "rn")
+    )

@@ -173,3 +173,50 @@ def t_ingest_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
     ).agg(F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_events"))
+
+
+@register(
+    "t_click_to_buy_conversion",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, min(ts) AS first_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), buys AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'buy'
+    )
+    SELECT c.user_id, c.first_click,
+           CAST(coalesce(max(CASE WHEN b.ts > c.first_click
+                              AND b.ts <= c.first_click + INTERVAL 1 HOUR
+                         THEN 1 ELSE 0 END), 0) AS INT) AS converted_1h
+    FROM clicks c LEFT JOIN buys b ON b.user_id = c.user_id
+    GROUP BY c.user_id, c.first_click
+    """,
+)
+def t_click_to_buy_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel: did a 'buy' follow the user's first
+    'click' within 1 hour. The batch shape of what the streaming
+    interval join computes incrementally (`pipeline.interval_join`) —
+    same key equi-join with a time-band residual predicate, so the only
+    shuffle is on user_id and state at scale is bounded per user. A
+    100 TB events table would pre-filter both legs at the scan
+    (event_type pushdown, visible in this plan's PushedFilters)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    buys = ev.filter(F.col("event_type") == "buy").select("user_id", F.col("ts").alias("buy_ts"))
+    in_band = (
+        (F.col("buy_ts") > F.col("first_click"))
+        & (F.col("buy_ts") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        clicks.join(buys, "user_id", "left")
+        .groupBy("user_id", "first_click")
+        .agg(
+            F.coalesce(F.max(F.when(in_band, 1).otherwise(0)), F.lit(0))
+            .cast("int")
+            .alias("converted_1h")
+        )
+    )

@@ -28,6 +28,7 @@ EXPECTED_CROSS = {
     "x_embedding_neardup_pairs",  # exact all-pairs oracle flavor
     "x_ann_ivf_topk",         # broadcast probe join
     "j_range_price_bands",    # 10-row literal band table
+    "x_tfidf_top_terms",      # 1-row corpus-size scalar broadcast (docstring)
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
