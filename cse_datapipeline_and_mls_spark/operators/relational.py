@@ -154,3 +154,35 @@ def with_balanced_weights(
         label_col, (F.lit(float(total)) / (F.lit(float(n_classes)) * F.col("_cnt"))).alias(out)
     )
     return df.join(F.broadcast(weights), on=label_col, how="left")
+
+
+def salted_equi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    discriminator: Column,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant fact ⋈ dim equi-join: each fact row gets a
+    deterministic per-row salt (hash of ``discriminator`` — any
+    fact-side expression that varies within a join key), the dim side
+    is exploded ``salt_buckets``× with every salt value, and the join
+    key becomes (key, salt). A heavy-hitter join key then spreads over
+    ``salt_buckets`` tasks instead of melting one. Result is identical
+    to the plain join (salt only redistributes rows); dim-side blow-up
+    is salt_buckets×|dim|, so keep the replicated side the small one.
+    AQE's skew-join splitting handles moderate skew without this; the
+    explicit rewrite is for the pathological keys AQE can't split
+    (e.g. one key > a whole executor's memory)."""
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.crc32(discriminator.cast("string")), F.lit(salt_buckets))
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    cond = (salted_fact[fact_key] == salted_dim[dim_key]) & (
+        salted_fact["_salt"] == salted_dim["_salt"]
+    )
+    return salted_fact.join(salted_dim, cond, how).drop("_salt")

@@ -641,3 +641,38 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         """
     )
+
+
+@register(
+    "salted_join_priority_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage variant of the lineitem⋈orders join — identical
+    result to the plain join (the oracle IS the plain join), skew-proof
+    plan: per-row salt on the fact, 16× exploded replication on the
+    orders side, join on (orderkey, salt). Registered so the salting
+    rewrite itself is oracle-checked, mirroring
+    salted_group_histogram_events for aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = R.salted_equi_join(
+        li,
+        o,
+        "l_orderkey",
+        "o_orderkey",
+        discriminator=F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber")),
+        salt_buckets=16,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -284,3 +284,43 @@ def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 4).alias("running_value"),
         F.count(F.lit(1)).over(w).alias("n_so_far"),
     )
+
+
+@register(
+    "w_rolling_median",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           round(median(value) OVER ({_W_ORACLE}
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med_5,
+           count(*) OVER ({_W_ORACLE}
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)     AS n_in_frame
+    FROM events
+    """,
+)
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-row median per series — the robust-smoothing twin of the
+    reference's rolling means (outlier-resistant where W12's mean is
+    not). Spark has no median window aggregate, so it composes:
+    collect_list over the frame → array_sort → middle element (odd) or
+    mean of the two middles (even — matching DuckDB median's
+    interpolation). State per key is the 5-row frame, so the plan is
+    still ONE shuffle + ONE WindowExec; frames of tens of rows cost
+    O(k log k) per row, which at 100 TB is CPU-bound map work, not a
+    data-movement problem."""
+    ev = _events_series(spark, sf_dir)
+    w = TS.series_window("user_id", ["ts", "event_id"]).rowsBetween(-4, 0)
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (F.element_at(arr, (n / 2).cast("int")) + F.element_at(arr, (n / 2 + 1).cast("int")))
+        / 2
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(med, 6).alias("med_5"),
+        n.cast("long").alias("n_in_frame"),
+    )
