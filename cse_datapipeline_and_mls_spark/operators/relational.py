@@ -81,7 +81,12 @@ def broadcast_left_join(
 ) -> DataFrame:
     """Fact ⟕ small dim as an explicit broadcast hash join (reference
     regression.py:130 joins a 7,858-row fact to a 256-row dim — at 100 TB
-    the fact side must never shuffle for a dim this small)."""
+    the fact side must never shuffle for a dim this small).
+
+    Caller contract: ``dim`` must be FIXED-SIZE (bounded independent of
+    data scale). The explicit hint overrides AQE's size threshold, so a
+    scale-proportional dim passed here would be force-broadcast at any
+    size; for those, use a plain ``join`` and let AQE pick the strategy."""
     return fact.join(F.broadcast(dim), on=on, how=how)
 
 

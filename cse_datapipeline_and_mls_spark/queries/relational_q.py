@@ -129,11 +129,15 @@ def broadcast_join_segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: the 6-table join. Shape at scale: region→nation→supplier
-    and customer are broadcast down the chain (all dims); the only big
-    shuffle is lineitem⋈orders on the order key. Catalyst + AQE pick the
-    join order and switch broadcast→SMJ by size; the date filter pushes
-    into the orders scan before the join."""
+    """TPC-H Q5: the 6-table join. Shape at scale: only the FIXED-SIZE
+    dims (region, nation and their pre-joined `asia_nations`) carry an
+    explicit broadcast hint. supplier and customer grow with scale
+    factor, so they get NO hint — an explicit hint would override AQE's
+    size check and force a multi-GB broadcast at 100×. AQE broadcasts
+    them while they fit under the threshold and switches to shuffle
+    joins beyond it; the only unavoidable big shuffle is
+    lineitem⋈orders on the order key. The date filter pushes into the
+    orders scan before the join."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -152,8 +156,8 @@ def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
     )
@@ -317,9 +321,11 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     the Spark plan fuses both into ONE lineitem aggregation — groupBy
     l_orderkey → sum → filter — because quantities are integral doubles
     the sums are exact and the HAVING threshold is deterministic. The
-    surviving ~0.7% of orders then join orders and customer; the tiny
-    filtered side broadcasts, so the big tables are probed without
-    shuffling them."""
+    surviving ~0.7% of orders then join orders and customer. The
+    filtered side is narrow but still scale-PROPORTIONAL (0.7% of
+    orders grows linearly with SF), so it carries no explicit broadcast
+    hint — AQE broadcasts it by measured size while it fits and falls
+    back to a shuffle join beyond the threshold."""
     per_order = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -331,7 +337,7 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     joined = (
-        o.join(F.broadcast(per_order), o.o_orderkey == per_order.l_orderkey)
+        o.join(per_order, o.o_orderkey == per_order.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
