@@ -169,23 +169,71 @@ def with_macd(
     return df.withColumn(out, fast_ma - slow_ma)
 
 
-def with_ema(df: DataFrame, col: str, out: str, w: WindowSpec, span: int) -> DataFrame:
+def with_ema(
+    df: DataFrame,
+    col: str,
+    out: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    span: int,
+    block_factor: int = 25,
+) -> DataFrame:
     """True exponential moving average (extension beyond the reference).
 
-    EMA is a linear recurrence, not a fixed-frame window; expressed exactly
-    via the closed form ema_t = sum_{i<=t} a^(t-i) x_i / sum a^(t-i) using
-    running sums of x_i / a^i. Rebased per row group to avoid overflow is
-    unnecessary for typical spans; this form is exact for the unbounded
-    preceding frame.
+    EMA is a linear recurrence, not a fixed-frame window. The naive
+    closed form (running sums of x_i·a^(−i) with a GLOBAL row-number
+    exponent) overflows double once the series passes ~709/|ln a| rows
+    (~1,750 at span 5), so this uses a BLOCK-REBASED exact form instead:
+
+    - rows split into blocks of L = block_factor·(span+1) rows, so every
+      exponent is bounded by L·|ln a| ≈ 2·block_factor ≈ 50 — finite at
+      ANY series length;
+    - num_t = a^pos·( Vrun_t + a^L·(Vtot_prev − Vrun_{t−L}) ) where
+      v_i = x_i·a^(−pos_i), Vrun is the running sum within the row's
+      block, and the lag-L terms splice in the previous block's suffix;
+    - den_t = (1 − a^min(t,L)) / (1 − a), the geometric sum in closed
+      form.
+
+    The trailing window is truncated to L rows; the dropped tail carries
+    relative weight a^L ≈ e^(−2·block_factor) ≈ 2e−22 at the default —
+    far below double precision, so the truncation is exact to machine
+    precision while making the operator streamable with O(L) state.
+    Every step is ANSI-expressible, so the oracle can mirror it exactly.
+
+    Partitioning: the (key, block) windows hash-cluster on a superset of
+    the (key) window's keys, so Catalyst satisfies both with ONE exchange
+    on key (plus an extra sort), keeping the one-shuffle feature-block
+    posture. Nulls in ``col`` would skew num vs den — forward-fill first.
     """
     alpha = 2.0 / (span + 1.0)
     a = 1.0 - alpha
-    rn = F.row_number().over(w)
-    unb = w.rowsBetween(Window.unboundedPreceding, 0)
-    # sum(x_i * a^{-i}) * a^{t}  /  sum(a^{-i}) * a^{t}
-    num = F.sum(F.col(col) * F.pow(F.lit(a), -rn)).over(unb) * F.pow(F.lit(a), rn)
-    den = F.sum(F.pow(F.lit(a), -rn)).over(unb) * F.pow(F.lit(a), rn)
-    return df.withColumn(out, num / den)
+    L = block_factor * (span + 1)
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    d = (
+        df.withColumn("_g", F.row_number().over(w) - 1)
+        .withColumn("_pos", F.col("_g") % L)
+        .withColumn("_blk", F.floor(F.col("_g") / F.lit(L)).cast("long"))
+        .withColumn("_v", F.col(col) * F.pow(F.lit(a), -F.col("_pos")))
+    )
+    wb = Window.partitionBy(*key_cols, "_blk").orderBy(*order_cols)
+    # _vtot = last(_vrun) rather than an independent whole-block sum: both
+    # engines then derive the block total from the SAME sequential
+    # accumulation as the running sum, keeping the oracle bit-identical
+    # (an unordered partition sum may accumulate in a different order).
+    d = d.withColumn(
+        "_vrun", F.sum("_v").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        "_vtot",
+        F.last("_vrun").over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    prev = F.coalesce(F.lag("_vtot", L).over(w) - F.lag("_vrun", L).over(w), F.lit(0.0))
+    num = F.pow(F.lit(a), F.col("_pos")) * (
+        F.col("_vrun") + F.pow(F.lit(a), F.lit(float(L))) * prev
+    )
+    den = (F.lit(1.0) - F.pow(F.lit(a), F.least(F.col("_g") + 1, F.lit(L)))) / F.lit(1.0 - a)
+    return d.withColumn(out, num / den).drop("_g", "_pos", "_blk", "_v", "_vrun", "_vtot")
 
 
 # -- W7: momentum / ratio-to-lag --------------------------------------------

@@ -324,3 +324,73 @@ def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(med, 6).alias("med_5"),
         n.cast("long").alias("n_in_frame"),
     )
+
+
+# True-EMA constants shared between the Spark query and its oracle: the
+# decay base and block size are computed ONCE in Python and embedded as
+# identical double literals in both plans. block_factor=12 puts the block
+# size (L=72) BELOW the driver data's longest series (86 rows), so the
+# cross-block splice (the lag-L terms) is exercised inside the hash-checked
+# path, not just in unit tests; the truncated tail weight a^L = e^-29 ≈
+# 2.5e-13 is still far below the 6-dp output rounding.
+_EMA_SPAN = 5
+_EMA_BLOCK_FACTOR = 12
+_EMA_A = 1.0 - 2.0 / (_EMA_SPAN + 1.0)
+_EMA_L = _EMA_BLOCK_FACTOR * (_EMA_SPAN + 1)
+
+
+@register(
+    "w_ema",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, user_id, ts, value,
+             row_number() OVER ({_W_ORACLE}) - 1 AS g
+      FROM events
+    ), reb AS (
+      SELECT *, g % {_EMA_L} AS pos, g // {_EMA_L} AS blk,
+             value * power({_EMA_A!r}, -(g % {_EMA_L})) AS v
+      FROM base
+    ), sums AS (
+      SELECT *,
+             sum(v) OVER (PARTITION BY user_id, blk ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vrun
+      FROM reb
+    ), tots AS (
+      SELECT *,
+             last_value(vrun) OVER (PARTITION BY user_id, blk ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS vtot
+      FROM sums
+    ), spliced AS (
+      SELECT *,
+             coalesce(lag(vtot, {_EMA_L}) OVER ({_W_ORACLE})
+                    - lag(vrun, {_EMA_L}) OVER ({_W_ORACLE}), 0.0) AS prev
+      FROM tots
+    )
+    SELECT event_id, user_id, ts,
+           round(power({_EMA_A!r}, pos)
+                 * (vrun + power({_EMA_A!r}, {float(_EMA_L)!r}) * prev)
+               / ((1.0 - power({_EMA_A!r}, least(g + 1, {_EMA_L})))
+                  / {1.0 - _EMA_A!r}), 6) AS ema_5
+    FROM spliced
+    """,
+)
+def w_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 (true exponential flavor): the real EMA the reference only
+    pretended to compute (regression.py:112-115 takes SMAs and names them
+    ema12/ema26). Block-rebased exact closed form — bounded exponents at
+    any series length, trailing truncation at L=72 rows whose dropped
+    tail weight is below the output rounding. The oracle mirrors every
+    arithmetic step — including the cross-block splice, which the driver
+    data's 86-row series exercise — so the recurrence is fully
+    hash-checked."""
+    ev = _events_series(spark, sf_dir)
+    df = TS.with_ema(
+        ev,
+        "value",
+        "ema_5",
+        ["user_id"],
+        ["ts", "event_id"],
+        span=_EMA_SPAN,
+        block_factor=_EMA_BLOCK_FACTOR,
+    )
+    return df.select("event_id", "user_id", "ts", F.round("ema_5", 6).alias("ema_5"))

@@ -99,9 +99,29 @@ def test_ema_matches_pandas_ewm(spark):
 
     vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0]
     df = _series(spark, [("A", i, v) for i, v in enumerate(vals)])
-    w = TS.series_window("sym", "t")
-    got = [r["ema"] for r in TS.with_ema(df, "price", "ema", w, span=5).orderBy("t").collect()]
+    got = [
+        r["ema"]
+        for r in TS.with_ema(df, "price", "ema", ["sym"], ["t"], span=5).orderBy("t").collect()
+    ]
     want = pd.Series(vals).ewm(span=5, adjust=True).mean().tolist()
+    assert all(math.isclose(g, e, rel_tol=1e-9) for g, e in zip(got, want))
+
+
+def test_ema_long_series_no_overflow(spark):
+    """Regression: the global-exponent closed form overflowed past
+    ~709/|ln a| rows (~1,750 at span 5) making every later EMA NaN; the
+    block-rebased form must stay finite and match pandas at any length."""
+    import pandas as pd
+
+    n = 4000
+    vals = [float(50 + 10 * math.sin(i / 7.0) + (i % 13)) for i in range(n)]
+    df = _series(spark, [("A", i, v) for i, v in enumerate(vals)])
+    got = [
+        r["ema"]
+        for r in TS.with_ema(df, "price", "ema", ["sym"], ["t"], span=5).orderBy("t").collect()
+    ]
+    want = pd.Series(vals).ewm(span=5, adjust=True).mean().tolist()
+    assert all(math.isfinite(g) for g in got), "EMA went inf/NaN on a long series"
     assert all(math.isclose(g, e, rel_tol=1e-9) for g, e in zip(got, want))
 
 
