@@ -144,6 +144,39 @@ def regression_pipeline(
     return Pipeline(stages=[assembler, scaler, gbt])
 
 
+def feature_importances(model: PipelineModel, feature_cols: list[str]) -> list[tuple[str, float]]:
+    """M5: (feature, importance) sorted descending — the reference prints
+    sorted ``model.featureImportances`` after training
+    (classifier.py:96-100). Importance vector order follows the
+    VectorAssembler's inputCols, so ``feature_cols`` must be the same list
+    (plus any ``{col}_idx`` indexed categoricals) the pipeline assembled.
+    Driver-side: the vector is |features| floats of fitted-model metadata,
+    not data."""
+    imp = model.stages[-1].featureImportances
+    pairs = [(name, float(imp[i])) for i, name in enumerate(feature_cols)]
+    return sorted(pairs, key=lambda p: (-p[1], p[0]))
+
+
+def sample_param_grid(
+    space: dict[str, list], n_candidates: int, seed: int = 42
+) -> list[dict]:
+    """M7: random candidate sampling over a parameter space — parity with
+    the reference's RandomizedSearchCV(n_iter=50) (regression.py:399-404),
+    minus sklearn. ``space`` maps param name → candidate values; returns
+    ``n_candidates`` distinct combinations drawn without replacement under
+    a fixed seed (the full grid if it is smaller). Feed the result to
+    ``rolling_origin_search``, which replaces the reference's leaky random
+    K-fold with time-ordered folds."""
+    import itertools
+    import random
+
+    keys = sorted(space)
+    full = [dict(zip(keys, combo)) for combo in itertools.product(*(space[k] for k in keys))]
+    if n_candidates >= len(full):
+        return full
+    return random.Random(seed).sample(full, n_candidates)
+
+
 def rolling_origin_search(
     df: DataFrame,
     build_pipeline,

@@ -88,6 +88,35 @@ def ml_gbt_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ml_feature_importances")  # rows-only: model fitting is not ANSI SQL
+def ml_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: sorted GBT feature importances — the reference prints these
+    after every classifier fit (classifier.py:96-100). Returns one row
+    per feature (rank, feature, importance), importances summing to 1;
+    asserted in tests/test_ml.py."""
+    from ..ml import (
+        add_binary_label_and_weights,
+        build_price_features,
+        classifier_pipeline,
+        feature_importances,
+        time_split,
+    )
+    from ..ml.pipelines import DEFAULT_FEATURES
+    from ..operators import tswindow as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    feats = build_price_features(ev, "user_id", ["ts", "event_id"], "value")
+    w = TS.series_window("user_id", ["ts", "event_id"])
+    labeled = add_binary_label_and_weights(feats, "value", w).na.drop(subset=DEFAULT_FEATURES)
+    train, _ = time_split(labeled, "ts", test_days=7)
+    model = classifier_pipeline(DEFAULT_FEATURES, max_iter=5, max_depth=3).fit(train)
+    ranked = feature_importances(model, DEFAULT_FEATURES)
+    return spark.createDataFrame(
+        [(i + 1, name, float(v)) for i, (name, v) in enumerate(ranked)],
+        "rank long, feature string, importance double",
+    )
+
+
 @register("ml_gbt_regressor_metrics")  # rows-only: model fitting is not ANSI SQL
 def ml_gbt_regressor_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6-M13: assembler → RobustScaler → GBTRegressor on next-step

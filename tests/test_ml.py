@@ -94,3 +94,51 @@ def test_regressor_fit_and_directional_accuracy(spark, features):
     scored = M.score_with_price_reconstruction(model, test.limit(50), price="value")
     assert "predicted_price" in scored.columns
     assert scored.count() == 50
+
+
+def test_feature_importances_sorted_and_normalized(spark, features):
+    w = TS.series_window("user_id", ["ts", "event_id"])
+    labeled = M.add_binary_label_and_weights(features, "value", w).na.drop(
+        subset=M.DEFAULT_FEATURES
+    )
+    model = M.classifier_pipeline(M.DEFAULT_FEATURES, max_iter=3, max_depth=3).fit(labeled)
+    ranked = M.feature_importances(model, M.DEFAULT_FEATURES)
+    assert len(ranked) == len(M.DEFAULT_FEATURES)
+    assert {name for name, _ in ranked} == set(M.DEFAULT_FEATURES)
+    vals = [v for _, v in ranked]
+    assert vals == sorted(vals, reverse=True)
+    assert abs(sum(vals) - 1.0) < 1e-6  # tree-ensemble importances normalize to 1
+    assert vals[0] > 0
+
+
+def test_sample_param_grid_deterministic_and_within_space(spark):
+    space = {"max_depth": [2, 3, 5], "step_size": [0.05, 0.1], "max_iter": [2, 4]}
+    g1 = M.sample_param_grid(space, n_candidates=5, seed=7)
+    g2 = M.sample_param_grid(space, n_candidates=5, seed=7)
+    assert g1 == g2 and len(g1) == 5
+    assert len({tuple(sorted(d.items())) for d in g1}) == 5  # without replacement
+    for d in g1:
+        assert d["max_depth"] in space["max_depth"]
+        assert d["step_size"] in space["step_size"]
+        assert d["max_iter"] in space["max_iter"]
+    # full grid when n_candidates exceeds the space
+    assert len(M.sample_param_grid(space, n_candidates=99)) == 12
+
+
+def test_randomized_rolling_origin_search_end_to_end(spark, features):
+    """Reference parity: RandomizedSearchCV(n_iter) → sampled grid fed to
+    time-ordered rolling-origin folds (no future leakage)."""
+    w = TS.series_window("user_id", ["ts", "event_id"])
+    labeled = TS.with_lead(features, "pct_change", "target", w).filter(
+        F.col("target").isNotNull()
+    ).na.drop(subset=M.DEFAULT_FEATURES)
+
+    def build(max_depth, step_size):
+        return M.regression_pipeline(
+            M.DEFAULT_FEATURES, max_iter=2, max_depth=max_depth, step_size=step_size
+        )
+
+    grid = M.sample_param_grid({"max_depth": [2, 3], "step_size": [0.1, 0.2]}, 3, seed=1)
+    best, model, log = M.rolling_origin_search(labeled, build, grid, ts_col="ts", n_folds=2)
+    assert best in grid and len(log) == 3
+    assert model.transform(labeled.limit(5)).select("prediction").count() == 5
