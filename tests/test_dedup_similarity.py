@@ -154,3 +154,36 @@ def test_rp_banded_neardup_recall_vs_exact(spark, sf_dir):
     recall = len(exact & banded) / len(exact)
     assert recall >= 0.9, f"banded near-dup recall {recall:.2f} vs exact"
     assert banded <= exact, "rerank is exact cosine, so precision must be 1.0"
+
+
+def test_simhash_onefold_bit_identical_to_multifold(spark, sf_dir):
+    """The one-fold counter-array SimHash must produce the exact same
+    64-bit fingerprints as the one-fold-per-bit reference form."""
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    fast = {r["doc_id"]: r["simhash"] for r in D.with_simhash(docs).collect()}
+    slow = {r["doc_id"]: r["simhash"] for r in D._with_simhash_multifold(docs).collect()}
+    assert fast == slow
+
+
+def test_simhash_banding_rejects_uncovered_hamming(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_neardup_pairs(df, max_hamming=5, n_bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        D.simhash_neardup_pairs(df, max_hamming=2, n_bands=5)
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest
+
+    # a 12-node path needs ~11 min-label rounds; 3 must fail loudly,
+    # enough rounds must converge to a single component.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        D.connected_components(chain, max_iter=3)
+    labels = {r["node"]: r["label"] for r in D.connected_components(chain).collect()}
+    assert set(labels.values()) == {1}
