@@ -279,6 +279,28 @@ def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
 
 
+@register("x_ann_ivf_kmeans_topk")  # rows-only: k-means centroids are not ANSI-reproducible
+def x_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path with the REAL codebook: MLlib KMeans (k=32) trains
+    the IVF coarse quantizer (similarity.fit_codebook — one distributed
+    fit), then corpus/query cell assignment runs as one BLAS matmul per
+    Arrow batch (assign_cells_np / probe_cells_np), nprobe=4 probe join,
+    exact cosine rerank, top-5. The k=8 literal-expression variant
+    (x_ann_ivf_topk) stays as the fully SQL-checked twin; this one is
+    rows-only because k-means centroids aren't reproducible in ANSI SQL.
+    Measured: expression-tree assignment OOMs Catalyst at k=32, while
+    this path's cost is flat in k (see similarity.ivf_topk docstring).
+    Recall vs brute force is asserted in tests/test_dedup_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    codebook = S.fit_codebook(emb, k=32, seed=42, max_iter=10)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(emb, queries, codebook, k=5, nprobe=4, assign="numpy")
+
+
 @register("x_ann_lsh_topk")  # rows-only: MLlib random-projection LSH is not ANSI-expressible
 def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path, LSH flavor: BucketedRandomProjectionLSH candidates +

@@ -112,6 +112,42 @@ def test_ivf_with_kmeans_codebook_recall(spark, sf_dir):
     assert recall >= 0.5, f"IVF(kmeans) recall {recall:.2f}"
 
 
+def test_ivf_numpy_assign_matches_expr_and_recall(spark, sf_dir):
+    """The mapInPandas matmul assignment must agree with the codegen
+    expression assignment cell-for-cell (same centroids, same tie rule
+    modulo 6dp rounding), and the k=32 registered path must keep recall
+    vs brute force."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    centroids = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    by_np = {
+        r["vec_id"]: r["_cell"]
+        for r in S.assign_cells_np(emb, centroids).select("vec_id", "_cell").collect()
+    }
+    expr_assigned = emb.withColumn(
+        "_cell", S._best_cells(F.col("embedding"), centroids, 1)[0]
+    )
+    by_expr = {r["vec_id"]: r["_cell"] for r in expr_assigned.select("vec_id", "_cell").collect()}
+    n_same = sum(1 for k_ in by_expr if by_np[k_] == by_expr[k_])
+    # 6dp-rounding ties may flip a handful of boundary rows, nothing more
+    assert n_same / len(by_expr) >= 0.99, f"{n_same}/{len(by_expr)} cells agree"
+
+    codebook = S.fit_codebook(emb, k=32, seed=42, max_iter=10)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(emb, queries, k=5)
+    approx = S.ivf_topk(emb, queries, codebook, k=5, nprobe=4, assign="numpy")
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF(kmeans k=32, numpy) recall {recall:.2f}"
+
+
 def test_cosine_self_similarity_is_one(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
     out = S.brute_force_topk(
