@@ -67,3 +67,27 @@ def test_top_k_per_group(spark):
     out = R.top_k_per_group(df, ["g"], [F.desc("v"), F.asc("id")], 2)
     got = {(r["g"], r["rn"]): r["id"] for r in out.collect()}
     assert got == {("g1", 1): 4, ("g1", 2): 3, ("g2", 1): 0, ("g2", 2): 1}
+
+
+def test_approx_count_distinct_within_error_bound(spark, sf_dir):
+    """HLL++ at rsd=0.01 must land within ±5% of the exact distinct count
+    per group — turns the rows-only agg_approx_distinct registration into
+    a verified estimate (VERDICT r1 item 10)."""
+    from cse_datapipeline_and_mls_spark.queries import QUERIES
+    from cse_datapipeline_and_mls_spark.sources import load_table
+
+    approx = {
+        r["l_returnflag"]: r["n_parts_approx"]
+        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n_exact"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, n in exact.items():
+        rel_err = abs(approx[flag] - n) / n
+        assert rel_err <= 0.05, f"{flag}: approx {approx[flag]} vs exact {n} ({rel_err:.1%})"
