@@ -46,6 +46,7 @@ def _load_all() -> None:
         northstar,
         relational_q,
         streaming_q,
+        tpch_more_q,
         windows_q,
     )
 
