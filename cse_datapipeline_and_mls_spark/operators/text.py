@@ -147,3 +147,69 @@ def bigram_repetition_ratio(col: Column | str) -> Column:
     )
     # sequence(1, 0) would count DOWN in Spark — guard short docs explicitly.
     return F.when(n >= 2, ratio).otherwise(F.lit(0.0))
+
+
+# PII-ish patterns chosen from the Java-regex ∩ RE2 common subset so the
+# same pattern text runs identically in Spark and in a DuckDB oracle
+# (no lookarounds, no backrefs; \b and \S are supported by both).
+URL_REGEX = r"https?://\S+"
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_REGEX = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def match_count(col: Column | str, pattern: str) -> Column:
+    """Number of non-overlapping matches of ``pattern`` — JVM-side
+    regexp_count, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def scrub_text(col: Column | str) -> Column:
+    """Replace URLs, then emails, then phone numbers with typed
+    placeholder tokens — the standard pre-training scrub pass. Order
+    matters (URLs may contain '@'); the chain is three JVM
+    regexp_replace ops fused into one projection by codegen, so at
+    100 TB this costs one corpus scan and zero shuffles."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, URL_REGEX, "<URL>")
+    out = F.regexp_replace(out, EMAIL_REGEX, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_REGEX, "<PHONE>")
+
+
+def chunk_by_words(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks — the unit of
+    work a training pipeline tokenizes. Chunk i covers words
+    [i*stride, i*stride+window); starts every ``stride`` words while
+    start < n_words, so consecutive chunks overlap by window-stride
+    words and every word lands in ≥1 chunk.
+
+    Pure built-ins: split → explode(sequence) → slice → concat. The
+    explode multiplies rows by ~n_words/stride but needs NO shuffle —
+    chunking is a map-side operation, and downstream per-chunk work
+    (tokenize, embed) parallelizes over the exploded rows. Row width
+    stays bounded: each output row carries one chunk, not the document.
+    """
+    words = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    d = df.select(
+        F.col(id_col), words.alias("_w"), ((F.size(words) - 1) / stride).cast("int").alias("_mx")
+    )
+    return d.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.col("_mx"))).alias("chunk_idx"),
+        F.col("_w"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", F.slice("_w", F.col("chunk_idx") * stride + 1, window)).alias(
+            "chunk_text"
+        ),
+        F.least(
+            F.lit(window), F.size("_w") - F.col("chunk_idx") * stride
+        ).alias("n_words_chunk"),
+    )

@@ -42,6 +42,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         coverage_q,
         functions_q,
+        llmdata_q,
         ml_q,
         northstar,
         relational_q,

@@ -110,3 +110,68 @@ def test_repetition_ratios(spark):
     assert got[1][1] > 0.5  # 7 bigrams, 2 distinct
     assert got[2] == (0.0, 0.0)
     assert got[3] == (0.0, 0.0)
+
+
+def test_scrub_text_replaces_all_three_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see https://x.io/a?b=1 mail a.b+c@ex.org call 555-1234 done"),
+            (2, "no pii here"),
+            (3, "http://plain.com and u@d.co and 123-4567"),
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: (r["clean"], r["nu"], r["ne"], r["np"])
+        for r in df.select(
+            "id",
+            X.scrub_text("text").alias("clean"),
+            X.match_count("text", X.URL_REGEX).alias("nu"),
+            X.match_count("text", X.EMAIL_REGEX).alias("ne"),
+            X.match_count("text", X.PHONE_REGEX).alias("np"),
+        ).collect()
+    }
+    assert got[1] == ("see <URL> mail <EMAIL> call <PHONE> done", 1, 1, 1)
+    assert got[2] == ("no pii here", 0, 0, 0)
+    assert got[3] == ("<URL> and <EMAIL> and <PHONE>", 1, 1, 1)
+
+
+def test_chunk_by_words_covers_every_word_with_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(130))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id long, text string")
+    rows = X.chunk_by_words(df, "text", "doc_id", window=50, stride=40).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 130 words -> starts at 0,40,80,120 -> 4 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2, 3]
+    assert [r["n_words_chunk"] for r in c1] == [50, 50, 50, 10]
+    assert c1[0]["chunk_text"].startswith("w0 ") and c1[3]["chunk_text"] == " ".join(
+        f"w{i}" for i in range(120, 130)
+    )
+    # overlap: chunk 1 starts at w40, inside chunk 0's [0,50) window
+    assert c1[1]["chunk_text"].split()[0] == "w40"
+    # every word appears in at least one chunk
+    seen = {w for r in c1 for w in r["chunk_text"].split()}
+    assert len(seen) == 130
+    # doc 2: single short chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_words_chunk"] == 2
+
+
+def test_ngram_containment_is_asymmetric(spark):
+    from cse_datapipeline_and_mls_spark.operators import dedup as D
+
+    train = spark.createDataFrame(
+        [(10, "a b c d e f g h i j k l m n o p")], "doc_id long, text string"
+    )
+    # eval doc fully contained in the train doc, plus an unrelated one
+    ev = spark.createDataFrame(
+        [(1, "c d e f g h i j"), (2, "z y x w v u t s")], "doc_id long, text string"
+    )
+    got = {
+        (r["eval_id"], r["train_id"]): r["containment"]
+        for r in D.ngram_containment_pairs(ev, train, n=5, min_shared=2).collect()
+    }
+    # eval 1 has 4 distinct 5-grams, all present in train -> containment 1.0
+    assert got == {(1, 10): 1.0}
