@@ -37,6 +37,12 @@ HEADLINE = [
     "x_ann_ivf_topk",
     "w_rsi_14",
     "ml_feature_block",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q21_shape_waiting_supplier",
+    "x_doc_chunks",
+    "x_embedding_neardup_banded",
+    "x_ann_ivf_kmeans_topk",
 ]
 
 

@@ -500,15 +500,16 @@ def tpch_q20_shape_potential_suppliers(spark: SparkSession, sf_dir: str) -> Data
       JOIN orders o ON o.o_orderkey = l.l_orderkey
       WHERE o.o_orderstatus = 'F'
       GROUP BY 1, 2
-    ), per_o AS (
-      SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
-      FROM per_os GROUP BY 1
+    ), flagged AS (
+      SELECT l_suppkey, late,
+             count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+             sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+      FROM per_os
     )
     SELECT s.s_name, count(*) AS numwait
-    FROM per_os x
-    JOIN per_o po ON po.l_orderkey = x.l_orderkey
+    FROM flagged x
     JOIN supplier s ON s.s_suppkey = x.l_suppkey
-    WHERE x.late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+    WHERE x.late = 1 AND x.n_supp >= 2 AND x.n_late = 1
     GROUP BY s.s_name
     ORDER BY numwait DESC, s.s_name
     LIMIT 20
@@ -519,12 +520,15 @@ def tpch_q21_shape_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFra
     multi-supplier finished order. The canonical text is
     exists(other supplier) AND not-exists(other late supplier) —
     re-expressed as one grouped pass: per (order, supplier) lateness,
-    then per-order supplier/late counts; 'sole late' ≡ late=1 ∧
-    n_supp≥2 ∧ n_late=1. Two exists self-joins become ONE extra
-    aggregation on rows already shuffled by orderkey — the plan TPC-H
-    optimizers rewrite toward. Stand-in: late = shipped >90 days after
-    order date (no l_commitdate/l_receiptdate). Top-20 with
-    (numwait desc, name) tiebreak compiles to TakeOrderedAndProject."""
+    then per-order supplier/late counts AS A WINDOW over the same rows;
+    'sole late' ≡ late=1 ∧ n_supp≥2 ∧ n_late=1. Two exists self-joins
+    become window aggregates whose required distribution (orderkey) the
+    join output already satisfies — the per-order-supplier subtree is
+    computed ONCE (the groupBy-then-rejoin form re-executed the whole
+    lineitem⋈orders subtree for the counts side). Stand-in: late =
+    shipped >90 days after order date (no l_commitdate/l_receiptdate).
+    Top-20 with (numwait desc, name) tiebreak compiles to
+    TakeOrderedAndProject."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
@@ -536,13 +540,14 @@ def tpch_q21_shape_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy(li.l_orderkey, "l_suppkey")
         .agg(F.max(late).alias("late"))
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "n_late", F.sum("late").over(w)
     )
     return (
-        per_os.filter(F.col("late") == 1)
-        .join(per_o, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        flagged.filter(
+            (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
         .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
