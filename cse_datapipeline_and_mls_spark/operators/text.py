@@ -7,7 +7,7 @@ scan stays embarrassingly parallel with zero shuffle (pure map stage).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
@@ -212,4 +212,65 @@ def chunk_by_words(
         F.least(
             F.lit(window), F.size("_w") - F.col("chunk_idx") * stride
         ).alias("n_words_chunk"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+    budget: int = 512,
+) -> DataFrame:
+    """GPT-style sequence packing (concat-then-cut): lay every document's
+    tokens end-to-end in a deterministic order and cut the stream every
+    ``budget`` tokens. Emits one row per (document, training sequence)
+    fragment: which slice of the doc lands in which sequence.
+
+    The token stream is per-SHARD, not global: a single global running
+    offset would serialize the window into one partition, while real
+    pipelines pack each shard independently (sequence ids only need to be
+    unique, not globally dense). The only shuffle is the window's
+    hash-partition by shard; everything after is map-side explode +
+    arithmetic. Skewed shards bound the tail — at 100 TB use a composite
+    shard key (source × hash bucket) to cap shard size; the operator
+    takes any ``shard_col``.
+
+    Output: (shard, seq_id, doc_id, n_tok, frag_start, frag_len) where
+    seq_id is the shard-local sequence index, frag_start is the 0-based
+    token offset INSIDE the doc, and fragments of one sequence total
+    ``budget`` tokens except the shard's last.
+    """
+    n_tok = F.size(F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        df.select(F.col(shard_col).alias("shard"), F.col(id_col), n_tok.alias("n_tok"))
+        .withColumn("_end", F.sum("n_tok").over(w))
+        .withColumn("_off", F.col("_end") - F.col("n_tok"))
+    )
+    b = F.lit(budget)
+    frag_start = F.greatest(F.lit(0), F.col("seq_id") * b - F.col("_off"))
+    frag_end = F.least(F.col("n_tok"), (F.col("seq_id") + 1) * b - F.col("_off"))
+    return (
+        d.select(
+            "shard",
+            id_col,
+            "n_tok",
+            "_off",
+            F.explode(
+                F.sequence(F.floor(F.col("_off") / b), F.floor((F.col("_end") - 1) / b))
+            ).alias("seq_id"),
+        )
+        .select(
+            "shard",
+            "seq_id",
+            id_col,
+            "n_tok",
+            frag_start.alias("frag_start"),
+            (frag_end - frag_start).alias("frag_len"),
+        )
     )

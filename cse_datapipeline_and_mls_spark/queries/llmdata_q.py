@@ -103,6 +103,40 @@ def x_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_sequence_packing",
+    oracle="""
+    WITH d AS (
+      SELECT source AS shard, doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tok
+      FROM documents
+    ), o AS (
+      SELECT shard, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+      FROM d
+    ), e AS (
+      SELECT shard, doc_id, n_tok, end_off, end_off - n_tok AS off,
+             unnest(generate_series(CAST(floor((end_off - n_tok) / 512.0) AS BIGINT),
+                                    CAST(floor((end_off - 1) / 512.0) AS BIGINT))) AS seq_id
+      FROM o
+    )
+    SELECT shard, seq_id, doc_id, n_tok,
+           greatest(0, seq_id * 512 - off)                              AS frag_start,
+           least(n_tok, (seq_id + 1) * 512 - off)
+             - greatest(0, seq_id * 512 - off)                          AS frag_len
+    FROM e
+    """,
+)
+def x_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-then-cut) at token budget 512:
+    per-shard running token offsets, each doc exploded into the training
+    sequences it spans. One window shuffle per shard, map-side explode —
+    see operators/text.pack_sequences for the 100 TB posture."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.pack_sequences(docs, "text", "doc_id", shard_col="source", budget=512)
+
+
+@register(
     "x_contamination_check",
     oracle="""
     WITH ev AS (

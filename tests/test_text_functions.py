@@ -175,3 +175,43 @@ def test_ngram_containment_is_asymmetric(spark):
     }
     # eval 1 has 4 distinct 5-grams, all present in train -> containment 1.0
     assert got == {(1, 10): 1.0}
+
+
+def test_pack_sequences_invariants(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, "shard_a" if i < 40 else "shard_b", " ".join("w" * 1 for _ in range(rng.randint(5, 200))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = X.pack_sequences(df, "text", "doc_id", shard_col="source", budget=64).collect()
+
+    # fragments of one doc reassemble it exactly: contiguous, start at 0,
+    # lengths sum to n_tok
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_tok_truth = {i: len(t.split()) for i, _, t in rows}
+    assert set(by_doc) == set(n_tok_truth)
+    for doc_id, frags in by_doc.items():
+        frags.sort(key=lambda r: r["seq_id"])
+        assert frags[0]["frag_start"] == 0
+        pos = 0
+        for f in frags:
+            assert f["frag_start"] == pos and f["frag_len"] >= 1
+            pos += f["frag_len"]
+        assert pos == n_tok_truth[doc_id] == frags[0]["n_tok"]
+
+    # every sequence except each shard's last carries exactly the budget
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault((r["shard"], r["seq_id"]), 0)
+        by_seq[(r["shard"], r["seq_id"])] += r["frag_len"]
+    for shard in {s for s, _ in by_seq}:
+        seqs = sorted(k[1] for k in by_seq if k[0] == shard)
+        assert seqs == list(range(len(seqs)))  # dense shard-local ids
+        for s in seqs[:-1]:
+            assert by_seq[(shard, s)] == 64
+        assert 1 <= by_seq[(shard, seqs[-1])] <= 64
