@@ -9,7 +9,7 @@ every pattern; chunking and containment are pure relational algebra.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -100,6 +100,249 @@ def x_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-side only — no shuffle; see operators/text.chunk_by_words."""
     docs = load_table(spark, sf_dir, "documents")
     return X.chunk_by_words(docs, "text", "doc_id", window=50, stride=40)
+
+
+@register(
+    "x_mixture_sample",
+    oracle="""
+    WITH c AS (
+      SELECT source, count(*) AS n_s FROM documents GROUP BY 1
+    ), s AS (
+      SELECT source, n_s,
+             sqrt(CAST(n_s AS DOUBLE)) / sum(sqrt(CAST(n_s AS DOUBLE))) OVER () AS share,
+             sum(n_s) OVER () / 2.0 AS budget
+      FROM c
+    ), f AS (
+      SELECT source,
+             CAST(floor(round(least(1.0, budget * share / n_s) * 10000, 3)) AS BIGINT) AS cut
+      FROM s
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN f USING (source)
+    WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < f.cut
+    """,
+)
+def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture resampling with sqrt (α=0.5) reweighting — the
+    standard trick for rebalancing a multi-source corpus toward rarer
+    sources: target share ∝ √n_s, total budget = half the corpus, and
+    per-source keep fractions capped at 1. Membership is the same
+    md5-mod bucket as x_hash_split — deterministic, engine-invariant,
+    repartition-proof. Fully distributed: per-source counts are a tiny
+    aggregate (|sources| rows) whose global sums come from an
+    unpartitioned window over that aggregate — never a driver collect —
+    and the cutoffs broadcast back onto the corpus scan, so at 100 TB
+    the corpus is read once, map-side filtered. The 1e-4-granular cut
+    is computed on round(·, 3) so the floor is stable against the
+    last-bit summation-order differences between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    wall = Window.partitionBy()
+    shares = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn(
+            "share",
+            F.sqrt(F.col("n_s").cast("double"))
+            / F.sum(F.sqrt(F.col("n_s").cast("double"))).over(wall),
+        )
+        .withColumn("budget", F.sum("n_s").over(wall) / 2.0)
+        .withColumn(
+            "cut",
+            F.floor(
+                F.round(
+                    F.least(F.lit(1.0), F.col("budget") * F.col("share") / F.col("n_s"))
+                    * 10000,
+                    3,
+                )
+            ).cast("bigint"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    return (
+        docs.join(F.broadcast(shares.select("source", "cut")), "source")
+        .filter(bucket < F.col("cut"))
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "x_dedup_survivors",
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), tokens AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx FROM words
+    ), grams AS (
+      SELECT doc_id,
+             word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS g
+      FROM tokens WINDOW win AS (PARTITION BY doc_id ORDER BY idx)
+      QUALIFY lead(word, 2) OVER win IS NOT NULL
+    ), dgrams AS (
+      SELECT DISTINCT doc_id, g FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM dgrams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM dgrams a JOIN dgrams b USING (g)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.3
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    ), q AS (
+      SELECT s.doc_id,
+        round((
+            least(length(text) / 200.0, 1.0)
+          + least(4.0 * len(list_filter(string_split(lower(trim(text)), ' '),
+                    x -> list_contains(['the','a','an','and','or','but','if','then','is',
+                                        'are','was','were','be','been','being','of','to',
+                                        'in','on','for','with','as','at','by','from',
+                                        'that','this','it','its','not','no'], x)))
+                / nullif(len(string_split(lower(trim(text)), ' ')), 0), 1.0)
+          + greatest(0.0, 1.0 - 4.0 * (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                / nullif(length(text), 0))
+          + CASE WHEN list_sum(list_transform(string_split_regex(trim(text), '\\s+'), x -> length(x)))
+                      / nullif(len(string_split_regex(trim(text), '\\s+')), 0)
+                 BETWEEN 3 AND 10 THEN 1.0 ELSE 0.3 END
+        ) / 4.0, 6) AS quality
+      FROM documents s
+    )
+    SELECT q.doc_id,
+           coalesce(c.cluster_id, q.doc_id) AS cluster_id,
+           q.quality,
+           CAST(row_number() OVER (PARTITION BY coalesce(c.cluster_id, q.doc_id)
+                                   ORDER BY q.quality DESC, q.doc_id) = 1 AS INT)
+             AS is_survivor
+    FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id
+    """,
+)
+def x_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that turns near-dup CLUSTERS into a deduplicated corpus:
+    per cluster keep the highest-quality document (doc_id tiebreak),
+    mark the rest dropped. Unclustered docs form singleton clusters and
+    trivially survive. Ranking compares the ROUNDED quality score, so
+    the decision is engine-invariant. Plan shape: the cluster labels are
+    a tiny fraction of the corpus (only docs in near-dup pairs), so the
+    label join broadcasts; the survivor pick is one window over
+    cluster_id — at 100 TB the same two-exchange plan holds."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    labels = D.connected_components(pairs)
+    q = docs.select("doc_id", X.quality_score("text").alias("quality"))
+    joined = q.join(
+        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("_cl")),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.coalesce("_cl", "doc_id").alias("cluster_id"), "quality")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return joined.withColumn(
+        "is_survivor", (F.row_number().over(w) == 1).cast("int")
+    )
+
+
+@register(
+    "x_quality_filter",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_words,
+             list_sum(list_transform(string_split_regex(trim(text), '\\s+'), w -> len(w)))
+               / nullif(len(string_split_regex(trim(text), '\\s+')), 0)  AS mean_wl,
+             len(list_filter(string_split(lower(trim(text)), ' '),
+                 x -> list_contains(['the','a','an','and','or','but','if','then','is',
+                                     'are','was','were','be','been','being','of','to',
+                                     'in','on','for','with','as','at','by','from',
+                                     'that','this','it','its','not','no'], x)))
+               / nullif(len(string_split(lower(trim(text)), ' ')), 0)    AS stop_r,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / nullif(length(text), 0)                                 AS punct_r,
+             1.0 - len(list_distinct(string_split(lower(trim(text)), ' ')))
+               / nullif(len(string_split(lower(trim(text)), ' ')), 0)    AS word_rep
+      FROM documents
+    ), flagged AS (
+      SELECT doc_id, n_words, mean_wl, stop_r, punct_r, word_rep,
+             list_filter([
+               CASE WHEN n_words < 30 THEN 'too_short' END,
+               CASE WHEN n_words > 5000 THEN 'too_long' END,
+               CASE WHEN mean_wl < 2.5 OR mean_wl > 10.0 THEN 'word_length' END,
+               CASE WHEN stop_r < 0.05 THEN 'low_stopword' END,
+               CASE WHEN punct_r > 0.2 THEN 'high_punct' END,
+               CASE WHEN word_rep > 0.5 THEN 'repetitive' END
+             ], x -> x IS NOT NULL) AS reasons
+      FROM m
+    )
+    SELECT doc_id, n_words,
+           round(mean_wl, 6)  AS mean_word_len,
+           round(stop_r, 6)   AS stopword_ratio,
+           round(punct_r, 6)  AS punct_ratio,
+           round(word_rep, 6) AS word_rep_ratio,
+           CAST(len(reasons) = 0 AS INT) AS keep,
+           coalesce(array_to_string(reasons, ','), '') AS reasons
+    FROM flagged
+    """,
+)
+def x_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate: length band, mean word length, stopword
+    floor, punctuation ceiling, word-repetition ceiling — each failed
+    rule lands in a reasons list, keep = no reasons. Thresholds are
+    UNROUNDED comparisons (row-wise IEEE arithmetic is bit-identical
+    across engines, so the decisions agree exactly); only the reported
+    metrics round. One zero-shuffle codegen projection over the corpus —
+    the same single-scan shape every production quality pass has."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = X.whitespace_token_count("text")
+    mean_wl = X.mean_word_length("text")
+    stop_r = X.stopword_ratio("text")
+    punct_r = X.punct_ratio("text")
+    word_rep = X.word_repetition_ratio("text")
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_wl"),
+        stop_r.alias("stop_r"),
+        punct_r.alias("punct_r"),
+        word_rep.alias("word_rep"),
+    )
+    reasons = F.filter(
+        F.array(
+            F.when(F.col("n_words") < 30, "too_short"),
+            F.when(F.col("n_words") > 5000, "too_long"),
+            F.when((F.col("mean_wl") < 2.5) | (F.col("mean_wl") > 10.0), "word_length"),
+            F.when(F.col("stop_r") < 0.05, "low_stopword"),
+            F.when(F.col("punct_r") > 0.2, "high_punct"),
+            F.when(F.col("word_rep") > 0.5, "repetitive"),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_wl", 6).alias("mean_word_len"),
+        F.round("stop_r", 6).alias("stopword_ratio"),
+        F.round("punct_r", 6).alias("punct_ratio"),
+        F.round("word_rep", 6).alias("word_rep_ratio"),
+        (F.size(reasons) == 0).cast("int").alias("keep"),
+        F.array_join(reasons, ",").alias("reasons"),
+    )
 
 
 @register(

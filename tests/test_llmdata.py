@@ -1,0 +1,89 @@
+"""Behavior tests for the LLM-data pipeline queries beyond what the
+DuckDB oracles already hash-check: rule-level semantics of the quality
+filter, the α=0.5 rebalancing property of mixture sampling, and
+survivor-selection invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cse_datapipeline_and_mls_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_quality_filter_reasons_match_keep(spark):
+    rows = QUERIES["x_quality_filter"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert (r["keep"] == 1) == (r["reasons"] == "")
+        # every named rule must be consistent with its metric
+        reasons = set(r["reasons"].split(",")) if r["reasons"] else set()
+        assert ("too_short" in reasons) == (r["n_words"] < 30)
+        # rule fires on the UNROUNDED ratio; the reported metric is
+        # rounded to 6dp, so skip the one ambiguous boundary value
+        if r["stopword_ratio"] != 0.05:
+            assert ("low_stopword" in reasons) == (r["stopword_ratio"] < 0.05)
+    # the synthetic corpus produces a real mix, not a degenerate gate
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)
+
+
+def test_mixture_sample_rebalances_toward_rare_sources(spark):
+    kept = (
+        QUERIES["x_mixture_sample"](spark, SF)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .collect()
+    )
+    from cse_datapipeline_and_mls_spark.sources import load_table
+
+    totals = {
+        r["source"]: r["n"]
+        for r in load_table(spark, SF, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = {r["source"]: r["n_kept"] / totals[r["source"]] for r in kept}
+    # budget is half the corpus: overall keep rate near 0.5 (md5-binomial noise)
+    overall = sum(r["n_kept"] for r in kept) / sum(totals.values())
+    assert 0.3 < overall < 0.7
+    # α=0.5: smaller sources must not be sampled at a LOWER rate than the
+    # largest source (monotone rebalancing, up to binomial noise on tiny
+    # strata — compare aggregate of smallest vs largest halves)
+    by_size = sorted(totals, key=totals.get)
+    small, large = by_size[: len(by_size) // 2], by_size[len(by_size) // 2:]
+    rate = lambda srcs: sum(rates.get(s, 0) * totals[s] for s in srcs) / sum(
+        totals[s] for s in srcs
+    )
+    if totals[by_size[0]] != totals[by_size[-1]]:
+        assert rate(small) >= rate(large) - 0.1
+
+
+def test_dedup_survivors_one_per_cluster(spark):
+    rows = QUERIES["x_dedup_survivors"](spark, SF).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert sum(m["is_survivor"] for m in members) == 1
+        surv = next(m for m in members if m["is_survivor"] == 1)
+        best = max(members, key=lambda m: (m["quality"], -m["doc_id"]))
+        assert surv["doc_id"] == best["doc_id"]
+
+
+def test_sequence_packing_budget_holds_at_each_sf(spark):
+    out = QUERIES["x_sequence_packing"](spark, SF)
+    per_seq = (
+        out.groupBy("shard", "seq_id").agg(F.sum("frag_len").alias("n")).collect()
+    )
+    last = {
+        r["shard"]: r["seq_id"]
+        for r in out.groupBy("shard").agg(F.max("seq_id").alias("seq_id")).collect()
+    }
+    for r in per_seq:
+        if r["seq_id"] != last[r["shard"]]:
+            assert r["n"] == 512
+        else:
+            assert 1 <= r["n"] <= 512
