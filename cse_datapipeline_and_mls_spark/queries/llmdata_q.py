@@ -103,6 +103,80 @@ def x_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_bigram_lm_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(words)),
+                                           i -> words[i] || ' ' || words[i+1])) AS b
+      FROM w WHERE len(words) >= 2
+    ), toks AS (
+      SELECT unnest(words) AS word FROM w
+    ), cb AS (
+      SELECT b, count(*) AS n_b FROM bg GROUP BY 1
+    ), cu AS (
+      SELECT word, count(*) AS n_u FROM toks GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT word) AS vsz FROM toks
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS INT) AS n_bigrams,
+           round(avg(ln((cb.n_b + 0.5) / (cu.n_u + 0.5 * v.vsz))), 4) AS avg_logp
+    FROM bg g
+    JOIN cb ON cb.b = g.b
+    JOIN cu ON cu.word = string_split(g.b, ' ')[1]
+    CROSS JOIN v
+    GROUP BY g.doc_id
+    """,
+)
+def x_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring: train an add-k-smoothed
+    bigram model ON the corpus, score every document by its mean log
+    probability — low scores mark gibberish / non-natural text. Exact
+    corpus-wide model: two aggregation shuffles build bigram and context
+    counts, the vocab size rides a 1-row broadcast, and the per-doc
+    score is one more aggregate. At 100 TB the full bigram table is the
+    dominant shuffle — a production run prunes it to the top-M bigrams
+    (broadcastable) with unigram back-off, which this operator's shape
+    supports by filtering cb before the join. avg(ln ·) rounds to 4dp so
+    cross-engine summation order can't flip the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    w = docs.select("doc_id", words.alias("words")).filter(F.size("words") >= 2)
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("words"), i).alias("w1"),
+                    F.element_at(F.col("words"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    toks = docs.select(F.explode(words).alias("word"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_b"))
+    cu = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_u"))
+    v = toks.agg(F.countDistinct("word").alias("vsz"))
+    return (
+        bg.join(cb, ["w1", "w2"])
+        .join(cu, F.col("w1") == F.col("word"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("n_b") + 0.5) / (F.col("n_u") + 0.5 * F.col("vsz")))),
+                4,
+            ).alias("avg_logp"),
+        )
+    )
+
+
+@register(
     "x_mixture_sample",
     oracle="""
     WITH c AS (
