@@ -43,6 +43,9 @@ HEADLINE = [
     "x_doc_chunks",
     "x_embedding_neardup_banded",
     "x_ann_ivf_kmeans_topk",
+    "x_sequence_packing",
+    "x_quality_filter",
+    "x_bigram_lm_score",
 ]
 
 
