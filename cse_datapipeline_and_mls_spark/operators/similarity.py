@@ -224,29 +224,57 @@ def _py_l2_norm(vec) -> float:
     return math.sqrt(acc)
 
 
-def _best_cells(vec: Column, centroids, nprobe: int, vnorm: Column | None = None) -> Column:
-    """Array of the ``nprobe`` centroid ids nearest to ``vec`` by cosine
-    (rounded to 6dp; ties break to the smaller centroid id).
+def _best_cells(vec_sql: str, centroids, nprobe: int, vnorm_sql: str | None = None) -> Column:
+    """Array of the ``nprobe`` centroid ids nearest to the vector column
+    named by ``vec_sql``, by cosine (rounded to 6dp; ties break to the
+    smaller centroid id).
 
     ``centroids`` is a driver-side list of ``(cid, [float, ...])`` — the
     coarse codebook is tiny by construction, so it compiles into literal
     arrays: assignment is pure map-side work, the corpus never shuffles
-    to find its cell. The row's own norm is written once (CSE keeps it
-    to one evaluation) and centroid norms are precomputed literals, so
-    per-row cost is one array fold per centroid — the dot product.
+    to find its cell.
+
+    All k dots accumulate in ONE transposed fold (CT = centroid matrix
+    transposed to dim × k literals; per centroid the adds still run
+    left-to-right over the dim index — the exact IEEE sequence of a
+    per-centroid ``dot`` fold and of the oracle's list_dot_product, so
+    cell choices are provably unchanged). The dots value is bound once
+    via the array-lambda let before the per-centroid ranking structs
+    reference it k times. The whole thing is one expr STRING: the
+    previous per-centroid Column form cost k×dim F.lit py4j round-trips
+    at plan build and k independent folds at runtime.
     (Unrolling the dots into scalar arithmetic was tried and is ~8×
     WORSE: the 500+-node expression tree exceeds codegen limits and
     falls back to interpreted eval. Array folds are the right shape.)
     """
-    if vnorm is None:
-        vnorm = l2_norm(vec)
-    structs = []
-    for cid, cvec in centroids:
-        cv = F.array(*[F.lit(float(x)) for x in cvec])
-        sim = F.round(dot(vec, cv) / F.nullif(vnorm * F.lit(_py_l2_norm(cvec)), F.lit(0.0)), 6)
-        structs.append(F.struct((-sim).alias("neg"), F.lit(int(cid)).alias("cid")))
-    ranked = F.sort_array(F.array(*structs))
-    return F.slice(ranked, 1, nprobe).getField("cid")
+    if vnorm_sql is None:
+        vnorm_sql = f"sqrt(aggregate({vec_sql}, cast(0.0 as double), (acc, v) -> acc + v * v))"
+    cents = sorted(centroids)  # cid order so cid == position - 1
+    assert [c[0] for c in cents] == list(range(len(cents)))
+    dim = len(cents[0][1])
+    k = len(cents)
+    ct = "array(" + ", ".join(
+        "array(" + ", ".join(repr(float(cents[j][1][i])) for j in range(k)) + ")"
+        for i in range(dim)
+    ) + ")"
+    cnorms = "array(" + ", ".join(repr(_py_l2_norm(c[1])) for c in cents) + ")"
+    dots = (
+        f"aggregate(sequence(1, {dim}), "
+        f"array_repeat(cast(0.0 as double), {k}), "
+        f"(acc, i) -> zip_with(acc, element_at({ct}, i), "
+        f"(a, c) -> a + element_at({vec_sql}, i) * c))"
+    )
+    # Both the dots array AND the row norm are bound once via the
+    # array-lambda let (the ranking structs reference them k times;
+    # unbound, CollapseProject would re-evaluate the folds per centroid).
+    ranked = (
+        f"element_at(transform(array(struct({dots} AS ds, ({vnorm_sql}) AS vn)), t -> "
+        f"slice(sort_array(transform(sequence(0, {k - 1}), j -> "
+        f"struct(-round(element_at(t.ds, j + 1) / "
+        f"nullif(t.vn * element_at({cnorms}, j + 1), 0.0), 6) AS neg, "
+        f"j AS cid))), 1, {nprobe})), 1)"
+    )
+    return F.expr(ranked).getField("cid")
 
 
 def assign_cells_np(
@@ -404,12 +432,22 @@ def ivf_topk(
             queries, centroids, nprobe, query_id_col=query_id_col, vec_col=vec_col
         )
     else:
-        c_assigned = (
-            ensure_min_parallelism(corpus.select(id_col, vec_col))
-            .withColumn("_norm", l2_norm(F.col(vec_col)))
-            .withColumn(
-                "_cell", _best_cells(F.col(vec_col), centroids, 1, vnorm=F.col("_norm"))[0]
-            )
+        # The assigned corpus is the inverted file here too — memoized per
+        # corpus version like the numpy path (deterministic, so results
+        # are unchanged; see _cached_index).
+        import hashlib
+
+        chash = hashlib.sha256(repr(centroids).encode()).hexdigest()[:16]
+        c_assigned = _cached_index(
+            corpus,
+            ("ivf_assign_expr", id_col, vec_col, chash),
+            lambda: (
+                ensure_min_parallelism(corpus.select(id_col, vec_col))
+                .withColumn("_norm", l2_norm(F.col(vec_col)))
+                .withColumn(
+                    "_cell", _best_cells(vec_col, centroids, 1, vnorm_sql="_norm")[0]
+                )
+            ),
         )
         q_probes = (
             queries.withColumn("_qnorm", l2_norm(F.col(vec_col)))
@@ -418,7 +456,7 @@ def ivf_topk(
                 F.col(vec_col).alias("_qvec"),
                 F.col("_qnorm"),
                 F.explode(
-                    _best_cells(F.col(vec_col), centroids, nprobe, vnorm=F.col("_qnorm"))
+                    _best_cells(vec_col, centroids, nprobe, vnorm_sql="_qnorm")
                 ).alias("_cell"),
             )
         )

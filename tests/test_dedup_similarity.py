@@ -128,9 +128,7 @@ def test_ivf_numpy_assign_matches_expr_and_recall(spark, sf_dir):
         r["vec_id"]: r["_cell"]
         for r in S.assign_cells_np(emb, centroids).select("vec_id", "_cell").collect()
     }
-    expr_assigned = emb.withColumn(
-        "_cell", S._best_cells(F.col("embedding"), centroids, 1)[0]
-    )
+    expr_assigned = emb.withColumn("_cell", S._best_cells("embedding", centroids, 1)[0])
     by_expr = {r["vec_id"]: r["_cell"] for r in expr_assigned.select("vec_id", "_cell").collect()}
     n_same = sum(1 for k_ in by_expr if by_np[k_] == by_expr[k_])
     # 6dp-rounding ties may flip a handful of boundary rows, nothing more

@@ -29,6 +29,15 @@ EXPECTED_CROSS = {
     "x_ann_ivf_topk",         # broadcast probe join
     "j_range_price_bands",    # 10-row literal band table
     "x_tfidf_top_terms",      # 1-row corpus-size scalar broadcast (docstring)
+    "tpch_q11_shape_important_parts",  # 1-row global threshold broadcast (scalar subquery)
+    "tpch_q22_shape_global_sales_opportunity",  # 1-row global avg broadcast
+    "x_bigram_lm_score",      # 1-row vocab-size broadcast
+}
+
+# Queries whose >4 exchanges are the documented, irreducible shape
+# (each exchange is a distinct aggregation/join the semantics require).
+EXPECTED_MANY_EXCHANGES = {
+    "x_bigram_lm_score",  # bigram counts + context counts + model join + per-doc agg (SCALE.md)
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
@@ -75,7 +84,7 @@ def main() -> int:
         ):
             for m in re.finditer(r"Window (?:\[.*?\], )?\[(.*?)\], \[", plan):
                 pass  # partition spec presence checked via WindowExec warning instead
-        if n_exchange > 4:
+        if n_exchange > 4 and name not in EXPECTED_MANY_EXCHANGES:
             flags.append(f"{n_exchange}-exchanges")
         status = "FLAG " if flags else "ok   "
         if flags:
