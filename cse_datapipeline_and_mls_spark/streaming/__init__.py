@@ -1,5 +1,6 @@
 from .pipeline import (
     bronze_ingest,
+    enrich_stream,
     ingest_file_stream,
     interval_join,
     run_to_memory_sink,
@@ -12,6 +13,7 @@ from .stateful import running_zscore_anomalies
 __all__ = [
     "ingest_file_stream",
     "bronze_ingest",
+    "enrich_stream",
     "threshold_alerts",
     "windowed_aggregate",
     "session_aggregate",

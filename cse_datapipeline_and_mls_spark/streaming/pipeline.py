@@ -154,6 +154,28 @@ def interval_join(
     return l.join(r, cond, "inner")
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: decorate each streaming event with
+    dimension attributes (SURVEY §2.9 absent list — the standard
+    lookup-at-ingest pattern the reference does per-row against RTDB).
+
+    The static side is re-planned per micro-batch, so a dim-table update
+    between batches is picked up automatically; Spark broadcasts it when
+    under the size threshold, which makes the enrichment stateless and
+    shuffle-free on the stream side — at 100 TB/day of events the stream
+    never repartitions for the lookup. No watermark needed: stream-static
+    joins keep NO state (each micro-batch joins independently). For
+    dims too big to broadcast, pre-bucket the dim on the key
+    (sources/sinks.write_bucketed) so the per-batch join is co-located.
+    """
+    return stream.join(dim, on=on, how=how)
+
+
 def run_to_memory_sink(
     df: DataFrame,
     query_name: str,

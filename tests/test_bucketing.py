@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cse_datapipeline_and_mls_spark.sources import load_table
+from cse_datapipeline_and_mls_spark.sources.sinks import write_bucketed
 
 
 @pytest.fixture(scope="module")
@@ -17,12 +18,12 @@ def bucketed(spark, sf_dir):
     # below removes the files again
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    load_table(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
-        "o_orderkey"
-    ).mode("overwrite").saveAsTable("b_orders")
-    load_table(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
-        "l_orderkey"
-    ).mode("overwrite").saveAsTable("b_lineitem")
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), "b_orders", "o_orderkey", 8, "o_orderkey"
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"), "b_lineitem", "l_orderkey", 8, "l_orderkey"
+    )
     yield
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")

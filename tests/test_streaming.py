@@ -134,3 +134,20 @@ def test_threshold_alert_filters(spark, events_dir):
     out = ST.run_to_memory_sink(ST.threshold_alerts(stream, threshold=45.0), "alerts_test")
     vals = [r["alert_value"] for r in out.collect()]
     assert vals and all(v > 45.0 for v in vals)
+
+
+def test_enrich_stream_matches_batch_join(spark, events_dir):
+    dim = spark.createDataFrame(
+        [(u, f"segment_{u % 2}") for u in range(5)], "user_id long, segment string"
+    )
+    stream = ST.ingest_file_stream(spark, events_dir)
+    got = ST.run_to_memory_sink(
+        ST.enrich_stream(stream, dim, on="user_id"), "enrich_test"
+    )
+    batch = spark.read.parquet(events_dir).join(dim, "user_id", "left")
+    assert got.count() == batch.count()
+    g = {(r["event_id"], r["segment"]) for r in got.select("event_id", "segment").collect()}
+    w = {(r["event_id"], r["segment"]) for r in batch.select("event_id", "segment").collect()}
+    assert g == w
+    # stream-static joins are stateless: no watermark/state operators in plan
+    assert stream.isStreaming and not dim.isStreaming
