@@ -381,6 +381,23 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_percentile")  # rows-only: sketch quantiles differ across engines by design
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the 100 TB default
+    for quantiles: mergeable map-side sketches, bounded memory per
+    group, one pass; the exact percentile_disc/cont twin
+    (agg_percentiles) sorts each group's full value set. Error bound
+    (±0.5% rank at accuracy 10000) is asserted against the exact
+    quantiles in tests/test_relational.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)), 10000
+        ).alias("price_quantiles_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 @register(
     "tpch_q17_small_quantity_revenue",
     oracle="""

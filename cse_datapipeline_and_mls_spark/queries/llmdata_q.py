@@ -103,6 +103,64 @@ def x_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_vocab_build",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    ), counts AS (
+      SELECT word, count(*) AS n, count(DISTINCT doc_id) AS df
+      FROM toks GROUP BY 1
+    ), ranked AS (
+      SELECT word, n, df,
+             CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank,
+             sum(n) OVER (ORDER BY n DESC, word
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+             sum(n) OVER () AS total_n
+      FROM counts WHERE n >= 5
+    )
+    SELECT word, n, df, rank, round(cum_n / total_n, 6) AS cum_share
+    FROM ranked
+    WHERE rank <= 200
+    """,
+)
+def x_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction for tokenizer training: corpus word
+    counts with a min-count floor, document frequency, frequency rank,
+    and cumulative token coverage (what fraction of the corpus the top-r
+    words explain — the curve that picks a vocab size). One aggregation
+    shuffle over tokens; the ranking windows run over the VOCABULARY
+    (aggregate-bounded, ~Heaps-law sublinear in corpus size), not the
+    corpus, so the single-partition ordered window is safe at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    )
+    counts = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("n") >= 5)
+    )
+    worder = Window.orderBy(F.desc("n"), F.asc("word"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(worder).cast("int"))
+        .withColumn(
+            "cum_n",
+            F.sum("n").over(worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .withColumn("total_n", F.sum("n").over(Window.partitionBy()))
+    )
+    return (
+        ranked.filter(F.col("rank") <= 200)
+        .select(
+            "word", "n", "df", "rank",
+            F.round(F.col("cum_n") / F.col("total_n"), 6).alias("cum_share"),
+        )
+    )
+
+
+@register(
     "x_bigram_lm_score",
     oracle="""
     WITH w AS (

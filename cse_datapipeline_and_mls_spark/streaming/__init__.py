@@ -1,5 +1,6 @@
 from .pipeline import (
     bronze_ingest,
+    dedup_against_history,
     enrich_stream,
     ingest_file_stream,
     interval_join,
@@ -13,6 +14,7 @@ from .stateful import running_zscore_anomalies
 __all__ = [
     "ingest_file_stream",
     "bronze_ingest",
+    "dedup_against_history",
     "enrich_stream",
     "threshold_alerts",
     "windowed_aggregate",

@@ -176,6 +176,27 @@ def enrich_stream(
     return stream.join(dim, on=on, how=how)
 
 
+def dedup_against_history(
+    stream: DataFrame,
+    history: DataFrame,
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental exact-dedup: drop streaming documents whose content
+    fingerprint already exists in the historical corpus — the streaming
+    face of X1 (batch `exact_dedup_by_content` handles the backfill).
+
+    A stream-static LEFT ANTI join: stateless on the stream side, the
+    history table re-plans per micro-batch so fingerprints appended by
+    the batch pipeline between triggers take effect immediately.
+    In-batch duplicates still need `bronze_ingest`'s watermarked
+    dropDuplicates upstream; this operator handles the
+    seen-it-last-month case, which no bounded watermark can. At 100 TB
+    the history side is a bucketed fingerprint table
+    (sources/sinks.write_bucketed on the fingerprint) so the per-batch
+    anti join is co-located, never a broadcast of the whole corpus."""
+    return stream.join(history, on=fingerprint_col, how="left_anti")
+
+
 def run_to_memory_sink(
     df: DataFrame,
     query_name: str,

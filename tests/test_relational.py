@@ -91,3 +91,33 @@ def test_approx_count_distinct_within_error_bound(spark, sf_dir):
     for flag, n in exact.items():
         rel_err = abs(approx[flag] - n) / n
         assert rel_err <= 0.05, f"{flag}: approx {approx[flag]} vs exact {n} ({rel_err:.1%})"
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    """GK sketch at accuracy 10000 must return values whose true RANK is
+    within ±0.5% of the requested quantile per group — verifies the
+    rows-only agg_approx_percentile registration."""
+    from cse_datapipeline_and_mls_spark.queries import QUERIES
+    from cse_datapipeline_and_mls_spark.sources import load_table
+
+    approx = {
+        r["l_returnflag"]: r["price_quantiles_approx"]
+        for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = {}
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        vals.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    assert set(approx) == set(vals)
+    for flag, qs in approx.items():
+        xs = sorted(vals[flag])
+        n = len(xs)
+        for q, got in zip([0.25, 0.5, 0.95], qs):
+            # rank of the returned value in the exact sorted list
+            import bisect
+
+            lo = bisect.bisect_left(xs, got) / n
+            hi = bisect.bisect_right(xs, got) / n
+            assert lo - 0.005 <= q <= hi + 0.005, (
+                f"{flag} q={q}: value {got} spans ranks [{lo:.4f}, {hi:.4f}]"
+            )

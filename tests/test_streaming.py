@@ -151,3 +151,31 @@ def test_enrich_stream_matches_batch_join(spark, events_dir):
     assert g == w
     # stream-static joins are stateless: no watermark/state operators in plan
     assert stream.isStreaming and not dim.isStreaming
+
+
+def test_dedup_against_history_drops_seen_fingerprints(spark, tmp_path_factory):
+    from cse_datapipeline_and_mls_spark.operators.text import doc_fingerprint
+
+    docs = spark.createDataFrame(
+        [(i, ["fresh text one", "fresh text two", "already seen doc"][i % 3]) for i in range(30)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path_factory.mktemp("docs_stream"))
+    docs.withColumn("fingerprint", doc_fingerprint("text")).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    history = spark.createDataFrame([("already seen doc",)], "text string").select(
+        doc_fingerprint("text").alias("fingerprint")
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, fingerprint long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    got = ST.run_to_memory_sink(
+        ST.dedup_against_history(stream, history), "hist_dedup_test"
+    )
+    # 10 of 30 docs repeat the historical content; all dropped, rest kept
+    assert got.count() == 20
+    assert got.filter(F.col("text") == "already seen doc").count() == 0
