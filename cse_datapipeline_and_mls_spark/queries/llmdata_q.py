@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import similarity as S
 from ..operators import text as X
 from ..sources import load_table
 from . import register
@@ -100,6 +101,84 @@ def x_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-side only — no shuffle; see operators/text.chunk_by_words."""
     docs = load_table(spark, sf_dir, "documents")
     return X.chunk_by_words(docs, "text", "doc_id", window=50, stride=40)
+
+
+@register(
+    "x_semantic_dedup",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < 8
+    ), assigned AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.cid
+      FROM embeddings e CROSS JOIN cent c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                 / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(c.cvec, c.cvec)), 0), 6) DESC, c.cid
+      ) = 1
+    ), dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.ev, b.ev)
+              / nullif(sqrt(list_dot_product(a.ev, a.ev))
+                     * sqrt(list_dot_product(b.ev, b.ev)), 0), 6) >= 0.4
+    )
+    SELECT s.vec_id, s.cid,
+           CAST(d.vec_id IS NULL AS INT) AS keep
+    FROM assigned s LEFT JOIN dups d ON d.vec_id = s.vec_id
+    """,
+)
+def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space
+    (here the 8 stand-in centroids so the whole operator stays
+    SQL-checkable — production swaps in fit_codebook's k-means, k ∝
+    corpus size so cells stay bounded), compare pairs ONLY within a
+    cell, and drop every vector that has a lower-id semantic duplicate
+    (cos ≥ 0.4, the corpus's planted-pair regime). The all-pairs cost is
+    C × (n/C)² instead of n² — the clustering bounds the quadratic term,
+    and cross-cell duplicates are the documented recall trade every
+    SemDeDup deployment makes. Cell assignment is the same map-side
+    literal-codebook fold as IVF; the only shuffle is the within-cell
+    self-join on cid."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    centroids = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    assigned = (
+        S.ensure_min_parallelism(emb.select("vec_id", "embedding"))
+        .withColumn("_norm", S.l2_norm(F.col("embedding")))
+        .withColumn("cid", S._best_cells("embedding", centroids, 1)[0])
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"),
+        F.col("_norm").alias("_na"), "cid",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"),
+        F.col("_norm").alias("_nb"), "cid",
+    )
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                S.dot(F.col("_va"), F.col("_vb"))
+                / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)),
+                6,
+            )
+            >= 0.4
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.select("vec_id", "cid").join(
+        dups.withColumn("_dup", F.lit(1)), "vec_id", "left"
+    ).select("vec_id", "cid", F.col("_dup").isNull().cast("int").alias("keep"))
 
 
 @register(
