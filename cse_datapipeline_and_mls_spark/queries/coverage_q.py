@@ -554,3 +554,43 @@ def w_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("value").over(w), 6).alias("last_v"),
         F.round(F.nth_value("value", 3).over(w), 6).alias("third_v"),
     )
+
+
+@register(
+    "profile_lineitem",
+    oracle="""
+    SELECT count(*)                              AS n_rows,
+           count(*) - count(l_quantity)          AS qty_nulls,
+           count(DISTINCT l_quantity)            AS qty_ndv,
+           min(l_quantity)                       AS qty_min,
+           max(l_quantity)                       AS qty_max,
+           count(DISTINCT l_returnflag)          AS flag_ndv,
+           min(l_returnflag)                     AS flag_min,
+           max(l_returnflag)                     AS flag_max,
+           min(l_shipdate)                       AS ship_min,
+           max(l_shipdate)                       AS ship_max,
+           count(DISTINCT l_orderkey)            AS order_ndv
+    FROM lineitem
+    """,
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (ANALYZE-style): null counts, exact distinct
+    counts, typed min/max across numeric, string, and date columns in
+    ONE aggregate pass over the table — the stats block every pipeline
+    health check and optimizer-feeding ANALYZE computes. At 100 TB the
+    exact NDVs become approx_count_distinct (mergeable sketches, same
+    single-pass shape — agg_approx_distinct is the registered sibling)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_quantity")).alias("qty_nulls"),
+        F.countDistinct("l_quantity").alias("qty_ndv"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.countDistinct("l_returnflag").alias("flag_ndv"),
+        F.min("l_returnflag").alias("flag_min"),
+        F.max("l_returnflag").alias("flag_max"),
+        F.min("l_shipdate").alias("ship_min"),
+        F.max("l_shipdate").alias("ship_max"),
+        F.countDistinct("l_orderkey").alias("order_ndv"),
+    )

@@ -223,3 +223,50 @@ def f_fillna_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return df.na.fill({"value_filled": 0.0, "type_filled": "unknown"})
+
+
+@register(
+    "f_winsorize_prices",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.01), 4) AS p01,
+             round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           l.l_extendedprice,
+           least(greatest(l.l_extendedprice, b.p01), b.p99) AS price_winsorized,
+           CAST(l.l_extendedprice < b.p01 AS INT) AS clipped_low,
+           CAST(l.l_extendedprice > b.p99 AS INT) AS clipped_high
+    FROM lineitem l JOIN b USING (l_returnflag)
+    """,
+)
+def f_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (outlier clipping) per group — the ML
+    preprocessing step between raw facts and feature blocks. Two-pass
+    shape that scales: a tiny per-group percentile aggregate broadcasts
+    back onto a single fact scan; the clip itself is map-side
+    least/greatest. The clip BOUNDS round to 4dp on both engines first —
+    interpolated quantiles differ in the last bits across engines, and
+    rounding the bounds (not the data) keeps every clipped value
+    hash-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.01), 4).alias("p01"),
+        F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99"),
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_extendedprice",
+            F.least(F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99")).alias(
+                "price_winsorized"
+            ),
+            (F.col("l_extendedprice") < F.col("p01")).cast("int").alias("clipped_low"),
+            (F.col("l_extendedprice") > F.col("p99")).cast("int").alias("clipped_high"),
+        )
+    )
