@@ -153,8 +153,10 @@ def lsh_topk(
     )
 
 
+from collections import OrderedDict
+
 _CODEBOOK_CACHE: dict = {}
-_INDEX_CACHE: dict = {}
+_INDEX_CACHE: OrderedDict = OrderedDict()
 
 
 def _cached_index(source_df: DataFrame, key_parts: tuple, build):
@@ -172,7 +174,16 @@ def _cached_index(source_df: DataFrame, key_parts: tuple, build):
         return build()
     key = (source_df.sparkSession.sparkContext.applicationId, files) + key_parts
     if key not in _INDEX_CACHE:
+        # Bounded LRU: evict + unpersist the oldest entry beyond 16 so a
+        # long-lived session cycling many corpora can't pin executor
+        # storage indefinitely (each entry is a narrow index table, but
+        # bounded beats documented-unbounded).
+        while len(_INDEX_CACHE) >= 16:
+            _, old = _INDEX_CACHE.popitem(last=False)
+            old.unpersist()
         _INDEX_CACHE[key] = build().persist()
+    else:
+        _INDEX_CACHE.move_to_end(key)
     return _INDEX_CACHE[key]
 
 

@@ -449,10 +449,14 @@ def x_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     per cluster keep the highest-quality document (doc_id tiebreak),
     mark the rest dropped. Unclustered docs form singleton clusters and
     trivially survive. Ranking compares the ROUNDED quality score, so
-    the decision is engine-invariant. Plan shape: the cluster labels are
-    a tiny fraction of the corpus (only docs in near-dup pairs), so the
-    label join broadcasts; the survivor pick is one window over
-    cluster_id — at 100 TB the same two-exchange plan holds."""
+    the decision is engine-invariant. The pair source is pluggable —
+    any X2 generator (MinHash/SimHash/banded-embedding candidates at
+    production scale) feeds the same components→survivors tail; the
+    exact-Jaccard source here keeps the whole chain SQL-checkable.
+    Plan shape: the cluster labels are a tiny fraction of the corpus
+    (only docs in near-dup pairs), so the label join broadcasts; the
+    survivor pick is one window over cluster_id — at 100 TB the same
+    two-exchange plan holds."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).select(
         "id_a", "id_b"
