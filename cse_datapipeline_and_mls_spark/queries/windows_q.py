@@ -394,3 +394,44 @@ def w_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_factor=_EMA_BLOCK_FACTOR,
     )
     return df.select("event_id", "user_id", "ts", F.round("ema_5", 6).alias("ema_5"))
+
+
+@register(
+    "w_bollinger_bands",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_id, user_id, ts, value,
+             avg(value)         OVER ({_W_ORACLE} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mid,
+             stddev_samp(value) OVER ({_W_ORACLE} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           round(mid, 6)          AS bb_mid,
+           round(mid + 2 * sd, 6) AS bb_upper,
+           round(mid - 2 * sd, 6) AS bb_lower,
+           round((value - (mid - 2 * sd)) / nullif(4 * sd, 0), 6) AS pct_b
+    FROM b
+    """,
+)
+def w_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the per-key series: 20-period inclusive SMA
+    ± 2 sample stddevs, plus %B (position of the value inside the band,
+    /0-guarded). Completes the reference's rolling-stat family
+    (regression.py's ma/vol features) with the composite band shape —
+    ONE window exchange computes all four outputs; the mid/sd frames
+    share the same sort so Catalyst runs them in a single Window node."""
+    ev = _events_series(spark, sf_dir)
+    w = TS.series_window("user_id", ["ts", "event_id"]).rowsBetween(-19, 0)
+    mid = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(mid, 6).alias("bb_mid"),
+        F.round(mid + 2 * sd, 6).alias("bb_upper"),
+        F.round(mid - 2 * sd, 6).alias("bb_lower"),
+        F.round(
+            (F.col("value") - (mid - 2 * sd)) / F.nullif(4 * sd, F.lit(0)), 6
+        ).alias("pct_b"),
+    )
