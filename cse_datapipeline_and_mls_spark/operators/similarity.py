@@ -553,25 +553,28 @@ def rp_band_neardup_pairs(
         # All n_planes dots accumulate in ONE transposed fold: iterate the
         # vector's dim indices and add v[i]·H[i][j] into a plane-wide
         # accumulator array (HT = hyperplane matrix transposed to
-        # dim × n_planes literals). Per plane the adds still run
-        # left-to-right over i — the exact IEEE sequence of a per-plane
-        # ``dot`` fold and of the SQL oracle's list_dot_product — so the
-        # bits are provably identical (asserted row-for-row in tests),
-        # while the expression tree shrinks from n_planes folds to one:
-        # measured 5.3 s → 0.95 s for 64 planes × 2 k rows at sf0.1, the
-        # same Catalyst-superlinearity fix as assign_cells_np. Embedding
-        # the literals as one expr string (not per-element F.lit) keeps
-        # parsing in milliseconds.
+        # dim × n_planes). Per plane the adds still run left-to-right
+        # over i — the exact IEEE sequence of a per-plane ``dot`` fold
+        # and of the SQL oracle's list_dot_product — so the bits are
+        # provably identical (asserted row-for-row in tests), while the
+        # expression tree shrinks from n_planes folds to one: measured
+        # 5.3 s → 0.95 s for 64 planes × 2 k rows at sf0.1, the same
+        # Catalyst-superlinearity fix as assign_cells_np.
+        #
+        # The matrix rides in as a broadcast 1-row DataFrame VALUE, not
+        # as dim × n_planes SQL literals: Python floats and the decimal
+        # literals parse to the same nearest doubles, the fold arithmetic
+        # is unchanged, but whole-stage codegen no longer contains a
+        # 4,096-literal CreateArray — whose Janino compile alone cost
+        # ~8 s of every fresh session's first run.
         dim = len(hyperplanes[0])
         n_planes = len(hyperplanes)
-        ht = "array(" + ", ".join(
-            "array(" + ", ".join(repr(float(hyperplanes[j][i])) for j in range(n_planes)) + ")"
-            for i in range(dim)
-        ) + ")"
+        ht_t = [[float(hyperplanes[j][i]) for j in range(n_planes)] for i in range(dim)]
+        ht_df = df.sparkSession.createDataFrame([(ht_t,)], "_ht array<array<double>>")
         dots = (
             f"aggregate(sequence(1, {dim}), "
             f"array_repeat(cast(0.0 as double), {n_planes}), "
-            f"(acc, i) -> zip_with(acc, element_at({ht}, i), "
+            f"(acc, i) -> zip_with(acc, element_at(_ht, i), "
             f"(a, h) -> a + element_at({vec_col}, i) * h))"
         )
         # Band key j = Σ_i bit[j*r+i] << i, folded high-bit-first so the
@@ -594,7 +597,7 @@ def rp_band_neardup_pairs(
         # puts the giant keys expression inside the Generate stage, where
         # it is re-evaluated per output row (measured 3.4 s warm vs 0.6 s
         # for the keys projection alone at sf0.01).
-        return base.selectExpr(id_col, f"{keys_sql} AS _keys")
+        return base.crossJoin(F.broadcast(ht_df)).selectExpr(id_col, f"{keys_sql} AS _keys")
 
     keys_tbl = _cached_index(
         df, ("rp_bands", id_col, vec_col, n_bands, band_bits, hhash), _build_keyed

@@ -32,6 +32,7 @@ EXPECTED_CROSS = {
     "tpch_q11_shape_important_parts",  # 1-row global threshold broadcast (scalar subquery)
     "tpch_q22_shape_global_sales_opportunity",  # 1-row global avg broadcast
     "x_bigram_lm_score",      # 1-row vocab-size broadcast
+    "x_embedding_neardup_banded",  # 1-row hyperplane-matrix broadcast (similarity.py)
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
