@@ -104,6 +104,73 @@ def x_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_curated_corpus",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, source,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, 'https?://\\S+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g')               AS clean_text,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)   AS n_words,
+             list_sum(list_transform(string_split_regex(trim(text), '\\s+'), w -> len(w)))
+               / nullif(len(string_split_regex(trim(text), '\\s+')), 0) AS mean_wl,
+             len(list_filter(string_split(lower(trim(text)), ' '),
+                 x -> list_contains(['the','a','an','and','or','but','if','then','is',
+                                     'are','was','were','be','been','being','of','to',
+                                     'in','on','for','with','as','at','by','from',
+                                     'that','this','it','its','not','no'], x)))
+               / nullif(len(string_split(lower(trim(text)), ' ')), 0)   AS stop_r,
+             1.0 - len(list_distinct(string_split(lower(trim(text)), ' ')))
+               / nullif(len(string_split(lower(trim(text)), ' ')), 0)   AS word_rep,
+             row_number() OVER (
+               PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+               ORDER BY doc_id)                                         AS dup_rn
+      FROM documents
+    )
+    SELECT doc_id, source, clean_text, n_words
+    FROM m
+    WHERE dup_rn = 1
+      AND n_words >= 30 AND n_words <= 5000
+      AND mean_wl >= 2.5 AND mean_wl <= 10.0
+      AND stop_r >= 0.05
+      AND word_rep <= 0.5
+    """,
+)
+def x_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline as ONE Catalyst plan: PII scrub →
+    Gopher quality gate → exact-dedup survivor pick → export columns.
+    Composes scrub_text, the x_quality_filter rules, and the X1
+    fingerprint dedup; Catalyst fuses the scrub and every quality metric
+    into a single codegen projection, so the whole pipeline costs one
+    corpus scan plus the dedup window's fingerprint shuffle — the
+    marginal cost of 'curated' over 'raw' at 100 TB is ONE exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    wdup = Window.partitionBy(X.doc_fingerprint("text")).orderBy("doc_id")
+    m = docs.select(
+        "doc_id",
+        "source",
+        X.scrub_text("text").alias("clean_text"),
+        X.whitespace_token_count("text").alias("n_words"),
+        X.mean_word_length("text").alias("mean_wl"),
+        X.stopword_ratio("text").alias("stop_r"),
+        X.word_repetition_ratio("text").alias("word_rep"),
+        F.row_number().over(wdup).alias("dup_rn"),
+    )
+    return (
+        m.filter(
+            (F.col("dup_rn") == 1)
+            & (F.col("n_words") >= 30) & (F.col("n_words") <= 5000)
+            & (F.col("mean_wl") >= 2.5) & (F.col("mean_wl") <= 10.0)
+            & (F.col("stop_r") >= 0.05)
+            & (F.col("word_rep") <= 0.5)
+        )
+        .select("doc_id", "source", "clean_text", "n_words")
+    )
+
+
+@register(
     "x_semantic_dedup",
     oracle="""
     WITH cent AS (
