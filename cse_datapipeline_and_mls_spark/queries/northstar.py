@@ -589,6 +589,68 @@ def x_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_neardup_clusters_star",
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), tokens AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx FROM words
+    ), grams AS (
+      SELECT doc_id,
+             word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS g
+      FROM tokens WINDOW win AS (PARTITION BY doc_id ORDER BY idx)
+      QUALIFY lead(word, 2) OVER win IS NOT NULL
+    ), dgrams AS (
+      SELECT DISTINCT doc_id, g FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM dgrams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM dgrams a JOIN dgrams b USING (g)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.3
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+)
+def x_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_neardup_clusters' twin through the O(log n)-round large-star/
+    small-star alternation (operators/dedup.connected_components_star) —
+    the algorithm SCALE.md prescribes for deep/trillion-edge graphs,
+    here hash-checked against the same recursive-CTE oracle as the
+    min-label-propagation version (two independent algorithms and
+    recursive SQL agreeing on every label)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    labels = D.connected_components_star(pairs)
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )
+
+
+@register(
     "x_tfidf_top_terms",
     oracle="""
     WITH words AS (

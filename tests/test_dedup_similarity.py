@@ -221,3 +221,28 @@ def test_connected_components_raises_on_nonconvergence(spark):
         D.connected_components(chain, max_iter=3)
     labels = {r["node"]: r["label"] for r in D.connected_components(chain).collect()}
     assert set(labels.values()) == {1}
+
+
+def test_connected_components_star_matches_propagation(spark):
+    import random
+
+    rng = random.Random(11)
+    # random sparse graph + a 60-node chain (deep diameter: the case
+    # min-label propagation needs O(n) rounds for and star handles in
+    # O(log n))
+    edges = [(rng.randint(0, 99), rng.randint(0, 99)) for _ in range(80)]
+    edges += [(1000 + i, 1000 + i + 1) for i in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    star = {
+        r["node"]: r["label"]
+        for r in D.connected_components_star(pairs, max_iter=20).collect()
+    }
+    prop = {
+        r["node"]: r["label"]
+        for r in D.connected_components(pairs, max_iter=200).collect()
+    }
+    assert star == prop
+    # chain collapses to one component labeled by its min node
+    assert all(star[1000 + i] == 1000 for i in range(61))
