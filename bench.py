@@ -46,6 +46,7 @@ HEADLINE = [
     "x_sequence_packing",
     "x_quality_filter",
     "x_bigram_lm_score",
+    "x_curated_corpus",
 ]
 
 

@@ -183,3 +183,55 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.synth_media_from_documents(docs)
     return MM.extract_features(media)
+
+
+@register("ml_quality_classifier")  # rows-only: model fits are not ANSI-expressible
+def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge between the ML and LLM-data blocks: train a logistic
+    tree ensemble to predict the Gopher keep/drop decision from cheap text
+    statistics (token count, mean word length, stopword/punct/repetition
+    ratios) — the fastText-style learned quality filter a production
+    corpus pipeline distills its rule set into. Labels come from
+    x_quality_filter's oracle-checked rules; the fit is MLlib-native
+    (no pandas boundary); evaluation on a deterministic md5-mod 80/20
+    hash split. Returns one row: AUC + split sizes; AUC ≥ 0.9 asserted
+    in tests/test_ml.py (the rules are threshold tests on
+    these features — axis-aligned tree splits recover threshold rules
+    directly)."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    from ..operators import text as X
+    from . import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        X.whitespace_token_count("text").cast("double").alias("n_words"),
+        X.mean_word_length("text").alias("mean_wl"),
+        X.stopword_ratio("text").alias("stop_r"),
+        X.punct_ratio("text").alias("punct_r"),
+        X.word_repetition_ratio("text").alias("word_rep"),
+    )
+    labels = QUERIES["x_quality_filter"](spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("double").alias("label")
+    )
+    data = feats.join(labels, "doc_id")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    train = data.filter(bucket < 8)
+    test = data.filter(bucket >= 8)
+    cols = ["n_words", "mean_wl", "stop_r", "punct_r", "word_rep"]
+    asm = VectorAssembler(inputCols=cols, outputCol="features", handleInvalid="keep")
+    model = GBTClassifier(
+        maxIter=20, maxDepth=3, seed=7, labelCol="label"
+    ).fit(asm.transform(train))
+    scored = model.transform(asm.transform(test))
+    auc = BinaryClassificationEvaluator(labelCol="label").evaluate(scored)
+    return spark.createDataFrame(
+        [(round(auc, 4), train.count(), test.count())],
+        "auc double, n_train long, n_test long",
+    )

@@ -142,3 +142,14 @@ def test_randomized_rolling_origin_search_end_to_end(spark, features):
     best, model, log = M.rolling_origin_search(labeled, build, grid, ts_col="ts", n_folds=2)
     assert best in grid and len(log) == 3
     assert model.transform(labeled.limit(5)).select("prediction").count() == 5
+
+
+def test_quality_classifier_recovers_rules(spark, sf_dir):
+    """The learned quality filter must separate the rule-based keep/drop
+    decision nearly perfectly — the rules are thresholds on the same
+    features the model sees."""
+    from cse_datapipeline_and_mls_spark.queries import QUERIES
+
+    row = QUERIES["ml_quality_classifier"](spark, sf_dir).collect()[0]
+    assert row["n_train"] > 0 and row["n_test"] > 0
+    assert row["auc"] >= 0.9, f"AUC {row['auc']}"
