@@ -227,7 +227,7 @@ def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["n_words", "mean_wl", "stop_r", "punct_r", "word_rep"]
     asm = VectorAssembler(inputCols=cols, outputCol="features", handleInvalid="keep")
     model = GBTClassifier(
-        maxIter=20, maxDepth=3, seed=7, labelCol="label"
+        maxIter=10, maxDepth=3, seed=7, labelCol="label"
     ).fit(asm.transform(train))
     scored = model.transform(asm.transform(test))
     auc = BinaryClassificationEvaluator(labelCol="label").evaluate(scored)

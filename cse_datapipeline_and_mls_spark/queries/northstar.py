@@ -294,7 +294,7 @@ def x_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    codebook = S.fit_codebook(emb, k=32, seed=42, max_iter=10)
+    codebook = S.fit_codebook(emb, k=32, seed=42, max_iter=5)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
