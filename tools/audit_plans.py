@@ -46,11 +46,33 @@ EXPECTED_GLOBAL_WINDOW = {
 }
 
 
+BASELINE_PATH = __file__.replace("audit_plans.py", "plan_baseline.json")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("names", nargs="*")
+    ap.add_argument(
+        "--write-baseline",
+        action="store_true",
+        help="record each query's shuffle-exchange count to plan_baseline.json",
+    )
+    ap.add_argument(
+        "--check-baseline",
+        action="store_true",
+        help="flag any query whose shuffle-exchange count EXCEEDS its recorded "
+        "baseline (a structural perf regression: some change added a shuffle)",
+    )
     args = ap.parse_args()
+
+    import json
+
+    baseline = {}
+    if args.check_baseline:
+        with open(BASELINE_PATH) as f:
+            baseline = json.load(f)
+    recorded = {}
 
     from cse_datapipeline_and_mls_spark.queries import QUERIES
     from cse_datapipeline_and_mls_spark.session import get_spark
@@ -87,10 +109,17 @@ def main() -> int:
                 pass  # partition spec presence checked via WindowExec warning instead
         if n_exchange > 4 and name not in EXPECTED_MANY_EXCHANGES:
             flags.append(f"{n_exchange}-exchanges")
+        recorded[name] = n_exchange
+        if args.check_baseline and name in baseline and n_exchange > baseline[name]:
+            flags.append(f"regressed({baseline[name]}->{n_exchange})")
         status = "FLAG " if flags else "ok   "
         if flags:
             flags_total += 1
         print(f"{status}{name}: exchanges={n_exchange} {' '.join(flags)}")
+    if args.write_baseline:
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(dict(sorted(recorded.items())), f, indent=1)
+        print(f"baseline written: {BASELINE_PATH}")
     print(f"\n{flags_total} flagged of {len(names)}")
     return 1 if flags_total else 0
 
