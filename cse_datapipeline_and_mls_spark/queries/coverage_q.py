@@ -594,3 +594,52 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_shipdate").alias("ship_max"),
         F.countDistinct("l_orderkey").alias("order_ndv"),
     )
+
+
+@register(
+    "j_asof_tolerance_events",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, date_trunc('day', ts) AS snap_ts,
+             round(avg(value), 6) AS day_avg
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN e.ts - d.snap_ts <= INTERVAL 6 HOUR THEN d.day_avg END AS day_avg
+    FROM events e ASOF LEFT JOIN dim d
+      ON e.user_id = d.user_id AND e.ts >= d.snap_ts
+    """,
+)
+def j_asof_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 tolerance flavor through the Arrow escape hatch: per-key
+    pd.merge_asof(tolerance=6h) via cogrouped applyInPandas
+    (operators/asof.asof_join_pandas) — the one as-of semantic the
+    union+ffill composition doesn't express. Rare property: a
+    Pandas-UDF path that is still fully hash-checked, because DuckDB's
+    native ASOF JOIN plus a staleness null-out is its exact relational
+    twin (the backward match is unique, so 'excluded by tolerance' ≡
+    'matched then nulled'). pandas emits NaN for no-match float
+    columns; normalized to NULL to match SQL semantics."""
+    import pandas as pd
+
+    from ..operators.asof import asof_join_pandas
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("snap_ts")
+    ).agg(F.round(F.avg("value"), 6).alias("day_avg"))
+    joined = asof_join_pandas(
+        ev.select("event_id", "user_id", "ts"),
+        dim,
+        on="user_id",
+        fact_time="ts",
+        dim_time="snap_ts",
+        dim_cols=["day_avg"],
+        tolerance=pd.Timedelta(hours=6),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.isnan("day_avg"), F.lit(None)).otherwise(F.col("day_avg")).alias("day_avg"),
+    )
