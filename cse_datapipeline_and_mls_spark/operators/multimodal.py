@@ -68,7 +68,11 @@ def synth_media_from_documents(docs: DataFrame) -> DataFrame:
             F.lit("application/octet-stream").alias("mime"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            # deterministic fake duration for videos (100 ms per char) so
+            # the frame-sampling fan-out has real metadata to explode on
+            F.when(
+                F.col("doc_id") % 3 == 2, (F.length("text") * 100).cast("long")
+            ).alias("duration_ms"),
         ).alias("meta"),
     )
 

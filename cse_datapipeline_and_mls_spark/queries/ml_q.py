@@ -235,3 +235,22 @@ def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(round(auc, 4), train.count(), test.count())],
         "auc double, n_train long, n_test long",
     )
+
+
+@register(
+    "x_multimodal_frames",
+    oracle="""
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0, len(text) * 100, 1000)) AS frame_offset_ms
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+)
+def x_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 frame sampling: one row per 1000 ms offset of every video's
+    (synthetic, metadata-driven) duration — the JVM-side explode a real
+    pipeline feeds into seek-decode. Map-side fan-out, no shuffle; the
+    decode itself stays behind the documented codec stub."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synth_media_from_documents(docs)
+    return MM.sample_frames(media, every_ms=1000)

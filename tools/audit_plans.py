@@ -16,6 +16,7 @@ Usage: python tools/audit_plans.py [--sf DIR] [name ...]
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import sys
 
@@ -117,9 +118,17 @@ def main() -> int:
             flags_total += 1
         print(f"{status}{name}: exchanges={n_exchange} {' '.join(flags)}")
     if args.write_baseline:
+        # subset runs MERGE into the existing baseline — overwriting the
+        # whole file from a partial run would silently drop every other
+        # query's guard
+        merged = {}
+        if args.names and os.path.exists(BASELINE_PATH):
+            with open(BASELINE_PATH) as f:
+                merged = json.load(f)
+        merged.update(recorded)
         with open(BASELINE_PATH, "w") as f:
-            json.dump(dict(sorted(recorded.items())), f, indent=1)
-        print(f"baseline written: {BASELINE_PATH}")
+            json.dump(dict(sorted(merged.items())), f, indent=1)
+        print(f"baseline written: {BASELINE_PATH} ({len(merged)} queries)")
     print(f"\n{flags_total} flagged of {len(names)}")
     return 1 if flags_total else 0
 
