@@ -25,9 +25,12 @@ TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def token_count(col: Column | str, pattern: str = TOKEN_REGEX) -> Column:
-    """Number of BPE-ish tokens: count of regex matches."""
+    """Number of BPE-ish tokens: count of regex matches. regexp_count
+    walks the matcher without materializing the match array (the
+    size(regexp_extract_all) form allocated every token string per row
+    just to count them)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+    return F.regexp_count(c, F.lit(pattern))
 
 
 def whitespace_token_count(col: Column | str) -> Column:
