@@ -397,6 +397,43 @@ def w_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_running_distinct",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type,
+           count(1) OVER ({_W_ORACLE}
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS n_events,
+           count(DISTINCT event_type) OVER ({_W_ORACLE}
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS n_distinct_types
+    FROM events
+    """,
+)
+def w_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running exact distinct-count of event_type per user — the batch
+    twin (and oracle) of the ``transformWithStateInPandas`` streaming
+    operator ``streaming/tws.py:running_distinct_types``. Spark has no
+    DISTINCT window aggregate, so it composes ``size(collect_set(...))``
+    over the cumulative frame; still one Exchange + one WindowExec.
+    Frame state is the distinct set (bounded by event-type cardinality,
+    tiny), not the row history — safe at any series length."""
+    ev = _events_series(spark, sf_dir)
+    w = TS.series_window("user_id", ["ts", "event_id"]).rowsBetween(
+        TS.Window.unboundedPreceding, 0
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_events"),
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias(
+            "n_distinct_types"
+        ),
+    )
+
+
+@register(
     "w_bollinger_bands",
     oracle=f"""
     WITH b AS (

@@ -10,8 +10,10 @@ from .pipeline import (
     windowed_aggregate,
 )
 from .stateful import running_zscore_anomalies
+from .tws import running_distinct_types
 
 __all__ = [
+    "running_distinct_types",
     "ingest_file_stream",
     "bronze_ingest",
     "dedup_against_history",

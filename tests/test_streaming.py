@@ -217,3 +217,36 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path_factory):
     back = spark.read.parquet(out)
     assert back.count() == 180  # nothing skipped, nothing re-landed
     assert back.select("doc_id").distinct().count() == 180
+
+
+def test_tws_running_distinct_matches_batch_twin(spark, events_dir):
+    """transformWithState parity: the TWS running distinct-count equals
+    size(collect_set) over the cumulative window. Skips where the TWS
+    wire protocol's protobuf dependency is absent (this sandbox); the
+    operator then fails fast with an actionable ImportError, which is
+    asserted instead so the gate itself stays tested."""
+    from pyspark.sql import Window
+
+    from cse_datapipeline_and_mls_spark.streaming import tws
+
+    stream = ST.ingest_file_stream(spark, events_dir).dropDuplicates(["event_id"])
+    if not tws.HAS_PROTOBUF:
+        with pytest.raises(ImportError, match="protobuf"):
+            tws.running_distinct_types(stream)
+        pytest.skip("google.protobuf unavailable: TWS runtime cannot start here")
+
+    got = ST.run_to_memory_sink(tws.running_distinct_types(stream), "tws_test")
+    batch = spark.read.parquet(events_dir).dropDuplicates(["event_id"])
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = batch.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_events"),
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("nd"),
+    )
+    got_map = {r["event_id"]: (r["n_events"], r["n_distinct_types"]) for r in got.collect()}
+    want_map = {r["event_id"]: (r["n_events"], r["nd"]) for r in want.collect()}
+    assert got_map == want_map
