@@ -643,3 +643,72 @@ def j_asof_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.when(F.isnan("day_avg"), F.lit(None)).otherwise(F.col("day_avg")).alias("day_avg"),
     )
+
+
+# Z-order constants shared between engine and oracle: 8-bit buckets,
+# 3-bit prefix → 64 chunks, each provably spanning ≤ 2^(8−3) = 32
+# buckets per dimension (the data-skipping rectangle).
+_Z_BITS = 8
+_Z_PREFIX = 3
+_Z_SHIFT = 2 * _Z_BITS - 2 * _Z_PREFIX
+_Z_TERMS = " + ".join(
+    f"(((ba >> {i}) & 1) << {2 * i}) + (((bb >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+@register(
+    "x_zorder_layout",
+    oracle=f"""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01', l_shipdate) AS za,
+             l_partkey AS zb
+      FROM lineitem
+    ), bounds AS (
+      SELECT min(za) AS amin, max(za) AS amax,
+             min(zb) AS bmin, max(zb) AS bmax
+      FROM d
+    ), b AS (
+      SELECT ((za - amin) * {1 << _Z_BITS}) // (amax - amin + 1) AS ba,
+             ((zb - bmin) * {1 << _Z_BITS}) // (bmax - bmin + 1) AS bb
+      FROM d, bounds
+    ), z AS (
+      SELECT ba, bb, ({_Z_TERMS}) AS zval FROM b
+    )
+    SELECT zval >> {_Z_SHIFT} AS chunk,
+           count(*) AS n,
+           min(ba) AS a_lo, max(ba) AS a_hi,
+           min(bb) AS b_lo, max(bb) AS b_hi
+    FROM z GROUP BY 1
+    """,
+)
+def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout audit over lineitem on the two
+    dimensions its queries actually filter by — ship date and part.
+    Buckets each dim to 8 bits from ONE broadcast min/max aggregate,
+    bit-interleaves into a z-value (pure JVM shift/and inside codegen),
+    and summarizes each of the 64 z-prefix chunks: row count + the
+    bounding rectangle it spans. The hash-checked invariant IS the
+    data-skipping story: every chunk's a/b span ≤ 32 of 256 buckets, so
+    a file laid out in z order serves date-AND-part predicates from
+    min/max stats alone. See operators/layout.py (write_zordered) for
+    the one-range-shuffle write path; tests/test_layout.py proves the
+    prefix-rectangle bound and the on-disk pruning effect."""
+    from ..operators import layout as L
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = L.add_zorder(
+        li,
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")),
+        F.col("l_partkey"),
+        bits=_Z_BITS,
+    )
+    return d.groupBy(
+        F.shiftright("zval", _Z_SHIFT).alias("chunk")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("bucket_a").alias("a_lo"),
+        F.max("bucket_a").alias("a_hi"),
+        F.min("bucket_b").alias("b_lo"),
+        F.max("bucket_b").alias("b_hi"),
+    )
