@@ -710,3 +710,24 @@ def x_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("source").isin("src0", "src1"))
     tr = docs.filter(~F.col("source").isin("src0", "src1"))
     return D.ngram_containment_pairs(ev, tr, "text", "doc_id", n=5, min_shared=3)
+
+
+@register("x_heavy_hitters")  # rows-only: MG estimates depend on partition
+def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens via a merged Misra–Gries sketch (k=64): one scan,
+    O(k) memory per partition, a k·partitions-sized exchange instead of
+    the vocabulary-sized shuffle the exact ``x_word_topk`` pays. Emits
+    every sketch survivor with its [lo, hi] true-count bracket; the
+    containment guarantee (every token with true count > n/(k+1)
+    present, bracket correct vs exact counts) is asserted in
+    tests/test_sketches.py."""
+    from ..operators import sketches as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ").alias(
+            "tokens"
+        )
+    )
+    out = SK.frequent_items(toks, "tokens", k=64)
+    return out.select("item", "est", "lo", "hi").orderBy(F.desc("est"), "item")
