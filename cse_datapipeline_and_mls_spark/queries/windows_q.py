@@ -15,7 +15,7 @@ the largest frame.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import tswindow as TS
@@ -471,4 +471,103 @@ def w_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("value") - (mid - 2 * sd)) / F.nullif(4 * sd, F.lit(0)), 6
         ).alias("pct_b"),
+    )
+
+
+@register(
+    "w_resample_interpolate",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM b
+    ), hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             round(avg(value), 6) AS v, count(*) AS n_obs
+      FROM events GROUP BY 1, 2
+    ), g AS (
+      SELECT grid.user_id, grid.hr, hourly.v,
+             coalesce(hourly.n_obs, 0) AS n_obs
+      FROM grid LEFT JOIN hourly
+        ON grid.user_id = hourly.user_id AND grid.hr = hourly.hr
+    ), anchored AS (
+      SELECT user_id, hr, v, n_obs,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_hr,
+        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY hr
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_hr
+      FROM g
+    )
+    SELECT user_id, hr, n_obs, pv AS value_ffill,
+      CASE
+        WHEN v IS NOT NULL THEN v
+        WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+          pv + (nv - pv) * (date_diff('hour', p_hr, hr) * 1.0
+                            / date_diff('hour', p_hr, n_hr))
+        ELSE coalesce(pv, nv) END AS value_interp
+    FROM anchored
+    """,
+)
+def w_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's series onto a regular hourly grid, then
+    gap-fill: forward fill AND linear interpolation between the
+    bracketing observations (pandas ``resample``/``interpolate``
+    semantics, which the reference's pipelines lean on implicitly by
+    assuming daily bars). The grid comes from a tiny per-key bounds
+    aggregate exploded map-side (sequence + explode, no shuffle); the
+    grid⟕hourly join and the four anchor windows share ONE hash
+    exchange on user_id. Hourly means are rounded BEFORE interpolating
+    so both engines lerp from identical doubles."""
+    ev = _events_series(spark, sf_dir)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr"),
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.round(F.avg("value"), 6).alias("v"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    g = grid.join(hourly, ["user_id", "hr"], "left").select(
+        "user_id", "hr", "v", F.coalesce("n_obs", F.lit(0)).alias("n_obs")
+    )
+    w = Window.partitionBy("user_id").orderBy("hr")
+    past = w.rowsBetween(Window.unboundedPreceding, 0)
+    future = w.rowsBetween(0, Window.unboundedFollowing)
+    v_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
+    pv = F.last("v", ignorenulls=True).over(past)
+    p_hr = F.last(v_hr, ignorenulls=True).over(past)
+    nv = F.first("v", ignorenulls=True).over(future)
+    n_hr = F.first(v_hr, ignorenulls=True).over(future)
+    hours = lambda a, b: (F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600  # noqa: E731
+    lerp = pv + (nv - pv) * (hours(p_hr, F.col("hr")) * 1.0 / hours(p_hr, n_hr))
+    return (
+        g.withColumn("value_ffill", pv)
+        .withColumn(
+            "value_interp",
+            # NOT rounded: pv/nv are already engine-identical (rounded
+            # hourly means) and the lerp runs the same IEEE sequence in
+            # both engines, so the raw double matches bit-for-bit —
+            # while round(…, 6) would hit half-up/half-even boundary
+            # disagreements exactly at the .xxxxxx5 midpoints lerp
+            # produces (FIXTURES.md §6 rounding policy).
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(pv.isNotNull() & nv.isNotNull(), lerp)
+            .otherwise(F.coalesce(pv, nv)),
+        )
+        .select("user_id", "hr", "n_obs", "value_ffill", "value_interp")
     )

@@ -34,6 +34,8 @@ EXPECTED_CROSS = {
     "tpch_q22_shape_global_sales_opportunity",  # 1-row global avg broadcast
     "x_bigram_lm_score",      # 1-row vocab-size broadcast
     "x_embedding_neardup_banded",  # 1-row hyperplane-matrix broadcast (similarity.py)
+    "x_zorder_layout",        # 1-row min/max bounds broadcast (layout.add_zorder)
+    "x_heavy_hitters",        # 1-row total-n broadcast (sketches.frequent_items)
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
