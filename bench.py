@@ -53,6 +53,11 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # --r1-subset: run ONLY the 17 queries BENCH_r01 recorded, in a fresh
+    # session, for round-over-round regression isolation (nothing else —
+    # no vector-index builds from the newer headline queries — shares the
+    # JVM). The driver's per-round run uses no args and is unaffected.
+    headline = HEADLINE[:17] if "--r1-subset" in sys.argv[1:] else HEADLINE
 
     from cse_datapipeline_and_mls_spark.queries import QUERIES
     from cse_datapipeline_and_mls_spark.session import get_spark
@@ -69,7 +74,7 @@ def main() -> None:
     # amortizes; the min reflects steady-state throughput and damps
     # co-tenant machine noise.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
@@ -81,7 +86,7 @@ def main() -> None:
     # Round-over-round comparability: BENCH_r01 recorded the first 17
     # queries; report that subset's total alongside the full set so the
     # totals stay apples-to-apples as the headline list grows.
-    r1_subset = round(sum(timings[n] for n in HEADLINE[:17]), 3)
+    r1_subset = round(sum(timings[n] for n in HEADLINE[:17] if n in timings), 3)
     print(
         json.dumps(
             {

@@ -644,16 +644,29 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup flavor of X3).
 
-    Exact all-pairs via self-crossJoin — the small-scale oracle. The scale
-    path reuses ``lsh_topk``'s bucket join; kept separate so the oracle
-    stays pure SQL.
+    Exact all-pairs via self-crossJoin — the small-scale ORACLE, O(n²) by
+    construction. ``max_rows`` (default 100k ≈ 5e9 candidate pairs) is a
+    guard against running it on corpus-scale input: it counts the input
+    (one cheap scan — this is an oracle tool, not a production plan) and
+    raises, pointing at the banded production path, when exceeded. Pass
+    ``max_rows=None`` to disable explicitly.
     """
     # Norms materialize once per row below the join (N folds, not N²/2×2);
     # same left-to-right fold as `cosine`, so scores are bit-identical.
     df = ensure_min_parallelism(df.select(id_col, vec_col))
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_neardup_pairs is the exact O(n²) oracle: input has "
+                f"{n} rows > max_rows={max_rows}. Use rp_band_neardup_pairs "
+                f"(banded SRP + exact rerank) for production-scale corpora, or "
+                f"pass max_rows=None to force the all-pairs plan."
+            )
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),

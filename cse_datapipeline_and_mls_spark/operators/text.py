@@ -244,20 +244,33 @@ def pack_sequences(
     token offset INSIDE the doc, and fragments of one sequence total
     ``budget`` tokens except the shard's last.
     """
-    n_tok = F.size(F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "))
+    # Tokenizer pinned for cross-engine determinism: collapse all runs of
+    # whitespace to single spaces, trim, then split on the literal space —
+    # no regex-split engine in the hot expression, and the empty /
+    # whitespace-only document is an explicit CASE (1 token, matching the
+    # split-of-empty-string convention) rather than an engine-dependent edge.
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    n_tok = F.when(norm == "", F.lit(1)).otherwise(F.size(F.split(norm, " ", -1)))
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = (
-        df.select(F.col(shard_col).alias("shard"), F.col(id_col), n_tok.alias("n_tok"))
+        df.select(
+            F.col(shard_col).alias("shard"),
+            F.col(id_col),
+            n_tok.cast("long").alias("n_tok"),
+        )
         .withColumn("_end", F.sum("n_tok").over(w))
         .withColumn("_off", F.col("_end") - F.col("n_tok"))
     )
     b = F.lit(budget)
-    frag_start = F.greatest(F.lit(0), F.col("seq_id") * b - F.col("_off"))
+    frag_start = F.greatest(F.lit(0).cast("long"), F.col("seq_id") * b - F.col("_off"))
     frag_end = F.least(F.col("n_tok"), (F.col("seq_id") + 1) * b - F.col("_off"))
+    # seq-id span via pure integer division (all operands are non-negative
+    # longs, so DIV == floor-div) — no double-division floor anywhere, so a
+    # DuckDB oracle using `//` reproduces the values bit-for-bit.
     return (
         d.select(
             "shard",
@@ -265,7 +278,10 @@ def pack_sequences(
             "n_tok",
             "_off",
             F.explode(
-                F.sequence(F.floor(F.col("_off") / b), F.floor((F.col("_end") - 1) / b))
+                F.sequence(
+                    F.expr(f"_off DIV {int(budget)}"),
+                    F.expr(f"(_end - 1) DIV {int(budget)}"),
+                )
             ).alias("seq_id"),
         )
         .select(

@@ -388,13 +388,26 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     group, one pass; the exact percentile_disc/cont twin
     (agg_percentiles) sorts each group's full value set. Error bound
     (±0.5% rank at accuracy 10000) is asserted against the exact
-    quantiles in tests/test_relational.py."""
+    quantiles in tests/test_relational.py.
+
+    The three quantiles come out of ONE shared sketch (single agg over
+    the array of probabilities) but are returned as scalar columns —
+    rows-only harnesses canonicalize by sorting cell values, and
+    array-typed cells are unhashable there."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile(
-            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)), 10000
-        ).alias("price_quantiles_approx"),
-        F.count(F.lit(1)).alias("n_rows"),
+    q = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)), 10000
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("_q"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "l_returnflag",
+            F.element_at("_q", 1).alias("q25"),
+            F.element_at("_q", 2).alias("q50"),
+            F.element_at("_q", 3).alias("q95"),
+            "n_rows",
+        )
     )
 
 

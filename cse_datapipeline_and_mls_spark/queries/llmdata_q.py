@@ -632,8 +632,11 @@ def x_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT source AS shard, doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tok
-      FROM documents
+             CASE WHEN nt = '' THEN CAST(1 AS BIGINT)
+                  ELSE CAST(len(string_split(nt, ' ')) AS BIGINT) END AS n_tok
+      FROM (SELECT source, doc_id,
+                   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+            FROM documents) t0
     ), o AS (
       SELECT shard, doc_id, n_tok,
              sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
@@ -641,8 +644,8 @@ def x_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     ), e AS (
       SELECT shard, doc_id, n_tok, end_off, end_off - n_tok AS off,
-             unnest(generate_series(CAST(floor((end_off - n_tok) / 512.0) AS BIGINT),
-                                    CAST(floor((end_off - 1) / 512.0) AS BIGINT))) AS seq_id
+             unnest(generate_series(CAST((end_off - n_tok) // 512 AS BIGINT),
+                                    CAST((end_off - 1) // 512 AS BIGINT))) AS seq_id
       FROM o
     )
     SELECT shard, seq_id, doc_id, n_tok,

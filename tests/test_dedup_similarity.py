@@ -246,3 +246,25 @@ def test_connected_components_star_matches_propagation(spark):
     assert star == prop
     # chain collapses to one component labeled by its min node
     assert all(star[1000 + i] == 1000 for i in range(61))
+
+
+def test_exact_pair_oracles_guard_against_large_input(spark):
+    """The exact all-pairs oracles refuse corpus-scale input: above
+    max_rows they raise with a pointer to the banded production path;
+    max_rows=None restores the unguarded oracle behavior."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(10)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="minhash_neardup_pairs"):
+        D.ngram_jaccard_pairs(docs, "text", "doc_id", max_rows=5).collect()
+    # under the bound (and with the guard off) the oracle still runs
+    assert D.ngram_jaccard_pairs(docs, "text", "doc_id", max_rows=None).count() >= 0
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="rp_band_neardup_pairs"):
+        S.embedding_neardup_pairs(emb, "vec_id", "embedding", max_rows=5).collect()
+    assert S.embedding_neardup_pairs(emb, "vec_id", "embedding", max_rows=None).count() >= 0

@@ -101,7 +101,7 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
     from cse_datapipeline_and_mls_spark.sources import load_table
 
     approx = {
-        r["l_returnflag"]: r["price_quantiles_approx"]
+        r["l_returnflag"]: [r["q25"], r["q50"], r["q95"]]
         for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
     }
     li = load_table(spark, sf_dir, "lineitem")

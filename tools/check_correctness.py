@@ -57,6 +57,12 @@ def main() -> int:
         action="store_true",
         help="use a plain SparkSession (driver-mimic) instead of the tuned factory",
     )
+    ap.add_argument(
+        "--json",
+        default=None,
+        metavar="PATH",
+        help="write a driver-shaped per-query result artifact (CORRECTNESS_local.json)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -78,6 +84,20 @@ def main() -> int:
     names = args.names or list(QUERIES)
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(name, **kw):
+        base = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        base.update(kw)
+        results[name] = base
+
     for name in names:
         fn = QUERIES[name]
         t0 = time.time()
@@ -87,6 +107,7 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            record(name, err=f"spark error: {e}")
             n_fail += 1
             failures.append(name)
             if not args.keep_going:
@@ -94,6 +115,7 @@ def main() -> int:
             continue
         if name not in ORACLE:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            record(name, spark_rows=len(srows), err="no_oracle")
             n_rows_only += 1
             continue
         try:
@@ -102,20 +124,25 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            record(name, spark_rows=len(srows), err=f"duckdb error: {e}")
             n_fail += 1
             failures.append(name)
             if not args.keep_going:
                 return 1
             continue
         problems = []
-        if sorted(scols) != sorted(ocols):
+        schema_ok = sorted(scols) == sorted(ocols)
+        rows_ok = len(srows) == len(orows)
+        hash_ok = None
+        if not schema_ok:
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
+        if not rows_ok:
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if not problems:
             sh = table_hash(srows, scols)
             oh = table_hash(orows, ocols)
-            if sh != oh:
+            hash_ok = sh == oh
+            if not hash_ok:
                 problems.append(f"hash spark={sh} oracle={oh}")
                 # show a few differing rows for debugging
                 sset = {"\x01".join(norm_cell(c) for c in r) for r in srows}
@@ -126,6 +153,14 @@ def main() -> int:
                     problems.append(f"  spark-only: {x[:200]}")
                 for x in os_:
                     problems.append(f"  oracle-only: {x[:200]}")
+        record(
+            name,
+            rows_match=rows_ok,
+            schema_match=schema_ok,
+            hash_match=hash_ok,
+            spark_rows=len(srows),
+            oracle_rows=len(orows),
+        )
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
@@ -138,6 +173,12 @@ def main() -> int:
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
     if failures:
         print("failures:", " ".join(failures))
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {args.json} ({len(results)} queries)")
     return 1 if n_fail else 0
 
 
