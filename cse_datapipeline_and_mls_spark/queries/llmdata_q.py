@@ -381,6 +381,99 @@ def x_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_bigram_lm_score_pruned",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(words)),
+                                           i -> words[i] || ' ' || words[i+1])) AS b
+      FROM w WHERE len(words) >= 2
+    ), toks AS (
+      SELECT unnest(words) AS word FROM w
+    ), cb AS (
+      SELECT b, count(*) AS n_b FROM bg GROUP BY 1
+    ), topm AS (
+      SELECT b, n_b FROM cb ORDER BY n_b DESC, b LIMIT 2000
+    ), cu AS (
+      SELECT word, count(*) AS n_u FROM toks GROUP BY 1
+    ), t AS (
+      SELECT count(DISTINCT word) AS vsz, count(*) AS n_tok FROM toks
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS INT) AS n_bigrams,
+           CAST(sum(CASE WHEN m.n_b IS NULL THEN 1 ELSE 0 END) AS INT) AS n_backoff,
+           round(avg(CASE WHEN m.n_b IS NOT NULL
+                          THEN ln((m.n_b + 0.5) / (u1.n_u + 0.5 * t.vsz))
+                          ELSE ln(0.4) + ln((u2.n_u + 0.5) / (t.n_tok + 0.5 * t.vsz))
+                     END), 4) AS avg_logp
+    FROM bg g
+    LEFT JOIN topm m ON m.b = g.b
+    JOIN cu u1 ON u1.word = string_split(g.b, ' ')[1]
+    JOIN cu u2 ON u2.word = string_split(g.b, ' ')[2]
+    CROSS JOIN t
+    GROUP BY g.doc_id
+    """,
+)
+def x_bigram_lm_score_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant x_bigram_lm_score's docstring promises: prune
+    the model to the top-M bigrams (M=2000 here; deterministic tie-break
+    on the bigram itself) and back off to a stupid-backoff unigram score
+    (α=0.4) for everything outside it. The pruned model rides a
+    BROADCAST — the corpus-sized bigram table never joins the corpus
+    again — and the only remaining model-side shuffles are vocab-sized
+    (unigram counts). Top-M selection is orderBy+limit, which Spark
+    plans as TakeOrdered (distributed partial top-k, no single-partition
+    window). Scores round to 4dp so summation order can't flip the hash;
+    n_backoff exposes how much of each doc fell outside the pruned model."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    w = docs.select("doc_id", words.alias("words")).filter(F.size("words") >= 2)
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("words"), i).alias("w1"),
+                    F.element_at(F.col("words"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    toks = docs.select(F.explode(words).alias("word"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_b"))
+    topm = cb.orderBy(F.desc("n_b"), "w1", "w2").limit(2000)
+    cu = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_u"))
+    tot = toks.agg(
+        F.countDistinct("word").alias("vsz"), F.count(F.lit(1)).alias("n_tok")
+    )
+    cu1 = cu.select(F.col("word").alias("w1"), F.col("n_u").alias("n_u1"))
+    cu2 = cu.select(F.col("word").alias("w2"), F.col("n_u").alias("n_u2"))
+    logp = F.when(
+        F.col("n_b").isNotNull(),
+        F.log((F.col("n_b") + 0.5) / (F.col("n_u1") + 0.5 * F.col("vsz"))),
+    ).otherwise(
+        F.log(F.lit(0.4))
+        + F.log((F.col("n_u2") + 0.5) / (F.col("n_tok") + 0.5 * F.col("vsz")))
+    )
+    return (
+        bg.join(F.broadcast(topm), ["w1", "w2"], "left")
+        .join(cu1, "w1")
+        .join(cu2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.col("n_b"), logp.alias("logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.sum(F.col("n_b").isNull().cast("int")).cast("int").alias("n_backoff"),
+            F.round(F.avg("logp"), 4).alias("avg_logp"),
+        )
+    )
+
+
+@register(
     "x_mixture_sample",
     oracle="""
     WITH c AS (
