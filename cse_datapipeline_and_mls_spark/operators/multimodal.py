@@ -89,12 +89,22 @@ def decode_media(content: bytes, modality: str):
     )
 
 
-def extract_features(media: DataFrame, batch_size_hint: int | None = None) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    decoder=None,
+    batch_size_hint: int | None = None,
+) -> DataFrame:
     """Per-payload feature extraction via ``mapInPandas`` — the Arrow
-    batch path a real decoder would use (bytes → decode → embed). The
-    deterministic fake computes byte statistics; a real build swaps the
-    body for ``decode_media`` + a model forward pass, keeping the same
-    batch shape and output schema."""
+    batch path a real decoder would use (bytes → decode → embed).
+
+    ``decoder`` is the codec swap point: a ``(bytes, modality) -> array``
+    callable (``decode_media`` once codec libs exist). With a decoder the
+    stats run over the DECODED sample values (``n_bytes`` becomes the
+    decoded sample count); without one they run over the raw payload
+    bytes. Either way the batch shape, output schema, and zero-shuffle
+    map-only plan are identical — swapping in a real codec changes no
+    Spark-side plumbing, which is exactly what the swap-point test
+    asserts by injecting a fake decoder."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -102,15 +112,18 @@ def extract_features(media: DataFrame, batch_size_hint: int | None = None) -> Da
         for pdf in batches:
             out = []
             for mid, modality, content in zip(pdf["media_id"], pdf["modality"], pdf["content"]):
-                arr = np.frombuffer(content, dtype=np.uint8)
-                if arr.size:
-                    counts = np.bincount(arr, minlength=256)
-                    p = counts[counts > 0] / arr.size
+                if decoder is None:
+                    vals = np.frombuffer(content, dtype=np.uint8)
+                else:
+                    vals = np.asarray(decoder(bytes(content), modality)).ravel()
+                if vals.size:
+                    _, counts = np.unique(vals, return_counts=True)
+                    p = counts / vals.size
                     entropy = float(-(p * np.log2(p)).sum())
-                    mean = float(arr.mean())
+                    mean = float(vals.mean())
                 else:
                     entropy, mean = 0.0, 0.0
-                out.append((int(mid), modality, int(arr.size), mean, entropy))
+                out.append((int(mid), modality, int(vals.size), mean, entropy))
             yield pd.DataFrame(
                 out, columns=["media_id", "modality", "n_bytes", "byte_mean", "byte_entropy"]
             )

@@ -61,3 +61,46 @@ def test_frame_sampling_fanout(spark):
 def test_decode_media_is_an_explicit_stub():
     with pytest.raises(NotImplementedError):
         MM.decode_media(b"bytes", "image")
+
+
+def test_codec_swap_point_composes(media, monkeypatch):
+    """The swap-point contract: injecting a decoder (as a real build
+    would swap decode_media) changes only the decoded values flowing
+    into the features — same mapInPandas plan, same output schema, rows
+    for every payload including empty ones."""
+
+    def _fake_decoder(content: bytes, modality: str):
+        # Stand-in codec: image → 2×2 'pixels', audio/video → a float
+        # waveform — exactly the (bytes, modality) -> array contract
+        # decode_media will satisfy when codec libraries exist. Nested so
+        # cloudpickle ships it by VALUE to executor pythons (a test
+        # module isn't importable there).
+        import numpy as np
+
+        raw = np.frombuffer(content, dtype=np.uint8)
+        if modality == "image":
+            px = np.resize(raw if raw.size else np.zeros(1, np.uint8), 4)
+            return px.reshape(2, 2)
+        return (raw.astype(np.float64) - 128.0) / 128.0
+
+    monkeypatch.setattr(MM, "decode_media", _fake_decoder)
+    out = {
+        r["media_id"]: r
+        for r in MM.extract_features(media, decoder=MM.decode_media).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    # schema is the stable FEATURE_SCHEMA regardless of decoder
+    assert list(MM.extract_features(media, decoder=MM.decode_media).columns) == [
+        "media_id", "modality", "n_bytes", "byte_mean", "byte_entropy",
+    ]
+    # image 'abc' decodes to 4 resized pixels (2x2), not 3 raw bytes
+    assert out[0]["modality"] == "image" and out[0]["n_bytes"] == 4
+    # audio 'hello world' decodes to a centered waveform: mean shifted
+    # from the raw byte mean into [-1, 1]
+    assert out[1]["modality"] == "audio" and -1.0 <= out[1]["byte_mean"] <= 1.0
+    assert out[1]["n_bytes"] == 11
+    # empty video payload still yields a row with zeroed stats
+    assert out[2]["n_bytes"] == 0 and out[2]["byte_entropy"] == 0.0
+    # without a decoder the raw-bytes path is unchanged
+    raw = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert raw[0]["n_bytes"] == 3 and math.isclose(raw[3]["byte_mean"], 97.0)

@@ -74,3 +74,22 @@ def test_flatten_envelope_is_shuffle_free(spark):
     assert out.count() == 3
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, f"envelope flatten should not shuffle:\n{plan}"
+
+
+def test_landed_http_ingest_example(spark):
+    """S7/K2 wiring: the landed-HTTP example dedups re-landed payloads
+    and its foreachBatch push sink delivers the serialized batch through
+    an injected transport."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    import landed_http_ingest as ex
+
+    landed = ex.land_http_json(spark, ex.fetch_json(None))
+    assert landed.count() == 2  # canned payload has one duplicate
+    seen: list[str] = []
+    ex.push_sink(transport=seen.extend)(landed, epoch_id=0)
+    assert len(seen) == 2
+    import json
+
+    assert {json.loads(s)["symbol"] for s in seen} == {"AAA", "BBB"}
