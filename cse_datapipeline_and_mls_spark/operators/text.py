@@ -293,3 +293,85 @@ def pack_sequences(
             (frag_end - frag_start).alias("frag_len"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection — substring-level dedup in the
+    style of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., 2022), k-gram-approximated: find every maximal run of
+    tokens inside a document that is covered by word-k-grams occurring
+    ``min_occurrences``+ times anywhere in the corpus (including twice
+    within one document — self-repetition is training-data duplication
+    too).
+
+    Plan shape (all built-ins): one corpus scan exploding (position,
+    k-gram) pairs — linear in token count, pure map; one aggregation
+    shuffle keyed on the k-gram's xxhash64 (the corpus-wide duplicated-
+    gram table, which ``HAVING count >= min_occurrences`` shrinks to the
+    duplicated tail); one join of positions against that table; then a
+    per-document window doing classic interval-island merging (running
+    max of span ends → island ids → min/max per island). At 100 TB the
+    gram table is the dominant shuffle — same posture as the bigram LM,
+    and the same mitigation applies (prune to grams seen ≥ N times via
+    partial aggregation; Spark's map-side combine already does the heavy
+    lifting since duplicated grams are by definition dense).
+
+    The 64-bit hash stands in for the gram string in the shuffle
+    (8 bytes vs ~50); a hash collision could merge two distinct grams —
+    at 2^64 that is negligible, and the oracle twin groups by the full
+    string to keep the check honest.
+
+    Output: (doc_id, span_id, span_start, span_end, span_words) — 1-based
+    inclusive word offsets of each merged duplicated span, span_id dense
+    per document in position order.
+    """
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    base = df.select(
+        F.col(id_col), F.split(F.lower(norm), " ", -1).alias("_w")
+    ).filter(F.size("_w") >= k)
+    grams = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.size("_w") - (k - 1))).alias("pos"),
+        "_w",
+    ).select(
+        id_col,
+        "pos",
+        F.xxhash64(F.concat_ws(" ", F.slice("_w", F.col("pos"), k))).alias("_gh"),
+    )
+    dup = (
+        grams.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_occurrences)
+        .select("_gh")
+    )
+    hits = grams.join(dup, "_gh").select(id_col, "pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = hits.withColumn(
+        "_new",
+        (F.col("pos") > F.coalesce(prev_end, F.lit(-1)) + 1).cast("int"),
+    ).withColumn(
+        "span_id",
+        F.sum("_new").over(
+            Window.partitionBy(id_col)
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        isl.groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .withColumn("span_words", F.col("span_end") - F.col("span_start") + 1)
+    )

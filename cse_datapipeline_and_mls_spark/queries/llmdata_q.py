@@ -381,6 +381,52 @@ def x_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_duplicate_spans",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(generate_series(1, len(words) - 7)) AS pos, words
+      FROM w WHERE len(words) >= 8
+    ), gr AS (
+      SELECT doc_id, pos, array_to_string(words[pos:pos+7], ' ') AS gram FROM g
+    ), dup AS (
+      SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2
+    ), hits AS (
+      SELECT gr.doc_id, gr.pos FROM gr JOIN dup USING (gram)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM hits
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM isl
+    )
+    SELECT doc_id, span_id,
+           min(pos)                    AS span_start,
+           max(pos) + 7                AS span_end,
+           max(pos) + 7 - min(pos) + 1 AS span_words
+    FROM isl2 GROUP BY doc_id, span_id
+    """,
+)
+def x_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022, k-gram form): every
+    maximal token run covered by word-8-grams that occur ≥2 times
+    corpus-wide, merged into per-doc spans. Spark side shuffles 8-byte
+    xxhash64 gram keys; the oracle groups the full gram strings — see
+    operators/text.duplicate_spans for the plan and 100 TB posture."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.duplicate_spans(docs, "text", "doc_id", k=8, min_occurrences=2)
+
+
+@register(
     "x_bigram_lm_score_pruned",
     oracle="""
     WITH w AS (

@@ -215,3 +215,36 @@ def test_pack_sequences_invariants(spark):
         for s in seqs[:-1]:
             assert by_seq[(shard, s)] == 64
         assert 1 <= by_seq[(shard, seqs[-1])] <= 64
+
+
+def test_duplicate_spans_merging_and_cross_doc(spark):
+    """duplicate_spans: cross-doc shared phrases and within-doc
+    repetition both count; overlapping k-gram hits merge into one
+    maximal span; unique text yields no spans."""
+    shared = "one two three four five six seven eight nine ten"  # 10 words
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique tail alpha beta gamma delta epsilon zeta"),
+            (2, "totally different head words here also " + shared),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
+            # doc 4 repeats its own 8-gram twice -> self-duplication
+            (4, "r1 r2 r3 r4 r5 r6 r7 r8 filler r1 r2 r3 r4 r5 r6 r7 r8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = X.duplicate_spans(docs, "text", "doc_id", k=8, min_occurrences=2)
+    spans = {}
+    for r in out.collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_words"])
+        )
+    # doc 1: the shared phrase occupies words 1..10 -> one merged span
+    # (3 overlapping duplicated 8-grams at pos 1,2,3 merge)
+    assert spans[1] == [(1, 10, 10)]
+    # doc 2: same phrase at words 7..16
+    assert spans[2] == [(7, 16, 10)]
+    # doc 3: unique text -> no duplicated spans
+    assert 3 not in spans
+    # doc 4: self-repetition -> both occurrences flagged, not merged
+    # (gap 'filler' at word 9 separates them)
+    assert spans[4] == [(1, 8, 8), (10, 17, 8)]
