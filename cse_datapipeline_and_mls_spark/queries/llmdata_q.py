@@ -381,6 +381,56 @@ def x_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_corpus_report",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT)                                   AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT)                     AS n_sources,
+           CAST(sum(n_words) AS BIGINT)                               AS total_words,
+           round(avg(n_words), 4)                                     AS avg_words,
+           round(quantile_cont(n_words, 0.50), 4)                     AS p50_words,
+           round(quantile_cont(n_words, 0.95), 4)                     AS p95_words,
+           round(1.0 - count(DISTINCT fp) / count(*), 6)              AS exact_dup_rate,
+           round(sum(CASE WHEN n_words < 30 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6)                       AS short_doc_rate
+    FROM d
+    """,
+)
+def x_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health report — the summary a curation run ends
+    with: volume (docs/sources/words), length distribution (exact
+    p50/p95), exact-duplicate rate (md5 of normalized content —
+    md5 here, not xxhash64, so the DuckDB oracle can reproduce the
+    fingerprint bit-for-bit), and the short-doc share. Single
+    aggregation over one corpus scan; every metric is a map-side
+    partial except the exact percentiles, whose 100 TB stand-in is
+    approx_percentile (see agg_approx_percentile)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    fp = F.md5(F.encode(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), "UTF-8"))
+    d = docs.select("doc_id", "source", n_words.alias("n_words"), fp.alias("fp"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_words").alias("total_words"),
+        F.round(F.avg("n_words"), 4).alias("avg_words"),
+        F.round(F.percentile("n_words", 0.50), 4).alias("p50_words"),
+        F.round(F.percentile("n_words", 0.95), 4).alias("p95_words"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("fp") / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.sum((F.col("n_words") < 30).cast("int")) / F.count(F.lit(1)), 6
+        ).alias("short_doc_rate"),
+    )
+
+
+@register(
     "x_duplicate_spans",
     oracle="""
     WITH w AS (
