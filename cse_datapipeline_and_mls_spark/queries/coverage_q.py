@@ -725,3 +725,68 @@ def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("bucket_b").alias("b_lo"),
         F.max("bucket_b").alias("b_hi"),
     )
+
+
+@register(
+    "x_data_quality_checks",
+    oracle="""
+    SELECT 'shipdate_not_null' AS check_name, 'not_null' AS kind,
+           CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_in_set', 'in_set',
+           CAST(sum(CASE WHEN l_returnflag IS NULL
+                           OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN l_returnflag IS NULL
+                      OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_le_6pct', 'range',
+           CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0
+                           OR l_discount > 0.06 THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN l_discount IS NULL OR l_discount < 0
+                      OR l_discount > 0.06 THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'qty_price_positive', 'expr',
+           CAST(sum(CASE WHEN NOT coalesce(l_quantity > 0 AND l_extendedprice >= 0, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN NOT coalesce(l_quantity > 0 AND l_extendedprice >= 0, FALSE)
+                    THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_pk_unique', 'unique',
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT), coalesce(sum(n - 1), 0) = 0
+    FROM (SELECT count(*) AS n FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1) t
+    UNION ALL
+    SELECT 'orderkey_in_orders', 'subset', CAST(count(*) AS BIGINT), count(*) = 0
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    """,
+)
+def x_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative Deequ-style expectations over lineitem: the four
+    row-level checks fuse into ONE scan (conditional sums, map-side
+    partials), uniqueness is one groupBy on the key pair, and the
+    referential check is one anti-join against the orders key set.
+    The 6%-discount range check is deliberately tight so the suite
+    demonstrates real violation counting, not just all-green rows.
+    See operators/expectations.py for the cost model."""
+    from ..operators.expectations import Check, validate_expectations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    checks = [
+        Check("shipdate_not_null", "not_null", col="l_shipdate"),
+        Check("returnflag_in_set", "in_set", col="l_returnflag", values=("A", "N", "R")),
+        Check("discount_le_6pct", "range", col="l_discount", lo=0.0, hi=0.06),
+        Check("qty_price_positive", "expr", sql="l_quantity > 0 AND l_extendedprice >= 0"),
+        Check("lineitem_pk_unique", "unique", cols=("l_orderkey", "l_linenumber")),
+        Check("orderkey_in_orders", "subset", col="l_orderkey"),
+    ]
+    return validate_expectations(
+        li, checks, parents={"orderkey_in_orders": (orders, "o_orderkey")}
+    )

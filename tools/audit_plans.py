@@ -33,6 +33,7 @@ EXPECTED_CROSS = {
     "tpch_q11_shape_important_parts",  # 1-row global threshold broadcast (scalar subquery)
     "tpch_q22_shape_global_sales_opportunity",  # 1-row global avg broadcast
     "x_bigram_lm_score",      # 1-row vocab-size broadcast
+    "x_bigram_lm_score_pruned",  # 1-row (vsz, n_tok) scalar broadcast
     "x_embedding_neardup_banded",  # 1-row hyperplane-matrix broadcast (similarity.py)
     "x_zorder_layout",        # 1-row min/max bounds broadcast (layout.add_zorder)
     "x_heavy_hitters",        # 1-row total-n broadcast (sketches.frequent_items)
@@ -42,6 +43,7 @@ EXPECTED_CROSS = {
 # (each exchange is a distinct aggregation/join the semantics require).
 EXPECTED_MANY_EXCHANGES = {
     "x_bigram_lm_score",  # bigram counts + context counts + model join + per-doc agg (SCALE.md)
+    "x_bigram_lm_score_pruned",  # same model-build aggs + TakeOrdered top-M; corpus side joins broadcast-only
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
