@@ -47,6 +47,11 @@ HEADLINE = [
     "x_quality_filter",
     "x_bigram_lm_score",
     "x_curated_corpus",
+    # r3 additions
+    "x_duplicate_spans",
+    "x_bigram_lm_score_pruned",
+    "x_corpus_report",
+    "x_data_quality_checks",
 ]
 
 
@@ -87,6 +92,7 @@ def main() -> None:
     # queries; report that subset's total alongside the full set so the
     # totals stay apples-to-apples as the headline list grows.
     r1_subset = round(sum(timings[n] for n in HEADLINE[:17] if n in timings), 3)
+    r2_subset = round(sum(timings[n] for n in HEADLINE[:27] if n in timings), 3)
     print(
         json.dumps(
             {
@@ -95,6 +101,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "r1_subset_total_sec": r1_subset,
+                "r2_subset_total_sec": r2_subset,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

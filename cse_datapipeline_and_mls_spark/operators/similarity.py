@@ -471,6 +471,21 @@ def ivf_topk(
                 ).alias("_cell"),
             )
         )
+    return _ivf_rerank(c_assigned, q_probes, k, id_col, vec_col, query_id_col)
+
+
+def _ivf_rerank(
+    c_assigned: DataFrame,
+    q_probes: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared IVF tail: broadcast the probe table onto the inverted file
+    (cell-equality join — with a cell-partitioned on-disk index this is
+    the join dynamic partition pruning keys off), exact-cosine rerank,
+    per-query top-k window."""
     cand = c_assigned.join(F.broadcast(q_probes), "_cell").select(
         F.col(query_id_col),
         F.col(id_col),
@@ -486,6 +501,78 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rnk")
     )
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    centroids,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "expr",
+) -> None:
+    """Persist the IVF index as TABLES — the 100 TB posture: the
+    inverted file (corpus + norms + cell assignment) lands as parquet
+    PARTITIONED BY the cell id, the codebook as a tiny sibling table.
+    A later query session reads only the probed cells' partitions
+    (partition pruning / DPP on the `_cell` join key) instead of
+    rebuilding assignments over the full corpus — index build cost is
+    paid once per corpus version, not once per session."""
+    if assign == "numpy":
+        assigned = assign_cells_np(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    else:
+        assigned = (
+            ensure_min_parallelism(corpus.select(id_col, vec_col))
+            .withColumn("_norm", l2_norm(F.col(vec_col)))
+            .withColumn("_cell", _best_cells(vec_col, centroids, 1, vnorm_sql="_norm")[0])
+        )
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(f"{path}/inverted")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cid int, vector array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str):
+    """Load a persisted IVF index: (inverted-file DataFrame, codebook
+    list) — the codebook is tiny by construction (k rows) so collecting
+    it to the driver is the intended pattern."""
+    inv = spark.read.parquet(f"{path}/inverted")
+    cents = [
+        (r["cid"], list(r["vector"]))
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    ]
+    return inv, cents
+
+
+def ivf_topk_from_index(
+    inv: DataFrame,
+    centroids,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ivf_topk against a PERSISTED inverted file (see save_ivf_index):
+    probes compute map-side on the (tiny) query set, and the broadcast
+    cell join lets Spark prune the index scan to the probed cells'
+    partitions. Bit-identical to ivf_topk on the same corpus/codebook —
+    asserted in tests."""
+    q_probes = (
+        queries.withColumn("_qnorm", l2_norm(F.col(vec_col)))
+        .select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.col("_qnorm"),
+            F.explode(
+                _best_cells(vec_col, centroids, nprobe, vnorm_sql="_qnorm")
+            ).alias("_cell"),
+        )
+    )
+    return _ivf_rerank(inv, q_probes, k, id_col, vec_col, query_id_col)
 
 
 def rp_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list:

@@ -268,3 +268,39 @@ def test_exact_pair_oracles_guard_against_large_input(spark):
     with pytest.raises(ValueError, match="rp_band_neardup_pairs"):
         S.embedding_neardup_pairs(emb, "vec_id", "embedding", max_rows=5).collect()
     assert S.embedding_neardup_pairs(emb, "vec_id", "embedding", max_rows=None).count() >= 0
+
+
+def test_ivf_index_persist_roundtrip(spark, sf_dir, tmp_path):
+    """save_ivf_index/load_ivf_index: the inverted file lands as a
+    _cell-partitioned parquet table + codebook; querying the loaded
+    index is bit-identical to the in-memory ivf_topk on the same
+    corpus/codebook, and the on-disk layout is partitioned so probe
+    joins can prune to the probed cells."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    centroids = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_index")
+    S.save_ivf_index(emb, centroids, path)
+    # cell-partitioned layout on disk
+    cells = [d for d in os.listdir(f"{path}/inverted") if d.startswith("_cell=")]
+    assert len(cells) > 1
+    inv, cents = S.load_ivf_index(spark, path)
+    assert cents == [(int(c), [float(x) for x in v]) for c, v in sorted(centroids)]
+    from_index = {
+        (r["query_id"], r["vec_id"], r["rnk"], r["cosine_sim"])
+        for r in S.ivf_topk_from_index(inv, cents, queries, k=5, nprobe=2).collect()
+    }
+    in_memory = {
+        (r["query_id"], r["vec_id"], r["rnk"], r["cosine_sim"])
+        for r in S.ivf_topk(emb, queries, centroids, k=5, nprobe=2).collect()
+    }
+    assert from_index == in_memory
