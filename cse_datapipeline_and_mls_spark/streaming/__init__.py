@@ -2,6 +2,7 @@ from .pipeline import (
     bronze_ingest,
     dedup_against_history,
     enrich_stream,
+    expectations_on_stream,
     ingest_file_stream,
     interval_join,
     run_to_memory_sink,
@@ -23,5 +24,6 @@ __all__ = [
     "session_aggregate",
     "run_to_memory_sink",
     "interval_join",
+    "expectations_on_stream",
     "running_zscore_anomalies",
 ]

@@ -214,3 +214,30 @@ def run_to_memory_sink(
     q.processAllAvailable()
     q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def expectations_on_stream(checks, parents=None, on_result=None):
+    """Data-quality gate for streams: run a Deequ-style check suite
+    (operators/expectations.py) on EVERY micro-batch via foreachBatch.
+
+    Per epoch the row-level checks still fuse into one conditional-sum
+    aggregate over just that micro-batch — the validation cost scales
+    with batch size, never with stream history. ``on_result(epoch_id,
+    rows)`` receives the tidy (check_name, kind, n_violations, passed)
+    rows; wire it to a metrics sink, an alert channel, or (in tests) a
+    list. Returns the foreachBatch callable:
+
+        stream.writeStream.foreachBatch(expectations_on_stream(checks,
+            on_result=sink)).start()
+    """
+    from ..operators.expectations import validate_expectations
+
+    def _fb(batch_df: DataFrame, epoch_id: int) -> None:
+        res = validate_expectations(batch_df, list(checks), parents)
+        rows = [
+            {**r.asDict(), "epoch_id": epoch_id} for r in res.collect()
+        ]
+        if on_result is not None:
+            on_result(epoch_id, rows)
+
+    return _fb

@@ -93,3 +93,31 @@ def test_landed_http_ingest_example(spark):
     import json
 
     assert {json.loads(s)["symbol"] for s in seen} == {"AAA", "BBB"}
+
+
+def test_orc_sink_and_scan_roundtrip(spark, sf_dir, tmp_path):
+    """ORC as an alternate columnar format: write a projected lineitem
+    slice to ORC, scan it back with predicate pushdown, and match the
+    parquet-sourced result — the engine is format-agnostic at the scan
+    boundary (spark.read.orc/parquet are interchangeable DataFrames)."""
+    from pyspark.sql import functions as F
+
+    from cse_datapipeline_and_mls_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "lineitem_orc")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert dict(back.dtypes) == dict(li.dtypes)
+    got = back.filter(F.col("l_returnflag") == "R").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    ).collect()[0]
+    want = li.filter(F.col("l_returnflag") == "R").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    ).collect()[0]
+    assert (got["n"], got["q"]) == (want["n"], want["q"])
+    # pushdown reaches the ORC scan
+    plan = back.filter(F.col("l_returnflag") == "R")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "pushed" in plan.lower()

@@ -250,3 +250,37 @@ def test_tws_running_distinct_matches_batch_twin(spark, events_dir):
     got_map = {r["event_id"]: (r["n_events"], r["n_distinct_types"]) for r in got.collect()}
     want_map = {r["event_id"]: (r["n_events"], r["nd"]) for r in want.collect()}
     assert got_map == want_map
+
+
+def test_expectations_on_stream_matches_batch_totals(spark, events_dir):
+    """Streaming DQ gate: per-micro-batch validate_expectations via
+    foreachBatch; violation counts summed across epochs equal the
+    batch-mode counts over the same data."""
+    from cse_datapipeline_and_mls_spark.operators.expectations import (
+        Check,
+        validate_expectations,
+    )
+
+    checks = [
+        Check("value_in_range", "range", col="value", lo=0.0, hi=30.0),
+        Check("type_known", "in_set", col="event_type", values=("click", "view", "buy")),
+    ]
+    collected: list[dict] = []
+    fb = ST.expectations_on_stream(
+        checks, on_result=lambda epoch, rows: collected.extend(rows)
+    )
+    stream = ST.ingest_file_stream(spark, events_dir, max_files_per_trigger=1)
+    q = stream.writeStream.foreachBatch(fb).start()
+    q.processAllAvailable()
+    q.stop()
+    assert len({r["epoch_id"] for r in collected}) > 1  # really micro-batched
+    stream_totals = {}
+    for r in collected:
+        stream_totals[r["check_name"]] = stream_totals.get(r["check_name"], 0) + r["n_violations"]
+    batch = {
+        r["check_name"]: r["n_violations"]
+        for r in validate_expectations(spark.read.parquet(events_dir), checks).collect()
+    }
+    assert stream_totals == batch
+    assert batch["value_in_range"] > 0  # fixture has values up to 49
+    assert batch["type_known"] == 0
