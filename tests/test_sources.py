@@ -121,3 +121,25 @@ def test_orc_sink_and_scan_roundtrip(spark, sf_dir, tmp_path):
     # pushdown reaches the ORC scan
     plan = back.filter(F.col("l_returnflag") == "R")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or "pushed" in plan.lower()
+
+
+def test_landed_html_scrape_example(spark):
+    """S1 lander: stdlib HTML table parse -> Spark-side typing,
+    sanitizing, Colombo date stamp, daily keyed dedup; live path gated."""
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, "/root/repo/examples")
+    import landed_html_scrape as ex
+
+    header, rows = ex.fetch_trade_summary()
+    assert header[0] == "Company Name" and len(rows) == 4
+    landed = ex.land_trade_summary(spark, header, rows)
+    got = {r["symbol"]: r for r in landed.collect()}
+    assert len(got) == 3  # duplicate BETA row deduped by (symbol, date)
+    assert got["ALPH.N0000"]["last_trade"] == 1250.50
+    assert got["BETA.N0000"]["trade_volume"] == 250000
+    assert got["GAMM.X0000"]["change_pct"] == 0.0
+    with _pytest.raises(NotImplementedError):
+        ex.fetch_trade_summary("https://example.invalid/trade-summary")
