@@ -116,6 +116,18 @@ def run(spark, k_events: int, k_docs: int) -> dict:
 
     case("sequence_packing_docs", packing)
 
+    # 5. Duplicated-span detection (gram explode + hash agg + join +
+    # per-doc window) — the newest heavy shuffle; the per-row cost must
+    # not grow with corpus size even though every copy of the corpus
+    # shares its duplicated grams with every other copy (the dup-gram
+    # table grows, the candidate join stays gram-equality-bounded).
+    def dup_spans(one):
+        return X.duplicate_spans(
+            scaled_docs(spark, 1 if one else k_docs), "text", "doc_id", k=8
+        )
+
+    case("duplicate_spans_docs", dup_spans)
+
     return out
 
 
