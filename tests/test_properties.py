@@ -103,3 +103,55 @@ def test_simhash_invariant_to_leading_trailing_whitespace(spark, text, pad):
     df = spark.createDataFrame([(0, text), (1, pad + text + pad)], "doc_id long, text string")
     out = {r["doc_id"]: r["simhash"] for r in D.with_simhash(df).collect()}
     assert out[0] == out[1]
+
+
+def _brute_duplicate_spans(docs: dict, k: int):
+    """Reference implementation: per (doc, pos) k-grams, positions whose
+    gram appears >=2 times anywhere, merged into maximal islands."""
+    from collections import Counter
+
+    grams = {}
+    for did, words in docs.items():
+        grams[did] = [tuple(words[i : i + k]) for i in range(len(words) - k + 1)]
+    counts = Counter(g for gs in grams.values() for g in gs)
+    spans = {}
+    for did, gs in grams.items():
+        hits = [i + 1 for i, g in enumerate(gs) if counts[g] >= 2]  # 1-based
+        merged = []
+        for p in hits:
+            if merged and p <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], p + k - 1))
+            else:
+                merged.append((p, p + k - 1))
+        if merged:
+            spans[did] = merged
+    return spans
+
+
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij kl".split()), min_size=0, max_size=12),
+        min_size=1,
+        max_size=5,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+@SETTINGS
+def test_duplicate_spans_matches_brute_force(spark, data, k):
+    """duplicate_spans == brute-force reference on arbitrary small-vocab
+    corpora (small vocab forces collisions, the interesting case)."""
+    from cse_datapipeline_and_mls_spark.operators import text as X
+
+    docs = {i: words for i, words in enumerate(data)}
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in docs.items()], "doc_id long, text string"
+    )
+    got = {}
+    for r in X.duplicate_spans(df, "text", "doc_id", k=k).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for d in got:
+        got[d].sort()
+    # empty-text docs: Spark's split('') yields one empty token; the
+    # brute force tokenizes to [] — both produce no k-grams for k>=2,
+    # so the outputs agree without special-casing.
+    assert got == _brute_duplicate_spans(docs, k)
