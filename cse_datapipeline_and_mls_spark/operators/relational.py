@@ -191,3 +191,70 @@ def salted_equi_join(
         salted_fact["_salt"] == salted_dim["_salt"]
     )
     return salted_fact.join(salted_dim, cond, how).drop("_salt")
+
+
+def fuzzy_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    length_band: int = 4,
+) -> DataFrame:
+    """Fuzzy string match (edit distance ≤ ``max_distance``) WITHOUT the
+    all-pairs cross join: classic record-linkage BLOCKING. Each side
+    derives deterministic blocking keys — normalized first character ×
+    length bucket — and candidates come from an equi-join on the block
+    key; levenshtein runs only inside blocks.
+
+    The LEFT side emits blocks for its length bucket and both adjacent
+    buckets; the right side emits only its own — any pair within
+    ``max_distance ≤ length_band`` edits (length difference at most
+    ``max_distance``) lands at most one bucket apart, so they share a
+    block when their first characters match, at 3× (not 9×) candidate
+    inflation. First-character
+    blocking is the one recall approximation (an edit at position 0 can
+    move a pair across blocks) — standard practice; add a second pass
+    blocked on last character if that tail matters. At 100 TB the block
+    key spreads the corpus like any group-by key; pathological blocks
+    (every string starting 'a' at length 8) are exactly the skew the
+    salted-join pattern above handles.
+
+    Output: (left row.., right row.., edit_distance), deduplicated when
+    a pair shares several blocks.
+    """
+    if max_distance > length_band:
+        raise ValueError(
+            f"length_band={length_band} cannot guarantee recall for "
+            f"max_distance={max_distance}: pairs may differ by more than one bucket"
+        )
+
+    def keyed(df: DataFrame, col: str, with_neighbors: bool) -> DataFrame:
+        norm = F.lower(F.trim(F.col(col)))
+        bucket = F.floor(F.length(norm) / length_band)
+        first = F.substring(norm, 1, 1)
+        blocks = (
+            F.array_distinct(
+                F.array(
+                    F.concat_ws("|", first, (bucket - 1).cast("string")),
+                    F.concat_ws("|", first, bucket.cast("string")),
+                    F.concat_ws("|", first, (bucket + 1).cast("string")),
+                )
+            )
+            if with_neighbors
+            else F.array(F.concat_ws("|", first, bucket.cast("string")))
+        )
+        return df.withColumn("_blk", F.explode(blocks))
+
+    lk = keyed(left, left_col, with_neighbors=True)
+    rk = keyed(right, right_col, with_neighbors=False)
+    dist = F.levenshtein(
+        F.lower(F.trim(lk[left_col])), F.lower(F.trim(rk[right_col]))
+    )
+    return (
+        lk.join(rk, "_blk")
+        .withColumn("edit_distance", dist)
+        .filter(F.col("edit_distance") <= max_distance)
+        .drop("_blk")
+        .distinct()
+    )

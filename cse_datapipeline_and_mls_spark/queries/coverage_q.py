@@ -790,3 +790,104 @@ def x_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_expectations(
         li, checks, parents={"orderkey_in_orders": (orders, "o_orderkey")}
     )
+
+
+@register(
+    "j_fuzzy_part_names",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(lower(trim(a.name)), lower(trim(b.name))) AS INT) AS edit_distance
+    FROM n a JOIN n b
+      ON a.name < b.name
+     AND substring(lower(trim(a.name)), 1, 1) = substring(lower(trim(b.name)), 1, 1)
+    WHERE levenshtein(lower(trim(a.name)), lower(trim(b.name))) <= 2
+    """,
+)
+def j_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-match on part names via BLOCKED levenshtein
+    (operators/relational.fuzzy_join_blocked): candidates from a
+    first-char × length-bucket equi-join, never an all-pairs cross.
+    With max_distance(2) ≤ length_band(4) the blocked result is exactly
+    {pairs: distance ≤ 2 ∧ equal first char} — which is what the oracle
+    states directly, so the hash check proves the blocking loses
+    nothing vs its contract."""
+    from ..operators.relational import fuzzy_join_blocked
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name")).distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        fuzzy_join_blocked(a, b, "name_a", "name_b", max_distance=2, length_band=4)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", F.col("edit_distance").cast("int").alias("edit_distance"))
+    )
+
+
+@register(
+    "agg_width_bucket_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 600000 THEN 13
+                     ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via width_bucket (12 buckets over
+    [0, 600k) + under/overflow buckets 0 and 13) — the numeric-profile
+    companion to A3's categorical group histogram; one aggregation,
+    map-side partials. The oracle states the same binning arithmetic
+    explicitly (floor-div + boundary cases)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)).alias(
+                "bucket"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
+
+
+@register(
+    "w_ntile_binning",
+    oracle="""
+    SELECT o_orderpriority, quartile,
+           count(*) AS n,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM (SELECT o_orderpriority, o_totalprice,
+                 ntile(4) OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS quartile
+          FROM orders) t
+    GROUP BY 1, 2
+    """,
+)
+def w_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning (QuantileDiscretizer semantics, exact):
+    ntile(4) per order priority with a unique tiebreaker so bin
+    assignment is engine-invariant, then per-bin stats. Partitioned
+    window — no global sort; the approx companion at 100 TB is
+    approx_percentile cut points (agg_approx_percentile)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )

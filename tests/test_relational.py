@@ -121,3 +121,46 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
             assert lo - 0.005 <= q <= hi + 0.005, (
                 f"{flag} q={q}: value {got} spans ranks [{lo:.4f}, {hi:.4f}]"
             )
+
+
+def test_fuzzy_join_blocked_matches_exact_within_contract(spark):
+    """Blocked fuzzy join == exhaustive levenshtein filtered to the
+    blocking contract (equal first char), and raises when the length
+    band can't guarantee recall."""
+    import itertools
+
+    import pytest
+
+    from cse_datapipeline_and_mls_spark.operators.relational import fuzzy_join_blocked
+
+    names = ["red widget", "red widgets", "red widget ", "blue bolt", "blue boltz",
+             "small gear", "smal gear", "big gizmo", "red gizmo", "tiny bolt"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    a = df.select(F.col("name").alias("name_a"))
+    b = df.select(F.col("name").alias("name_b"))
+    got = {
+        (r["name_a"], r["name_b"], r["edit_distance"])
+        for r in fuzzy_join_blocked(a, b, "name_a", "name_b", max_distance=2)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .collect()
+    }
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (cx != cy)))
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for x, y in itertools.combinations(sorted(names), 2):
+        nx, ny = x.lower().strip(), y.lower().strip()
+        if nx[:1] == ny[:1] and lev(nx, ny) <= 2:
+            want.add((x, y, lev(nx, ny)))
+    assert got == want
+    assert any(d == 1 for *_, d in got)  # real near-misses exist
+
+    with pytest.raises(ValueError, match="length_band"):
+        fuzzy_join_blocked(a, b, "name_a", "name_b", max_distance=5, length_band=4)
