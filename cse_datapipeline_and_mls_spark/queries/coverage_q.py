@@ -891,3 +891,83 @@ def w_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 4).alias("hi"),
         )
     )
+
+
+@register(
+    "w_scd2_value_history",
+    oracle="""
+    WITH chg AS (
+      SELECT user_id, ts, value
+      FROM (SELECT user_id, ts, event_id, value,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+            FROM events) t
+      WHERE prev_v IS NULL OR value <> prev_v
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS version,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           value,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
+    FROM chg
+    """,
+)
+def w_scd2_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history built from an event log:
+    consecutive-duplicate values compress away (lag filter), survivors
+    become versioned validity intervals [valid_from, valid_to) via lead,
+    open-ended interval = current row. Two windows over ONE partition
+    spec — Catalyst collapses them into a single sort+shuffle on
+    user_id; at 100 TB this is the standard merge-into-history shape
+    (partition the history table by key hash, cluster by valid_from)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("_prev", F.lag("value").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("value") != F.col("_prev")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return chg.select(
+        "user_id",
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        "value",
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "agg_cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen day, counted
+    per (cohort, day offset) — the canonical engagement query. Two
+    aggregations on user_id (cohort assignment rides the same shuffle
+    key as the activity distinct) plus one count-distinct; at 100 TB
+    pre-aggregate activity to (user, day) once — done here — so the
+    retention join never touches raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
