@@ -971,3 +971,37 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register("x_pagerank_suppliers")  # rows-only: float power iteration is not hash-stable across engines
+def x_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier importance via PageRank on the customer→supplier
+    purchase graph (edges = distinct (custkey, suppkey) pairs through
+    orders ⋈ lineitem). Iterative power method, one shuffle per
+    iteration, dangling mass redistributed (operators/graph.py);
+    semantics pinned by closed-form tests in tests/test_graph.py. Top
+    suppliers returned with ranks rounded for display, keyed and
+    tie-broken deterministically."""
+    from ..operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            # offset supplier ids so the two key spaces can't collide
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iters=6)
+    return (
+        pr.filter(F.col("node") >= 1_000_000)
+        .select(
+            (F.col("node") - 1_000_000).alias("suppkey"),
+            F.round("rank", 8).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), "suppkey")
+        .limit(20)
+    )

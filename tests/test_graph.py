@@ -1,0 +1,41 @@
+"""PageRank power iteration: hand-computable graphs, probability-mass
+conservation, dangling redistribution."""
+
+from __future__ import annotations
+
+import math
+
+from cse_datapipeline_and_mls_spark.operators.graph import pagerank
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_two_node_cycle_is_uniform(spark):
+    r = _ranks(spark, [(1, 2), (2, 1)], iters=20)
+    assert math.isclose(r[1], 0.5, abs_tol=1e-9)
+    assert math.isclose(r[2], 0.5, abs_tol=1e-9)
+
+
+def test_star_graph_center_dominates_and_mass_conserved(spark):
+    # 4 leaves all point at the hub; hub is dangling -> its mass
+    # redistributes uniformly
+    edges = [(i, 99) for i in range(1, 5)]
+    r = _ranks(spark, edges, iters=30)
+    assert math.isclose(sum(r.values()), 1.0, abs_tol=1e-6)
+    assert r[99] > r[1] > 0
+    # leaves are symmetric
+    assert all(math.isclose(r[i], r[1], abs_tol=1e-12) for i in range(2, 5))
+    # closed form for this graph at convergence: leaves get
+    # (1-d)/n + d*hub/n (only dangling mass), hub gets that + d*sum(leaf/1)
+    d, n = 0.85, 5
+    leaf = r[1]
+    assert math.isclose(r[99], (1 - d) / n + d * (4 * leaf + r[99] / n), rel_tol=1e-4)
+
+
+def test_chain_ranks_increase_downstream(spark):
+    r = _ranks(spark, [(1, 2), (2, 3), (3, 4)], iters=40)
+    assert r[1] < r[2] < r[3] < r[4]
+    assert math.isclose(sum(r.values()), 1.0, abs_tol=1e-6)

@@ -37,6 +37,7 @@ EXPECTED_CROSS = {
     "x_embedding_neardup_banded",  # 1-row hyperplane-matrix broadcast (similarity.py)
     "x_zorder_layout",        # 1-row min/max bounds broadcast (layout.add_zorder)
     "x_heavy_hitters",        # 1-row total-n broadcast (sketches.frequent_items)
+    "x_pagerank_suppliers",   # 1-row dangling-mass broadcast per iteration (graph.pagerank)
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -44,6 +45,8 @@ EXPECTED_CROSS = {
 EXPECTED_MANY_EXCHANGES = {
     "x_bigram_lm_score",  # bigram counts + context counts + model join + per-doc agg (SCALE.md)
     "x_bigram_lm_score_pruned",  # same model-build aggs + TakeOrdered top-M; corpus side joins broadcast-only
+    "x_pagerank_suppliers",  # power iteration: 3 exchanges x 6 iterations is the algorithm, not a plan bug
+    "x_data_quality_checks",  # 1 fused row-level scan + unique groupBy + anti-join + result union (expectations.py)
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
