@@ -75,8 +75,11 @@ def validate_expectations(
 
     row_checks = [c for c in checks if c.kind in ("not_null", "in_set", "range", "expr")]
     if row_checks:
+        # coalesce: sum over an EMPTY input is NULL, and an empty table
+        # (or empty micro-batch in the streaming gate) violates nothing
         aggs = [
-            F.sum(_row_violation(c).cast("long")).alias(c.name) for c in row_checks
+            F.coalesce(F.sum(_row_violation(c).cast("long")), F.lit(0)).alias(c.name)
+            for c in row_checks
         ]
         one = df.agg(*aggs)
         # unpivot the 1-row wide frame into tidy rows (stack is fine at
