@@ -923,3 +923,121 @@ def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = SK.frequent_items(toks, "tokens", k=64)
     return out.select("item", "est", "lo", "hi").orderBy(F.desc("est"), "item")
+
+
+@register(
+    "x_packing_efficiency",
+    oracle="""
+    WITH d AS (
+      SELECT source AS shard, doc_id,
+             CASE WHEN nt = '' THEN CAST(1 AS BIGINT)
+                  ELSE CAST(len(string_split(nt, ' ')) AS BIGINT) END AS n_tok
+      FROM (SELECT source, doc_id,
+                   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+            FROM documents) t0
+    ), o AS (
+      SELECT shard, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+      FROM d
+    ), e AS (
+      SELECT shard, doc_id, n_tok, end_off, end_off - n_tok AS off,
+             unnest(generate_series(CAST((end_off - n_tok) // 512 AS BIGINT),
+                                    CAST((end_off - 1) // 512 AS BIGINT))) AS seq_id
+      FROM o
+    ), frags AS (
+      SELECT shard, seq_id, doc_id,
+             least(n_tok, (seq_id + 1) * 512 - off)
+               - greatest(0, seq_id * 512 - off) AS frag_len
+      FROM e
+    )
+    SELECT shard,
+           count(DISTINCT doc_id)                         AS n_docs,
+           count(DISTINCT seq_id)                         AS n_seqs,
+           CAST(sum(frag_len) AS BIGINT)                  AS total_tokens,
+           round(sum(frag_len) / (count(DISTINCT seq_id) * 512.0), 6) AS utilization
+    FROM frags GROUP BY shard
+    """,
+)
+def x_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing QA over pack_sequences output: per-shard sequence count,
+    token totals, and utilization = tokens / (sequences × budget). With
+    concat-then-cut only each shard's LAST sequence is partial, so
+    utilization → 1 as shards grow — this query is the observable proof,
+    and at 100 TB it is the metric a data-loading team actually watches
+    (padding waste = GPU hours). Same aggregate shuffle as the packing
+    itself; nothing new materializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    pack = X.pack_sequences(docs, "text", "doc_id", shard_col="source", budget=512)
+    return pack.groupBy("shard").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("seq_id").alias("n_seqs"),
+        F.sum("frag_len").alias("total_tokens"),
+        F.round(
+            F.sum("frag_len") / (F.countDistinct("seq_id") * 512.0), 6
+        ).alias("utilization"),
+    )
+
+
+@register(
+    "x_quality_weighted_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_words,
+             list_sum(list_transform(string_split_regex(trim(text), '\\s+'), w -> len(w)))
+               / nullif(len(string_split_regex(trim(text), '\\s+')), 0)  AS mean_wl,
+             len(list_filter(string_split(lower(trim(text)), ' '),
+                 x -> list_contains(['the','a','an','and','or','but','if','then','is',
+                                     'are','was','were','be','been','being','of','to',
+                                     'in','on','for','with','as','at','by','from',
+                                     'that','this','it','its','not','no'], x)))
+               / nullif(len(string_split(lower(trim(text)), ' ')), 0)    AS stop_r,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / nullif(length(text), 0)                                 AS punct_r,
+             1.0 - len(list_distinct(string_split(lower(trim(text)), ' ')))
+               / nullif(len(string_split(lower(trim(text)), ' ')), 0)    AS word_rep
+      FROM documents
+    ), keepf AS (
+      SELECT doc_id,
+             CASE WHEN n_words >= 30 AND n_words <= 5000
+                   AND mean_wl >= 2.5 AND mean_wl <= 10.0
+                   AND stop_r >= 0.05 AND punct_r <= 0.2 AND word_rep <= 0.5
+                  THEN 10000 ELSE 2000 END AS cut
+      FROM m
+    )
+    SELECT doc_id, CAST(cut = 10000 AS INT) AS keep
+    FROM keepf
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < cut
+    """,
+)
+def x_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling — the standard low-quality ablation
+    mix: docs passing the Gopher gate keep probability 1.0, rejects keep
+    0.2, membership decided by the same deterministic md5 bucket as
+    x_hash_split (engine-invariant, repartition-proof, reproducible).
+    The gate metrics and the sampling predicate fuse into one
+    zero-shuffle corpus scan; changing the mix never reshuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    gate = (
+        (F.col("n_words") >= 30) & (F.col("n_words") <= 5000)
+        & (F.col("mean_wl") >= 2.5) & (F.col("mean_wl") <= 10.0)
+        & (F.col("stop_r") >= 0.05) & (F.col("punct_r") <= 0.2)
+        & (F.col("word_rep") <= 0.5)
+    )
+    m = docs.select(
+        "doc_id",
+        X.whitespace_token_count("text").alias("n_words"),
+        X.mean_word_length("text").alias("mean_wl"),
+        X.stopword_ratio("text").alias("stop_r"),
+        X.punct_ratio("text").alias("punct_r"),
+        X.word_repetition_ratio("text").alias("word_rep"),
+    ).select("doc_id", F.when(gate, F.lit(10000)).otherwise(F.lit(2000)).alias("cut"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    return m.filter(bucket < F.col("cut")).select(
+        "doc_id", (F.col("cut") == 10000).cast("int").alias("keep")
+    )
