@@ -571,3 +571,40 @@ def w_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "hr", "n_obs", "value_ffill", "value_interp")
     )
+
+
+@register(
+    "w_gap_detection",
+    oracle="""
+    SELECT user_id,
+           prev_ts AS gap_start, ts AS gap_end,
+           CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_seconds
+    FROM (SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events) t
+    WHERE prev_ts IS NOT NULL
+      AND date_diff('second', prev_ts, ts) > 3600
+    """,
+)
+def w_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data report: per-key gaps longer than an hour between
+    consecutive events (lag + time diff — one window shuffle). The
+    operational complement to w_resample_interpolate: this finds the
+    holes, that fills them. Integer-second arithmetic on both engines
+    (Spark unix_timestamp truncation matches floor'd epoch diff because
+    the diff of truncations equals the truncated diff only when both
+    operands truncate the same way — so the diff is computed on the
+    truncated values on BOTH sides)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select("user_id", "ts", "event_id").withColumn("prev_ts", F.lag("ts").over(w))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+    return (
+        d.filter(F.col("prev_ts").isNotNull() & (gap > 3600))
+        .select(
+            "user_id",
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            gap.cast("long").alias("gap_seconds"),
+        )
+    )
