@@ -1005,3 +1005,58 @@ def x_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "suppkey")
         .limit(20)
     )
+
+
+@register(
+    "x_fuzzy_name_clusters",
+    oracle="""
+    WITH RECURSIVE n AS (
+      SELECT DISTINCT p_name AS name FROM part
+    ), pairs AS (
+      SELECT a.name AS id_a, b.name AS id_b
+      FROM n a JOIN n b
+        ON a.name < b.name
+       AND substring(lower(trim(a.name)), 1, 1) = substring(lower(trim(b.name)), 1, 1)
+      WHERE levenshtein(lower(trim(a.name)), lower(trim(b.name))) <= 2
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node AS name, min(label) AS canonical FROM reach GROUP BY node
+    )
+    SELECT name, canonical,
+           count(*) OVER (PARTITION BY canonical) AS cluster_size
+    FROM comp
+    """,
+)
+def x_fuzzy_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: blocked fuzzy pairs (edit distance
+    ≤ 2, record-linkage blocking — no cross join) → connected components
+    (min-label propagation works unchanged on STRING node ids; 'min'
+    label = lexicographically first name = the canonical form) →
+    canonical-name clusters. The same pairs→clusters composition the
+    near-dup doc pipeline uses, proven here on a second domain against
+    a recursive-CTE oracle."""
+    from ..operators.dedup import connected_components
+    from ..operators.relational import fuzzy_join_blocked
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name")).distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    pairs = (
+        fuzzy_join_blocked(a, b, "name_a", "name_b", max_distance=2, length_band=4)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b"))
+    )
+    labels = connected_components(pairs)
+    w = Window.partitionBy("canonical")
+    return (
+        labels.select(F.col("node").alias("name"), F.col("label").alias("canonical"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )
