@@ -39,7 +39,22 @@ def pagerank(
     (node, rank) with ranks summing to 1. Deterministic up to
     floating-point summation order (use tolerances, not hashes, when
     comparing)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Materialize the edge list ONCE (localCheckpoint, lineage severed):
+    # every iteration joins it, and without this the upstream plan
+    # (scans, joins, distinct) re-executes per iteration. Repartition
+    # BEFORE materializing: a materialized plan freezes its partitioning
+    # and is exempt from AQE coalescing, so freezing at the session's
+    # shuffle.partitions (e.g. a vanilla session's 200) would pin every
+    # iteration to hundreds of near-empty tasks — measured 15s → 272s at
+    # sf0.01 with a plain .cache(). defaultParallelism is cluster-
+    # proportional, and hashing on src co-partitions the materialized
+    # edges with the per-iteration contribution join key.
+    par = max(edges.sparkSession.sparkContext.defaultParallelism, 1)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
