@@ -331,7 +331,11 @@ def duplicate_spans(
     inclusive word offsets of each merged duplicated span, span_id dense
     per document in position order.
     """
-    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    # Explicit whitespace class (not \s): Java regex \s and DuckDB's RE2 \s
+    # disagree at the edges (\x0B), which cost a driver-round hash mismatch.
+    # The oracle twin uses the identical class so both engines tokenize
+    # byte-identically.
+    norm = F.trim(F.regexp_replace(F.col(text_col), "[ \t\n\r]+", " "))
     base = df.select(
         F.col(id_col), F.split(F.lower(norm), " ", -1).alias("_w")
     ).filter(F.size("_w") >= k)
@@ -367,11 +371,17 @@ def duplicate_spans(
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    # Pin every output to BIGINT so the oracle can CAST to the same type —
+    # DuckDB's windowed sum() yields HUGEINT, and unpinned numeric types are
+    # exactly the class of env-sensitive divergence the oracle lint bans.
     return (
         isl.groupBy(id_col, "span_id")
         .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
         )
-        .withColumn("span_words", F.col("span_end") - F.col("span_start") + 1)
+        .withColumn("span_id", F.col("span_id").cast("long"))
+        .withColumn(
+            "span_words", (F.col("span_end") - F.col("span_start") + 1).cast("long")
+        )
     )

@@ -435,13 +435,15 @@ def x_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+             string_split(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))), ' ') AS words
       FROM documents
     ), g AS (
       SELECT doc_id, unnest(generate_series(1, len(words) - 7)) AS pos, words
       FROM w WHERE len(words) >= 8
     ), gr AS (
-      SELECT doc_id, pos, array_to_string(words[pos:pos+7], ' ') AS gram FROM g
+      SELECT doc_id, pos,
+             array_to_string(list_transform(range(pos, pos + 8), i -> words[i]), ' ') AS gram
+      FROM g
     ), dup AS (
       SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2
     ), hits AS (
@@ -459,10 +461,11 @@ def x_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
       FROM isl
     )
-    SELECT doc_id, span_id,
-           min(pos)                    AS span_start,
-           max(pos) + 7                AS span_end,
-           max(pos) + 7 - min(pos) + 1 AS span_words
+    SELECT CAST(doc_id AS BIGINT)                            AS doc_id,
+           CAST(span_id AS BIGINT)                           AS span_id,
+           CAST(min(pos) AS BIGINT)                          AS span_start,
+           CAST(max(pos) + 7 AS BIGINT)                      AS span_end,
+           CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT)       AS span_words
     FROM isl2 GROUP BY doc_id, span_id
     """,
 )
