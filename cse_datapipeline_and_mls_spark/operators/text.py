@@ -21,7 +21,7 @@ STOPWORDS = (
 # BPE-ish token regex: words with optional leading space, numbers, or single
 # non-space punctuation — the classic GPT-2-style pre-tokenizer shape,
 # simplified to what Spark's regexp engine supports.
-TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
 
 
 def token_count(col: Column | str, pattern: str = TOKEN_REGEX) -> Column:
@@ -35,26 +35,26 @@ def token_count(col: Column | str, pattern: str = TOKEN_REGEX) -> Column:
 
 def whitespace_token_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.split(F.trim(c), r"\s+"))
+    return F.size(F.split(F.trim(c), r"[ \t\n\r]+"))
 
 
 def stopword_ratio(col: Column | str) -> Column:
     """Fraction of whitespace tokens that are stopwords — a quality signal."""
     c = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.lower(F.trim(c)), r"\s+")
+    words = F.split(F.lower(F.trim(c)), r"[ \t\n\r]+")
     stop = F.size(F.filter(words, lambda x: x.isin(*STOPWORDS)))
     return stop / F.nullif(F.size(words), F.lit(0))
 
 
 def punct_ratio(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^A-Za-z0-9_ \t\n\r]", ""))
     return n_punct / F.nullif(F.length(c), F.lit(0))
 
 
 def mean_word_length(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.trim(c), r"\s+")
+    words = F.split(F.trim(c), r"[ \t\n\r]+")
     total = F.aggregate(words, F.lit(0), lambda acc, x: acc + F.length(x))
     return total / F.nullif(F.size(words), F.lit(0))
 
@@ -106,7 +106,7 @@ def doc_fingerprint(col: Column | str) -> Column:
     whitespace-normalized lowercased text. The rolling-hash analogue for
     exact-dup detection; stable across partitions/runs."""
     c = F.col(col) if isinstance(col, str) else col
-    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"[ \t\n\r]+", " ")
     return F.xxhash64(normalized)
 
 
@@ -128,7 +128,7 @@ def word_repetition_ratio(col: Column | str) -> Column:
     document: 1 − |distinct words| / |words|. A Gopher-style repetition
     quality signal (high → boilerplate / keyword-stuffed text)."""
     c = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.lower(F.trim(c)), r"\s+")
+    words = F.split(F.lower(F.trim(c)), r"[ \t\n\r]+")
     return F.lit(1.0) - F.size(F.array_distinct(words)) / F.nullif(
         F.size(words), F.lit(0)
     )
@@ -139,7 +139,7 @@ def bigram_repetition_ratio(col: Column | str) -> Column:
     that word-level repetition misses. Built from a sequence-index
     transform (JVM-side, zero shuffle); documents with <2 words score 0."""
     c = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.lower(F.trim(c)), r"\s+")
+    words = F.split(F.lower(F.trim(c)), r"[ \t\n\r]+")
     n = F.size(words)
     bigrams = F.transform(
         F.sequence(F.lit(1), n - 1),
@@ -155,7 +155,7 @@ def bigram_repetition_ratio(col: Column | str) -> Column:
 # PII-ish patterns chosen from the Java-regex ∩ RE2 common subset so the
 # same pattern text runs identically in Spark and in a DuckDB oracle
 # (no lookarounds, no backrefs; \b and \S are supported by both).
-URL_REGEX = r"https?://\S+"
+URL_REGEX = r"https?://[^ \t\n\r]+"
 EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_REGEX = r"\b[0-9]{3}-[0-9]{4}\b"
 
@@ -198,7 +198,7 @@ def chunk_by_words(
     (tokenize, embed) parallelizes over the exploded rows. Row width
     stays bounded: each output row carries one chunk, not the document.
     """
-    words = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    words = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"[ \t\n\r]+", " "), " ")
     d = df.select(
         F.col(id_col), words.alias("_w"), ((F.size(words) - 1) / stride).cast("int").alias("_mx")
     )
@@ -249,7 +249,7 @@ def pack_sequences(
     # no regex-split engine in the hot expression, and the empty /
     # whitespace-only document is an explicit CASE (1 token, matching the
     # split-of-empty-string convention) rather than an engine-dependent edge.
-    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"[ \t\n\r]+", " "))
     n_tok = F.when(norm == "", F.lit(1)).otherwise(F.size(F.split(norm, " ", -1)))
     w = (
         Window.partitionBy("shard")

@@ -199,7 +199,7 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_word_topk",
     oracle="""
     SELECT word, count(*) AS n
-    FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM (SELECT unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r]+')) AS word
           FROM documents) t
     WHERE word <> ''
     GROUP BY word
@@ -214,7 +214,7 @@ def x_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     word; top-k is TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r]+")).alias("word")
     ).filter(F.col("word") != "")
     return (
         words.groupBy("word")
@@ -368,45 +368,97 @@ def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL sketches differ across engines by design
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           CAST(count(*) AS BIGINT)                  AS n_rows,
+           TRUE                                      AS within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB default for
     cardinality (SURVEY §2.4 absent list). Sketches are mergeable →
     map-side partials, O(1) memory per group vs the exact count's
-    per-group value set. Exact twin: agg_distinct_counts."""
+    per-group value set. Exact twin: agg_distinct_counts.
+
+    Hash-checkable bracket form (sketch values differ across engines by
+    design, so the raw estimate can never hash-match): the query outputs
+    the EXACT cardinality plus a boolean verdict that the HLL estimate
+    (rsd 0.01) landed within ±2%. The oracle computes the same exact side
+    and expects TRUE — an out-of-bracket sketch flips the boolean and
+    fails the hash, which is precisely the regression we want caught."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("_approx"),
+            F.countDistinct("l_partkey").alias("n_parts_exact"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts_exact",
+            "n_rows",
+            (
+                F.abs(F.col("_approx") - F.col("n_parts_exact"))
+                <= 0.02 * F.col("n_parts_exact")
+            ).alias("within_2pct"),
+        )
     )
 
 
-@register("agg_approx_percentile")  # rows-only: sketch quantiles differ across engines by design
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS q25_exact,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS q50_exact,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS q95_exact,
+           CAST(count(*) AS BIGINT)                       AS n_rows,
+           TRUE                                           AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) — the 100 TB default
     for quantiles: mergeable map-side sketches, bounded memory per
-    group, one pass; the exact percentile_disc/cont twin
-    (agg_percentiles) sorts each group's full value set. Error bound
-    (±0.5% rank at accuracy 10000) is asserted against the exact
-    quantiles in tests/test_relational.py.
+    group, one pass; the exact percentile_cont twin (agg_percentiles)
+    sorts each group's full value set. Error bound (±0.5% rank at
+    accuracy 10000) is asserted against the exact quantiles in
+    tests/test_relational.py.
 
-    The three quantiles come out of ONE shared sketch (single agg over
-    the array of probabilities) but are returned as scalar columns —
-    rows-only harnesses canonicalize by sorting cell values, and
-    array-typed cells are unhashable there."""
+    Hash-checkable bracket form: outputs the EXACT interpolated
+    percentiles (proven quantile_cont-parity via agg_percentiles) plus
+    one boolean verdict that every GK estimate is within ±5% of its
+    exact value. The oracle recomputes the exact side and expects TRUE,
+    so a drifting sketch fails the hash instead of hiding in a
+    rows-only check. Both sketch and exact come out of the same single
+    aggregation — still one shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     q = F.approx_percentile(
         "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)), 10000
     )
+    x = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95))
+    )
+    ok = (
+        (F.abs(F.element_at("_q", 1) - F.element_at("_x", 1)) <= 0.05 * F.element_at("_x", 1))
+        & (F.abs(F.element_at("_q", 2) - F.element_at("_x", 2)) <= 0.05 * F.element_at("_x", 2))
+        & (F.abs(F.element_at("_q", 3) - F.element_at("_x", 3)) <= 0.05 * F.element_at("_x", 3))
+    )
     return (
         li.groupBy("l_returnflag")
-        .agg(q.alias("_q"), F.count(F.lit(1)).alias("n_rows"))
+        .agg(q.alias("_q"), x.alias("_x"), F.count(F.lit(1)).alias("n_rows"))
         .select(
             "l_returnflag",
-            F.element_at("_q", 1).alias("q25"),
-            F.element_at("_q", 2).alias("q50"),
-            F.element_at("_q", 3).alias("q95"),
+            F.round(F.element_at("_x", 1), 4).alias("q25_exact"),
+            F.round(F.element_at("_x", 2), 4).alias("q50_exact"),
+            F.round(F.element_at("_x", 3), 4).alias("q95_exact"),
             "n_rows",
+            ok.alias("within_5pct"),
         )
     )
 
@@ -973,15 +1025,74 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_pagerank_suppliers")  # rows-only: float power iteration is not hash-stable across engines
+def _pagerank_oracle(iters: int = 6, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration power-method PageRank as DuckDB SQL —
+    the hash-checkable oracle twin of operators/graph.pagerank. Each
+    iteration is one CTE pair (contributions + dangling-mass scalar);
+    unrolling beats WITH RECURSIVE because the recursive term can't
+    aggregate. Every state CTE is MATERIALIZED — each is referenced 3×
+    (contribs, dangling mass, next state), and DuckDB's default CTE
+    inlining would otherwise re-derive the whole chain 3^iters times.
+    Both engines run the identical IEEE-double recurrence, so
+    divergence stays at summation-order level (~1e-15) and the shared
+    8-decimal rounding absorbs it."""
+    d = repr(damping)
+    sql = """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT -o.o_custkey AS src, l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), meta AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+    ), odeg AS (
+      SELECT src AS node, count(*) AS deg FROM e GROUP BY src
+    ), s0 AS MATERIALIZED (
+      SELECT nd.node, coalesce(odeg.deg, 0) AS deg,
+             1.0 / (SELECT n FROM meta) AS rank
+      FROM nodes nd LEFT JOIN odeg USING (node)
+    )"""
+    prev = "s0"
+    for i in range(1, iters + 1):
+        sql += f""", c{i} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(s.rank / s.deg) AS contrib
+      FROM e JOIN {prev} s ON e.src = s.node AND s.deg > 0
+      GROUP BY e.dst
+    ), dm{i} AS MATERIALIZED (
+      SELECT coalesce(sum(rank), 0.0) AS dm FROM {prev} WHERE deg = 0
+    ), s{i} AS MATERIALIZED (
+      SELECT s.node, s.deg,
+             (1.0 - {d}) / (SELECT n FROM meta)
+               + {d} * (coalesce(c.contrib, 0.0)
+                        + (SELECT dm FROM dm{i}) / (SELECT n FROM meta)) AS rank
+      FROM {prev} s LEFT JOIN c{i} c USING (node)
+    )"""
+        prev = f"s{i}"
+    sql += f"""
+    SELECT CAST(node AS BIGINT) AS suppkey, round(rank, 8) AS rank
+    FROM {prev} WHERE node > 0
+    ORDER BY round(rank, 8) DESC, node
+    LIMIT 20
+    """
+    return sql
+
+
+@register("x_pagerank_suppliers", oracle=_pagerank_oracle(iters=6))
 def x_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier importance via PageRank on the customer→supplier
     purchase graph (edges = distinct (custkey, suppkey) pairs through
     orders ⋈ lineitem). Iterative power method, one shuffle per
     iteration, dangling mass redistributed (operators/graph.py);
-    semantics pinned by closed-form tests in tests/test_graph.py. Top
-    suppliers returned with ranks rounded for display, keyed and
-    tie-broken deterministically."""
+    semantics pinned by closed-form tests in tests/test_graph.py AND a
+    hash-checked unrolled-SQL oracle (ranks rounded to 8 decimals; the
+    power method contracts, so cross-engine float jitter stays ~1e-15
+    and never reaches the 8th decimal at sf magnitudes).
+
+    Customer ids are NEGATED to disambiguate the two key spaces —
+    collision-free at ANY scale factor (TPC-H keys are strictly
+    positive), unlike a fixed additive offset which custkey outgrows at
+    SF≥7. Top-20 selection orders by the ROUNDED rank with suppkey
+    tiebreak so both engines cut the same boundary."""
     from ..operators.graph import pagerank
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -989,17 +1100,16 @@ def x_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.col("o_custkey").alias("src"),
-            # offset supplier ids so the two key spaces can't collide
-            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+            (-F.col("o_custkey")).alias("src"),
+            F.col("l_suppkey").alias("dst"),
         )
         .distinct()
     )
     pr = pagerank(edges, iters=6)
     return (
-        pr.filter(F.col("node") >= 1_000_000)
+        pr.filter(F.col("node") > 0)
         .select(
-            (F.col("node") - 1_000_000).alias("suppkey"),
+            F.col("node").alias("suppkey"),
             F.round("rank", 8).alias("rank"),
         )
         .orderBy(F.desc("rank"), "suppkey")

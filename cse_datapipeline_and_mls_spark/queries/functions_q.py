@@ -108,7 +108,7 @@ def f_filename_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            substring(p_brand, 1, 5)                        AS brand5,
            CAST(length(p_name) AS INT)                     AS name_len,
            concat(p_brand, ':', p_type)                    AS brand_type,
-           regexp_replace(lower(p_name), '[\\$#\\[\\]\\/\\.\\s]', '_', 'g') AS sanitized
+           regexp_replace(lower(p_name), '[\\$#\\[\\]\\/\\. \\t\\n\\r]', '_', 'g') AS sanitized
     FROM part
     """,
 )
@@ -124,7 +124,7 @@ def f_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_brand", 1, 5).alias("brand5"),
         F.length("p_name").cast("int").alias("name_len"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
-        F.regexp_replace(F.lower(F.col("p_name")), r"[\$#\[\]\/\.\s]", "_").alias("sanitized"),
+        F.regexp_replace(F.lower(F.col("p_name")), r"[\$#\[\]\/\. \t\n\r]", "_").alias("sanitized"),
     )
 
 

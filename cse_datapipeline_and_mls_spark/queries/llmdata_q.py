@@ -31,14 +31,14 @@ from . import register
       FROM documents
     )
     SELECT doc_id,
-           CAST(len(regexp_extract_all(raw_text, 'https?://\S+')) AS INT)  AS n_urls,
+           CAST(len(regexp_extract_all(raw_text, 'https?://[^ \t\n\r]+')) AS INT)  AS n_urls,
            CAST(len(regexp_extract_all(raw_text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)    AS n_emails,
            CAST(len(regexp_extract_all(raw_text,
              '\b[0-9]{3}-[0-9]{4}\b')) AS INT)                             AS n_phones,
            regexp_replace(
              regexp_replace(
-               regexp_replace(raw_text, 'https?://\S+', '<URL>', 'g'),
+               regexp_replace(raw_text, 'https?://[^ \t\n\r]+', '<URL>', 'g'),
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')                      AS clean_text
     FROM raw
@@ -81,7 +81,7 @@ def x_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH words AS (
       SELECT doc_id,
-             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+             string_split(regexp_replace(trim(text), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
       FROM documents
     ), chunks AS (
       SELECT doc_id, unnest(generate_series(0, CAST(floor((len(w) - 1) / 40) AS INT)))
@@ -110,12 +110,12 @@ def x_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source,
              regexp_replace(
                regexp_replace(
-                 regexp_replace(text, 'https?://\\S+', '<URL>', 'g'),
+                 regexp_replace(text, 'https?://[^ \\t\\n\\r]+', '<URL>', 'g'),
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g')               AS clean_text,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)   AS n_words,
-             list_sum(list_transform(string_split_regex(trim(text), '\\s+'), w -> len(w)))
-               / nullif(len(string_split_regex(trim(text), '\\s+')), 0) AS mean_wl,
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r]+')) AS INT)   AS n_words,
+             list_sum(list_transform(string_split_regex(trim(text), '[ \\t\\n\\r]+'), w -> len(w)))
+               / nullif(len(string_split_regex(trim(text), '[ \\t\\n\\r]+')), 0) AS mean_wl,
              len(list_filter(string_split(lower(trim(text)), ' '),
                  x -> list_contains(['the','a','an','and','or','but','if','then','is',
                                      'are','was','were','be','been','being','of','to',
@@ -125,7 +125,7 @@ def x_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
              1.0 - len(list_distinct(string_split(lower(trim(text)), ' ')))
                / nullif(len(string_split(lower(trim(text)), ' ')), 0)   AS word_rep,
              row_number() OVER (
-               PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+               PARTITION BY regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g')
                ORDER BY doc_id)                                         AS dup_rn
       FROM documents
     )
@@ -252,7 +252,7 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_vocab_build",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r]+')) AS word
       FROM documents
     ), counts AS (
       SELECT word, count(*) AS n, count(DISTINCT doc_id) AS df
@@ -281,7 +281,7 @@ def x_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r]+")).alias("word"),
     )
     counts = (
         toks.groupBy("word")
@@ -310,7 +310,7 @@ def x_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_bigram_lm_score",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+      SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r]+') AS words
       FROM documents
     ), bg AS (
       SELECT doc_id, unnest(list_transform(range(1, len(words)),
@@ -347,7 +347,7 @@ def x_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     supports by filtering cb before the join. avg(ln ·) rounds to 4dp so
     cross-engine summation order can't flip the hash."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r]+")
     w = docs.select("doc_id", words.alias("words")).filter(F.size("words") >= 2)
     bg = w.select(
         "doc_id",
@@ -385,8 +385,8 @@ def x_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT doc_id, source,
-             len(string_split_regex(trim(text), '\\s+')) AS n_words,
-             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+             len(string_split_regex(trim(text), '[ \\t\\n\\r]+')) AS n_words,
+             md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')))) AS fp
       FROM documents
     )
     SELECT CAST(count(*) AS BIGINT)                                   AS n_docs,
@@ -411,8 +411,8 @@ def x_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial except the exact percentiles, whose 100 TB stand-in is
     approx_percentile (see agg_approx_percentile)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_words = F.size(F.split(F.trim("text"), r"\s+"))
-    fp = F.md5(F.encode(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), "UTF-8"))
+    n_words = F.size(F.split(F.trim("text"), r"[ \t\n\r]+"))
+    fp = F.md5(F.encode(F.lower(F.trim(F.regexp_replace("text", r"[ \t\n\r]+", " "))), "UTF-8"))
     d = docs.select("doc_id", "source", n_words.alias("n_words"), fp.alias("fp"))
     return d.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -483,7 +483,7 @@ def x_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_bigram_lm_score_pruned",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+      SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r]+') AS words
       FROM documents
     ), bg AS (
       SELECT doc_id, unnest(list_transform(range(1, len(words)),
@@ -527,7 +527,7 @@ def x_bigram_lm_score_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     window). Scores round to 4dp so summation order can't flip the hash;
     n_backoff exposes how much of each doc fell outside the pruned model."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r]+")
     w = docs.select("doc_id", words.alias("words")).filter(F.size("words") >= 2)
     bg = w.select(
         "doc_id",
@@ -644,7 +644,7 @@ def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE words AS (
       SELECT doc_id,
-             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
       FROM documents
     ), tokens AS (
       SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx FROM words
@@ -686,10 +686,10 @@ def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         'in','on','for','with','as','at','by','from',
                                         'that','this','it','its','not','no'], x)))
                 / nullif(len(string_split(lower(trim(text)), ' ')), 0), 1.0)
-          + greatest(0.0, 1.0 - 4.0 * (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+          + greatest(0.0, 1.0 - 4.0 * (length(text) - length(regexp_replace(text, '[^A-Za-z0-9_ \\t\\n\\r]', '', 'g')))
                 / nullif(length(text), 0))
-          + CASE WHEN list_sum(list_transform(string_split_regex(trim(text), '\\s+'), x -> length(x)))
-                      / nullif(len(string_split_regex(trim(text), '\\s+')), 0)
+          + CASE WHEN list_sum(list_transform(string_split_regex(trim(text), '[ \\t\\n\\r]+'), x -> length(x)))
+                      / nullif(len(string_split_regex(trim(text), '[ \\t\\n\\r]+')), 0)
                  BETWEEN 3 AND 10 THEN 1.0 ELSE 0.3 END
         ) / 4.0, 6) AS quality
       FROM documents s
@@ -738,16 +738,16 @@ def x_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_words,
-             list_sum(list_transform(string_split_regex(trim(text), '\\s+'), w -> len(w)))
-               / nullif(len(string_split_regex(trim(text), '\\s+')), 0)  AS mean_wl,
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r]+')) AS INT) AS n_words,
+             list_sum(list_transform(string_split_regex(trim(text), '[ \\t\\n\\r]+'), w -> len(w)))
+               / nullif(len(string_split_regex(trim(text), '[ \\t\\n\\r]+')), 0)  AS mean_wl,
              len(list_filter(string_split(lower(trim(text)), ' '),
                  x -> list_contains(['the','a','an','and','or','but','if','then','is',
                                      'are','was','were','be','been','being','of','to',
                                      'in','on','for','with','as','at','by','from',
                                      'that','this','it','its','not','no'], x)))
                / nullif(len(string_split(lower(trim(text)), ' ')), 0)    AS stop_r,
-             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9_ \\t\\n\\r]', '', 'g')))
                / nullif(length(text), 0)                                 AS punct_r,
              1.0 - len(list_distinct(string_split(lower(trim(text)), ' ')))
                / nullif(len(string_split(lower(trim(text)), ' ')), 0)    AS word_rep
@@ -827,7 +827,7 @@ def x_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN nt = '' THEN CAST(1 AS BIGINT)
                   ELSE CAST(len(string_split(nt, ' ')) AS BIGINT) END AS n_tok
       FROM (SELECT source, doc_id,
-                   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+                   trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')) AS nt
             FROM documents) t0
     ), o AS (
       SELECT shard, doc_id, n_tok,
@@ -841,9 +841,9 @@ def x_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM o
     )
     SELECT shard, seq_id, doc_id, n_tok,
-           greatest(0, seq_id * 512 - off)                              AS frag_start,
-           least(n_tok, (seq_id + 1) * 512 - off)
-             - greatest(0, seq_id * 512 - off)                          AS frag_len
+           CAST(greatest(0, seq_id * 512 - off) AS BIGINT)              AS frag_start,
+           CAST(least(n_tok, (seq_id + 1) * 512 - off)
+             - greatest(0, seq_id * 512 - off) AS BIGINT)               AS frag_len
     FROM e
     """,
 )
@@ -866,7 +866,7 @@ def x_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
              )) AS grams
       FROM (SELECT doc_id,
-                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+                   string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
             FROM documents WHERE source IN ('src0', 'src1')) t
       WHERE len(w) >= 5
     ), tr AS (
@@ -876,7 +876,7 @@ def x_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
              )) AS grams
       FROM (SELECT doc_id,
-                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+                   string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
             FROM documents WHERE source NOT IN ('src0', 'src1')) t
       WHERE len(w) >= 5
     ), ex_e AS (
@@ -920,7 +920,7 @@ def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ").alias(
+        F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\r]+", " "), " ").alias(
             "tokens"
         )
     )
@@ -936,7 +936,7 @@ def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN nt = '' THEN CAST(1 AS BIGINT)
                   ELSE CAST(len(string_split(nt, ' ')) AS BIGINT) END AS n_tok
       FROM (SELECT source, doc_id,
-                   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+                   trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')) AS nt
             FROM documents) t0
     ), o AS (
       SELECT shard, doc_id, n_tok,
@@ -987,16 +987,16 @@ def x_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_words,
-             list_sum(list_transform(string_split_regex(trim(text), '\\s+'), w -> len(w)))
-               / nullif(len(string_split_regex(trim(text), '\\s+')), 0)  AS mean_wl,
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r]+')) AS INT) AS n_words,
+             list_sum(list_transform(string_split_regex(trim(text), '[ \\t\\n\\r]+'), w -> len(w)))
+               / nullif(len(string_split_regex(trim(text), '[ \\t\\n\\r]+')), 0)  AS mean_wl,
              len(list_filter(string_split(lower(trim(text)), ' '),
                  x -> list_contains(['the','a','an','and','or','but','if','then','is',
                                      'are','was','were','be','been','being','of','to',
                                      'in','on','for','with','as','at','by','from',
                                      'that','this','it','its','not','no'], x)))
                / nullif(len(string_split(lower(trim(text)), ' ')), 0)    AS stop_r,
-             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9_ \\t\\n\\r]', '', 'g')))
                / nullif(length(text), 0)                                 AS punct_r,
              1.0 - len(list_distinct(string_split(lower(trim(text)), ' ')))
                / nullif(len(string_split(lower(trim(text)), ' ')), 0)    AS word_rep

@@ -27,7 +27,7 @@ from . import register
     JOIN (
       SELECT min(doc_id) AS doc_id
       FROM documents
-      GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+      GROUP BY regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g')
     ) keep USING (doc_id)
     """,
 )
@@ -45,7 +45,7 @@ def x_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH words AS (
       SELECT doc_id,
-             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
       FROM documents
     ), tokens AS (
       SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx FROM words
@@ -319,15 +319,15 @@ def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_text_token_stats",
     oracle="""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)                        AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS INT) AS n_tokens,
+           CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r]+')) AS INT)                        AS n_ws_tokens,
            round(len(list_filter(string_split(lower(trim(text)), ' '),
                      x -> list_contains(['the','a','an','and','or','but','if','then','is',
                                          'are','was','were','be','been','being','of','to',
                                          'in','on','for','with','as','at','by','from',
                                          'that','this','it','its','not','no'], x)))
                  / nullif(len(string_split(lower(trim(text)), ' ')), 0), 6)                AS stopword_ratio,
-           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+           round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9_ \\t\\n\\r]', '', 'g')))
                  / nullif(length(text), 0), 6)                                             AS punct_ratio
     FROM documents
     """,
@@ -350,7 +350,7 @@ def x_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH padded AS (
       SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
-             string_split_regex(trim(text), '\\s+') AS words
+             string_split_regex(trim(text), '[ \\t\\n\\r]+') AS words
       FROM documents
     ), scores AS (
       SELECT doc_id, text, words,
@@ -386,7 +386,7 @@ def x_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       'in','on','for','with','as','at','by','from',
                                       'that','this','it','its','not','no'], x)))
               / nullif(len(string_split(lower(trim(text)), ' ')), 0), 1.0)
-        + greatest(0.0, 1.0 - 4.0 * (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+        + greatest(0.0, 1.0 - 4.0 * (length(text) - length(regexp_replace(text, '[^A-Za-z0-9_ \\t\\n\\r]', '', 'g')))
               / nullif(length(text), 0))
         + CASE WHEN list_sum(list_transform(words, x -> length(x)))
                     / nullif(len(words), 0) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.3 END
@@ -408,8 +408,8 @@ def x_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_fingerprint_dup_groups",
     oracle="""
     SELECT count(*) AS n_docs,
-           count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_distinct,
-           count(*) - count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_dups
+           count(DISTINCT regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g')) AS n_distinct,
+           count(*) - count(DISTINCT regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g')) AS n_dups
     FROM documents
     """,
 )
@@ -530,7 +530,7 @@ def x_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE words AS (
       SELECT doc_id,
-             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
       FROM documents
     ), tokens AS (
       SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx FROM words
@@ -593,7 +593,7 @@ def x_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE words AS (
       SELECT doc_id,
-             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
       FROM documents
     ), tokens AS (
       SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx FROM words
@@ -654,7 +654,7 @@ def x_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_tfidf_top_terms",
     oracle="""
     WITH words AS (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r]+')) AS word
       FROM documents
     ), tf AS (
       SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2
@@ -683,7 +683,7 @@ def x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, not a driver collect."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r]+")).alias("word")
     )
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     # df comes from tf via a per-word window — tf already holds exactly one

@@ -220,10 +220,10 @@ def tpch_q11_shape_important_parts(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 120 DAY
                 THEN 'late' ELSE 'ontime' END AS ship_bucket,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE year(l.l_shipdate) = 1997
     GROUP BY 1

@@ -153,7 +153,7 @@ FINANCIALS_SCHEMA = T.StructType(
 # Ingest-boundary helpers
 # ---------------------------------------------------------------------------
 
-_SANITIZE_RE = re.compile(r"[\$#\[\]\/\.\s]")
+_SANITIZE_RE = re.compile(r"[\$#\[\]\/\. \t\n\r]")
 
 
 def sanitize_column_name(name: str) -> str:
@@ -161,7 +161,7 @@ def sanitize_column_name(name: str) -> str:
 
     Reproduces the reference's scrape-time cleanup
     (reference data-pipeline/scraper/main.py:57:
-    ``df.columns.str.replace(r'[\\$#\\[\\]\\/\\.\\s]', '_', regex=True)``)
+    ``df.columns.str.replace(r'[\\$#\\[\\]\\/\\. \\t\\n\\r]', '_', regex=True)``)
     as a pure function applied once at the ingest boundary.
     """
     return _SANITIZE_RE.sub("_", name)

@@ -76,11 +76,13 @@ def test_approx_count_distinct_within_error_bound(spark, sf_dir):
     from cse_datapipeline_and_mls_spark.queries import QUERIES
     from cse_datapipeline_and_mls_spark.sources import load_table
 
-    approx = {
-        r["l_returnflag"]: r["n_parts_approx"]
-        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
-    }
     li = load_table(spark, sf_dir, "lineitem")
+    approx = {
+        r["l_returnflag"]: r["n_approx"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("n_approx"))
+        .collect()
+    }
     exact = {
         r["l_returnflag"]: r["n_exact"]
         for r in li.groupBy("l_returnflag")
@@ -91,6 +93,11 @@ def test_approx_count_distinct_within_error_bound(spark, sf_dir):
     for flag, n in exact.items():
         rel_err = abs(approx[flag] - n) / n
         assert rel_err <= 0.05, f"{flag}: approx {approx[flag]} vs exact {n} ({rel_err:.1%})"
+    # the registered bracket-verdict query must agree: exact side matches,
+    # every group's sketch inside the ±2% bracket
+    for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect():
+        assert r["n_parts_exact"] == exact[r["l_returnflag"]]
+        assert r["within_2pct"], f"{r['l_returnflag']}: sketch outside ±2% bracket"
 
 
 def test_approx_percentile_within_rank_error(spark, sf_dir):
@@ -100,11 +107,17 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
     from cse_datapipeline_and_mls_spark.queries import QUERIES
     from cse_datapipeline_and_mls_spark.sources import load_table
 
-    approx = {
-        r["l_returnflag"]: [r["q25"], r["q50"], r["q95"]]
-        for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
-    }
     li = load_table(spark, sf_dir, "lineitem")
+    qexpr = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)), 10000
+    )
+    approx = {
+        r["l_returnflag"]: list(r["_q"])
+        for r in li.groupBy("l_returnflag").agg(qexpr.alias("_q")).collect()
+    }
+    # the registered bracket-verdict query must report every sketch in-bracket
+    for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect():
+        assert r["within_5pct"], f"{r['l_returnflag']}: sketch outside ±5% bracket"
     vals = {}
     for r in li.select("l_returnflag", "l_extendedprice").collect():
         vals.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
