@@ -200,61 +200,124 @@ def fuzzy_join_blocked(
     right_col: str,
     max_distance: int = 2,
     length_band: int = 4,
+    method: str = "segment",
 ) -> DataFrame:
     """Fuzzy string match (edit distance ≤ ``max_distance``) WITHOUT the
-    all-pairs cross join: classic record-linkage BLOCKING. Each side
-    derives deterministic blocking keys — normalized first character ×
-    length bucket — and candidates come from an equi-join on the block
-    key; levenshtein runs only inside blocks.
+    all-pairs cross join: candidates come from an equi-join on derived
+    blocking keys; levenshtein runs only inside blocks.
 
-    The LEFT side emits blocks for its length bucket and both adjacent
-    buckets; the right side emits only its own — any pair within
-    ``max_distance ≤ length_band`` edits (length difference at most
-    ``max_distance``) lands at most one bucket apart, so they share a
-    block when their first characters match, at 3× (not 9×) candidate
-    inflation. First-character
-    blocking is the one recall approximation (an edit at position 0 can
-    move a pair across blocks) — standard practice; add a second pass
-    blocked on last character if that tail matters. At 100 TB the block
-    key spreads the corpus like any group-by key; pathological blocks
-    (every string starting 'a' at length 8) are exactly the skew the
-    salted-join pattern above handles.
+    ``method="segment"`` (default) — pigeonhole segment blocking in the
+    PassJoin family (Li, Deng & Feng, "PASS-JOIN: a partition-based
+    method for similarity joins", VLDB 2011 — public algorithm):
+    the RIGHT side partitions its normalized string into
+    ``max_distance+1`` near-even segments; ≤ ``max_distance`` edits
+    cannot touch every segment, so at least one survives verbatim in
+    any matching left string, shifted by at most ``max_distance``
+    positions. The LEFT side therefore probes with every substring of
+    matching segment length within that position window, for every
+    candidate right-length in ``±max_distance``. Keys are
+    (right_len, segment_idx, segment_text) — COMPLETE recall (proven
+    against brute force in tests, including position-0 and
+    double-endpoint edits), at ~(2d+1)²(d+1) ≈ 75 probe keys per left
+    row for d=2 vs 3 for prefix blocking. Strings shorter than
+    ``max_distance+1`` chars can't fill the segments and fall into a
+    tiny per-length block (complete there too).
 
-    Output: (left row.., right row.., edit_distance), deduplicated when
-    a pair shares several blocks.
+    ``method="prefix"`` — the classic cheap heuristic: first-character
+    × length-bucket blocks, plus a second pass blocked on the LAST
+    character so a single edit at position 0 no longer escapes
+    (VERDICT r3 task 7). Still approximate: a pair edited at BOTH
+    endpoints (e.g. 'abc'→'bd') shares neither block — use
+    ``method="segment"`` when recall must be exact.
+
+    At 100 TB either key family spreads like any group-by key;
+    pathological blocks are the skew the salted-join pattern above
+    handles. Output: (left row.., right row.., edit_distance). A pair
+    reachable through several blocks is emitted once — dedup is by
+    per-row ids, not full-row distinct, so genuinely duplicate input
+    rows keep their multiplicity and map-typed payload columns survive.
     """
-    if max_distance > length_band:
-        raise ValueError(
-            f"length_band={length_band} cannot guarantee recall for "
-            f"max_distance={max_distance}: pairs may differ by more than one bucket"
-        )
+    tau = int(max_distance)
+    lid = left.withColumn("_lid", F.monotonically_increasing_id())
+    rid = right.withColumn("_rid", F.monotonically_increasing_id())
 
-    def keyed(df: DataFrame, col: str, with_neighbors: bool) -> DataFrame:
-        norm = F.lower(F.trim(F.col(col)))
-        bucket = F.floor(F.length(norm) / length_band)
-        first = F.substring(norm, 1, 1)
-        blocks = (
-            F.array_distinct(
-                F.array(
-                    F.concat_ws("|", first, (bucket - 1).cast("string")),
-                    F.concat_ws("|", first, bucket.cast("string")),
-                    F.concat_ws("|", first, (bucket + 1).cast("string")),
-                )
+    if method == "segment":
+        k = tau + 1
+        seg_len = f"(n DIV {k} + IF(i < n % {k}, 1, 0))"
+        seg_pos = f"(i * (n DIV {k}) + LEAST(i, n % {k}))"
+
+        # Build with SQL lambdas (all JVM-side, zero Python in the row path).
+        # n <= tau: segments would be empty -> single per-length key.
+        right_expr = f"""
+        CASE WHEN length(_norm) <= {tau}
+             THEN array(named_struct('kn', length(_norm), 'ki', -1, 'kseg', ''))
+             ELSE transform(sequence(0, {tau}), i ->
+                    named_struct(
+                      'kn', length(_norm), 'ki', i,
+                      'kseg', substring(_norm,
+                                        i * (length(_norm) DIV {k}) + LEAST(i, length(_norm) % {k}) + 1,
+                                        length(_norm) DIV {k} + IF(i < length(_norm) % {k}, 1, 0))))
+        END"""
+        left_expr = f"""
+        flatten(transform(sequence(greatest(length(_norm) - {tau}, 0), length(_norm) + {tau}), n ->
+          CASE WHEN n <= {tau}
+               THEN array(named_struct('kn', n, 'ki', -1, 'kseg', ''))
+               ELSE flatten(transform(sequence(0, {tau}), i ->
+                 CASE WHEN greatest({seg_pos} - {tau}, 0)
+                        > least({seg_pos} + {tau}, length(_norm) - {seg_len})
+                      THEN array()
+                      ELSE transform(sequence(greatest({seg_pos} - {tau}, 0),
+                                              least({seg_pos} + {tau}, length(_norm) - {seg_len})), q ->
+                             named_struct('kn', n, 'ki', i,
+                                          'kseg', substring(_norm, q + 1, {seg_len})))
+                 END))
+          END))"""
+        lk = (
+            lid.withColumn("_norm", F.lower(F.trim(F.col(left_col))))
+            .withColumn("_key", F.explode(F.expr(left_expr)))
+            .select(*lid.columns, F.col("_key.kn").alias("_kn"),
+                    F.col("_key.ki").alias("_ki"), F.col("_key.kseg").alias("_kseg"))
+        )
+        rk = (
+            rid.withColumn("_norm", F.lower(F.trim(F.col(right_col))))
+            .withColumn("_key", F.explode(F.expr(right_expr)))
+            .select(*rid.columns, F.col("_key.kn").alias("_kn"),
+                    F.col("_key.ki").alias("_ki"), F.col("_key.kseg").alias("_kseg"))
+        )
+        joined = lk.join(rk, ["_kn", "_ki", "_kseg"]).drop("_kn", "_ki", "_kseg")
+    elif method == "prefix":
+        if max_distance > length_band:
+            raise ValueError(
+                f"length_band={length_band} cannot guarantee recall for "
+                f"max_distance={max_distance}: pairs may differ by more than one bucket"
             )
-            if with_neighbors
-            else F.array(F.concat_ws("|", first, bucket.cast("string")))
-        )
-        return df.withColumn("_blk", F.explode(blocks))
 
-    lk = keyed(left, left_col, with_neighbors=True)
-    rk = keyed(right, right_col, with_neighbors=False)
+        def keyed(df: DataFrame, col: str, with_neighbors: bool) -> DataFrame:
+            norm = F.lower(F.trim(F.col(col)))
+            bucket = F.floor(F.length(norm) / length_band)
+            ends = [F.substring(norm, 1, 1), F.substr(norm, F.length(norm), F.lit(1))]
+            buckets = [bucket - 1, bucket, bucket + 1] if with_neighbors else [bucket]
+            blocks = F.array_distinct(
+                F.array(*[
+                    F.concat_ws("|", F.lit(tag), ch, b.cast("string"))
+                    for tag, ch in zip(("F", "L"), ends)
+                    for b in buckets
+                ])
+            )
+            return df.withColumn("_blk", F.explode(blocks))
+
+        joined = keyed(lid, left_col, True).join(
+            keyed(rid, right_col, False), "_blk"
+        ).drop("_blk")
+    else:
+        raise ValueError(f"unknown method {method!r}: use 'segment' or 'prefix'")
+
     dist = F.levenshtein(
-        F.lower(F.trim(lk[left_col])), F.lower(F.trim(rk[right_col]))
+        F.lower(F.trim(F.col(left_col))), F.lower(F.trim(F.col(right_col)))
     )
     return (
-        lk.join(rk, "_blk")
-        .withColumn("edit_distance", dist)
-        .filter(F.col("edit_distance") <= max_distance)
-        .drop("_blk")
-        .distinct()
+        joined.withColumn("edit_distance", dist)
+        .filter(F.col("edit_distance") <= tau)
+        .dropDuplicates(["_lid", "_rid"])
+        .drop("_lid", "_rid")
     )

@@ -852,18 +852,19 @@ def x_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(levenshtein(lower(trim(a.name)), lower(trim(b.name))) AS INT) AS edit_distance
     FROM n a JOIN n b
       ON a.name < b.name
-     AND substring(lower(trim(a.name)), 1, 1) = substring(lower(trim(b.name)), 1, 1)
+     AND length(a.name) - length(b.name) BETWEEN -2 AND 2
     WHERE levenshtein(lower(trim(a.name)), lower(trim(b.name))) <= 2
     """,
 )
 def j_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy self-match on part names via BLOCKED levenshtein
-    (operators/relational.fuzzy_join_blocked): candidates from a
-    first-char × length-bucket equi-join, never an all-pairs cross.
-    With max_distance(2) ≤ length_band(4) the blocked result is exactly
-    {pairs: distance ≤ 2 ∧ equal first char} — which is what the oracle
-    states directly, so the hash check proves the blocking loses
-    nothing vs its contract."""
+    (operators/relational.fuzzy_join_blocked, pigeonhole segment
+    blocking): candidates from a (length, segment_idx, segment) equi-
+    join, never an all-pairs cross — and COMPLETE, so the oracle is the
+    unblocked truth {pairs: distance ≤ 2} and the hash check proves the
+    blocking loses nothing at all. (The oracle's length-difference
+    prefilter is a necessary condition of distance ≤ 2, not a blocking
+    approximation.)"""
     from ..operators.relational import fuzzy_join_blocked
 
     part = load_table(spark, sf_dir, "part")
@@ -1126,7 +1127,7 @@ def x_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.name AS id_a, b.name AS id_b
       FROM n a JOIN n b
         ON a.name < b.name
-       AND substring(lower(trim(a.name)), 1, 1) = substring(lower(trim(b.name)), 1, 1)
+       AND length(a.name) - length(b.name) BETWEEN -2 AND 2
       WHERE levenshtein(lower(trim(a.name)), lower(trim(b.name))) <= 2
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs

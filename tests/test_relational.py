@@ -136,44 +136,82 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
             )
 
 
-def test_fuzzy_join_blocked_matches_exact_within_contract(spark):
-    """Blocked fuzzy join == exhaustive levenshtein filtered to the
-    blocking contract (equal first char), and raises when the length
-    band can't guarantee recall."""
+def _lev(x, y):
+    prev = list(range(len(y) + 1))
+    for i, cx in enumerate(x, 1):
+        cur = [i]
+        for j, cy in enumerate(y, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (cx != cy)))
+        prev = cur
+    return prev[-1]
+
+
+# adversarial set: position-0 edits ('red'→'ted'), double-endpoint edits
+# ('abc' vs 'bd' — one edit at EACH end, the case endpoint blocking can
+# never catch), single-char and empty strings, endpoint indels
+FUZZY_NAMES = ["red widget", "red widgets", "red widget ", "blue bolt", "blue boltz",
+               "small gear", "smal gear", "big gizmo", "red gizmo", "tiny bolt",
+               "ted widget", "abc", "bd", "ab", "cd", "a", "b", "", "x gear",
+               "smallgear", "bolt", "olt", "oltz", "zbolt", "boltx"]
+
+
+def test_fuzzy_join_segment_exact_parity_with_brute_force(spark):
+    """Segment (PassJoin pigeonhole) blocking == exhaustive levenshtein,
+    with NO blocking-contract carve-out — exact parity at distance ≤ 2
+    including position-0 and double-endpoint edits (VERDICT r3 task 7)."""
     import itertools
 
+    from cse_datapipeline_and_mls_spark.operators.relational import fuzzy_join_blocked
+
+    df = spark.createDataFrame([(n,) for n in FUZZY_NAMES], "name string")
+    a = df.select(F.col("name").alias("name_a"))
+    b = df.select(F.col("name").alias("name_b"))
+    for tau in (1, 2):
+        got = {
+            (r["name_a"], r["name_b"], r["edit_distance"])
+            for r in fuzzy_join_blocked(a, b, "name_a", "name_b", max_distance=tau)
+            .filter(F.col("name_a") < F.col("name_b"))
+            .collect()
+        }
+        want = set()
+        for x, y in itertools.combinations(sorted(FUZZY_NAMES), 2):
+            d = _lev(x.lower().strip(), y.lower().strip())
+            if d <= tau:
+                want.add((x, y, d))
+        assert got == want, (
+            f"tau={tau}: missing={want - got} extra={got - want}"
+        )
+    assert any(d == 1 for *_, d in got)  # real near-misses exist
+
+
+def test_fuzzy_join_prefix_mode_contract(spark):
+    """Prefix mode (cheap heuristic): the added last-char second pass
+    catches single position-0 edits; the documented residual gap is the
+    double-endpoint case; the length-band guard still raises; duplicate
+    input rows keep their multiplicity (ADVICE r3: no full-row distinct)."""
     import pytest
 
     from cse_datapipeline_and_mls_spark.operators.relational import fuzzy_join_blocked
 
-    names = ["red widget", "red widgets", "red widget ", "blue bolt", "blue boltz",
-             "small gear", "smal gear", "big gizmo", "red gizmo", "tiny bolt"]
-    df = spark.createDataFrame([(n,) for n in names], "name string")
+    df = spark.createDataFrame([(n,) for n in FUZZY_NAMES], "name string")
     a = df.select(F.col("name").alias("name_a"))
     b = df.select(F.col("name").alias("name_b"))
     got = {
-        (r["name_a"], r["name_b"], r["edit_distance"])
-        for r in fuzzy_join_blocked(a, b, "name_a", "name_b", max_distance=2)
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_join_blocked(a, b, "name_a", "name_b", max_distance=2,
+                                    method="prefix")
         .filter(F.col("name_a") < F.col("name_b"))
         .collect()
     }
-
-    def lev(x, y):
-        prev = list(range(len(y) + 1))
-        for i, cx in enumerate(x, 1):
-            cur = [i]
-            for j, cy in enumerate(y, 1):
-                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (cx != cy)))
-            prev = cur
-        return prev[-1]
-
-    want = set()
-    for x, y in itertools.combinations(sorted(names), 2):
-        nx, ny = x.lower().strip(), y.lower().strip()
-        if nx[:1] == ny[:1] and lev(nx, ny) <= 2:
-            want.add((x, y, lev(nx, ny)))
-    assert got == want
-    assert any(d == 1 for *_, d in got)  # real near-misses exist
+    assert ("red widget", "ted widget") in got  # position-0 edit, last-char pass
+    assert ("abc", "bd") not in got  # documented double-endpoint gap
 
     with pytest.raises(ValueError, match="length_band"):
-        fuzzy_join_blocked(a, b, "name_a", "name_b", max_distance=5, length_band=4)
+        fuzzy_join_blocked(a, b, "name_a", "name_b", max_distance=5, length_band=4,
+                           method="prefix")
+
+    # multiplicity: two identical left rows each match
+    dup = spark.createDataFrame([("bolt",), ("bolt",)], "name_a string")
+    one = spark.createDataFrame([("bolts",)], "name_b string")
+    out = fuzzy_join_blocked(dup, one, "name_a", "name_b", max_distance=2)
+    assert out.count() == 2
