@@ -71,25 +71,48 @@ def validate_expectations(
     docstring for the full cost model."""
     parents = parents or {}
     spark = df.sparkSession
-    results: list[DataFrame] = []
+
+    # Check names are user input that becomes output data — never SQL
+    # text (the unpivot below is built from typed literals, so quotes,
+    # spaces, or SQL metacharacters in a name are just characters).
+    # Duplicates would silently collide in the result frame: reject.
+    seen: set[str] = set()
+    for c in checks:
+        if c.name in seen:
+            raise ValueError(f"duplicate check name: {c.name!r}")
+        seen.add(c.name)
+
+    empty = spark.createDataFrame(
+        [], "check_name string, kind string, n_violations long"
+    )
+    results: list[DataFrame] = [empty]
 
     row_checks = [c for c in checks if c.kind in ("not_null", "in_set", "range", "expr")]
     if row_checks:
         # coalesce: sum over an EMPTY input is NULL, and an empty table
-        # (or empty micro-batch in the streaming gate) violates nothing
+        # (or empty micro-batch in the streaming gate) violates nothing.
+        # Aliases are positional (_v0, _v1, ...) so arbitrary check names
+        # never reach an identifier position.
         aggs = [
-            F.coalesce(F.sum(_row_violation(c).cast("long")), F.lit(0)).alias(c.name)
-            for c in row_checks
+            F.coalesce(F.sum(_row_violation(c).cast("long")), F.lit(0)).alias(f"_v{i}")
+            for i, c in enumerate(row_checks)
         ]
         one = df.agg(*aggs)
-        # unpivot the 1-row wide frame into tidy rows (stack is fine at
-        # |checks| columns)
-        pairs = ", ".join(f"'{c.name}', '{c.kind}', {c.name}" for c in row_checks)
-        results.append(
-            one.selectExpr(
-                f"stack({len(row_checks)}, {pairs}) as (check_name, kind, n_violations)"
-            )
-        )
+        # unpivot the 1-row wide frame into tidy rows via a typed
+        # struct array — same single-scan plan as stack(), no SQL string
+        tidy = one.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(c.name).alias("check_name"),
+                        F.lit(c.kind).alias("kind"),
+                        F.col(f"_v{i}").alias("n_violations"),
+                    )
+                    for i, c in enumerate(row_checks)
+                ])
+            ).alias("_r")
+        ).select("_r.*")
+        results.append(tidy)
 
     for c in checks:
         if c.kind == "unique":
@@ -126,7 +149,9 @@ def validate_expectations(
 
     out = results[0]
     for r in results[1:]:
-        out = out.unionByName(r)
+        out = out.unionByName(r.select(
+            "check_name", "kind", F.col("n_violations").cast("long").alias("n_violations")
+        ))
     return out.select(
         "check_name",
         "kind",

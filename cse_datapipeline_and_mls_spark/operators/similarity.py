@@ -737,20 +737,21 @@ def embedding_neardup_pairs(
 
     Exact all-pairs via self-crossJoin — the small-scale ORACLE, O(n²) by
     construction. ``max_rows`` (default 100k ≈ 5e9 candidate pairs) is a
-    guard against running it on corpus-scale input: it counts the input
-    (one cheap scan — this is an oracle tool, not a production plan) and
-    raises, pointing at the banded production path, when exceeded. Pass
-    ``max_rows=None`` to disable explicitly.
+    guard against running it on corpus-scale input: a LIMIT-bounded
+    rowcount probe (cost capped by the threshold, and the main plan is
+    not executed twice — ADVICE r3) raises, pointing at the banded
+    production path, when exceeded. Pass ``max_rows=None`` to disable
+    explicitly.
     """
     # Norms materialize once per row below the join (N folds, not N²/2×2);
     # same left-to-right fold as `cosine`, so scores are bit-identical.
     df = ensure_min_parallelism(df.select(id_col, vec_col))
     if max_rows is not None:
-        n = df.count()
-        if n > max_rows:
+        probed = df.select(id_col).limit(max_rows + 1).count()
+        if probed > max_rows:
             raise ValueError(
-                f"embedding_neardup_pairs is the exact O(n²) oracle: input has "
-                f"{n} rows > max_rows={max_rows}. Use rp_band_neardup_pairs "
+                f"embedding_neardup_pairs is the exact O(n²) oracle: input "
+                f"exceeds max_rows={max_rows}. Use rp_band_neardup_pairs "
                 f"(banded SRP + exact rerank) for production-scale corpora, or "
                 f"pass max_rows=None to force the all-pairs plan."
             )

@@ -950,18 +950,18 @@ def w_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_scd2_value_history",
     oracle="""
     WITH chg AS (
-      SELECT user_id, ts, value
+      SELECT user_id, ts, event_id, value
       FROM (SELECT user_id, ts, event_id, value,
                    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
             FROM events) t
       WHERE prev_v IS NULL OR value <> prev_v
     )
     SELECT user_id,
-           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS version,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
            ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
            value,
-           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
     FROM chg
     """,
 )
@@ -972,7 +972,11 @@ def w_scd2_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     open-ended interval = current row. Two windows over ONE partition
     spec — Catalyst collapses them into a single sort+shuffle on
     user_id; at 100 TB this is the standard merge-into-history shape
-    (partition the history table by key hash, cluster by valid_from)."""
+    (partition the history table by key hash, cluster by valid_from).
+
+    Both windows order by (ts, event_id) — two surviving value-changes
+    at the same timestamp would otherwise get engine-dependent version
+    numbers and interval bounds (ADVICE r3)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     chg = (
@@ -980,7 +984,7 @@ def w_scd2_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_prev", F.lag("value").over(w))
         .filter(F.col("_prev").isNull() | (F.col("value") != F.col("_prev")))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return chg.select(
         "user_id",
         F.row_number().over(w2).cast("long").alias("version"),

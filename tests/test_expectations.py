@@ -52,3 +52,28 @@ def test_validate_expectations_all_green(spark):
     out = validate_expectations(df, checks).collect()
     assert all(r["passed"] and r["n_violations"] == 0 for r in out)
     assert {r["check_name"] for r in out} == {"flag_not_null", "pk_unique"}
+
+def test_validate_expectations_hostile_names_empty_and_dups(spark):
+    """ADVICE r3: check names are data, not SQL — quotes/spaces/commas
+    must flow through; an empty suite returns an empty typed frame; a
+    duplicate name raises instead of silently colliding."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "A")], "pk long, flag string")
+    hostile = """it's a "check", with, commas -- ; DROP"""
+    out = validate_expectations(
+        df, [Check(hostile, "not_null", col="flag")]
+    ).collect()
+    assert len(out) == 1 and out[0]["check_name"] == hostile
+    assert out[0]["passed"] and out[0]["n_violations"] == 0
+
+    empty = validate_expectations(df, [])
+    assert empty.count() == 0
+    assert empty.columns == ["check_name", "kind", "n_violations", "passed"]
+
+    with pytest.raises(ValueError, match="duplicate check name"):
+        validate_expectations(
+            df,
+            [Check("same", "not_null", col="flag"),
+             Check("same", "unique", cols=("pk",))],
+        )
