@@ -51,7 +51,14 @@ HEADLINE = [
     "x_duplicate_spans",
     "x_bigram_lm_score_pruned",
     "x_corpus_report",
-    "x_data_quality_checks",
+    "x_data_quality_checks",   # batch twin of the streaming quality gate
+    # r4 additions: islands-window gap detection (oracle-green since r3
+    # but previously unbenched), segment-blocked fuzzy join (complete-
+    # recall rework), PageRank (the heaviest iterative op — regressions
+    # in its edge-materialization/checkpoint cadence must be visible)
+    "w_gap_detection",
+    "j_fuzzy_part_names",
+    "x_pagerank_suppliers",
 ]
 
 
@@ -93,6 +100,7 @@ def main() -> None:
     # totals stay apples-to-apples as the headline list grows.
     r1_subset = round(sum(timings[n] for n in HEADLINE[:17] if n in timings), 3)
     r2_subset = round(sum(timings[n] for n in HEADLINE[:27] if n in timings), 3)
+    r3_subset = round(sum(timings[n] for n in HEADLINE[:31] if n in timings), 3)
     print(
         json.dumps(
             {
@@ -102,6 +110,7 @@ def main() -> None:
                 "queries": timings,
                 "r1_subset_total_sec": r1_subset,
                 "r2_subset_total_sec": r2_subset,
+                "r3_subset_total_sec": r3_subset,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -26,6 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Partition count of the most recent pagerank() edge materialization —
+# a test observable (see the comment at the assignment site).
+_LAST_EDGE_PARTITIONS: int | None = None
+
 
 def pagerank(
     edges: DataFrame,
@@ -55,6 +59,12 @@ def pagerank(
         .repartition(par, "src")
         .localCheckpoint(eager=True)
     )
+    # Observable for the regression test: the materialized edge
+    # partition count drives every iteration's task count. If this ever
+    # reads shuffle.partitions (e.g. 200 in a vanilla session) instead
+    # of defaultParallelism, the 15s -> 272s trap is back.
+    global _LAST_EDGE_PARTITIONS
+    _LAST_EDGE_PARTITIONS = e.rdd.getNumPartitions()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

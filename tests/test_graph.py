@@ -39,3 +39,31 @@ def test_chain_ranks_increase_downstream(spark):
     r = _ranks(spark, [(1, 2), (2, 3), (3, 4)], iters=40)
     assert r[1] < r[2] < r[3] < r[4]
     assert math.isclose(sum(r.values()), 1.0, abs_tol=1e-6)
+
+
+def test_pagerank_edge_partitions_pin_to_default_parallelism(spark):
+    """Regression guard for the measured 15s→272s trap: the materialized
+    edge table must be partitioned at defaultParallelism, NOT at
+    spark.sql.shuffle.partitions — a materialized plan freezes its
+    partitioning and is exempt from AQE coalescing, so inheriting a
+    vanilla session's 200 would pin every iteration to hundreds of
+    near-empty tasks (graph.py docstring)."""
+    from cse_datapipeline_and_mls_spark.operators import graph as G
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 50) for i in range(200)], "src long, dst long"
+        )
+        ranks = pagerank(df, iters=3)
+        total = sum(r["rank"] for r in ranks.collect())
+        assert math.isclose(total, 1.0, abs_tol=1e-6)
+        par = spark.sparkContext.defaultParallelism
+        assert G._LAST_EDGE_PARTITIONS == par, (
+            f"edges materialized at {G._LAST_EDGE_PARTITIONS} partitions, "
+            f"expected defaultParallelism={par} (shuffle.partitions leak)"
+        )
+        assert G._LAST_EDGE_PARTITIONS != 200
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

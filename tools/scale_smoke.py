@@ -70,7 +70,7 @@ def timed(df: DataFrame) -> tuple[int, float]:
     return sec
 
 
-def run(spark, k_events: int, k_docs: int) -> dict:
+def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
     out: dict = {}
 
     def case(name, mk_df, n_rows_fn=None):
@@ -128,15 +128,138 @@ def run(spark, k_events: int, k_docs: int) -> dict:
 
     case("duplicate_spans_docs", dup_spans)
 
+    # 6. PageRank — per-EDGE cost must stay flat as k disjoint
+    # key-shifted copies of the purchase graph multiply |E| (each
+    # iteration shuffles |E| contributions; the per-iteration task count
+    # is pinned to defaultParallelism — regression-tested in
+    # tests/test_graph.py). Construction runs eager localCheckpoints, so
+    # the whole build+iterate+write is inside the timer (single run).
+    from cse_datapipeline_and_mls_spark.operators.graph import pagerank
+
+    def scaled_edges(kk: int) -> DataFrame:
+        o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+        e = (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select((-F.col("o_custkey")).alias("src"), F.col("l_suppkey").alias("dst"))
+            .distinct()
+        )
+        copies = spark.range(kk).select(F.col("id").alias("_k"))
+        return e.crossJoin(copies).select(
+            (F.col("src") - F.col("_k") * 10_000_000).alias("src"),
+            (F.col("dst") + F.col("_k") * 10_000_000).alias("dst"),
+        )
+
+    res = {}
+    for label, kk in (("1x", 1), (f"{k_graph}x", k_graph)):
+        e = scaled_edges(kk)
+        n_edges = e.count()
+        t0 = time.time()
+        pagerank(e, iters=6).write.format("noop").mode("overwrite").save()
+        sec = time.time() - t0
+        res[label] = {
+            "rows": n_edges,
+            "sec": round(sec, 2),
+            "us_per_row": round(sec / n_edges * 1e6, 3),
+        }
+    res["per_row_ratio"] = round(
+        res[f"{k_graph}x"]["us_per_row"] / res["1x"]["us_per_row"], 2
+    )
+    out["pagerank_edges"] = res
+
+    # 7. Entity resolution: blocked fuzzy pairs -> string-keyed CC.
+    # Copies get a distinct numeric suffix so clusters stay per-copy
+    # (cluster count scales with data; block sizes stay bounded).
+    from cse_datapipeline_and_mls_spark.operators.dedup import connected_components
+    from cse_datapipeline_and_mls_spark.operators.relational import fuzzy_join_blocked
+
+    def fuzzy_clusters(kk: int) -> tuple[DataFrame, int]:
+        part = load_table(spark, SF_DIR, "part")
+        copies = spark.range(kk).select(F.col("id").alias("_k"))
+        names = (
+            part.select("p_name").distinct()
+            .crossJoin(copies)
+            .select(F.concat(F.col("p_name"), F.lit(" v"), F.col("_k")).alias("name"))
+        )
+        n_in = names.count()
+        a = names.select(F.col("name").alias("name_a"))
+        b = names.select(F.col("name").alias("name_b"))
+        pairs = (
+            fuzzy_join_blocked(a, b, "name_a", "name_b", max_distance=2)
+            .filter(F.col("name_a") < F.col("name_b"))
+            .select(F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b"))
+        )
+        return connected_components(pairs), n_in
+
+    res = {}
+    for label, kk in (("1x", 1), (f"{k_graph}x", k_graph)):
+        # CC iterates with a checksum action per round, so construction
+        # belongs inside the timer
+        t0 = time.time()
+        cc, n_in = fuzzy_clusters(kk)
+        cc.write.format("noop").mode("overwrite").save()
+        sec = time.time() - t0
+        res[label] = {
+            "rows": n_in,
+            "sec": round(sec, 2),
+            "us_per_row": round(sec / n_in * 1e6, 3),
+        }
+    res["per_row_ratio"] = round(
+        res[f"{k_graph}x"]["us_per_row"] / res["1x"]["us_per_row"], 2
+    )
+    out["fuzzy_name_clusters"] = res
+
+    # 8. Declarative expectations: N row-level checks fuse into ONE scan
+    # + 1-row shuffle, plus a unique groupBy and a subset anti-join —
+    # per-INPUT-row cost must stay flat (output is always a tiny frame).
+    from cse_datapipeline_and_mls_spark.operators.expectations import (
+        Check,
+        validate_expectations,
+    )
+
+    def quality(kk: int) -> tuple[DataFrame, int]:
+        ev = scaled_events(spark, kk)
+        users = ev.select(F.col("user_id").alias("u")).distinct()
+        checks = [
+            Check("value_not_null", "not_null", col="value"),
+            Check("value_range", "range", col="value", lo=-1e9, hi=1e9),
+            Check("type_in_set", "in_set", col="event_type",
+                  values=("click", "view", "buy", "scroll", "login")),
+            Check("value_sane", "expr", sql="value = value"),
+            Check("event_unique", "unique", cols=("event_id",)),
+            Check("user_known", "subset", col="user_id"),
+        ]
+        return (
+            validate_expectations(ev, checks, parents={"user_known": (users, "u")}),
+            ev.count(),
+        )
+
+    res = {}
+    for label, kk in (("1x", 1), (f"{k_events}x", k_events)):
+        dq, n_in = quality(kk)
+        t0 = time.time()
+        dq.write.format("noop").mode("overwrite").save()
+        sec = time.time() - t0
+        res[label] = {
+            "rows": n_in,
+            "sec": round(sec, 2),
+            "us_per_row": round(sec / n_in * 1e6, 3),
+        }
+    res["per_row_ratio"] = round(
+        res[f"{k_events}x"]["us_per_row"] / res["1x"]["us_per_row"], 2
+    )
+    out["data_quality_checks"] = res
+
     return out
 
 
 def main() -> None:
     k_events = int(sys.argv[1]) if len(sys.argv) > 1 else 25
     k_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    k_graph = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     spark = get_spark("scale_smoke")
-    out = run(spark, k_events, k_docs)
-    print(json.dumps({"sf_dir": SF_DIR, "k_events": k_events, "k_docs": k_docs, "cases": out}))
+    out = run(spark, k_events, k_docs, k_graph)
+    print(json.dumps({"sf_dir": SF_DIR, "k_events": k_events, "k_docs": k_docs, "k_graph": k_graph, "cases": out}))
 
 
 if __name__ == "__main__":
