@@ -385,3 +385,54 @@ def duplicate_spans(
             "span_words", (F.col("span_end") - F.col("span_start") + 1).cast("long")
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The second half of Lee et al. 2022: don't just FIND duplicated
+    spans — CUT them out of the corpus. Composes ``duplicate_spans``
+    with a word-level reconstruction: every word position covered by a
+    detected span is dropped, survivors rejoin into the cleaned text.
+
+    Plan shape: the span detection's shuffles (gram agg + join + per-doc
+    window) plus ONE extra aggregation (spans collect_list'd per doc —
+    bounded: spans per doc ≪ words per doc) and a broadcast-friendly
+    left join back to the corpus keyed on ``id_col``. The cut itself is
+    a higher-order filter over the word array — JVM-side lambda, zero
+    Python, O(words × spans_per_doc) per row.
+
+    Output: (doc_id, clean_text, n_words, n_removed_words) with
+    tokenization identical to ``duplicate_spans`` (same explicit
+    whitespace class), so n_removed_words == sum of the doc's
+    span_words from ``duplicate_spans``.
+    """
+    spans = duplicate_spans(df, text_col, id_col, k=k, min_occurrences=min_occurrences)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    norm = F.trim(F.regexp_replace(F.col(text_col), "[ \t\n\r]+", " "))
+    base = df.select(
+        F.col(id_col), F.split(F.lower(norm), " ", -1).alias("_w")
+    ).join(per_doc, id_col, "left")
+    all_idx = F.sequence(F.lit(1), F.size("_w"))
+    filtered = F.filter(
+        all_idx,
+        lambda i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    kept = F.when(F.col("_spans").isNull(), all_idx).otherwise(filtered)
+    return base.select(
+        id_col,
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at(F.col("_w"), i)), " "
+        ).alias("clean_text"),
+        F.size("_w").cast("long").alias("n_words"),
+        (F.size("_w") - F.size(kept)).cast("long").alias("n_removed_words"),
+    )

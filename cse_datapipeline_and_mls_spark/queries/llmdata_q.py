@@ -480,6 +480,72 @@ def x_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_duplicate_spans_removed",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))), ' ') AS words
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(generate_series(1, len(words) - 7)) AS pos, words
+      FROM w WHERE len(words) >= 8
+    ), gr AS (
+      SELECT doc_id, pos,
+             array_to_string(list_transform(range(pos, pos + 8), i -> words[i]), ' ') AS gram
+      FROM g
+    ), dup AS (
+      SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2
+    ), hits AS (
+      SELECT gr.doc_id, gr.pos FROM gr JOIN dup USING (gram)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM hits
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM isl
+    ), sp AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM isl2 GROUP BY doc_id, span_id
+    ), spl AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans FROM sp GROUP BY doc_id
+    ), j AS (
+      SELECT w.doc_id, w.words, spl.spans FROM w LEFT JOIN spl USING (doc_id)
+    ), r AS (
+      SELECT doc_id, words,
+             CASE WHEN spans IS NULL THEN range(1, len(words) + 1)
+                  ELSE list_filter(range(1, len(words) + 1),
+                         i -> len(list_filter(spans, sp -> i >= sp.s AND i <= sp.e)) = 0)
+             END AS kept
+      FROM j
+    )
+    SELECT CAST(doc_id AS BIGINT)                              AS doc_id,
+           -- array_to_string of an EMPTY list is NULL in DuckDB but ''
+           -- in Spark's array_join: a fully-removed doc must agree
+           coalesce(array_to_string(list_transform(kept, i -> words[i]), ' '), '')
+                                                               AS clean_text,
+           CAST(len(words) AS BIGINT)                          AS n_words,
+           CAST(len(words) - len(kept) AS BIGINT)              AS n_removed_words
+    FROM r
+    """,
+)
+def x_duplicate_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT half of Lee et al. 2022: the corpus with every detected
+    duplicated span removed at word level. Detection reuses
+    x_duplicate_spans' shuffles; removal adds one bounded per-doc span
+    aggregation, a keyed join back to the corpus, and a JVM higher-
+    order filter over the word array — see
+    operators/text.remove_duplicate_spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.remove_duplicate_spans(docs, "text", "doc_id", k=8, min_occurrences=2)
+
+
+@register(
     "x_bigram_lm_score_pruned",
     oracle="""
     WITH w AS (

@@ -248,3 +248,43 @@ def test_duplicate_spans_merging_and_cross_doc(spark):
     # doc 4: self-repetition -> both occurrences flagged, not merged
     # (gap 'filler' at word 9 separates them)
     assert spans[4] == [(1, 8, 8), (10, 17, 8)]
+
+
+def test_remove_duplicate_spans_cuts_exactly_the_spans(spark):
+    """remove_duplicate_spans: cleaned text == the word array minus the
+    exact positions duplicate_spans reports; span-free docs come back
+    whitespace-normalized but otherwise intact."""
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique tail alpha beta gamma delta epsilon zeta"),
+            (2, "totally different head words here also " + shared),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
+            (4, "r1 r2 r3 r4 r5 r6 r7 r8 filler r1 r2 r3 r4 r5 r6 r7 r8"),
+            (5, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {}
+    for r in X.duplicate_spans(docs, "text", "doc_id", k=8, min_occurrences=2).collect():
+        spans.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed_words"])
+        for r in X.remove_duplicate_spans(docs, "text", "doc_id", k=8).collect()
+    }
+    for row in docs.collect():
+        words = row["text"].lower().split()
+        covered = {
+            i
+            for (s, e) in spans.get(row["doc_id"], [])
+            for i in range(s, e + 1)
+        }
+        expect = " ".join(w for i, w in enumerate(words, 1) if i not in covered)
+        clean, n_words, n_removed = out[row["doc_id"]]
+        assert clean == expect, row["doc_id"]
+        assert n_words == len(words)
+        assert n_removed == len(covered)
+    # sanity on the fixture itself: doc 1 loses its shared prefix,
+    # doc 3 and 5 are untouched, doc 4 keeps only the filler word
+    assert out[3][2] == 0 and out[5][2] == 0
+    assert out[4][0] == "filler"
