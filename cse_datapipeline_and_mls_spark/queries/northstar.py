@@ -301,6 +301,27 @@ def x_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, codebook, k=5, nprobe=4, assign="numpy")
 
 
+@register("x_ann_pq_topk")  # rows-only: k-means PQ codebooks are not ANSI-reproducible
+def x_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 compressed-corpus path: product quantization (Jégou et al.
+    2011). 64-dim float vectors encode to 8 one-byte codes (32×
+    compression — at 100 TB the CODES table is scannable where the raw
+    vectors are not), candidates come from LUT-gather ADC scoring with
+    a per-batch top cut (the shuffle is partitions × queries × k·refine
+    rows, never corpus-sized), and the returned scores are EXACT
+    cosines from the rerank join. Deterministic end-to-end (seeded
+    driver-side Lloyd's on the lowest-id sample); recall vs brute force
+    is asserted in tests/test_dedup_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    books = S.fit_pq_codebooks(emb, m=8, k=32, seed=42)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.pq_topk(emb, queries, books, k=5, refine=8)
+
+
 @register("x_ann_lsh_topk")  # rows-only: MLlib random-projection LSH is not ANSI-expressible
 def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path, LSH flavor: BucketedRandomProjectionLSH candidates +

@@ -304,3 +304,39 @@ def test_ivf_index_persist_roundtrip(spark, sf_dir, tmp_path):
         for r in S.ivf_topk(emb, queries, centroids, k=5, nprobe=2).collect()
     }
     assert from_index == in_memory
+
+
+def test_pq_topk_recall_and_self_hit(spark, sf_dir):
+    """PQ ADC + exact rerank: every query's own vector survives the
+    compressed candidate cut (a vector reconstructs closest to itself),
+    recall@5 vs brute force clears the bar, and the returned scores are
+    exact cosines (self-similarity == 1.0)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    books = S.fit_pq_codebooks(emb, m=8, k=32, seed=42)
+    assert len(books) == 8 and len(books[0][0]) == 8  # 64-dim / 8 subspaces
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(emb, queries, k=5)
+    approx = S.pq_topk(emb, queries, books, k=5, refine=8)
+    a_rows = approx.collect()
+    self_rows = [r for r in a_rows if r["vec_id"] == r["query_id"]]
+    assert {r["query_id"] for r in self_rows} == {0, 1, 2}
+    assert all(r["rank"] == 1 and r["cosine_sim"] == 1.0 for r in self_rows)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in a_rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"PQ top-k recall {recall:.2f} vs brute force"
+
+
+def test_pq_encode_is_deterministic_and_compact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    books = S.fit_pq_codebooks(emb, m=8, k=32, seed=42)
+    enc1 = {r["vec_id"]: tuple(r["codes"]) for r in S.pq_encode(emb, books).collect()}
+    enc2 = {r["vec_id"]: tuple(r["codes"]) for r in S.pq_encode(emb, books).collect()}
+    assert enc1 == enc2
+    assert all(len(c) == 8 and all(0 <= x < 32 for x in c) for c in enc1.values())
