@@ -918,6 +918,28 @@ def pq_topk(
     returned scores are EXACT cosines. Recall vs brute force is asserted
     in tests. Output: (query_id, vec_id, cosine_sim, rank).
     """
+    encoded = pq_encode(corpus, codebooks, id_col, vec_col)
+    return pq_topk_from_codes(
+        encoded, corpus, queries, codebooks, k, refine, id_col, vec_col, query_id_col
+    )
+
+
+def pq_topk_from_codes(
+    encoded: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 5,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """``pq_topk`` against a PRE-ENCODED codes table (see
+    ``save_pq_index``): the per-session cost is the LUT-gather scan of
+    the 32×-compressed codes plus the tiny rerank join — encoding is
+    paid once per corpus version, exactly like the IVF inverted file.
+    Bit-identical to ``pq_topk`` on the same corpus/codebooks."""
     import numpy as np
 
     Cs = [np.asarray(b, dtype=np.float64) for b in codebooks]
@@ -933,8 +955,6 @@ def pq_topk(
     cn2 = np.stack([(C * C).sum(axis=1) for C in Cs], axis=0)  # (m, k)
     qn = np.linalg.norm(Q, axis=1)
     ncand = int(k * refine)
-
-    encoded = pq_encode(corpus, codebooks, id_col, vec_col)
     out_schema = f"{query_id_col} bigint, {id_col} bigint, _approx double"
 
     def score(batches):
@@ -995,3 +1015,41 @@ def pq_topk(
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def save_pq_index(
+    corpus: DataFrame,
+    codebooks: list,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the PQ index as TABLES — codes as parquet (the 32×-
+    compressed scannable artifact), codebooks as a tiny sibling table
+    (m × k rows). Mirrors ``save_ivf_index``: build cost paid once per
+    corpus version; a query session reads codes + codebooks and joins
+    candidates back to the raw corpus only for the exact rerank."""
+    pq_encode(corpus, codebooks, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    spark = corpus.sparkSession
+    rows = [
+        (j, c, [float(x) for x in codebooks[j][c]])
+        for j in range(len(codebooks))
+        for c in range(len(codebooks[j]))
+    ]
+    spark.createDataFrame(rows, "subspace int, cid int, vector array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_pq_index(spark, path: str):
+    """Load a persisted PQ index: (codes DataFrame, codebooks list).
+    Codebooks are m × k × dsub floats — driver-resident by design."""
+    codes = spark.read.parquet(f"{path}/codes")
+    books: dict = {}
+    for r in spark.read.parquet(f"{path}/codebooks").collect():
+        books.setdefault(int(r["subspace"]), {})[int(r["cid"])] = list(r["vector"])
+    return codes, [
+        [books[j][c] for c in sorted(books[j])] for j in sorted(books)
+    ]

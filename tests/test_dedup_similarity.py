@@ -340,3 +340,28 @@ def test_pq_encode_is_deterministic_and_compact(spark, sf_dir):
     enc2 = {r["vec_id"]: tuple(r["codes"]) for r in S.pq_encode(emb, books).collect()}
     assert enc1 == enc2
     assert all(len(c) == 8 and all(0 <= x < 32 for x in c) for c in enc1.values())
+
+
+def test_pq_index_save_load_round_trip(spark, sf_dir, tmp_path):
+    """Persisted PQ index (codes + codebooks tables) reproduces the
+    direct pq_topk results bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    books = S.fit_pq_codebooks(emb, m=8, k=32, seed=42)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    direct = {
+        (r["query_id"], r["vec_id"], r["rank"], r["cosine_sim"])
+        for r in S.pq_topk(emb, queries, books, k=5, refine=8).collect()
+    }
+    path = str(tmp_path / "pq_index")
+    S.save_pq_index(emb, books, path)
+    codes, books2 = S.load_pq_index(spark, path)
+    assert books2 == books
+    loaded = {
+        (r["query_id"], r["vec_id"], r["rank"], r["cosine_sim"])
+        for r in S.pq_topk_from_codes(codes, emb, queries, books2, k=5, refine=8).collect()
+    }
+    assert loaded == direct
