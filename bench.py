@@ -59,6 +59,8 @@ HEADLINE = [
     "w_gap_detection",
     "j_fuzzy_part_names",
     "x_pagerank_suppliers",
+    "x_duplicate_spans_removed",
+    "x_ann_pq_topk",
 ]
 
 
