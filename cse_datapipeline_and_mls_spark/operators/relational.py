@@ -321,3 +321,47 @@ def fuzzy_join_blocked(
         .dropDuplicates(["_lid", "_rid"])
         .drop("_lid", "_rid")
     )
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    z_cut: float = 3.5,
+) -> DataFrame:
+    """Robust (median/MAD) outlier statistics per group — the
+    Iglewicz–Hoaglin modified z-score (public statistical method):
+    ``0.6745 * (x - median) / MAD``, flagging ``|Mz| > z_cut``. Unlike
+    the mean/stddev z-score (``with_anomaly_flag``), a few extreme
+    values cannot drag the threshold, which is what you want when the
+    data is the thing being cleaned.
+
+    Plan: one grouped exact-median agg, broadcast-join the medians back
+    (group cardinality is small by construction), one grouped MAD agg,
+    then one conditional-count agg — three shuffles on the group key,
+    all with map-side partials. At 100 TB swap the exact percentiles
+    for approx_percentile (same shape, bounded memory) — the exact form
+    is kept here because it is oracle-checkable bit-for-bit.
+
+    Output: keys..., med, mad, n_outliers, n_rows.
+    """
+    med = df.groupBy(*keys).agg(
+        F.percentile(value_col, 0.5).alias("med")
+    )
+    j = df.join(F.broadcast(med), keys)
+    mad = j.groupBy(*keys).agg(
+        F.percentile(F.abs(F.col(value_col) - F.col("med")), 0.5).alias("mad")
+    )
+    j2 = j.join(F.broadcast(mad), keys)
+    mz = 0.6745 * (F.col(value_col) - F.col("med")) / F.col("mad")
+    return (
+        j2.groupBy(*keys)
+        .agg(
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.abs(mz) > z_cut, 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

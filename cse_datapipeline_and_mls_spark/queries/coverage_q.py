@@ -464,6 +464,42 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY 1
+    ), mad AS (
+      SELECT l.l_returnflag, quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+      FROM lineitem l JOIN med m USING (l_returnflag) GROUP BY 1
+    )
+    SELECT m.l_returnflag,
+           round(m.med, 4) AS med,
+           round(d.mad, 4) AS mad,
+           CAST(sum(CASE WHEN abs(0.6745 * (l.l_extendedprice - m.med) / d.mad) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT)                    AS n_rows
+    FROM lineitem l
+    JOIN med m ON l.l_returnflag = m.l_returnflag
+    JOIN mad d ON l.l_returnflag = d.l_returnflag
+    GROUP BY 1, m.med, d.mad
+    """,
+)
+def agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier statistics (Iglewicz–Hoaglin modified z-score:
+    0.6745·(x−median)/MAD, cut at 3.5 — public method) per return flag
+    over extended price. Median/MAD resist the very outliers being
+    counted, unlike the mean/stddev z-score (w_pct_change_zscore_
+    anomaly). Exact percentiles here for bit-level oracle parity; the
+    100 TB swap-in is approx_percentile with identical plan shape. See
+    operators/relational.robust_outlier_stats."""
+    from ..operators.relational import robust_outlier_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return robust_outlier_stats(li, "l_extendedprice", ["l_returnflag"], z_cut=3.5)
+
+
+@register(
     "tpch_q17_small_quantity_revenue",
     oracle="""
     SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly

@@ -80,6 +80,46 @@ def x_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
+@register(
+    "x_exact_dedup_incremental",
+    oracle="""
+    WITH seen AS (
+      SELECT DISTINCT regexp_replace(lower(trim(text)), '[ \t\n\r]+', ' ', 'g') AS norm
+      FROM documents WHERE length(source) = 4
+    ), newb AS (
+      SELECT doc_id, source, n_chars,
+             regexp_replace(lower(trim(text)), '[ \t\n\r]+', ' ', 'g') AS norm
+      FROM documents WHERE length(source) = 5
+    ), fresh AS (
+      SELECT n.doc_id, n.source, n.n_chars, n.norm
+      FROM newb n LEFT JOIN seen s ON n.norm = s.norm
+      WHERE s.norm IS NULL
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+          FROM fresh) t
+    WHERE rn = 1
+    """,
+)
+def x_exact_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1, incremental-ingest flavor: a NEW crawl batch (sources
+    src10–src19) deduped against the already-curated corpus
+    (src0–src9) — drop content the corpus already has, then intra-batch
+    lowest-id survivors. The corpus side contributes only DISTINCT
+    fingerprints to a left-anti join (8-byte keys at scale; the corpus
+    text is never window-sorted), so per-batch cost is
+    |batch| + |corpus fingerprints|. See
+    operators/dedup.exact_dedup_incremental."""
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.length("source") == 4)
+    new = docs.filter(F.length("source") == 5)
+    out = D.exact_dedup_incremental(new, seen, "text", "doc_id")
+    return out.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 @register("x_minhash_neardup_pairs")  # rows-only: MinHash is not ANSI-expressible
 def x_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 (scale flavor): MinHashLSH banding — candidates from hash-bucket

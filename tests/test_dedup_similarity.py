@@ -365,3 +365,27 @@ def test_pq_index_save_load_round_trip(spark, sf_dir, tmp_path):
         for r in S.pq_topk_from_codes(codes, emb, queries, books2, k=5, refine=8).collect()
     }
     assert loaded == direct
+
+
+def test_exact_dedup_incremental_semantics(spark):
+    """Batch-vs-corpus dedup: corpus content drops, intra-batch dups
+    keep the lowest id, corpus rows are never emitted, and duplicate
+    CORPUS content doesn't multiply batch rows (distinct fingerprints
+    on the anti-join side)."""
+    seen = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "alpha  beta   gamma")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "Alpha beta GAMMA"),   # normalized dup of corpus content
+            (11, "zeta eta theta"),     # fresh, duplicated in-batch
+            (12, "zeta eta theta"),
+            (13, "iota kappa"),         # fresh, unique
+        ],
+        "doc_id long, text string",
+    )
+    from cse_datapipeline_and_mls_spark.operators.dedup import exact_dedup_incremental
+
+    out = sorted(r["doc_id"] for r in exact_dedup_incremental(new, seen).collect())
+    assert out == [11, 13]

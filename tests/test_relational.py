@@ -215,3 +215,19 @@ def test_fuzzy_join_prefix_mode_contract(spark):
     one = spark.createDataFrame([("bolts",)], "name_b string")
     out = fuzzy_join_blocked(dup, one, "name_a", "name_b", max_distance=2)
     assert out.count() == 2
+
+
+def test_robust_outlier_stats_flags_planted_outlier(spark):
+    """MAD-based modified z-score: a planted extreme value is flagged,
+    the bulk is not, and the median/MAD are unmoved by the outlier
+    (robustness — the property the mean/stddev z-score lacks)."""
+    from cse_datapipeline_and_mls_spark.operators.relational import robust_outlier_stats
+
+    rows = [("g", float(v)) for v in range(1, 20)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = robust_outlier_stats(df, "v", ["k"], z_cut=3.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rows"] == 20 and r["n_outliers"] == 1
+    assert r["med"] == 10.5  # median of 1..19 + outlier barely moves it
+    assert r["mad"] == 5.0
