@@ -73,3 +73,38 @@ def write_bucketed(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_records_per_file: int = 1_000_000,
+    sort_cols: Sequence[str] = (),
+) -> int:
+    """Small-files maintenance (the OPTIMIZE-style rewrite every real
+    table needs): read a fragmented parquet table, rewrite it as
+    ``ceil(rows / target_records_per_file)`` right-sized files, return
+    the file count. Streaming micro-batches and over-parallel writers
+    both produce thousands of KB-scale files; at 100 TB the resulting
+    per-file open/footer cost and scheduler pressure dominate scans, so
+    periodic compaction is part of the layout contract (same family as
+    `write_partitioned`/`write_zordered`).
+
+    With ``sort_cols`` the rewrite range-partitions and sorts within
+    files, so the compacted table ALSO gains min/max row-group pruning
+    on those columns — compaction and clustering in one pass. Writes to
+    ``dst_path`` (atomic swap is the caller's move/rename: Spark can't
+    safely overwrite a path it is reading).
+    """
+    import math
+
+    df = spark.read.parquet(src_path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / int(target_records_per_file)))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n_files

@@ -1,5 +1,6 @@
 from .pipeline import (
     bronze_ingest,
+    content_dedup_stream,
     dedup_against_history,
     enrich_stream,
     expectations_on_stream,
@@ -14,6 +15,7 @@ from .stateful import running_zscore_anomalies
 from .tws import running_distinct_types
 
 __all__ = [
+    "content_dedup_stream",
     "running_distinct_types",
     "ingest_file_stream",
     "bronze_ingest",

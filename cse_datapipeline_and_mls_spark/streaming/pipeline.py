@@ -71,6 +71,33 @@ def bronze_ingest(
     return stream.withWatermark("ts", watermark).dropDuplicates(list(dedup_keys))
 
 
+def content_dedup_stream(
+    stream: DataFrame,
+    text_col: str = "props",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of X1 content dedup (and the stream-side
+    complement of ``exact_dedup_incremental``): drop arriving rows whose
+    normalized CONTENT fingerprint was already seen, with the watermark
+    bounding the fingerprint state store exactly like ``bronze_ingest``
+    bounds key state. The state entry is one 8-byte xxhash64 per
+    surviving fingerprint inside the watermark horizon — O(1) per
+    distinct content, never the text itself.
+
+    Same fingerprint expression as the batch operators
+    (operators/text.doc_fingerprint), so a corpus built by this stream
+    agrees bit-for-bit with a batch re-dedup of the same files."""
+    from ..operators.text import doc_fingerprint
+
+    return (
+        stream.withColumn("_fp", doc_fingerprint(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["_fp"])
+        .drop("_fp")
+    )
+
+
 def threshold_alerts(stream: DataFrame, threshold: float = 5.0) -> DataFrame:
     """T3: stateless per-event alert (percentageChange > 5, reference
     spark_stream.py:42-43). On a raw value stream the pct-change needs

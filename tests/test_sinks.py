@@ -52,3 +52,29 @@ def test_write_partitioned_layout_and_roundtrip(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_compact_parquet_collapses_small_files(spark, tmp_path):
+    """50-fragment table compacts to the computed file count with
+    identical content; sort_cols variant clusters within files."""
+    import glob
+
+    from cse_datapipeline_and_mls_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS k", "cast(id AS double) AS v")
+    df.repartition(50).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 50
+
+    n_files = compact_parquet(spark, src, dst, target_records_per_file=4_000)
+    assert n_files == 3
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 3
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(id)").collect()[0][0] == df.selectExpr("sum(id)").collect()[0][0]
+
+    dst2 = str(tmp_path / "clustered")
+    compact_parquet(spark, src, dst2, target_records_per_file=4_000, sort_cols=["id"])
+    got = [r["id"] for r in spark.read.parquet(dst2).collect()]
+    assert sorted(got) == list(range(10_000))

@@ -284,3 +284,40 @@ def test_expectations_on_stream_matches_batch_totals(spark, events_dir):
     assert stream_totals == batch
     assert batch["value_in_range"] > 0  # fixture has values up to 49
     assert batch["type_known"] == 0
+
+
+def test_content_dedup_stream_drops_normalized_duplicates(spark, tmp_path):
+    """Streaming content dedup: rows whose normalized text fingerprint
+    repeats (case/whitespace variants included) are dropped; the
+    survivor set matches the batch X1 operator on the same files."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1, "doc", 0.0, "alpha beta gamma"),
+        (2, base + dt.timedelta(minutes=1), 1, "doc", 0.0, "Alpha  beta GAMMA"),  # normalized dup
+        (3, base + dt.timedelta(minutes=2), 1, "doc", 0.0, "delta epsilon"),
+        (4, base + dt.timedelta(minutes=3), 1, "doc", 0.0, "delta epsilon"),      # exact dup
+        (5, base + dt.timedelta(minutes=4), 1, "doc", 0.0, "zeta eta"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    path = str(tmp_path / "docs_stream")
+    df.write.mode("overwrite").parquet(path)
+
+    stream = ST.ingest_file_stream(spark, path)
+    out = ST.run_to_memory_sink(
+        ST.content_dedup_stream(stream, text_col="props"), "content_dedup_test"
+    )
+    got = {r["props"] for r in out.collect()}
+    assert out.count() == 3
+    # one survivor per normalized content; which variant survives is
+    # arrival-order dependent, so compare normalized forms
+    assert {" ".join(p.lower().split()) for p in got} == {
+        "alpha beta gamma", "delta epsilon", "zeta eta",
+    }
+
+    from cse_datapipeline_and_mls_spark.operators.dedup import exact_dedup_by_content
+
+    batch = exact_dedup_by_content(spark.read.parquet(path), "props", "event_id")
+    assert batch.count() == 3
