@@ -69,3 +69,34 @@ def test_graph_and_windows_on_empty(spark):
     a = empty.select(F.col("k").alias("name_a"))
     b = empty.select(F.col("k").alias("name_b"))
     assert R.fuzzy_join_blocked(a, b, "name_a", "name_b").count() == 0
+
+
+def test_round4_operators_on_empty(spark, empty_docs):
+    """Round-4 additions accept 0-row frames: span removal, incremental
+    dedup (both sides), PQ encode/search, robust outlier stats, prefix
+    fuzzy mode."""
+    from cse_datapipeline_and_mls_spark.operators import relational as R
+    from cse_datapipeline_and_mls_spark.operators import similarity as S
+    from cse_datapipeline_and_mls_spark.operators import text as X
+    from cse_datapipeline_and_mls_spark.operators.dedup import exact_dedup_incremental
+
+    removed = X.remove_duplicate_spans(empty_docs, "text", "doc_id")
+    assert removed.count() == 0
+    assert removed.columns == ["doc_id", "clean_text", "n_words", "n_removed_words"]
+
+    some = spark.createDataFrame([(1, "a b c", "s")], "doc_id long, text string, source string")
+    assert exact_dedup_incremental(empty_docs, some).count() == 0
+    assert exact_dedup_incremental(some, empty_docs).count() == 1
+
+    books = [[[0.0, 0.0], [1.0, 1.0]]] * 2  # 2 subspaces, dim 4
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert S.pq_encode(empty_emb, books).count() == 0
+    queries = spark.createDataFrame([(0, [1.0, 0.0, 1.0, 0.0])], "query_id long, embedding array<double>")
+    assert S.pq_topk(empty_emb, queries, books, k=3).count() == 0
+
+    empty_kv = spark.createDataFrame([], "k string, v double")
+    assert R.robust_outlier_stats(empty_kv, "v", ["k"]).count() == 0
+
+    a = empty_kv.select(F.col("k").alias("name_a"))
+    b = empty_kv.select(F.col("k").alias("name_b"))
+    assert R.fuzzy_join_blocked(a, b, "name_a", "name_b", method="prefix").count() == 0
