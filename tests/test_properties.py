@@ -155,3 +155,45 @@ def test_duplicate_spans_matches_brute_force(spark, data, k):
     # brute force tokenizes to [] — both produce no k-grams for k>=2,
     # so the outputs agree without special-casing.
     assert got == _brute_duplicate_spans(docs, k)
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6), min_size=1, max_size=8
+    ),
+    tau=st.integers(min_value=1, max_value=2),
+)
+@SETTINGS
+def test_fuzzy_segment_blocking_matches_brute_force(spark, names, tau):
+    """Pigeonhole segment blocking == exhaustive levenshtein on ARBITRARY
+    tiny-alphabet strings (hypothesis drives the segment-boundary and
+    short-string corners a fixed fixture can miss)."""
+    import itertools
+
+    from cse_datapipeline_and_mls_spark.operators.relational import fuzzy_join_blocked
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (cx != cy)))
+            prev = cur
+        return prev[-1]
+
+    uniq = sorted(set(names))
+    df = spark.createDataFrame([(n,) for n in uniq], "name string")
+    a = df.select(F.col("name").alias("name_a"))
+    b = df.select(F.col("name").alias("name_b"))
+    got = {
+        (r["name_a"], r["name_b"], r["edit_distance"])
+        for r in fuzzy_join_blocked(a, b, "name_a", "name_b", max_distance=tau)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .collect()
+    }
+    want = {
+        (x, y, lev(x.strip(), y.strip()))
+        for x, y in itertools.combinations(uniq, 2)
+        if lev(x.strip(), y.strip()) <= tau
+    }
+    assert got == want
