@@ -973,6 +973,73 @@ def x_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_pairs(ev, tr, "text", "doc_id", n=5, min_shared=3)
 
 
+@register(
+    "x_decontaminated_corpus",
+    oracle="""
+    WITH ev AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 3, 1)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+             )) AS grams
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
+            FROM documents WHERE source IN ('src0', 'src1')) t
+      WHERE len(w) >= 5
+    ), tr AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 3, 1)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+             )) AS grams
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
+            FROM documents WHERE source NOT IN ('src0', 'src1')) t
+      WHERE len(w) >= 5
+    ), ex_e AS (
+      SELECT doc_id AS eval_id, unnest(grams) AS g FROM ev
+    ), ex_t AS (
+      SELECT doc_id AS train_id, unnest(grams) AS g FROM tr
+    ), inter AS (
+      SELECT eval_id, train_id, count(*) AS n_shared
+      FROM ex_e JOIN ex_t USING (g)
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    ), flagged AS (
+      SELECT DISTINCT i.train_id AS doc_id
+      FROM inter i JOIN ev e ON e.doc_id = i.eval_id
+      WHERE round(i.n_shared / len(e.grams), 6) >= 0.8
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    LEFT JOIN flagged f ON d.doc_id = f.doc_id
+    WHERE d.source NOT IN ('src0', 'src1') AND f.doc_id IS NULL
+    """,
+)
+def x_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACT half of the contamination screen (detect→drop, same
+    symmetry as span detect→removal): the training corpus minus every
+    document containing ≥80% of any benchmark document's 5-grams.
+    Composition of x_contamination_check's gram equi-join with a
+    distinct-flagged left-anti join — the extra cost over the check is
+    one tiny anti join keyed on doc_id. Boundary-exactness note: the
+    threshold compares the same round(·,6) of the same IEEE division on
+    both engines, so 4/5-style exact-boundary containments cut
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source").isin("src0", "src1"))
+    tr = docs.filter(~F.col("source").isin("src0", "src1"))
+    pairs = D.ngram_containment_pairs(ev, tr, "text", "doc_id", n=5, min_shared=3)
+    flagged = (
+        pairs.filter(F.col("containment") >= 0.8)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    return tr.join(flagged, "doc_id", "left_anti").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 @register("x_heavy_hitters")  # rows-only: MG estimates depend on partition
 def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent tokens via a merged Misra–Gries sketch (k=64): one scan,
