@@ -464,6 +464,70 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_key_skew_report",
+    oracle="""
+    WITH g AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT)                     AS n_keys,
+           CAST(max(n) AS BIGINT)                       AS max_group,
+           round(quantile_cont(n, 0.5), 4)              AS p50_group,
+           round(quantile_cont(n, 0.99), 4)             AS p99_group,
+           round(max(n) / sum(n), 6)                    AS top_key_share,
+           round(max(n) / (sum(n) / count(*)), 4)       AS skew_factor
+    FROM g
+    """,
+)
+def agg_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the measurement that decides between a
+    plain shuffle join, AQE skew splitting, and the explicit salted
+    rewrite (SCALE.md's salting guidance assumes you KNOW the key is
+    hot; this query is how you know). Group-size distribution of the
+    lineitem orderkey: key count, max/median/p99 group size, the
+    heaviest key's row share, and skew_factor = max/mean group size.
+    Two hash aggregations (key sizes, then the 1-row summary) — both
+    map-side-combinable at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_group"),
+        F.round(F.percentile("n", 0.5), 4).alias("p50_group"),
+        F.round(F.percentile("n", 0.99), 4).alias("p99_group"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_key_share"),
+        F.round(F.max("n") / (F.sum("n") / F.count(F.lit(1))), 4).alias("skew_factor"),
+    )
+
+
+@register(
+    "agg_linear_trend",
+    oracle="""
+    SELECT event_type,
+           round(regr_slope(value, floor(epoch(ts)) / 86400.0), 6)     AS slope_per_day,
+           round(regr_intercept(value, floor(epoch(ts)) / 86400.0), 4) AS intercept,
+           round(regr_r2(value, floor(epoch(ts)) / 86400.0), 6)        AS r2,
+           CAST(count(*) AS BIGINT)                                    AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares trend (regr_slope/intercept/r2 — the ANSI
+    linear-regression aggregate family, absent from SURVEY §2.4's
+    reference inventory): per event type, the value trend per DAY.
+    One hash aggregate with mergeable moment partials — the same
+    map-side-combine shape as avg/stddev, so it scales like any A-series
+    agg. Time is floor(epoch)/86400 (days) so slopes land at
+    round(6)-stable magnitudes; floor matches Spark's unix_timestamp
+    sub-second truncation (the skill-documented epoch gotcha)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_timestamp("ts") / 86400.0
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", x), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept("value", x), 4).alias("intercept"),
+        F.round(F.regr_r2("value", x), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "agg_robust_outliers",
     oracle="""
     WITH med AS (
