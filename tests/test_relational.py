@@ -231,3 +231,25 @@ def test_robust_outlier_stats_flags_planted_outlier(spark):
     assert r["n_rows"] == 20 and r["n_outliers"] == 1
     assert r["med"] == 10.5  # median of 1..19 + outlier barely moves it
     assert r["mad"] == 5.0
+
+
+def test_linear_trend_recovers_planted_line(spark):
+    """regr_* trend agg: a perfect planted line comes back with its
+    exact slope/intercept and r2 == 1; a constant series gets slope 0."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("lin", base + dt.timedelta(days=i), 2.5 * i + 7.0) for i in range(10)]
+    rows += [("flat", base + dt.timedelta(days=i), 4.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        r["event_type"]: r
+        for r in df.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope("value", F.unix_timestamp("ts") / 86400.0), 6).alias("slope"),
+            F.round(F.regr_r2("value", F.unix_timestamp("ts") / 86400.0), 6).alias("r2"),
+        )
+        .collect()
+    }
+    assert out["lin"]["slope"] == 2.5 and out["lin"]["r2"] == 1.0
+    assert out["flat"]["slope"] == 0.0
