@@ -103,3 +103,120 @@ def frequent_items(
             "n_total",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketch ROLLUP TABLES (Apache DataSketches: HLL / KLL / theta)
+# ---------------------------------------------------------------------------
+# The canonical 100 TB pre-aggregation pattern: sketch each ingest
+# partition (day, shard) ONCE into a tiny binary-column rollup table,
+# then answer "distinct users last N days" / "p95 latency this quarter"
+# by merging N kilobyte-sized sketch rows — never rescanning the raw
+# data. distinct counts (HLL) and quantiles (KLL) are not algebraic, so
+# without sketches every new date range is a full recount; with them the
+# rollup is built once per partition and every range query is O(rows in
+# rollup). Theta sketches additionally support set ALGEBRA (union /
+# intersection / difference), answering audience-overlap questions that
+# raw HLL cannot.
+#
+# Merge losslessness: two HLL sketches with the same lgConfigK merge by
+# taking the register-wise max, so union-of-partials is bit-equivalent
+# to sketching the concatenated input — asserted in
+# tests/test_sketches.py (merged-across-days estimate == direct whole-
+# table estimate, exact equality).
+
+
+def sketch_rollup(
+    df: DataFrame,
+    keys: list[str],
+    distinct_col: str,
+    value_col: str | None = None,
+    lg_k: int = 12,
+    kll_k: int = 200,
+) -> DataFrame:
+    """One scan over raw data -> one mergeable sketch row per key group.
+
+    Output columns: ``keys...``, ``hll`` (distinct sketch of
+    ``distinct_col``), ``theta`` (set-algebra sketch of the same),
+    ``kll`` (quantile sketch of ``value_col``, omitted when None), and
+    exact ``n_rows``. Persist this frame partitioned by the ingest key
+    (e.g. day) and never touch the raw partition again.
+    """
+    aggs = [
+        F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias("hll"),
+        F.theta_sketch_agg(distinct_col).alias("theta"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    if value_col is not None:
+        aggs.insert(2, F.kll_sketch_agg_double(value_col, F.lit(kll_k)).alias("kll"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def _kll_fold(col: str) -> Column:
+    """Fold a group's KLL sketches into one via the scalar pairwise
+    merge: ``kll_sketch_merge_double`` has no aggregate form, so reduce
+    over the group's collected sketch list (one ~kll_k*8-byte blob per
+    rollup row — a year of daily rollups folds 365 tiny blobs, driver
+    never involved). Blobs are sorted first (binary is orderable) so the
+    fold order — and therefore the merged sketch — cannot depend on
+    shuffle-block arrival order across runs; residual estimate variance
+    comes only from upstream sketch content, which the rank-band
+    verdicts absorb (bands sized in tests/test_sketches.py)."""
+    lst = F.array_sort(F.collect_list(col))
+    return F.reduce(
+        F.slice(lst, 2, 2_000_000_000),
+        F.element_at(lst, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+
+
+def merge_sketch_rollup(
+    rollup: DataFrame,
+    group_cols: list[str],
+    quantiles: tuple[float, ...] = (0.5,),
+) -> DataFrame:
+    """Re-aggregate a sketch rollup to coarser keys without raw data.
+
+    Returns per group: ``n_distinct_est`` (HLL union), ``q{q}`` columns
+    (KLL fold-merge quantiles, when the rollup carries ``kll``) and the
+    exact ``n_rows`` sum. The shuffle moves only sketch blobs — bytes
+    per input row, not values."""
+    has_kll = "kll" in rollup.columns
+    aggs = [
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("n_distinct_est"),
+        F.sum("n_rows").alias("n_rows"),
+    ]
+    if has_kll:
+        folded = _kll_fold("kll")
+        for q in quantiles:
+            aggs.append(
+                F.kll_sketch_get_quantile_double(folded, F.lit(float(q))).alias(
+                    f"q{int(round(q * 100)):02d}_est"
+                )
+            )
+    if group_cols:
+        return rollup.groupBy(*group_cols).agg(*aggs)
+    return rollup.agg(*aggs)
+
+
+def distinct_overlap(
+    df: DataFrame, partition_col: str, distinct_col: str
+) -> DataFrame:
+    """Theta-sketch set algebra across partitions: one row with the
+    estimated distinct-count UNION and INTERSECTION of ``distinct_col``
+    across ALL values of ``partition_col`` ("users active in every
+    segment"), plus per-partition counts folded in. HLL cannot answer
+    the intersection; theta's set semantics can, with error that grows
+    with the union/intersection ratio — callers wanting tight exact
+    numbers at small scale use the exact semi-join twin (see
+    x_theta_audience_overlap's bracket oracle)."""
+    per = df.groupBy(partition_col).agg(
+        F.theta_sketch_agg(distinct_col).alias("theta")
+    )
+    return per.agg(
+        F.theta_sketch_estimate(F.theta_union_agg("theta")).alias("n_union_est"),
+        F.theta_sketch_estimate(F.theta_intersection_agg("theta")).alias(
+            "n_intersection_est"
+        ),
+        F.count(F.lit(1)).alias("n_partitions"),
+    )

@@ -1275,3 +1275,134 @@ def x_fuzzy_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.select(F.col("node").alias("name"), F.col("label").alias("canonical"))
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
     )
+
+
+@register(
+    "x_sketch_rollup_users",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           CAST(count(*) AS BIGINT)                AS n_rows,
+           round(quantile_cont(value, 0.50), 4)    AS q50_exact,
+           round(quantile_cont(value, 0.95), 4)    AS q95_exact,
+           TRUE AS hll_within_2pct,
+           TRUE AS kll50_in_rank_band,
+           TRUE AS kll95_in_rank_band
+    FROM events GROUP BY event_type
+    """,
+)
+def x_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sketch ROLLUP TABLE (DataSketches HLL + KLL) — the
+    100 TB pre-aggregation pattern: sketch each day's events once into a
+    kilobyte-sized rollup row, then answer "distinct users / value
+    quantiles per event type, any date range" by merging sketch blobs,
+    never rescanning raw events. Here: per-(day, event_type) rollup →
+    merged per event_type — the merge path is what runs in production;
+    the raw-data pass happens once at ingest.
+
+    Hash-checkable bracket form (sketch binaries differ across engines
+    by design): outputs the EXACT distinct counts / quantiles plus
+    boolean verdicts that the merged-sketch estimates landed inside
+    their published error brackets — HLL(lgK=12) ±2% on cardinality,
+    KLL(k=200) ±3% RANK band (estimate between the exact q∓0.03
+    quantiles). The oracle recomputes the exact side and expects TRUE;
+    a drifting merge breaks the hash. Merge LOSSLESSNESS (union of
+    daily sketches ≡ one whole-table sketch, bit-exact estimate) is
+    asserted separately in tests/test_sketches.py."""
+    from ..operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    # ingest-time pass: one sketch row per (day, event_type)
+    roll = SK.sketch_rollup(
+        ev.withColumn("day", F.date_trunc("day", "ts")),
+        ["day", "event_type"],
+        distinct_col="user_id",
+        value_col="value",
+    )
+    # query-time pass: merge blobs to event_type grain
+    merged = SK.merge_sketch_rollup(roll, ["event_type"], quantiles=(0.5, 0.95))
+    # verification harness: exact side (test scale only — at 100 TB the
+    # whole point is that this exact recount never runs)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.percentile(
+            "value",
+            F.array(*[F.lit(x) for x in (0.47, 0.50, 0.53, 0.92, 0.95, 0.98)]),
+        ).alias("_p"),
+    )
+    j = merged.join(exact, "event_type")
+    return j.select(
+        "event_type",
+        "n_users_exact",
+        "n_rows",
+        F.round(F.element_at("_p", 2), 4).alias("q50_exact"),
+        F.round(F.element_at("_p", 5), 4).alias("q95_exact"),
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_users_exact"))
+            <= 0.02 * F.col("n_users_exact")
+        ).alias("hll_within_2pct"),
+        F.col("q50_est").between(
+            F.element_at("_p", 1), F.element_at("_p", 3)
+        ).alias("kll50_in_rank_band"),
+        F.col("q95_est").between(
+            F.element_at("_p", 4), F.element_at("_p", 6)
+        ).alias("kll95_in_rank_band"),
+    )
+
+
+@register(
+    "x_theta_audience_overlap",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_exact,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_purchase_exact,
+           CAST((SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM b) u) AS BIGINT)
+               AS n_union_exact,
+           CAST((SELECT count(*) FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM b) i) AS BIGINT)
+               AS n_both_exact,
+           TRUE AS union_within_5pct,
+           TRUE AS both_within_5pct
+    """,
+)
+def x_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set ALGEBRA — the question HLL cannot answer:
+    "how many distinct users clicked AND bought?" Theta sketches keep a
+    hash sample, so intersection/difference are defined (DataSketches
+    theta_intersection_agg), and audience-overlap across N segment
+    rollups costs N blob merges instead of an N-way distinct semi-join
+    of raw data. Bracket-verdict form: exact counts (semi-join twin,
+    test scale only) + booleans that the theta union AND intersection
+    estimates land within ±5%; oracle expects TRUE."""
+    from ..operators.sketches import distinct_overlap
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    est = distinct_overlap(ev, "event_type", "user_id")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        clicks.agg(F.count(F.lit(1)).alias("n_click_exact"))
+        .crossJoin(buys.agg(F.count(F.lit(1)).alias("n_purchase_exact")))
+        .crossJoin(
+            clicks.union(buys).distinct().agg(F.count(F.lit(1)).alias("n_union_exact"))
+        )
+        .crossJoin(
+            clicks.intersect(buys).agg(F.count(F.lit(1)).alias("n_both_exact"))
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_click_exact",
+        "n_purchase_exact",
+        "n_union_exact",
+        "n_both_exact",
+        (
+            F.abs(F.col("n_union_est") - F.col("n_union_exact"))
+            <= 0.05 * F.col("n_union_exact")
+        ).alias("union_within_5pct"),
+        (
+            F.abs(F.col("n_intersection_est") - F.col("n_both_exact"))
+            <= 0.05 * F.col("n_both_exact")
+        ).alias("both_within_5pct"),
+    )
