@@ -1,3 +1,3 @@
-from . import dedup, relational, similarity, text, tswindow
+from . import dedup, relational, search, similarity, text, tswindow
 
-__all__ = ["relational", "tswindow", "dedup", "similarity", "text"]
+__all__ = ["relational", "tswindow", "dedup", "search", "similarity", "text"]

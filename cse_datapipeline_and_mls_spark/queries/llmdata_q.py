@@ -1177,3 +1177,63 @@ def x_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.filter(bucket < F.col("cut")).select(
         "doc_id", (F.col("cut") == 10000).cast("int").alias("keep")
     )
+
+
+@register(
+    "x_bm25_search",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT doc_id, term FROM tok WHERE term <> ''
+    ), stats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len FROM tok2 GROUP BY doc_id
+    ), gstats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM stats
+    ), post AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM tok2 WHERE term IN ('vector', 'hash', 'merge')
+      GROUP BY term, doc_id
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+    ), scored AS (
+      SELECT p.doc_id,
+             ln(1 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (0.25 + 0.75 * s.doc_len / g.avgdl)) AS sc
+      FROM post p
+      JOIN dfreq d USING (term)
+      JOIN stats s USING (doc_id)
+      CROSS JOIN gstats g
+    ), agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched, sum(sc) AS score
+      FROM scored GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_matched, round(score, 4) AS score
+    FROM agg WHERE n_matched = 3
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse keyword retrieval over the corpus: inverted index + BM25
+    AND-search, the lexical complement to the dense ANN stack. The index
+    build is one explode + one (term, doc) groupBy; at scale the
+    postings persist bucketed by term so a query's ``term IN (...)``
+    prunes to its own buckets and the ranking work is candidate-sized
+    (operators/search.py). Top-k compiles to TakeOrderedAndProject —
+    no global sort. k1=1.2, b=0.75, smoothed idf; score rounded 4dp
+    (order-sensitive float sum of 3 idf-weighted terms)."""
+    from ..operators.search import bm25_topk, build_inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, doc_stats = build_inverted_index(docs)
+    out = bm25_topk(
+        postings,
+        doc_stats,
+        ["vector", "hash", "merge"],
+        k=10,
+        mode="all",
+    )
+    return out.select("doc_id", "n_matched", F.round("score", 4).alias("score"))
