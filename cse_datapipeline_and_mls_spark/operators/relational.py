@@ -365,3 +365,83 @@ def robust_outlier_stats(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    set_cols: Sequence[str] | None = None,
+    order_col: str | None = None,
+    delete_col: str | None = None,
+    with_action: bool = False,
+) -> DataFrame:
+    """SCD type-1 MERGE semantics as one full-outer join — the
+    lakehouse upsert (MERGE INTO): matched keys take the update's
+    values (including explicit NULLs — coalesce would silently keep
+    stale data), unmatched update rows INSERT, unmatched target rows
+    persist, and rows whose update carries ``delete_col = true`` are
+    DROPPED (CDC tombstones).
+
+    ``set_cols`` limits which target columns updates may overwrite
+    (default: every shared non-key column); target-only columns ride
+    along unchanged for matches and NULL for inserts. ``order_col``
+    makes the merge idempotent against multi-row batches: updates are
+    first reduced to the latest row per key (max order_col, unique
+    tiebreak required upstream for exact determinism). ``with_action``
+    appends a merge_action column ('updated' / 'inserted' / 'kept') for
+    audit sinks.
+
+    Scale: one shuffle on the merge keys (the join); the dedup window
+    reuses the same key partitioning. Pair with
+    sinks.merge_upsert_parquet for the partition-selective rewrite.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("merge_upsert: keys must be non-empty")
+    shared = [c for c in updates.columns if c in target.columns and c not in keys]
+    if set_cols is None:
+        set_cols = shared
+    else:
+        missing = [c for c in set_cols if c not in updates.columns]
+        if missing:
+            raise ValueError(f"merge_upsert: set_cols absent from updates: {missing}")
+    if order_col is not None:
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        updates = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    # alias-qualified references (not DataFrame attribution): the target
+    # is often derived from a previous merge of the SAME updates frame
+    # (idempotent replay), and attribute-style u[c]/t[c] hits Spark's
+    # self-join lineage ambiguity there
+    u = updates.withColumn("_u_present", F.lit(True)).alias("_mu")
+    t = target.withColumn("_t_present", F.lit(True)).alias("_mt")
+    joined = t.join(u, keys, "full_outer")
+    if delete_col is not None:
+        joined = joined.filter(
+            ~F.coalesce(F.col(f"_mu.{delete_col}"), F.lit(False))
+        )
+    upd = F.col("_u_present").isNotNull()
+    cols = [F.col(k).alias(k) for k in keys]
+    for c in target.columns:
+        if c in keys:
+            continue
+        if c in set_cols:
+            cols.append(
+                F.when(upd, F.col(f"_mu.{c}"))
+                .otherwise(F.col(f"_mt.{c}"))
+                .alias(c)
+            )
+        else:
+            cols.append(F.col(f"_mt.{c}").alias(c))
+    if with_action:
+        cols.append(
+            F.when(upd & F.col("_t_present").isNotNull(), F.lit("updated"))
+            .when(upd, F.lit("inserted"))
+            .otherwise(F.lit("kept"))
+            .alias("merge_action")
+        )
+    return joined.select(*cols)

@@ -1406,3 +1406,65 @@ def x_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_both_exact")
         ).alias("both_within_5pct"),
     )
+
+
+@register(
+    "x_merge_upsert_latest",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id AS c_custkey, value AS new_bal
+      FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) t WHERE rn = 1
+    ), tgt AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey <= 100
+    )
+    SELECT CAST(COALESCE(t.c_custkey, l.c_custkey) AS BIGINT) AS c_custkey,
+           t.c_name AS c_name,
+           CASE WHEN l.c_custkey IS NOT NULL THEN l.new_bal
+                ELSE t.c_acctbal END AS c_acctbal,
+           t.c_mktsegment AS c_mktsegment,
+           CASE WHEN l.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL THEN 'updated'
+                WHEN l.c_custkey IS NOT NULL THEN 'inserted'
+                ELSE 'kept' END AS merge_action
+    FROM tgt t FULL OUTER JOIN latest l ON t.c_custkey = l.c_custkey
+    """,
+)
+def x_merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SCD type-1 upsert) as one full-outer join — the
+    lakehouse maintenance op the engine's sinks pair with
+    (sinks.merge_upsert_parquet does the partition-selective rewrite).
+    Here the semantic core: latest purchase value per user upserts a
+    customer dimension slice — matched keys take the new balance,
+    unknown users INSERT, untouched customers persist, and the batch is
+    first reduced to one row per key (max (ts, event_id)) so replayed
+    batches are idempotent. All three action paths land in the result
+    and the oracle replays them in ANSI SQL."""
+    from ..operators.relational import merge_upsert
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    )
+    updates = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("c_custkey"),
+            F.col("value").alias("c_acctbal"),
+            F.struct("ts", "event_id").alias("_ord"),
+        )
+    )
+    return merge_upsert(
+        cust,
+        updates,
+        ["c_custkey"],
+        set_cols=["c_acctbal"],
+        order_col="_ord",
+        with_action=True,
+    )

@@ -28,6 +28,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -108,3 +109,62 @@ def compact_parquet(
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def merge_upsert_parquet(
+    spark,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_col: str | None = None,
+    **merge_kwargs,
+) -> int:
+    """MERGE INTO for a plain-parquet table: apply relational.merge_upsert
+    against the table at ``path`` and persist the result. Returns the
+    number of rows written.
+
+    Scale contract — this is why ``partition_col`` matters: when the
+    table is partitioned (write_partitioned) and the partition column
+    rides on both sides, only the partitions the update batch TOUCHES
+    are read (partition pruning on the filter below) and only those are
+    rewritten (dynamic partition overwrite), so a 1 GB update batch
+    against a 100 TB table costs |touched partitions|, not a full
+    rewrite. Unpartitioned tables fall back to a staged full rewrite
+    (write to _stage, swap) — correct everywhere, acceptable only for
+    dimension-sized tables; the guard below makes that an explicit
+    caller choice rather than a silent cliff.
+
+    Updates whose ``partition_col`` value lands in a brand-new
+    partition still work: dynamic overwrite creates the directory.
+    """
+    import shutil
+
+    from ..operators.relational import merge_upsert
+
+    target = spark.read.parquet(path)
+    if partition_col is not None:
+        if partition_col not in updates.columns:
+            raise ValueError(
+                f"merge_upsert_parquet: updates lack partition col {partition_col!r}"
+            )
+        touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        pruned = target.filter(F.col(partition_col).isin(touched))
+        merged = merge_upsert(pruned, updates, keys, **merge_kwargs)
+        # materialize before the overwrite: Spark refuses (or corrupts)
+        # a write whose plan still reads the destination path
+        merged = merged.localCheckpoint(eager=True)
+        n = merged.count()
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return n
+    merged = merge_upsert(target, updates, keys, **merge_kwargs)
+    stage = path.rstrip("/") + "._stage"
+    merged.write.mode("overwrite").parquet(stage)
+    n = spark.read.parquet(stage).count()
+    shutil.rmtree(path)
+    shutil.move(stage, path)
+    return n
