@@ -608,3 +608,82 @@ def w_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap.cast("long").alias("gap_seconds"),
         )
     )
+
+
+@register(
+    "w_rolling_mad_anomaly",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_id, user_id, ts, value,
+             median(value) OVER ({_W_ORACLE}
+                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS med,
+             mad(value)    OVER ({_W_ORACLE}
+                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS mad,
+             count(*)      OVER ({_W_ORACLE}
+                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS n_in_frame
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           round(med, 6) AS med_21,
+           round(mad, 6) AS mad_21,
+           CASE WHEN mad > 0 THEN round(0.6745 * (value - med) / mad, 6)
+                ELSE NULL END AS mod_z,
+           CAST(CASE WHEN mad > 0 AND abs(0.6745 * (value - med) / mad) > 3.5
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_outlier,
+           CAST(n_in_frame AS BIGINT) AS n_in_frame
+    FROM b
+    """,
+)
+def w_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ROBUST anomaly detection per series: 21-row median + MAD
+    → Iglewicz–Hoaglin modified z-score (0.6745·(x−med)/MAD, flag at
+    |z| > 3.5) — the windowed twin of the global robust_outlier_stats
+    aggregate. Unlike the rolling-mean z-score (W13), a burst of
+    outliers cannot drag the baseline: median and MAD have 50%
+    breakdown. Spark has no median/MAD window aggregate, so both come
+    from ONE collect_list frame: sorted array → interpolated middle
+    (DuckDB median parity), then |x−med| transform → sorted → middle
+    again. Still one shuffle + one WindowExec; the per-row O(k log k)
+    sort of a 21-row frame is map-side CPU, not data movement. MAD = 0
+    (constant frame) yields NULL z / flag 0 — the guarded-ratio policy
+    (F8/F9)."""
+    from ..operators import tswindow as TS
+
+    ev = _events_series(spark, sf_dir)
+    w = TS.series_window("user_id", ["ts", "event_id"]).rowsBetween(-20, 0)
+
+    def arr_median(arr):
+        n = F.size(arr)
+        return F.when(
+            n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+        ).otherwise(
+            (
+                F.element_at(arr, (n / 2).cast("int"))
+                + F.element_at(arr, (n / 2 + 1).cast("int"))
+            )
+            / 2
+        )
+
+    # materialize the sorted frame ONCE (a single window expression in
+    # one WindowExec), then derive med/MAD/z as pure projections —
+    # inlining collect_list into every derived expression would make
+    # WindowExec buffer the frame separately per occurrence
+    base = ev.withColumn("_vals", F.array_sort(F.collect_list("value").over(w)))
+    base = base.withColumn("_med", arr_median(F.col("_vals")))
+    med = F.col("_med")
+    devs = F.array_sort(
+        F.transform(F.col("_vals"), lambda v: F.abs(v - med))
+    )
+    base = base.withColumn("_mad", arr_median(devs))
+    mad = F.col("_mad")
+    mod_z = F.when(mad > 0, 0.6745 * (F.col("value") - med) / mad)
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(med, 6).alias("med_21"),
+        F.round(mad, 6).alias("mad_21"),
+        F.round(mod_z, 6).alias("mod_z"),
+        F.when(F.abs(mod_z) > 3.5, 1).otherwise(0).cast("int").alias("is_outlier"),
+        F.size("_vals").cast("long").alias("n_in_frame"),
+    )

@@ -130,3 +130,43 @@ def test_volume_spike_flag(spark):
     w = TS.series_window("sym", "t")
     out = TS.with_volume_spike(df, "price", w, k=3).orderBy("t").collect()
     assert [r["volume_spike"] for r in out] == [0, 0, 0, 1]
+
+
+def test_rolling_mad_anomaly_semantics(spark, tmp_path):
+    """Planted spike flags exactly once; constant series yields MAD=0 ->
+    NULL z, flag 0 (guarded-ratio policy). Exercises the registered
+    query end-to-end on a synthetic events table."""
+    import datetime as dt
+
+    from cse_datapipeline_and_mls_spark.queries.windows_q import (
+        w_rolling_mad_anomaly,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: tight series with one planted spike at i=15
+    for i in range(30):
+        v = 10.0 + (0.2 if i % 2 else -0.2) + (500.0 if i == 15 else 0.0)
+        rows.append((i, base + dt.timedelta(minutes=i), 1, "click", v, "{}"))
+    # user 2: constant series
+    for i in range(10):
+        rows.append((100 + i, base + dt.timedelta(minutes=i), 2, "click", 7.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    # route through the registered query by landing a parquet events table
+    p = str(tmp_path / "sfX")
+    import os
+
+    os.makedirs(p, exist_ok=True)
+    df.write.parquet(p + "/events.parquet")
+    out = w_rolling_mad_anomaly(spark, p).collect()
+    u1 = {r["event_id"]: r for r in out if r["user_id"] == 1}
+    u2 = [r for r in out if r["user_id"] == 2]
+    flagged = sorted(eid for eid, r in u1.items() if r["is_outlier"] == 1)
+    assert flagged == [15], flagged
+    # spike leaves the median/MAD baseline essentially untouched (robustness)
+    assert abs(u1[16]["med_21"] - 10.0) < 1.0
+    for r in u2:
+        if r["n_in_frame"] >= 2:
+            assert r["mad_21"] == 0.0 and r["mod_z"] is None and r["is_outlier"] == 0
