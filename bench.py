@@ -61,6 +61,12 @@ HEADLINE = [
     "x_pagerank_suppliers",
     "x_duplicate_spans_removed",
     "x_ann_pq_topk",
+    # r4 session-2 additions: mergeable sketch rollups, BM25 retrieval,
+    # MERGE upsert, robust rolling anomaly
+    "x_sketch_rollup_users",
+    "x_bm25_search",
+    "x_merge_upsert_latest",
+    "w_rolling_mad_anomaly",
 ]
 
 

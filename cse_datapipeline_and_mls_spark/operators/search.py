@@ -134,3 +134,32 @@ def bm25_topk(
     if mode == "all":
         agg = agg.filter(F.col("n_matched") == len(set(query_terms)))
     return agg.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion across retrieval modalities (Cormack et
+    al.: score = Σ_lists 1/(k + rank)) — the standard way to combine
+    BM25's sparse ranking with dense ANN results WITHOUT calibrating
+    their incomparable score scales; only ranks enter the fusion.
+
+    Each input frame carries (id_col, rank). The fuse is a union + one
+    groupBy on the id — candidate-list-sized work (lists are top-k
+    already), never corpus-sized. Returns (id_col, rrf_score, n_lists)
+    in deterministic (rrf_score desc, id) order inside the limit.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    u = None
+    for df in ranked:
+        part = df.select(F.col(id_col), F.col("rank"))
+        u = part if u is None else u.unionByName(part)
+    fused = u.groupBy(id_col).agg(
+        F.sum(F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rank"))).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), id_col).limit(top_k)

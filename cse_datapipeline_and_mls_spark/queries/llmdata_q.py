@@ -1237,3 +1237,97 @@ def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="all",
     )
     return out.select("doc_id", "n_matched", F.round("score", 4).alias("score"))
+
+
+@register(
+    "x_hybrid_search_rrf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT doc_id, term FROM tok WHERE term <> ''
+    ), stats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len FROM tok2 GROUP BY doc_id
+    ), gstats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM stats
+    ), post AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM tok2 WHERE term IN ('vector', 'hash', 'merge')
+      GROUP BY term, doc_id
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+    ), bm AS (
+      SELECT p.doc_id,
+             sum(ln(1 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (0.25 + 0.75 * s.doc_len / g.avgdl))) AS score
+      FROM post p
+      JOIN dfreq d USING (term)
+      JOIN stats s USING (doc_id)
+      CROSS JOIN gstats g
+      GROUP BY p.doc_id
+    ), sparse20 AS (
+      SELECT doc_id, score FROM bm
+      QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20
+    ), sparse AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM sparse20
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), dense AS (
+      SELECT e.vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv, q.qv)), 0), 6) DESC, e.vec_id
+             ) AS rank
+      FROM embeddings e CROSS JOIN q
+      QUALIFY rank <= 20
+    ), fused AS (
+      SELECT doc_id,
+             round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM (SELECT doc_id, rank FROM sparse
+            UNION ALL SELECT doc_id, rank FROM dense) u
+      GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, rrf_score, n_lists
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def x_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: BM25 sparse leg + exact-cosine dense leg fused
+    by reciprocal-rank fusion (1/(60+rank)) — the standard score-scale-
+    free combination; docs surfaced by BOTH modalities (n_lists = 2)
+    rise above single-modality hits. Each leg is top-20 of its own
+    oracle-checked machinery (x_bm25_search / x_cosine_topk); the fuse
+    itself is candidate-sized (union + one groupBy over ≤40 rows at any
+    corpus size). doc_id ↔ vec_id alignment is the testdata contract."""
+    from ..operators.search import bm25_topk, build_inverted_index, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, doc_stats = build_inverted_index(docs)
+    sp20 = bm25_topk(postings, doc_stats, ["vector", "hash", "merge"], k=20)
+    sparse = sp20.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.round("score", 6)), "doc_id"))
+        .alias("rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    dense = S.brute_force_topk(emb, q0, k=20).select(
+        F.col("vec_id").alias("doc_id"), F.col("rnk").alias("rank")
+    )
+    fused = rrf_fuse([sparse, dense], id_col="doc_id", k_rrf=60, top_k=10)
+    return fused.select(
+        "doc_id", F.round("rrf_score", 6).alias("rrf_score"), "n_lists"
+    )

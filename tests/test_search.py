@@ -89,3 +89,24 @@ def test_bm25_rejects_bad_args(spark):
         bm25_topk(postings, doc_stats, [], k=5)
     with pytest.raises(ValueError):
         bm25_topk(postings, doc_stats, ["x"], mode="nope")
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from cse_datapipeline_and_mls_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id bigint, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id bigint, rank int")
+    got = {r["doc_id"]: r for r in rrf_fuse([a, b], top_k=10).collect()}
+    assert got[2]["rrf_score"] == pytest.approx(1 / 62 + 1 / 61, rel=1e-12)
+    assert got[2]["n_lists"] == 2
+    assert got[1]["rrf_score"] == pytest.approx(1 / 61, rel=1e-12)
+    # doc in both lists outranks any single-list doc here
+    best = max(got.values(), key=lambda r: r["rrf_score"])
+    assert best["doc_id"] == 2
+
+
+def test_rrf_fuse_rejects_empty(spark):
+    from cse_datapipeline_and_mls_spark.operators.search import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])

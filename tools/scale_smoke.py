@@ -250,6 +250,67 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
     )
     out["data_quality_checks"] = res
 
+    # 9. BM25 retrieval: index build (explode + (term,doc) groupBy) +
+    # AND-search + top-k. Query-time work is candidate-bounded, so the
+    # timed whole (build + search) must stay linear in corpus tokens.
+    from cse_datapipeline_and_mls_spark.operators.search import (
+        bm25_topk,
+        build_inverted_index,
+    )
+
+    def bm25(one):
+        docs = scaled_docs(spark, 1 if one else k_docs)
+        postings, stats = build_inverted_index(docs)
+        return bm25_topk(postings, stats, ["vector", "hash", "merge"], k=10, mode="all")
+
+    case("bm25_search_docs", bm25)
+
+    # 10. Sketch rollup build + merge: per-(day,type) HLL/KLL/theta
+    # sketches then a blob-only re-aggregation — the shuffle carries
+    # sketch bytes, so per-INPUT-row cost must stay flat as events scale.
+    from cse_datapipeline_and_mls_spark.operators import sketches as SK
+
+    def rollup(one):
+        ev = scaled_events(spark, 1 if one else k_events).withColumn(
+            "day", F.date_trunc("day", "ts")
+        )
+        roll = SK.sketch_rollup(ev, ["day", "event_type"], "user_id", "value")
+        return SK.merge_sketch_rollup(roll, ["event_type"], quantiles=(0.5, 0.95))
+
+    case("sketch_rollup_events", rollup)
+
+    # 11. MERGE upsert: one full-outer shuffle on the key — per-row cost
+    # flat as both sides scale together (the realistic CDC shape).
+    from cse_datapipeline_and_mls_spark.operators.relational import merge_upsert
+
+    def upsert(one):
+        kk = 1 if one else k_events
+        ev = scaled_events(spark, kk)
+        target = ev.groupBy("user_id").agg(F.min("value").alias("value"))
+        updates = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", "value", F.struct("ts", "event_id").alias("_ord"))
+        )
+        return merge_upsert(target, updates, ["user_id"], set_cols=["value"], order_col="_ord")
+
+    case("merge_upsert_events", upsert)
+
+    # 12. Rolling median/MAD anomaly: 21-row collect_list frame per key —
+    # per-row CPU is O(k log k) map work; must not grow with corpus size
+    # (window partition count scales with keys, series length constant).
+    def rolling_mad(one):
+        ev = scaled_events(spark, 1 if one else k_events)
+        w = TS.series_window("user_id", ["ts", "event_id"]).rowsBetween(-20, 0)
+        arr = F.array_sort(F.collect_list("value").over(w))
+        n = F.size(arr)
+        med = F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise(
+            (F.element_at(arr, (n / 2).cast("int")) + F.element_at(arr, (n / 2 + 1).cast("int"))) / 2
+        )
+        base = ev.withColumn("_vals", arr).withColumn("_med", med)
+        return base.select("event_id", "_med")
+
+    case("rolling_mad_events", rolling_mad)
+
     return out
 
 
