@@ -220,3 +220,39 @@ def distinct_overlap(
         ),
         F.count(F.lit(1)).alias("n_partitions"),
     )
+
+
+def merge_rollup_tables(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Row-wise union of two sketch-rollup frames on the same keys —
+    the incremental-maintenance primitive: yesterday's rollup table ⊕
+    today's delta without touching raw data. HLL/theta blobs combine
+    via the scalar pairwise unions, KLL via the scalar merge, n_rows
+    adds. Keys present in only one side pass through unchanged. One
+    full-outer shuffle on rollup keys (rollup-table-sized: days ×
+    groups, kilobytes per row)."""
+    has_kll = "kll" in a.columns and "kll" in b.columns
+    aa = a.alias("_ra")
+    bb = b.alias("_rb")
+    j = aa.join(bb, keys, "full_outer")
+
+    def blob(col: str, fn) -> Column:
+        left, right = F.col(f"_ra.{col}"), F.col(f"_rb.{col}")
+        return (
+            F.when(left.isNull(), right)
+            .when(right.isNull(), left)
+            .otherwise(fn(left, right))
+            .alias(col)
+        )
+
+    cols: list[Column] = [F.col(k).alias(k) for k in keys]
+    cols.append(blob("hll", F.hll_union))
+    cols.append(blob("theta", F.theta_union))
+    if has_kll:
+        cols.append(blob("kll", F.kll_sketch_merge_double))
+    cols.append(
+        (
+            F.coalesce(F.col("_ra.n_rows"), F.lit(0))
+            + F.coalesce(F.col("_rb.n_rows"), F.lit(0))
+        ).alias("n_rows")
+    )
+    return j.select(*cols)

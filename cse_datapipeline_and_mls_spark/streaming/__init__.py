@@ -8,6 +8,7 @@ from .pipeline import (
     interval_join,
     run_to_memory_sink,
     session_aggregate,
+    sketch_rollup_stream,
     threshold_alerts,
     windowed_aggregate,
 )

@@ -268,3 +268,70 @@ def expectations_on_stream(checks, parents=None, on_result=None):
             on_result(epoch_id, rows)
 
     return _fb
+
+
+def sketch_rollup_stream(
+    stream: DataFrame,
+    rollup_path: str,
+    keys: tuple[str, ...] = ("day", "event_type"),
+    distinct_col: str = "user_id",
+    value_col: str | None = "value",
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int | None = None,
+):
+    """Incrementally maintain a mergeable sketch rollup table from a
+    stream: each micro-batch is sketched ONCE (batch-sized work) and
+    blob-merged into the persisted rollup (rollup-table-sized work —
+    days × groups rows of kilobyte blobs). Raw events are never
+    re-scanned; the rollup answers distinct-count / quantile questions
+    for any key range at any time (operators/sketches.py docstrings).
+
+    Exactly-once across restarts: foreachBatch can replay a batch after
+    a crash, and KLL merge + n_rows addition are NOT idempotent, so a
+    batch-id high-watermark rides alongside the table (`_last_batch`
+    marker) — replayed batch ids are skipped, which together with the
+    file-source offset log gives effective exactly-once. The table swap
+    is stage-then-rename so readers never see a half-written rollup.
+
+    Returns the started StreamingQuery.
+    """
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from ..operators import sketches as SK
+
+    key_list = list(keys)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = rollup_path.rstrip("/") + "._last_batch"
+        if _os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= _json.load(fh)["batch_id"]:
+                    return  # replayed batch — already folded in
+        prepared = batch_df
+        if "day" in key_list and "day" not in batch_df.columns:
+            prepared = prepared.withColumn("day", F.date_trunc("day", "ts"))
+        delta = SK.sketch_rollup(
+            prepared, key_list, distinct_col=distinct_col, value_col=value_col
+        )
+        if _os.path.exists(rollup_path):
+            existing = spark.read.parquet(rollup_path)
+            merged = SK.merge_rollup_tables(existing, delta, key_list)
+        else:
+            merged = delta
+        stage = rollup_path.rstrip("/") + "._stage"
+        merged.write.mode("overwrite").parquet(stage)
+        if _os.path.exists(rollup_path):
+            _shutil.rmtree(rollup_path)
+        _shutil.move(stage, rollup_path)
+        with open(marker, "w") as fh:
+            _json.dump({"batch_id": batch_id}, fh)
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(upsert)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

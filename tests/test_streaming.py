@@ -321,3 +321,62 @@ def test_content_dedup_stream_drops_normalized_duplicates(spark, tmp_path):
 
     batch = exact_dedup_by_content(spark.read.parquet(path), "props", "event_id")
     assert batch.count() == 3
+
+
+def test_sketch_rollup_stream_matches_batch_and_skips_replay(spark, tmp_path):
+    """Two micro-batches fold into the persisted rollup; HLL estimates
+    equal a direct whole-data rollup (lossless union), n_rows exact, and
+    a replayed batch id is a no-op (the _last_batch high-watermark)."""
+    import datetime as dt
+    import json
+
+    from cse_datapipeline_and_mls_spark.operators import sketches as SK
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=13 * i), i % 37, ["click", "view"][i % 2], float(i % 29), "{}")
+        for i in range(300)
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    all_df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    roll_path = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    # land batch 1, run the stream, then land batch 2 and drain again
+    spark.createDataFrame(rows[:180], schema).write.parquet(src)
+    stream = ST.ingest_file_stream(spark, src)
+    q = ST.sketch_rollup_stream(stream, roll_path, checkpoint_dir=ckpt)
+    q.processAllAvailable()
+    spark.createDataFrame(rows[180:], schema).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    rollup = spark.read.parquet(roll_path)
+    merged = {
+        r["event_type"]: r
+        for r in SK.merge_sketch_rollup(rollup, ["event_type"], quantiles=(0.5,)).collect()
+    }
+    direct_roll = SK.sketch_rollup(
+        all_df.withColumn("day", F.date_trunc("day", "ts")),
+        ["day", "event_type"], "user_id", "value",
+    )
+    direct = {
+        r["event_type"]: r
+        for r in SK.merge_sketch_rollup(direct_roll, ["event_type"], quantiles=(0.5,)).collect()
+    }
+    assert set(merged) == {"click", "view"}
+    for et in merged:
+        assert merged[et]["n_rows"] == direct[et]["n_rows"] == 150
+        assert merged[et]["n_distinct_est"] == direct[et]["n_distinct_est"]
+
+    # replay protection: calling the upsert again with an old batch id
+    # must not change the table (KLL merge / n_rows are not idempotent)
+    marker = roll_path.rstrip("/") + "._last_batch"
+    last = json.load(open(marker))["batch_id"]
+    before = sorted(map(tuple, spark.read.parquet(roll_path).select("day", "event_type", "n_rows").collect()))
+    q2 = ST.sketch_rollup_stream(ST.ingest_file_stream(spark, src), roll_path, checkpoint_dir=ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    after = sorted(map(tuple, spark.read.parquet(roll_path).select("day", "event_type", "n_rows").collect()))
+    assert before == after
+    assert json.load(open(marker))["batch_id"] == last

@@ -74,10 +74,15 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
     out: dict = {}
 
     def case(name, mk_df, n_rows_fn=None):
+        # n_rows_fn(one) -> denominator rows. Queries whose OUTPUT is
+        # fixed-size (top-k, per-group rollups) must report per-INPUT-row
+        # cost, otherwise the ratio reads as superlinear when total work
+        # is actually sublinear in the input.
         res = {}
         for label, kk in (("1x", 1), (f"{k_events if 'window' in name or 'events' in name else k_docs}x", None)):
-            df = mk_df(1 if label == "1x" else None)
-            n = df.count()
+            one = label == "1x"
+            df = mk_df(1 if one else None)
+            n = n_rows_fn(one) if n_rows_fn is not None else df.count()
             # warm the input (file listing, codegen), then measure
             sec = min(timed(df), timed(df))
             res[label] = {"rows": n, "sec": round(sec, 2), "us_per_row": round(sec / n * 1e6, 3)}
@@ -263,7 +268,11 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
         postings, stats = build_inverted_index(docs)
         return bm25_topk(postings, stats, ["vector", "hash", "merge"], k=10, mode="all")
 
-    case("bm25_search_docs", bm25)
+    case(
+        "bm25_search_docs",
+        bm25,
+        n_rows_fn=lambda one: scaled_docs(spark, 1 if one else k_docs).count(),
+    )
 
     # 10. Sketch rollup build + merge: per-(day,type) HLL/KLL/theta
     # sketches then a blob-only re-aggregation — the shuffle carries
@@ -277,7 +286,11 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
         roll = SK.sketch_rollup(ev, ["day", "event_type"], "user_id", "value")
         return SK.merge_sketch_rollup(roll, ["event_type"], quantiles=(0.5, 0.95))
 
-    case("sketch_rollup_events", rollup)
+    case(
+        "sketch_rollup_events",
+        rollup,
+        n_rows_fn=lambda one: scaled_events(spark, 1 if one else k_events).count(),
+    )
 
     # 11. MERGE upsert: one full-outer shuffle on the key — per-row cost
     # flat as both sides scale together (the realistic CDC shape).
