@@ -297,3 +297,38 @@ def score_with_price_reconstruction(
     return model.transform(df).withColumn(
         "predicted_price", F.col(price) * (1 + F.col("prediction"))
     )
+
+
+def fit_pca(df: DataFrame, vec_col: str = "embedding", k: int = 8):
+    """Fit MLlib PCA on an array<float|double> embedding column —
+    the dimensionality-reduction step a 100 TB embedding store runs
+    before ANN indexing (k·d floats per vector instead of d). The fit
+    is one pass to assemble the Gramian (distributed) + an in-driver
+    eigendecomposition of the d×d matrix — d is the embedding dim
+    (small), never the row count. Returns the fitted PCAModel."""
+    from pyspark.ml.feature import PCA as MLPCA
+    from pyspark.ml.functions import array_to_vector
+
+    assembled = df.withColumn("_features", array_to_vector(F.col(vec_col)))
+    return MLPCA(k=k, inputCol="_features", outputCol="_pca").fit(assembled)
+
+
+def pca_project(
+    model, df: DataFrame, vec_col: str = "embedding", out_col: str = "pca_vec"
+) -> DataFrame:
+    """Project embeddings into the fitted PCA basis; output is a plain
+    array<double> so the result composes with every vector operator
+    (cosine_topk, IVF, PQ) unchanged."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    assembled = df.withColumn("_features", array_to_vector(F.col(vec_col)))
+    return (
+        model.transform(assembled)
+        .withColumn(out_col, vector_to_array(F.col("_pca")))
+        .drop("_features", "_pca")
+    )
+
+
+def pca_explained_variance(model) -> list[float]:
+    """Per-component explained-variance fractions (descending)."""
+    return [float(x) for x in model.explainedVariance]

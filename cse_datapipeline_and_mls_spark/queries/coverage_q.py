@@ -1468,3 +1468,113 @@ def x_merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="_ord",
         with_action=True,
     )
+
+
+@register(
+    "x_embedding_centroids",
+    oracle="""
+    SELECT label,
+           CAST(pos AS INTEGER) AS pos,
+           round(avg(v), 6)     AS centroid_v,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM (
+      SELECT label,
+             unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ) t
+    GROUP BY label, pos
+    """,
+)
+def x_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (the k-means M-step / class
+    prototype computation, and the seed step of SemDeDup-style cluster-
+    bounded dedup) with zero UDFs: posexplode fans each vector into
+    (dim, value) rows map-side, then ONE shuffle keyed by (label, dim)
+    with partial avg. At 100 TB the exchange carries one partial
+    (sum, count) per (label, dim) per map task — dims × labels ×
+    tasks, independent of row count. 1-based dim index to match SQL
+    generate_subscripts."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid_v"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+@register(
+    "t_funnel_3step",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+           CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+                AS INTEGER) AS steps_completed
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def t_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order 3-step funnel (signup → first click AFTER signup →
+    first purchase AFTER that click) — the product-analytics shape the
+    2-step interval join (t_click_to_buy_conversion) generalizes to.
+    Each stage is one user-keyed aggregate over a filtered scan + one
+    equi-join; all three shuffles share the user_id key, so at scale a
+    user_id-bucketed events table runs the whole funnel exchange-free.
+    Strictly-after semantics (ts >, not >=) pin tie behavior across
+    engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_signup",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).cast("int").alias("steps_completed"),
+        )
+    )

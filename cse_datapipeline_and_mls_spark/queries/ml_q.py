@@ -254,3 +254,25 @@ def x_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.synth_media_from_documents(docs)
     return MM.sample_frames(media, every_ms=1000)
+
+
+@register("x_embedding_pca_variance")
+def x_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding corpus: per-component explained-variance
+    fractions (k=8 of 64 dims) — the compression-quality report that
+    decides how far the 100 TB embedding store can shrink before ANN
+    recall suffers. Rows-only by contract: the eigendecomposition is
+    MLlib-specific (eigenvector sign and tie order are not
+    ANSI-reproducible); the variance ordering/summation invariants are
+    pinned in tests/test_ml.py instead."""
+    from ..ml.pipelines import fit_pca, pca_explained_variance
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    model = fit_pca(emb, "embedding", k=8)
+    ev = pca_explained_variance(model)
+    return spark.createDataFrame(
+        [(i + 1, round(v, 6)) for i, v in enumerate(ev)],
+        "component int, explained_var double",
+    )

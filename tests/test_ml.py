@@ -153,3 +153,38 @@ def test_quality_classifier_recovers_rules(spark, sf_dir):
     row = QUERIES["ml_quality_classifier"](spark, sf_dir).collect()[0]
     assert row["n_train"] > 0 and row["n_test"] > 0
     assert row["auc"] >= 0.9, f"AUC {row['auc']}"
+
+
+def test_pca_variance_and_projection(spark, sf_dir):
+    from cse_datapipeline_and_mls_spark.ml.pipelines import (
+        fit_pca,
+        pca_explained_variance,
+        pca_project,
+    )
+    from cse_datapipeline_and_mls_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    model = fit_pca(emb, "embedding", k=8)
+    ev = pca_explained_variance(model)
+    assert len(ev) == 8
+    assert all(a >= b for a, b in zip(ev, ev[1:])), "variance not descending"
+    assert 0 < sum(ev) <= 1.0 + 1e-9
+    out = pca_project(model, emb, "embedding").select("vec_id", "pca_vec").collect()
+    assert all(len(r["pca_vec"]) == 8 for r in out)
+    assert len(out) == emb.count()
+
+
+def test_pca_finds_dominant_axis(spark):
+    """Synthetic data with variance concentrated on one axis: the first
+    component must capture (almost) all of it."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 10.0), rng.gauss(0, 0.1), rng.gauss(0, 0.1)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, embedding array<double>")
+    from cse_datapipeline_and_mls_spark.ml.pipelines import fit_pca, pca_explained_variance
+
+    ev = pca_explained_variance(fit_pca(df, "embedding", k=3))
+    assert ev[0] > 0.95
