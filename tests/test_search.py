@@ -110,3 +110,22 @@ def test_rrf_fuse_rejects_empty(spark):
 
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_persisted_postings_partition_prune(spark, tmp_path):
+    """The at-rest contract from the module docstring: postings written
+    partitioned BY TERM answer `term IN (...)` by reading only those
+    terms' directories — the scan's partition filters carry the IN
+    list, and only matching files are touched."""
+    import glob
+
+    postings, _ = _index(spark)
+    idx = str(tmp_path / "postings")
+    postings.write.partitionBy("term").parquet(idx)
+    q = spark.read.parquet(idx).filter(F.col("term").isin("spark", "join"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term" in plan
+    got = {(r["term"], r["doc_id"]) for r in q.collect()}
+    assert got == {("spark", 1), ("spark", 2), ("join", 1), ("join", 3)}
+    # directories exist per term; the pruned read touches only 2 of them
+    assert len(glob.glob(f"{idx}/term=*")) == 5
