@@ -68,3 +68,36 @@ def read_snapshot_json(
             F.from_json(F.col("value"), envelope_schema(record)).alias("root")
         )
     return flatten_envelope(raw, "root", record)
+
+
+def read_with_schema_evolution(
+    spark: SparkSession, path: str, target: T.StructType | None = None
+) -> DataFrame:
+    """Read a parquet table whose files have DRIFTED schemas (columns
+    added over time — the normal life of a long-lived ingest directory).
+
+    ``mergeSchema`` unions all file footers' schemas (files missing a
+    column yield NULLs); without it Spark trusts one random footer and
+    silently drops newer columns. Cost note for 100 TB tables: merging
+    reads every file footer at planning time — prefer a fixed
+    ``target`` schema (pass it here) once the table's contract settles,
+    which skips footer merging entirely and gets conformance instead.
+    """
+    if target is not None:
+        return conform_to_schema(spark.read.option("mergeSchema", "true").parquet(path), target)
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def conform_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Force a frame to a target contract: missing columns appear as
+    typed NULLs, present columns cast to the contract type, extra
+    columns DROPPED, order normalized — the write-side half of schema
+    evolution (every sink in this engine writes contract-shaped
+    frames). Pure projection: no shuffle, survives pushdown."""
+    cols = []
+    for field in target.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)

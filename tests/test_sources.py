@@ -143,3 +143,38 @@ def test_landed_html_scrape_example(spark):
     assert got["GAMM.X0000"]["change_pct"] == 0.0
     with _pytest.raises(NotImplementedError):
         ex.fetch_trade_summary("https://example.invalid/trade-summary")
+
+
+def test_schema_evolution_read_and_conform(spark, tmp_path):
+    """Files written before/after a column was added read back as one
+    frame (mergeSchema), and conform_to_schema enforces the contract:
+    typed NULL backfill, casts, extra-column drop, stable order."""
+    from pyspark.sql import types as T
+
+    from cse_datapipeline_and_mls_spark.sources.ingest import (
+        conform_to_schema,
+        read_with_schema_evolution,
+    )
+
+    path = str(tmp_path / "drifting")
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = read_with_schema_evolution(spark, path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    got = {r["id"]: r for r in merged.collect()}
+    assert got[1]["score"] is None and got[2]["score"] == 9.5
+
+    contract = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("flag", T.IntegerType()),  # never written -> NULL
+        ]
+    )
+    conformed = read_with_schema_evolution(spark, path, target=contract)
+    assert conformed.columns == ["id", "score", "flag"]
+    rows = {r["id"]: r for r in conformed.collect()}
+    assert rows[1]["flag"] is None and "name" not in conformed.columns
