@@ -445,3 +445,48 @@ def merge_upsert(
             .alias("merge_action")
         )
     return joined.select(*cols)
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    id_col: str = "dense_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign dense 0..n-1 ids in global ``order_cols`` order WITHOUT
+    the classic bottleneck: a bare ``row_number() OVER (ORDER BY ...)``
+    funnels the whole table through ONE partition. This is the
+    two-phase zipWithIndex shape instead:
+
+      1. range-repartition on the order keys (distributed sort — every
+         partition holds a contiguous key range, partition ids ordered
+         by range);
+      2. per-partition counts -> prefix-sum offsets (tiny frame: one
+         row per partition, broadcast back);
+      3. id = partition offset + in-partition row_number.
+
+    Two distributed exchanges (range + the pid-clustered window), zero
+    single-partition stages. Output ids are deterministic whenever
+    ``order_cols`` totally order the rows (range boundaries may vary
+    run to run; the global order — and therefore the ids — do not).
+    The standard use: minting contiguous surrogate keys / sample
+    indices for a 100 TB corpus.
+    """
+    order_cols = list(order_cols)
+    if not order_cols:
+        raise ValueError("assign_dense_ids: order_cols must be non-empty")
+    par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(par, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset")
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(id_col, F.col("_offset") + F.row_number().over(w_in) - 1)
+        .drop("_pid", "_offset")
+    )

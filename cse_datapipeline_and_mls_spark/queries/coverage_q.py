@@ -1578,3 +1578,26 @@ def t_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("steps_completed"),
         )
     )
+
+
+@register(
+    "x_dense_ids_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS dense_id
+    FROM documents
+    """,
+)
+def x_dense_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense surrogate-key minting in global doc_id order — produced by
+    the two-phase zipWithIndex shape (relational.assign_dense_ids:
+    range repartition + per-partition offsets), NOT the oracle's naive
+    global-window form, which at 100 TB funnels every row through one
+    partition. Same answer, scalable plan — that asymmetry is the
+    point of the query."""
+    from ..operators.relational import assign_dense_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return assign_dense_ids(docs, ["doc_id"]).select(
+        "doc_id", F.col("dense_id").cast("long").alias("dense_id")
+    )

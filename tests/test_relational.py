@@ -253,3 +253,21 @@ def test_linear_trend_recovers_planted_line(spark):
     }
     assert out["lin"]["slope"] == 2.5 and out["lin"]["r2"] == 1.0
     assert out["flat"]["slope"] == 0.0
+
+
+def test_assign_dense_ids_dense_unique_ordered(spark):
+    from cse_datapipeline_and_mls_spark.operators.relational import assign_dense_ids
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(x,) for x in [50, 3, 99, 1, 42, 7, 68, 21]], "k bigint"
+    ).repartition(5)
+    out = assign_dense_ids(df, ["k"]).collect()
+    ids = sorted(r["dense_id"] for r in out)
+    assert ids == list(range(8))
+    by_k = {r["k"]: r["dense_id"] for r in out}
+    ordered = sorted(by_k)
+    assert [by_k[k] for k in ordered] == list(range(8))
+    with _pytest.raises(ValueError):
+        assign_dense_ids(df, [])
