@@ -1380,17 +1380,20 @@ def x_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("click", "purchase")
     )
     est = distinct_overlap(ev, "event_type", "user_id")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    exact = (
-        clicks.agg(F.count(F.lit(1)).alias("n_click_exact"))
-        .crossJoin(buys.agg(F.count(F.lit(1)).alias("n_purchase_exact")))
-        .crossJoin(
-            clicks.union(buys).distinct().agg(F.count(F.lit(1)).alias("n_union_exact"))
-        )
-        .crossJoin(
-            clicks.intersect(buys).agg(F.count(F.lit(1)).alias("n_both_exact"))
-        )
+    # exact side in ONE pass: per-user membership flags (one user_id
+    # shuffle), then a single global conditional aggregate — not four
+    # separate distinct/intersect pipelines
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("has_c"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("has_p"),
+    )
+    exact = per_user.agg(
+        F.sum("has_c").alias("n_click_exact"),
+        F.sum("has_p").alias("n_purchase_exact"),
+        F.count(F.lit(1)).alias("n_union_exact"),
+        F.sum(
+            ((F.col("has_c") == 1) & (F.col("has_p") == 1)).cast("int")
+        ).alias("n_both_exact"),
     )
     return exact.crossJoin(F.broadcast(est)).select(
         "n_click_exact",

@@ -38,6 +38,9 @@ EXPECTED_CROSS = {
     "x_zorder_layout",        # 1-row min/max bounds broadcast (layout.add_zorder)
     "x_heavy_hitters",        # 1-row total-n broadcast (sketches.frequent_items)
     "x_pagerank_suppliers",   # 1-row dangling-mass broadcast per iteration (graph.pagerank)
+    "x_bm25_search",          # 1-row (n_docs, avgdl) scalar broadcast (search.bm25_topk)
+    "x_hybrid_search_rrf",    # same scalar broadcast inside the BM25 leg
+    "x_theta_audience_overlap",  # 1-row estimate frame broadcast onto the 1-row exact frame
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -47,10 +50,15 @@ EXPECTED_MANY_EXCHANGES = {
     "x_bigram_lm_score_pruned",  # same model-build aggs + TakeOrdered top-M; corpus side joins broadcast-only
     "x_pagerank_suppliers",  # power iteration: 3 exchanges x 6 iterations is the algorithm, not a plan bug
     "x_data_quality_checks",  # 1 fused row-level scan + unique groupBy + anti-join + result union (expectations.py)
+    "t_funnel_3step",         # 3 stage aggs + 2 stage joins, ALL keyed on user_id — exchange-free on a user-bucketed table (docstring)
+    "x_dense_ids_documents",  # range exchange + pid counts + pid-clustered window; the only SinglePartition stage sees #partitions rows, not data rows
+    "x_theta_audience_overlap",  # theta path (2) + one-pass exact side (2) + broadcast combine; all frames past the user shuffle are 1-row
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
     "x_word_topk",
+    "x_dense_ids_documents",  # offsets window over the per-partition counts frame (rows = #partitions)
+    "x_hybrid_search_rrf",    # rank window over a top-20 candidate list
 }
 
 
