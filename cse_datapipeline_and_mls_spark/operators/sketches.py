@@ -213,6 +213,15 @@ def distinct_overlap(
     per = df.groupBy(partition_col).agg(
         F.theta_sketch_agg(distinct_col).alias("theta")
     )
+    # theta_intersection_agg over ZERO sketches throws (the intersection
+    # of nothing is the infinite set) — guard with one action on the
+    # already-aggregated per-partition frame (rows = #segments, tiny)
+    if per.isEmpty():
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(0.0, 0.0, 0)],
+            "n_union_est double, n_intersection_est double, n_partitions bigint",
+        ).filter(F.lit(False))
     return per.agg(
         F.theta_sketch_estimate(F.theta_union_agg("theta")).alias("n_union_est"),
         F.theta_sketch_estimate(F.theta_intersection_agg("theta")).alias(

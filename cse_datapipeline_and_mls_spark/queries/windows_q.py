@@ -687,3 +687,56 @@ def w_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.abs(mod_z) > 3.5, 1).otherwise(0).cast("int").alias("is_outlier"),
         F.size("_vals").cast("long").alias("n_in_frame"),
     )
+
+
+@register(
+    "w_sessionize_30min",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER ({_W_ORACLE}) IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER ({_W_ORACLE}))) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT event_id, user_id, ts,
+             sum(new_sess) OVER ({_W_ORACLE}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM g
+    )
+    SELECT event_id, user_id, ts,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) OVER (PARTITION BY user_id, session_idx) AS BIGINT)
+               AS session_n_events
+    FROM s
+    """,
+)
+def w_sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session ASSIGNMENT (gaps-and-islands): per-event session index
+    from 30-minute inactivity gaps — the per-row complement of the
+    session_window AGGREGATE (t_session_window_30min gives per-session
+    rollups; this tags every event so joins/windows can operate within
+    a session). lag → new-session flag → running sum; both windows plus
+    the per-session count share the user_id partitioning, so the whole
+    query is one exchange. Gap compare in whole epoch seconds
+    (unix_timestamp truncation ≡ floor(epoch()), the engine-wide
+    pairing)."""
+    ev = _events_series(spark, sf_dir)
+    from ..operators import tswindow as TS
+
+    w = TS.series_window("user_id", ["ts", "event_id"])
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(cum).cast("long").alias("session_idx"),
+    )
+    w_sess = Window.partitionBy("user_id", "session_idx")
+    return out.withColumn(
+        "session_n_events", F.count(F.lit(1)).over(w_sess).cast("long")
+    )

@@ -100,3 +100,57 @@ def test_round4_operators_on_empty(spark, empty_docs):
     a = empty_kv.select(F.col("k").alias("name_a"))
     b = empty_kv.select(F.col("k").alias("name_b"))
     assert R.fuzzy_join_blocked(a, b, "name_a", "name_b", method="prefix").count() == 0
+
+
+def test_search_ops_on_empty_corpus(spark, empty_docs):
+    from cse_datapipeline_and_mls_spark.operators.search import (
+        bm25_topk,
+        build_inverted_index,
+        rrf_fuse,
+    )
+
+    postings, stats = build_inverted_index(empty_docs)
+    assert postings.count() == 0 and stats.count() == 0
+    assert bm25_topk(postings, stats, ["x"], k=5).count() == 0
+    empty_rank = spark.createDataFrame([], "doc_id long, rank int")
+    assert rrf_fuse([empty_rank]).count() == 0
+
+
+def test_sketch_rollup_on_empty(spark):
+    from cse_datapipeline_and_mls_spark.operators import sketches as SK
+
+    empty = spark.createDataFrame([], "g int, uid long, val double")
+    roll = SK.sketch_rollup(empty, ["g"], "uid", "val")
+    assert roll.count() == 0
+    assert SK.merge_sketch_rollup(roll, ["g"], quantiles=(0.5,)).count() == 0
+    # merging an empty delta into a non-empty rollup keeps the rollup
+    full = SK.sketch_rollup(
+        spark.createDataFrame([(1, 10, 1.0)], "g int, uid long, val double"),
+        ["g"], "uid", "val",
+    )
+    merged = SK.merge_rollup_tables(full, roll, ["g"])
+    m = SK.merge_sketch_rollup(merged, ["g"]).collect()
+    assert len(m) == 1 and m[0]["n_distinct_est"] == 1 and m[0]["n_rows"] == 1
+    # empty input -> empty (0-row) typed result, per engine convention
+    ov = SK.distinct_overlap(empty, "g", "uid")
+    assert ov.count() == 0
+    assert ov.columns == ["n_union_est", "n_intersection_est", "n_partitions"]
+
+
+def test_merge_upsert_empty_sides(spark):
+    from cse_datapipeline_and_mls_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame([(1, 1.0)], "id long, bal double")
+    empty = spark.createDataFrame([], "id long, bal double")
+    kept = merge_upsert(target, empty, ["id"]).collect()
+    assert [(r["id"], r["bal"]) for r in kept] == [(1, 1.0)]
+    inserted = merge_upsert(empty, target, ["id"], with_action=True).collect()
+    assert [(r["id"], r["merge_action"]) for r in inserted] == [(1, "inserted")]
+    assert merge_upsert(empty, empty, ["id"]).count() == 0
+
+
+def test_dense_ids_on_empty(spark):
+    from cse_datapipeline_and_mls_spark.operators.relational import assign_dense_ids
+
+    empty = spark.createDataFrame([], "k long")
+    assert assign_dense_ids(empty, ["k"]).count() == 0
