@@ -163,3 +163,19 @@ def rrf_fuse(
         F.count(F.lit(1)).alias("n_lists"),
     )
     return fused.orderBy(F.desc("rrf_score"), id_col).limit(top_k)
+
+
+def merge_postings(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a delta postings frame (new/changed docs) into an existing
+    index: tf adds per (term, doc_id) — the incremental-maintenance
+    primitive that keeps a 100 TB keyword index fresh without rebuilds.
+    One shuffle keyed by (term, doc_id); at rest, re-bucket by term on
+    write so queries stay partition-pruned. Doc DELETIONS are the
+    caller's pre-step: pass the removed docs' postings negated
+    (tf * -1) and rows that reach zero are dropped here."""
+    return (
+        existing.unionByName(delta)
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )

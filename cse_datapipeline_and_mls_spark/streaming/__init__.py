@@ -5,6 +5,7 @@ from .pipeline import (
     enrich_stream,
     expectations_on_stream,
     ingest_file_stream,
+    inverted_index_stream,
     interval_join,
     run_to_memory_sink,
     session_aggregate,

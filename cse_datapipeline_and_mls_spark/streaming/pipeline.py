@@ -335,3 +335,66 @@ def sketch_rollup_stream(
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def inverted_index_stream(
+    stream: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int | None = None,
+):
+    """Keep an on-disk inverted index current from a document stream:
+    each micro-batch is tokenized/aggregated ONCE (batch-sized work)
+    and tf-merged into the persisted postings (index-sized shuffle on
+    (term, doc_id) — at production scale, partition the merge by term
+    bucket so only touched buckets rewrite; here the whole index swaps
+    staged, same contract as sketch_rollup_stream). Replay-safe via the
+    same batch-id high-watermark. doc_stats ride alongside in
+    ``<index>/doc_stats`` so BM25 can run against the live index."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from ..operators.search import build_inverted_index, merge_postings
+
+    post_path = index_path.rstrip("/") + "/postings"
+    stats_path = index_path.rstrip("/") + "/doc_stats"
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = index_path.rstrip("/") + "/_last_batch"
+        if _os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= _json.load(fh)["batch_id"]:
+                    return
+        delta_post, delta_stats = build_inverted_index(
+            batch_df, id_col=id_col, text_col=text_col
+        )
+        if _os.path.exists(post_path):
+            post = merge_postings(spark.read.parquet(post_path), delta_post)
+            stats = (
+                spark.read.parquet(stats_path)
+                .unionByName(delta_stats)
+                .groupBy("doc_id")
+                .agg(F.sum("doc_len").alias("doc_len"))
+            )
+        else:
+            post, stats = delta_post, delta_stats
+        for df, path in ((post, post_path), (stats, stats_path)):
+            stage = path + "._stage"
+            df.write.mode("overwrite").parquet(stage)
+            if _os.path.exists(path):
+                _shutil.rmtree(path)
+            _shutil.move(stage, path)
+        _os.makedirs(index_path, exist_ok=True)
+        with open(marker, "w") as fh:
+            _json.dump({"batch_id": batch_id}, fh)
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(upsert)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -380,3 +380,59 @@ def test_sketch_rollup_stream_matches_batch_and_skips_replay(spark, tmp_path):
     after = sorted(map(tuple, spark.read.parquet(roll_path).select("day", "event_type", "n_rows").collect()))
     assert before == after
     assert json.load(open(marker))["batch_id"] == last
+
+
+def test_inverted_index_stream_matches_batch_index(spark, tmp_path):
+    """Streamed index (two micro-batches folded incrementally) must
+    equal the one-shot batch index over the same corpus — postings,
+    doc_stats, AND the BM25 ranking run against it."""
+    from cse_datapipeline_and_mls_spark.operators.search import (
+        bm25_topk,
+        build_inverted_index,
+    )
+
+    docs = [
+        (1, "spark shuffle join join"),
+        (2, "spark scan"),
+        (3, "join filter filter scan"),
+        (4, "scan spark spark"),
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(docs[:2], schema).write.parquet(src)
+    from pyspark.sql import types as T
+
+    st = T.StructType([T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())])
+    stream = spark.readStream.schema(st).parquet(src)
+    q = ST.inverted_index_stream(stream, idx, checkpoint_dir=ckpt)
+    q.processAllAvailable()
+    spark.createDataFrame(docs[2:], schema).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    live_post = spark.read.parquet(idx + "/postings")
+    live_stats = spark.read.parquet(idx + "/doc_stats")
+    batch_post, batch_stats = build_inverted_index(
+        spark.createDataFrame(docs, schema)
+    )
+    assert sorted(map(tuple, live_post.collect())) == sorted(map(tuple, batch_post.collect()))
+    assert sorted(map(tuple, live_stats.collect())) == sorted(map(tuple, batch_stats.collect()))
+    live_top = bm25_topk(live_post, live_stats, ["spark"], k=10).collect()
+    batch_top = bm25_topk(batch_post, batch_stats, ["spark"], k=10).collect()
+    assert [tuple(r) for r in live_top] == [tuple(r) for r in batch_top]
+
+
+def test_merge_postings_deletion_via_negation(spark):
+    from cse_datapipeline_and_mls_spark.operators.search import merge_postings
+
+    existing = spark.createDataFrame(
+        [("a", 1, 2), ("b", 1, 1), ("a", 2, 1)], "term string, doc_id long, tf long"
+    )
+    # remove doc 1 entirely: negate its postings
+    delta = spark.createDataFrame(
+        [("a", 1, -2), ("b", 1, -1)], "term string, doc_id long, tf long"
+    )
+    left = {(r["term"], r["doc_id"]): r["tf"] for r in merge_postings(existing, delta).collect()}
+    assert left == {("a", 2): 1}
