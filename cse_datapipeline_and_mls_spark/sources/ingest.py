@@ -101,3 +101,20 @@ def conform_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*cols)
+
+
+def with_ingest_metadata(df: DataFrame, batch_id: int | None = None) -> DataFrame:
+    """Stamp the lineage columns every audited ingest needs:
+    ``_source_file`` (which input file produced the row — Spark's
+    task-level file context, zero cost) and ``_ingest_ts`` (wall-clock
+    of the ingest run — ONE timestamp per query via current_timestamp's
+    query-constant semantics, so re-runs are distinguishable);
+    ``_batch_id`` when the caller is a foreachBatch sink. Downstream
+    dedup/debug queries filter on these instead of guessing provenance.
+    Pure projection — no shuffle, pushdown unaffected."""
+    out = df.withColumn("_source_file", F.input_file_name()).withColumn(
+        "_ingest_ts", F.current_timestamp()
+    )
+    if batch_id is not None:
+        out = out.withColumn("_batch_id", F.lit(int(batch_id)))
+    return out

@@ -178,3 +178,19 @@ def test_schema_evolution_read_and_conform(spark, tmp_path):
     assert conformed.columns == ["id", "score", "flag"]
     rows = {r["id"]: r for r in conformed.collect()}
     assert rows[1]["flag"] is None and "name" not in conformed.columns
+
+
+def test_ingest_metadata_stamps_provenance(spark, tmp_path):
+    from cse_datapipeline_and_mls_spark.sources.ingest import with_ingest_metadata
+
+    p1 = str(tmp_path / "a.parquet")
+    p2 = str(tmp_path / "b.parquet")
+    spark.createDataFrame([(1,)], "id long").write.parquet(p1)
+    spark.createDataFrame([(2,)], "id long").write.parquet(p2)
+    df = with_ingest_metadata(spark.read.parquet(p1, p2), batch_id=7)
+    rows = {r["id"]: r for r in df.collect()}
+    assert "a.parquet" in rows[1]["_source_file"]
+    assert "b.parquet" in rows[2]["_source_file"]
+    assert all(r["_batch_id"] == 7 for r in rows.values())
+    # current_timestamp is query-constant: every row same ingest ts
+    assert len({r["_ingest_ts"] for r in rows.values()}) == 1
