@@ -1604,3 +1604,45 @@ def x_dense_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_dense_ids(docs, ["doc_id"]).select(
         "doc_id", F.col("dense_id").cast("long").alias("dense_id")
     )
+
+
+@register(
+    "x_calendar_dim",
+    oracle="""
+    SELECT CAST(d AS DATE) AS day,
+           CAST(isodow(d) AS INTEGER)      AS iso_dow,
+           CAST(CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS INTEGER) AS is_weekend,
+           CAST(month(d) AS INTEGER)       AS month,
+           CAST(quarter(d) AS INTEGER)     AS quarter,
+           CAST(year(d) AS INTEGER)        AS year,
+           strftime(d, '%Y-%m')            AS year_month
+    FROM generate_series(DATE '2024-01-01', DATE '2024-06-30', INTERVAL 1 DAY) t(d)
+    """,
+)
+def x_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension GENERATION — the broadcastable date spine every
+    warehouse joins against (gap-filling, fiscal rollups, weekend
+    flags). Built from one sequence() literal exploded map-side: zero
+    input scans, zero shuffles; at any scale this is a ~10 KB broadcast
+    dim. ISO day-of-week (1=Mon..7=Sun) is computed as
+    weekday()+1 to pin the Sunday-numbering mismatch between engines."""
+    start, end = "2024-01-01", "2024-06-30"
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"),
+                F.lit(end).cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    iso_dow = (F.weekday("day") + 1).cast("int")
+    return days.select(
+        "day",
+        iso_dow.alias("iso_dow"),
+        (iso_dow >= 6).cast("int").alias("is_weekend"),
+        F.month("day").cast("int").alias("month"),
+        F.quarter("day").cast("int").alias("quarter"),
+        F.year("day").cast("int").alias("year"),
+        F.date_format("day", "yyyy-MM").alias("year_month"),
+    )
