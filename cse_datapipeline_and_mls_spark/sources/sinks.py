@@ -168,3 +168,36 @@ def merge_upsert_parquet(
     shutil.rmtree(path)
     shutil.move(stage, path)
     return n
+
+
+def expire_partitions(
+    spark,
+    path: str,
+    partition_col: str,
+    keep_values: Sequence[str] | None = None,
+    drop_values: Sequence[str] | None = None,
+) -> list[str]:
+    """Retention cleanup for a hive-partitioned table: drop whole
+    partition DIRECTORIES by value (TTL enforcement, GDPR purges of a
+    date range, re-ingest resets). Exactly one of ``keep_values`` /
+    ``drop_values``. Pure directory removal — zero data reads, zero
+    shuffles; the 100 TB retention job costs O(partitions touched).
+    Returns the dropped partition values (sorted)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    if (keep_values is None) == (drop_values is None):
+        raise ValueError("expire_partitions: pass exactly one of keep/drop values")
+    dropped = []
+    for d in _glob.glob(f"{path.rstrip('/')}/{partition_col}=*"):
+        val = _os.path.basename(d).split("=", 1)[1]
+        doomed = (
+            val in set(map(str, drop_values))
+            if drop_values is not None
+            else val not in set(map(str, keep_values))
+        )
+        if doomed:
+            _shutil.rmtree(d)
+            dropped.append(val)
+    return sorted(dropped)

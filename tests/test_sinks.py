@@ -78,3 +78,25 @@ def test_compact_parquet_collapses_small_files(spark, tmp_path):
     compact_parquet(spark, src, dst2, target_records_per_file=4_000, sort_cols=["id"])
     got = [r["id"] for r in spark.read.parquet(dst2).collect()]
     assert sorted(got) == list(range(10_000))
+
+
+def test_expire_partitions_drops_only_doomed_dirs(spark, tmp_path):
+    import glob
+
+    from cse_datapipeline_and_mls_spark.sources.sinks import expire_partitions
+
+    path = str(tmp_path / "retained")
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(["2024-01-01", "2024-01-02", "2024-01-03"])],
+        "id long, day string",
+    )
+    df.write.partitionBy("day").parquet(path)
+    dropped = expire_partitions(spark, path, "day", keep_values=["2024-01-03"])
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    assert len(glob.glob(f"{path}/day=*")) == 1
+    back = spark.read.parquet(path).collect()
+    assert len(back) == 1 and str(back[0]["day"]) == "2024-01-03"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        expire_partitions(spark, path, "day")

@@ -194,3 +194,13 @@ def test_ingest_metadata_stamps_provenance(spark, tmp_path):
     assert all(r["_batch_id"] == 7 for r in rows.values())
     # current_timestamp is query-constant: every row same ingest ts
     assert len({r["_ingest_ts"] for r in rows.values()}) == 1
+
+
+def test_observed_metrics_ride_the_action(spark):
+    from cse_datapipeline_and_mls_spark.sources.ingest import observed
+
+    df = spark.createDataFrame([(1,), (None,), (3,)], "id bigint")
+    out, obs = observed(df, "t")
+    assert out.count() == 3  # the action that materializes the metrics
+    got = obs.get
+    assert got["n_rows"] == 3 and got["null_id"] == 1
