@@ -197,3 +197,103 @@ def test_fuzzy_segment_blocking_matches_brute_force(spark, names, tau):
         if lev(x.strip(), y.strip()) <= tau
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-2 operator properties
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    target=st.dictionaries(
+        st.integers(min_value=0, max_value=9), finite, min_size=1, max_size=6
+    ),
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(min_value=0, max_value=9), finite),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_merge_upsert_sequential_equals_latest_once(spark, target, batches):
+    """Applying CDC batches one-by-one must equal applying the
+    concatenated batch with latest-per-key reduction once — the
+    associativity that makes replay/catch-up safe."""
+    from cse_datapipeline_and_mls_spark.operators.relational import merge_upsert
+
+    t0 = spark.createDataFrame(
+        [(k, v) for k, v in target.items()], "id bigint, bal double"
+    )
+    seq = t0
+    flat = []
+    version = 0
+    for batch in batches:
+        rows = []
+        for k, v in batch:
+            rows.append((k, v, version))
+            flat.append((k, v, version))
+            version += 1
+        bdf = spark.createDataFrame(rows, "id bigint, bal double, v long")
+        seq = merge_upsert(seq, bdf, ["id"], set_cols=["bal"], order_col="v")
+    once = merge_upsert(
+        t0,
+        spark.createDataFrame(flat, "id bigint, bal double, v long"),
+        ["id"],
+        set_cols=["bal"],
+        order_col="v",
+    )
+    assert sorted(map(tuple, seq.collect())) == sorted(map(tuple, once.collect()))
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=6
+    )
+)
+def test_inverted_index_reconstructs_token_counts(spark, texts):
+    """postings tf sums per doc == doc_len, and df == docs containing
+    the term — for arbitrary corpora over a tiny alphabet."""
+    from cse_datapipeline_and_mls_spark.operators.search import build_inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    postings, stats = build_inverted_index(docs)
+    tf_sum = {
+        r["doc_id"]: r["s"]
+        for r in postings.groupBy("doc_id").agg(F.sum("tf").alias("s")).collect()
+    }
+    lens = {r["doc_id"]: r["doc_len"] for r in stats.collect()}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split() if w]
+        assert lens[i] == len(toks)
+        assert tf_sum.get(i, 0) == len(toks)
+    # df parity on the full vocabulary
+    df_counts = {
+        r["term"]: r["d"]
+        for r in postings.groupBy("term").agg(F.count(F.lit(1)).alias("d")).collect()
+    }
+    vocab = {w for t in texts for w in t.lower().split() if w}
+    for w in vocab:
+        truth = sum(1 for t in texts if w in t.lower().split())
+        assert df_counts[w] == truth
+
+
+@SETTINGS
+@given(
+    keys=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=30, unique=True
+    ),
+    nparts=st.integers(min_value=1, max_value=6),
+)
+def test_dense_ids_are_a_sorted_bijection(spark, keys, nparts):
+    from cse_datapipeline_and_mls_spark.operators.relational import assign_dense_ids
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint").repartition(nparts)
+    got = {r["k"]: r["dense_id"] for r in assign_dense_ids(df, ["k"]).collect()}
+    assert [got[k] for k in sorted(keys)] == list(range(len(keys)))
