@@ -1646,3 +1646,50 @@ def x_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("day").cast("int").alias("year"),
         F.date_format("day", "yyyy-MM").alias("year_month"),
     )
+
+
+@register(
+    "x_sketch_rollup_range",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           CAST(count(*) AS BIGINT)                AS n_rows,
+           TRUE AS hll_within_2pct
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def x_sketch_rollup_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production rollup query shape: "distinct users per type over
+    the LAST WEEK" answered by filtering the per-day rollup to 7 day
+    rows and union-merging their HLL blobs — on a day-partitioned
+    rollup table the filter is directory pruning, and the work is 7
+    blob rows per group regardless of raw volume. Exact side recomputed
+    from raw events only as the test-scale verification harness; oracle
+    expects the ±2% verdict TRUE."""
+    from ..operators import sketches as SK
+
+    cutoff = "2024-01-24 00:00:00"
+    ev = load_table(spark, sf_dir, "events")
+    roll = SK.sketch_rollup(
+        ev.withColumn("day", F.date_trunc("day", "ts")),
+        ["day", "event_type"],
+        distinct_col="user_id",
+    )
+    recent = roll.filter(F.col("day") >= F.lit(cutoff).cast("timestamp"))
+    merged = SK.merge_sketch_rollup(recent, ["event_type"])
+    exact = (
+        ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_users_exact",
+        "n_rows",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_users_exact"))
+            <= 0.02 * F.col("n_users_exact")
+        ).alias("hll_within_2pct"),
+    )
