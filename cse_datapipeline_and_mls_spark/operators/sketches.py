@@ -32,7 +32,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SKETCH_SCHEMA = "item string, est long, n_part long"
@@ -265,3 +265,31 @@ def merge_rollup_tables(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFram
         ).alias("n_rows")
     )
     return j.select(*cols)
+
+
+def rolling_distinct_estimate(
+    daily: DataFrame,
+    day_col: str = "day",
+    window_rows: int = 7,
+    out_col: str = "n_distinct_est",
+) -> DataFrame:
+    """Sliding distinct counts from per-day HLL blobs — rolling MAU/WAU
+    without ever holding a window's raw ids: each output day folds the
+    trailing ``window_rows`` day-sketches with the scalar pairwise
+    ``hll_union``. Input ``daily`` is (day_col, hll) — one row per day,
+    so the ordered window runs over a DAY SPINE (365 rows/year), never
+    over events; the single-partition window is bounded by the
+    calendar, not the data. Union is lossless, so the estimate equals
+    sketching each window's raw union directly."""
+    w = Window.orderBy(day_col).rowsBetween(-(window_rows - 1), 0)
+    lst = F.collect_list("hll").over(w)
+    folded = F.reduce(
+        F.slice(lst, 2, 2_000_000_000),
+        F.element_at(lst, 1),
+        lambda acc, x: F.hll_union(acc, x),
+    )
+    return daily.select(
+        F.col(day_col),
+        F.hll_sketch_estimate(folded).alias(out_col),
+        F.size(lst).cast("int").alias("n_days_in_window"),
+    )

@@ -148,3 +148,19 @@ def test_sketch_rollup_without_value_col(spark):
     assert "kll" not in roll.columns
     m = {r["g"]: r for r in SK.merge_sketch_rollup(roll, ["g"]).collect()}
     assert m[1]["n_distinct_est"] == 2 and m[2]["n_distinct_est"] == 1
+
+
+def test_rolling_distinct_matches_direct_union(spark):
+    """Each day's trailing-7 fold must equal a direct HLL over the raw
+    union of those days (lossless pairwise union) — exact-mode sizes so
+    estimates are exact counts."""
+    rows = [(d, d * 10 + u) for d in range(1, 11) for u in range(5)]  # 5 new users/day
+    df = spark.createDataFrame(rows, "day int, uid long")
+    daily = df.groupBy("day").agg(F.hll_sketch_agg("uid", F.lit(12)).alias("hll"))
+    got = {
+        r["day"]: (r["n_distinct_est"], r["n_days_in_window"])
+        for r in SK.rolling_distinct_estimate(daily, "day", window_rows=7).collect()
+    }
+    for d in range(1, 11):
+        span = min(d, 7)
+        assert got[d] == (5 * span, span), (d, got[d])

@@ -41,6 +41,7 @@ EXPECTED_CROSS = {
     "x_bm25_search",          # 1-row (n_docs, avgdl) scalar broadcast (search.bm25_topk)
     "x_hybrid_search_rrf",    # same scalar broadcast inside the BM25 leg
     "x_theta_audience_overlap",  # 1-row estimate frame broadcast onto the 1-row exact frame
+    "x_rolling_mau_sketch",   # 30-row day-spine broadcast range join (exact harness side)
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -53,12 +54,14 @@ EXPECTED_MANY_EXCHANGES = {
     "t_funnel_3step",         # 3 stage aggs + 2 stage joins, ALL keyed on user_id — exchange-free on a user-bucketed table (docstring)
     "x_dense_ids_documents",  # range exchange + pid counts + pid-clustered window; the only SinglePartition stage sees #partitions rows, not data rows
     "x_theta_audience_overlap",  # theta path (2) + one-pass exact side (2) + broadcast combine; all frames past the user shuffle are 1-row
+    "x_rolling_mau_sketch",   # daily sketch agg + spine + exact-harness distinct + verdict join; production path alone is 2
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
     "x_word_topk",
     "x_dense_ids_documents",  # offsets window over the per-partition counts frame (rows = #partitions)
     "x_hybrid_search_rrf",    # rank window over a top-20 candidate list
+    "x_rolling_mau_sketch",   # sliding sketch-fold over the DAY SPINE (365 rows/year, calendar-bounded)
 }
 
 
