@@ -137,3 +137,16 @@ def observed(df: DataFrame, name: str = "ingest") -> DataFrame:
         F.count(F.when(F.col(first).isNull(), 1)).alias(f"null_{first}"),
     )
     return out, obs
+
+
+def read_resilient(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """Parquet read that survives corrupt/truncated files — the 100 TB
+    reality where one bad object out of millions must not kill the job.
+    ``ignoreCorruptFiles`` skips unreadable files at scan time (logged
+    by Spark, job completes on the healthy remainder). Pass ``schema``
+    to also skip footer inference (mandatory when the one corrupt file
+    might otherwise be the footer-sample pick)."""
+    reader = spark.read.option("ignoreCorruptFiles", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)

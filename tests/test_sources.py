@@ -204,3 +204,18 @@ def test_observed_metrics_ride_the_action(spark):
     assert out.count() == 3  # the action that materializes the metrics
     got = obs.get
     assert got["n_rows"] == 3 and got["null_id"] == 1
+
+
+def test_read_resilient_skips_corrupt_file(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from cse_datapipeline_and_mls_spark.sources.ingest import read_resilient
+
+    path = str(tmp_path / "dirty")
+    spark.createDataFrame([(1,), (2,)], "id bigint").write.parquet(path)
+    # plant a corrupt parquet alongside the healthy ones
+    with open(f"{path}/part-corrupt.snappy.parquet", "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet file")
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    got = sorted(r["id"] for r in read_resilient(spark, path, schema).collect())
+    assert got == [1, 2]
