@@ -1752,3 +1752,69 @@ def x_rolling_mau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.02 * F.col("mau_exact")
         ).alias("hll_within_2pct"),
     )
+
+
+@register(
+    "x_customer_churn_sketch",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey,
+             max(CASE WHEN year(o_orderdate) = 1994 THEN 1 ELSE 0 END) AS h94,
+             max(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS h95
+      FROM orders
+      WHERE year(o_orderdate) IN (1994, 1995)
+      GROUP BY o_custkey
+    )
+    SELECT CAST(sum(h94) AS BIGINT)                                  AS n_1994_exact,
+           CAST(sum(h95) AS BIGINT)                                  AS n_1995_exact,
+           CAST(sum(CASE WHEN h94 = 1 AND h95 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_churned_exact,
+           TRUE AS churn_within_5pct
+    FROM f
+    """,
+)
+def x_customer_churn_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set DIFFERENCE — churn: customers who ordered in
+    1994 but not 1995, answered from two year-partition sketches via
+    ``theta_difference`` (A \\ B — the third set operation, after the
+    overlap query's union/intersection). On a year-partitioned rollup
+    this is two blob reads instead of a two-year distinct anti-join.
+    Exact side is the same one-pass membership-flag aggregate the
+    overlap query uses; oracle expects the ±5% verdict TRUE (exact-mode
+    sketches at driver scale make it exact)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1994, 1995)
+    )
+    sketches = o.agg(
+        F.theta_sketch_agg(
+            F.when(F.year("o_orderdate") == 1994, F.col("o_custkey"))
+        ).alias("s94"),
+        F.theta_sketch_agg(
+            F.when(F.year("o_orderdate") == 1995, F.col("o_custkey"))
+        ).alias("s95"),
+    )
+    est = sketches.select(
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("s94"), F.col("s95"))
+        ).alias("churn_est")
+    )
+    flags = o.groupBy("o_custkey").agg(
+        F.max((F.year("o_orderdate") == 1994).cast("int")).alias("h94"),
+        F.max((F.year("o_orderdate") == 1995).cast("int")).alias("h95"),
+    )
+    exact = flags.agg(
+        F.sum("h94").alias("n_1994_exact"),
+        F.sum("h95").alias("n_1995_exact"),
+        F.sum(
+            ((F.col("h94") == 1) & (F.col("h95") == 0)).cast("int")
+        ).alias("n_churned_exact"),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_1994_exact",
+        "n_1995_exact",
+        "n_churned_exact",
+        (
+            F.abs(F.col("churn_est") - F.col("n_churned_exact"))
+            <= 0.05 * F.col("n_churned_exact")
+        ).alias("churn_within_5pct"),
+    )

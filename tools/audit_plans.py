@@ -42,6 +42,7 @@ EXPECTED_CROSS = {
     "x_hybrid_search_rrf",    # same scalar broadcast inside the BM25 leg
     "x_theta_audience_overlap",  # 1-row estimate frame broadcast onto the 1-row exact frame
     "x_rolling_mau_sketch",   # 30-row day-spine broadcast range join (exact harness side)
+    "x_customer_churn_sketch",  # 1-row sketch-estimate frame broadcast onto the 1-row exact frame
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
