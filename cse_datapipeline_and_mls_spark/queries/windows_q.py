@@ -740,3 +740,118 @@ def w_sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "session_n_events", F.count(F.lit(1)).over(w_sess).cast("long")
     )
+
+
+@register(
+    "w_compound_return",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_id, user_id, ts,
+             value / nullif(lag(value) OVER ({_W_ORACLE}), 0) AS gross
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           round(exp(sum(ln(gross)) OVER ({_W_ORACLE}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+               AS cum_return
+    FROM r
+    """,
+)
+def w_compound_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative compound return per series (Π value_t/value_{t-1}
+    from inception) — the multiplicative running total SQL has no
+    aggregate for, expressed as exp(Σ ln(ratio)): numerically stable
+    (sums, not products — no overflow on long series) and one
+    WindowExec sharing the per-key exchange. First row (no lag) yields
+    NULL gross → NULL sum propagates... no: sum() skips NULLs, so the
+    running product starts at the second row exactly like pandas
+    cumprod over ratios; both engines share that skip semantics."""
+    ev = _events_series(spark, sf_dir)
+    from ..operators import tswindow as TS
+
+    w = TS.series_window("user_id", ["ts", "event_id"])
+    gross = F.col("value") / F.nullif(F.lag("value").over(w), F.lit(0.0))
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.exp(F.sum(F.log(gross)).over(cum)), 6).alias("cum_return"),
+    )
+
+
+@register(
+    "w_rolling_beta",
+    oracle=f"""
+    WITH mkt AS (
+      SELECT date_trunc('day', ts) AS day, avg(value) AS mkt_avg
+      FROM events GROUP BY 1
+    ), j AS (
+      SELECT e.event_id, e.user_id, e.ts, e.value AS x, m.mkt_avg AS y
+      FROM events e JOIN mkt m ON date_trunc('day', e.ts) = m.day
+    ), c AS (
+      SELECT event_id, user_id, ts,
+             CAST(count(*) OVER w AS DOUBLE)      AS n,
+             sum(x)     OVER w AS sx,  sum(y)     OVER w AS sy,
+             sum(x * y) OVER w AS sxy,
+             sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+             min(x) OVER w = max(x) OVER w        AS x_const,
+             min(y) OVER w = max(y) OVER w        AS y_const
+      FROM j
+      WINDOW w AS ({_W_ORACLE} ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN n >= 2 AND NOT x_const AND NOT y_const
+                THEN round((n * sxy - sx * sy)
+                     / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0), 6)
+                END AS beta_corr,
+           CAST(n AS BIGINT) AS n_in_frame
+    FROM c
+    """,
+)
+def w_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling correlation of each series against the MARKET benchmark
+    (daily cross-sectional average) — the windowed two-variable
+    aggregate (explicit corr formula over frame sums — ANSI-safe) joined to a day-grain benchmark. The
+    benchmark aggregate is day-spine-sized and broadcastable; the
+    window shares the per-key exchange like every other feature.
+    NULL when the frame has <2 points or either side is constant —
+    identical semantics both engines."""
+    ev = _events_series(spark, sf_dir)
+    mkt = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("mkt_avg"))
+    )
+    j = ev.join(
+        F.broadcast(mkt), F.date_trunc("day", F.col("ts")) == F.col("day")
+    )
+    from ..operators import tswindow as TS
+
+    w = TS.series_window("user_id", ["ts", "event_id"]).rowsBetween(-20, 0)
+    # corr from guarded sum components (ANSI mode makes the built-in
+    # corr window throw divide-by-zero on 1-row frames instead of
+    # returning NULL; the explicit formula nullif-guards both the n=1
+    # and constant-series cases). Scale normalization cancels, so this
+    # equals sample corr exactly.
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("value").over(w)
+    sy = F.sum("mkt_avg").over(w)
+    sxy = F.sum(F.col("value") * F.col("mkt_avg")).over(w)
+    sxx = F.sum(F.col("value") * F.col("value")).over(w)
+    syy = F.sum(F.col("mkt_avg") * F.col("mkt_avg")).over(w)
+    x_const = F.min("value").over(w) == F.max("value").over(w)
+    y_const = F.min("mkt_avg").over(w) == F.max("mkt_avg").over(w)
+    denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    beta = F.when(
+        (n >= 2) & ~x_const & ~y_const,
+        (n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)),
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(beta, 6).alias("beta_corr"),
+        n.cast("long").alias("n_in_frame"),
+    )
