@@ -164,3 +164,27 @@ def test_rolling_distinct_matches_direct_union(spark):
     for d in range(1, 11):
         span = min(d, 7)
         assert got[d] == (5 * span, span), (d, got[d])
+
+
+def test_merge_rollup_tables_partition_invariant(spark):
+    """Splitting the raw data into ANY two halves, rolling each up and
+    blob-merging must give the same HLL estimate and n_rows as one
+    rollup over the whole — the algebraic property incremental
+    maintenance rests on."""
+    rows = [(i % 4, i * 7 % 50, float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "g int, uid long, val double")
+    whole = SK.merge_sketch_rollup(
+        SK.sketch_rollup(df, ["g"], "uid", "val"), ["g"]
+    ).collect()
+    for cut in (1, 100, 399):
+        a = spark.createDataFrame(rows[:cut], "g int, uid long, val double")
+        b = spark.createDataFrame(rows[cut:], "g int, uid long, val double")
+        merged_tbl = SK.merge_rollup_tables(
+            SK.sketch_rollup(a, ["g"], "uid", "val"),
+            SK.sketch_rollup(b, ["g"], "uid", "val"),
+            ["g"],
+        )
+        split = SK.merge_sketch_rollup(merged_tbl, ["g"]).collect()
+        w = {r["g"]: (r["n_distinct_est"], r["n_rows"]) for r in whole}
+        sp = {r["g"]: (r["n_distinct_est"], r["n_rows"]) for r in split}
+        assert w == sp, (cut, w, sp)
