@@ -270,3 +270,37 @@ def f_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") > F.col("p99")).cast("int").alias("clipped_high"),
         )
     )
+
+
+@register(
+    "f_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                              AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+    GROUP BY event_type
+    """,
+)
+def f_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type (Spark 4) —
+    ``parse_json`` once into a binary-encoded variant, then typed
+    ``variant_get`` path extraction that stays inside codegen, instead
+    of per-access string re-parsing (get_json_object). At 100 TB the
+    parse happens once per row at ingest (store the variant column);
+    every downstream path access is a cheap binary probe. Predicate on
+    the extracted field still prunes rows before the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
