@@ -219,3 +219,24 @@ def test_read_resilient_skips_corrupt_file(spark, tmp_path):
     schema = T.StructType([T.StructField("id", T.LongType())])
     got = sorted(r["id"] for r in read_resilient(spark, path, schema).collect())
     assert got == [1, 2]
+
+
+def test_example_tours_importable():
+    """Examples are documentation that must not rot: every tour module
+    imports cleanly (main() is exercised manually / by the quickstart)."""
+    import importlib.util
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+    for name in (
+        "corpus_search",
+        "sketch_rollups",
+        "table_maintenance",
+        "vector_search",
+        "quickstart",
+    ):
+        path = os.path.join(root, f"{name}.py")
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert callable(getattr(mod, "main", None)), name
