@@ -490,3 +490,59 @@ def assign_dense_ids(
         .withColumn(id_col, F.col("_offset") + F.row_number().over(w_in) - 1)
         .drop("_pid", "_offset")
     )
+
+
+# -- interval-overlap join (bucketized, no cross join) ----------------------
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int = 1800,
+) -> DataFrame:
+    """Join two interval sets on temporal overlap (inclusive:
+    ``l_start <= r_end AND r_start <= l_end``) without a cross join.
+
+    Each interval explodes into the epoch-time buckets it covers
+    (``bucket_seconds`` wide); candidates meet on an equi-join over the
+    bucket id; the exact overlap predicate then filters. A pair sharing
+    several buckets would surface once per shared bucket, so each
+    candidate is kept only in the FIRST bucket the two intervals share
+    (the bucket of the later start) — dedup by construction, no
+    ``distinct`` shuffle.
+
+    Input columns must already be disjoint between the two sides
+    (alias before calling); both start/end columns are timestamps.
+
+    Scale posture: shuffle is one exchange per side keyed on the 8-byte
+    bucket id; per-interval fan-out is ceil(len / bucket_seconds) + 1,
+    so pick ``bucket_seconds`` near the median interval length (fan-out
+    ~2) — far better than the quadratic per-key explosion of a naive
+    time-equality self-join, and it needs no equi-key at all. Skew:
+    bucket load is bounded by how many intervals genuinely overlap a
+    time window; a hot window is real data skew, mitigated by AQE skew
+    join on the bucket exchange."""
+    w = int(bucket_seconds)
+
+    def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
+        lo = (F.unix_timestamp(F.col(start)) / w).cast("long")
+        hi = (F.unix_timestamp(F.col(end)) / w).cast("long")
+        return df.withColumn("_bucket", F.explode(F.sequence(lo, hi)))
+
+    lb = bucketed(left, l_start, l_end)
+    rb = bucketed(right, r_start, r_end)
+    first_shared = (
+        F.unix_timestamp(F.greatest(F.col(l_start), F.col(r_start))) / w
+    ).cast("long")
+    return (
+        lb.join(rb, "_bucket")
+        .filter(
+            (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+        )
+        .filter(F.col("_bucket") == first_shared)
+        .drop("_bucket")
+    )

@@ -1818,3 +1818,64 @@ def x_customer_churn_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_churned_exact")
         ).alias("churn_within_5pct"),
     )
+
+
+@register(
+    "x_triangle_copurchase",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ), corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT CAST(node AS BIGINT) AS partkey,
+           CAST(count(*) AS BIGINT) AS triangles
+    FROM corners GROUP BY node
+    ORDER BY triangles DESC, partkey
+    LIMIT 25
+    """,
+)
+def x_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (edge = two
+    parts sharing an order): the canonical graph-clustering primitive
+    (local clustering coefficient numerator, community density). Engine
+    side uses degree-ordered orientation (operators/graph.py
+    triangle_counts — O(|E|^1.5) wedge bound, hub-safe); the oracle
+    counts the same triangles by plain id-canonical three-way join,
+    which is correct but NOT the scale plan. Counts are orientation-
+    invariant, so the two agree exactly — integer outputs, no float
+    rounding anywhere.
+
+    The per-order pair explode is quadratic in order size; TPC-H orders
+    hold ≤7 lines so it is bounded here. At 100 TB, cap the per-key
+    fan-out (drop or sample baskets above ~100 items) before pairing —
+    the same guard posture as the exact-pair dedup oracles."""
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    tc = triangle_counts(edges)
+    return (
+        tc.select(
+            F.col("node").cast("long").alias("partkey"),
+            F.col("triangles").cast("long").alias("triangles"),
+        )
+        .orderBy(F.desc("triangles"), "partkey")
+        .limit(25)
+    )

@@ -1383,3 +1383,59 @@ def x_token_id_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).cast("int").alias("pos"),
         F.coalesce("token_id", F.lit(0)).cast("int").alias("token_id"),
     )
+
+
+@register(
+    "x_weighted_sample_docs",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             pow(
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                 / 4294967296.0,
+               1.0 / n_chars
+             ) AS k
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           round(k, 8) AS sample_key
+    FROM keyed
+    ORDER BY round(k, 8) DESC, doc_id
+    LIMIT 25
+    """,
+)
+def x_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-
+    Spirakis exponential-key scheme (Inf. Proc. Letters 2006): each doc
+    draws key = u^(1/w) with u uniform and w its weight (here n_chars —
+    length-proportional inclusion, the standard token-budget sampler),
+    and the global top-k by key IS an exact weighted sample without
+    replacement. u comes from the registry's md5 bucket idiom
+    (engine-invariant, repartition-proof, reproducible) instead of an
+    RNG, so both engines draw identical keys.
+
+    Scale posture: single corpus scan, zero shuffles — orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition top-k, driver
+    merges k*partitions rows), so a 100 TB corpus is sampled in one
+    map pass. Keys are rounded to 8 decimals on BOTH sides and the
+    boundary cut is taken on the rounded value with doc_id tiebreak, so
+    cross-engine pow() jitter (~1 ulp, ~1e-16) cannot flip top-k
+    membership."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 8)
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(25)
+    )

@@ -855,3 +855,88 @@ def w_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("beta_corr"),
         n.cast("long").alias("n_in_frame"),
     )
+
+
+@register(
+    "j_session_overlap_pairs",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER ({_W_ORACLE}) IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER ({_W_ORACLE}))) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER ({_W_ORACLE}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM g
+    ), sess AS (
+      SELECT user_id, session_idx, min(ts) AS t0, max(ts) AS t1
+      FROM s GROUP BY user_id, session_idx
+    )
+    SELECT CAST(a.user_id AS BIGINT)     AS user_a,
+           CAST(a.session_idx AS BIGINT) AS sid_a,
+           CAST(b.user_id AS BIGINT)     AS user_b,
+           CAST(b.session_idx AS BIGINT) AS sid_b,
+           CAST(floor(epoch(least(a.t1, b.t1)))
+                - floor(epoch(greatest(a.t0, b.t0))) AS BIGINT) AS overlap_s
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id AND a.t0 <= b.t1 AND b.t0 <= a.t1
+    """,
+)
+def j_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-presence detection: pairs of DIFFERENT users whose activity
+    sessions overlap in time — an interval×interval join with no
+    equi-key at all, the shape a naive plan can only express as a cross
+    join. Composition: 30-min-gap sessionization (same recipe as
+    w_sessionize_30min, one exchange) collapses events to per-session
+    [min_ts, max_ts] intervals; operators/relational.py
+    interval_overlap_join buckets both interval sets into 30-min epoch
+    bins and meets candidates on a bucket equi-join, keeping each pair
+    only in the first shared bucket (dedup by construction — no
+    distinct). The oracle states the same join declaratively as an
+    inequality join, which DuckDB runs via IEJoin — correct, but not
+    the distributed plan. Overlap length in whole epoch seconds
+    (unix_timestamp truncation ≡ floor(epoch()): integer output, no
+    float hash risk)."""
+    from ..operators import tswindow as TS
+    from ..operators.relational import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = TS.series_window("user_id", ["ts", "event_id"])
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = (
+        ev.select(
+            "user_id", "ts", F.sum(new_sess).over(cum).cast("long").alias("session_idx")
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    a = sess.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_idx").alias("sid_a"),
+        F.col("t0").alias("a_t0"),
+        F.col("t1").alias("a_t1"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_idx").alias("sid_b"),
+        F.col("t0").alias("b_t0"),
+        F.col("t1").alias("b_t1"),
+    )
+    pairs = interval_overlap_join(a, b, "a_t0", "a_t1", "b_t0", "b_t1", 1800)
+    return pairs.filter(F.col("user_a") < F.col("user_b")).select(
+        F.col("user_a").cast("long").alias("user_a"),
+        F.col("sid_a").cast("long").alias("sid_a"),
+        F.col("user_b").cast("long").alias("user_b"),
+        F.col("sid_b").cast("long").alias("sid_b"),
+        (
+            F.unix_timestamp(F.least("a_t1", "b_t1"))
+            - F.unix_timestamp(F.greatest("a_t0", "b_t0"))
+        ).cast("long").alias("overlap_s"),
+    )

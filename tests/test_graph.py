@@ -67,3 +67,62 @@ def test_pagerank_edge_partitions_pin_to_default_parallelism(spark):
         assert G._LAST_EDGE_PARTITIONS != 200
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+# -- triangle counting -------------------------------------------------------
+
+from cse_datapipeline_and_mls_spark.operators.graph import triangle_counts  # noqa: E402
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+
+
+def test_k4_every_node_in_three_triangles(spark):
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    t = _tri(spark, edges)
+    assert t == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_with_pendant_edge(spark):
+    # triangle 1-2-3 plus pendant 3-4: pendant node closes nothing
+    t = _tri(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert t == {1: 1, 2: 1, 3: 1}
+
+
+def test_chain_has_no_triangles(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4)]) == {}
+
+
+def test_direction_duplicates_and_self_loops_ignored(spark):
+    # same triangle stated with reversed duplicates and a self loop
+    t = _tri(spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)])
+    assert t == {1: 1, 2: 1, 3: 1}
+
+
+def test_two_triangles_sharing_an_edge(spark):
+    # 1-2-3 and 2-3-4 share edge 2-3
+    t = _tri(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    assert t == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_counts_match_bruteforce_on_random_graph(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = sorted(
+        {(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.2}
+    )
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    assert _tri(spark, edges) == expected

@@ -87,3 +87,26 @@ def test_sequence_packing_budget_holds_at_each_sf(spark):
             assert r["n"] == 512
         else:
             assert 1 <= r["n"] <= 512
+
+
+def test_weighted_sample_docs_is_exact_es_topk(spark):
+    """Efraimidis-Spirakis sample must equal the exact top-k by
+    u^(1/w) computed independently in plain Python (hashlib md5), and
+    selection must be repartition-invariant by construction."""
+    import hashlib
+
+    from cse_datapipeline_and_mls_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    keys = {}
+    for r in docs:
+        if r["n_chars"] <= 0:
+            continue
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        keys[r["doc_id"]] = round(u ** (1.0 / r["n_chars"]), 8)
+    expected = sorted(keys, key=lambda d: (-keys[d], d))[:25]
+    got = QUERIES["x_weighted_sample_docs"](spark, SF).collect()
+    assert [r["doc_id"] for r in got] == expected
+    for r in got:
+        assert abs(r["sample_key"] - keys[r["doc_id"]]) < 1e-9

@@ -271,3 +271,88 @@ def test_assign_dense_ids_dense_unique_ordered(spark):
     assert [by_k[k] for k in ordered] == list(range(8))
     with _pytest.raises(ValueError):
         assign_dense_ids(df, [])
+
+
+# -- interval_overlap_join ---------------------------------------------------
+
+
+def _overlap_bruteforce(lefts, rights):
+    out = set()
+    for li, (ls, le) in lefts:
+        for ri, (rs, re) in rights:
+            if ls <= re and rs <= le:
+                out.add((li, ri))
+    return out
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    import datetime as dt
+    import random
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(n):
+        rows = []
+        for i in range(n):
+            s = base + dt.timedelta(seconds=rng.randrange(0, 86400))
+            # interval lengths from instant to multi-bucket (0..2h; bucket=30min)
+            e = s + dt.timedelta(seconds=rng.randrange(0, 7200))
+            rows.append((i, s, e))
+        return rows
+
+    lrows, rrows = mk(60), mk(60)
+    left = spark.createDataFrame(lrows, "lid long, a_t0 timestamp, a_t1 timestamp")
+    right = spark.createDataFrame(rrows, "rid long, b_t0 timestamp, b_t1 timestamp")
+    got = {
+        (r["lid"], r["rid"])
+        for r in R.interval_overlap_join(
+            left, right, "a_t0", "a_t1", "b_t0", "b_t1", 1800
+        ).collect()
+    }
+    expected = _overlap_bruteforce(
+        [(i, (s, e)) for i, s, e in lrows], [(i, (s, e)) for i, s, e in rrows]
+    )
+    assert got == expected
+
+
+def test_interval_overlap_join_emits_each_pair_once(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # both intervals span many shared buckets -> would dup without the
+    # first-shared-bucket ownership rule
+    left = spark.createDataFrame(
+        [(1, base, base + dt.timedelta(hours=6))], "lid long, a_t0 timestamp, a_t1 timestamp"
+    )
+    right = spark.createDataFrame(
+        [(2, base + dt.timedelta(hours=1), base + dt.timedelta(hours=9))],
+        "rid long, b_t0 timestamp, b_t1 timestamp",
+    )
+    rows = R.interval_overlap_join(
+        left, right, "a_t0", "a_t1", "b_t0", "b_t1", 1800
+    ).collect()
+    assert len(rows) == 1
+
+
+def test_interval_overlap_join_touching_endpoints_inclusive(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base, base + dt.timedelta(hours=1))], "lid long, a_t0 timestamp, a_t1 timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (2, base + dt.timedelta(hours=1), base + dt.timedelta(hours=2)),  # touches
+            (3, base + dt.timedelta(hours=1, seconds=1), base + dt.timedelta(hours=2)),
+        ],
+        "rid long, b_t0 timestamp, b_t1 timestamp",
+    )
+    got = {
+        r["rid"]
+        for r in R.interval_overlap_join(
+            left, right, "a_t0", "a_t1", "b_t0", "b_t1", 1800
+        ).collect()
+    }
+    assert got == {2}
