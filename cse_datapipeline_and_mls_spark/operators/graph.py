@@ -145,12 +145,30 @@ def triangle_counts(
     agg (1), two orientation joins (node-keyed), wedge self-join on the
     pivot node, and the closing join on the (v, w) pair. No cross
     join, no driver collect.
+
+    The canonical edge set and the oriented edge set are each
+    materialized once (``localCheckpoint``, same idiom as pagerank):
+    ``und`` feeds degree counting plus both orientation joins and
+    ``oriented`` is referenced three times (two wedge spokes + the
+    closing lookup), so an unmaterialized plan re-derives the edge
+    build ~15x (measured: 94 shuffle exchanges in the audited plan vs
+    5 after). Unlike pagerank's edge table, partitioning is NOT pinned
+    down to defaultParallelism here: this op is one-shot (no
+    per-iteration task-count amplification), and the wedge stage is
+    the memory hot spot — coalescing a dense graph's wedges into a
+    handful of partitions OOMs a small-heap session, so the session's
+    shuffle layout / AQE keeps sizing those exchanges, and the
+    checkpoints are stored DISK_ONLY — resident edge blocks would
+    compete with the wedge sort for the same heap.
     """
+    from pyspark import StorageLevel
+
     und = (
         edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -164,10 +182,14 @@ def triangle_counts(
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = with_deg.select(
-        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(lower_first, F.struct("b", "db")).otherwise(F.struct(F.col("a").alias("b"), F.col("da").alias("db"))).alias("vs"),
-    ).select("u", F.col("vs.b").alias("v"), F.col("vs.db").alias("dv"))
+    oriented = (
+        with_deg.select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.struct("b", "db")).otherwise(F.struct(F.col("a").alias("b"), F.col("da").alias("db"))).alias("vs"),
+        )
+        .select("u", F.col("vs.b").alias("v"), F.col("vs.db").alias("dv"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
     # wedges pivoting at u; order the two spokes by the SAME (deg, id)
     # total order so the closing edge lookup is oriented v -> w
     left = oriented.select("u", F.col("v"), F.col("dv"))
@@ -180,9 +202,7 @@ def triangle_counts(
     )
     closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
     tri = wedges.join(closing, ["v", "w"], "inner").select("u", "v", "w")
-    corners = (
-        tri.select(F.col("u").alias("node"))
-        .unionByName(tri.select(F.col("v").alias("node")))
-        .unionByName(tri.select(F.col("w").alias("node")))
-    )
+    # one explode, not a 3-way union of projections — a union would
+    # re-execute the wedge+closing joins once per corner
+    corners = tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))

@@ -1879,3 +1879,99 @@ def x_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("triangles"), "partkey")
         .limit(25)
     )
+
+
+@register(
+    "x_association_rules",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), meta AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b
+    ), item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY l_partkey
+    ), pair AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS c, CAST(count(*) AS BIGINT) AS n_pair
+      FROM b x JOIN b y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), rules AS (
+      SELECT a AS ant, c AS cons, n_pair FROM pair
+      UNION ALL
+      SELECT c, a, n_pair FROM pair
+    )
+    SELECT CAST(r.ant AS BIGINT)  AS ant,
+           CAST(r.cons AS BIGINT) AS cons,
+           r.n_pair               AS n_pair,
+           ia.n_item              AS n_ant,
+           ic.n_item              AS n_cons,
+           round(r.n_pair * 1.0 / m.n_orders, 6)                       AS support,
+           round(r.n_pair * 1.0 / ia.n_item, 6)                        AS confidence,
+           round(r.n_pair * 1.0 * m.n_orders / (ia.n_item * ic.n_item), 6) AS lift
+    FROM rules r
+    JOIN item ia ON ia.l_partkey = r.ant
+    JOIN item ic ON ic.l_partkey = r.cons
+    CROSS JOIN meta m
+    ORDER BY round(r.n_pair * 1.0 * m.n_orders / (ia.n_item * ic.n_item), 6) DESC,
+             r.ant, r.cons
+    LIMIT 25
+    """,
+)
+def x_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (size-2 frequent itemsets):
+    support / confidence / lift for part pairs co-occurring in an
+    order, both rule directions, min pair-support 2 — the Apriori
+    first rung, and the co-occurrence statistic (lift ≡ PMI's linear
+    twin) behind 'customers also bought'.
+
+    Distributed shape: basket dedup (1 shuffle on the composite key),
+    per-order pair generation via self-equi-join on orderkey (bounded:
+    TPC-H orders hold ≤7 lines; cap per-basket fan-out at 100-TB like
+    the triangle build), pair/item counts are map-side-combined
+    groupBys, the order total is a 1-row broadcast, and the final
+    ranking is TakeOrdered on the rounded lift. All ratios are single
+    IEEE divisions of exact integers — identical in both engines —
+    with the boundary cut taken on the rounded value + (ant, cons)
+    tiebreak."""
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    meta = b.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    x = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    y = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("c"))
+    pair = (
+        x.join(y, "k")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    rules = pair.select(F.col("a").alias("ant"), F.col("c").alias("cons"), "n_pair").unionByName(
+        pair.select(F.col("c").alias("ant"), F.col("a").alias("cons"), "n_pair")
+    )
+    ia = item.select(F.col("l_partkey").alias("ant"), F.col("n_item").alias("n_ant"))
+    ic = item.select(F.col("l_partkey").alias("cons"), F.col("n_item").alias("n_cons"))
+    out = (
+        rules.join(ia, "ant")
+        .join(ic, "cons")
+        .crossJoin(F.broadcast(meta))
+        .select(
+            F.col("ant").cast("long").alias("ant"),
+            F.col("cons").cast("long").alias("cons"),
+            "n_pair",
+            "n_ant",
+            "n_cons",
+            F.round(F.col("n_pair") * 1.0 / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_pair") * 1.0 / F.col("n_ant"), 6).alias("confidence"),
+            F.round(
+                F.col("n_pair") * 1.0 * F.col("n_orders")
+                / (F.col("n_ant") * F.col("n_cons")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "ant", "cons").limit(25)

@@ -1439,3 +1439,55 @@ def x_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sample_key"), "doc_id")
         .limit(25)
     )
+
+
+@register(
+    "x_stratified_reservoir",
+    oracle="""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             round(pow(
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                 / 4294967296.0,
+               1.0 / n_chars
+             ), 8) AS k
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT source,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           k AS sample_key
+    FROM keyed
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) <= 10
+    """,
+)
+def x_stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted reservoir: the Efraimidis-Spirakis top-k
+    (x_weighted_sample_docs) taken independently WITHIN each source —
+    the sampler behind per-domain token budgets (k docs from every
+    source, longer docs favored, no replacement). One window pass
+    partitioned by source over the same deterministic md5 keys: a
+    single exchange on the stratum key, rank state k rows per
+    partition. The global variant compiles to TakeOrdered with no
+    shuffle; the stratified one necessarily shuffles once — on the
+    stratum, never on the full sort order."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 8)
+    w = Window.partitionBy("source").orderBy(F.desc("sample_key"), "doc_id")
+    return (
+        docs.select(
+            "source",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            key.alias("sample_key"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .drop("_rn")
+    )

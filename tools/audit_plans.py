@@ -43,6 +43,7 @@ EXPECTED_CROSS = {
     "x_theta_audience_overlap",  # 1-row estimate frame broadcast onto the 1-row exact frame
     "x_rolling_mau_sketch",   # 30-row day-spine broadcast range join (exact harness side)
     "x_customer_churn_sketch",  # 1-row sketch-estimate frame broadcast onto the 1-row exact frame
+    "x_association_rules",    # 1-row n_orders scalar broadcast onto the rule frame
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -56,6 +57,8 @@ EXPECTED_MANY_EXCHANGES = {
     "x_dense_ids_documents",  # range exchange + pid counts + pid-clustered window; the only SinglePartition stage sees #partitions rows, not data rows
     "x_theta_audience_overlap",  # theta path (2) + one-pass exact side (2) + broadcast combine; all frames past the user shuffle are 1-row
     "x_rolling_mau_sketch",   # daily sketch agg + spine + exact-harness distinct + verdict join; production path alone is 2
+    "x_triangle_copurchase",  # wedge self-join + closing pair join + corner agg past the checkpointed edge build — the algorithm's 5
+    "x_association_rules",    # basket dedup + item/pair/meta aggs + 2 rule-stat joins; every frame past the pair count is ≤ |rules| rows
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
