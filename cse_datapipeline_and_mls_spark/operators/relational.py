@@ -546,3 +546,57 @@ def interval_overlap_join(
         .filter(F.col("_bucket") == first_shared)
         .drop("_bucket")
     )
+
+
+# -- CDC: snapshot diff (changeset derivation, join-free) -------------------
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Derive the changeset between two snapshot versions of a keyed
+    table: rows present only in ``new`` → ``insert``, only in ``old`` →
+    ``delete``, present in both with any compared column differing
+    (null-safe) → ``update``. Returns (keys..., change_type); unchanged
+    rows are dropped. The inverse of ``merge_upsert`` — feed its output
+    back through merge_upsert to replay ``old`` into ``new``.
+
+    Keys must be unique within each snapshot (the usual primary-key
+    contract; violated inputs produce arbitrary-per-key comparisons).
+
+    Scale posture: NOT a full-outer join (2 exchanges + join state).
+    Both sides are tagged and unioned, then ONE groupBy on the key
+    computes presence flags and each side's value via conditional
+    max — a single shuffle with map-side partial aggregation, state
+    bounded by one row per key. Column values are compared directly
+    (eqNullSafe), not through an engine-specific hash."""
+    if not keys:
+        raise ValueError("snapshot_diff: keys must be non-empty")
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in set(keys)]
+    o = old.select(*keys, *compare_cols).withColumn("_side", F.lit(0))
+    n = new.select(*keys, *compare_cols).withColumn("_side", F.lit(1))
+    aggs = [
+        F.max(F.when(F.col("_side") == 0, 1).otherwise(0)).alias("_in_old"),
+        F.max(F.when(F.col("_side") == 1, 1).otherwise(0)).alias("_in_new"),
+    ]
+    for c in compare_cols:
+        aggs.append(F.max(F.when(F.col("_side") == 0, F.col(c))).alias(f"_old_{c}"))
+        aggs.append(F.max(F.when(F.col("_side") == 1, F.col(c))).alias(f"_new_{c}"))
+    g = o.unionByName(n).groupBy(*keys).agg(*aggs)
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
+    change = (
+        F.when(F.col("_in_old") == 0, F.lit("insert"))
+        .when(F.col("_in_new") == 0, F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    return (
+        g.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
+    )

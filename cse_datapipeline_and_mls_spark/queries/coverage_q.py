@@ -1975,3 +1975,135 @@ def x_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("lift"), "ant", "cons").limit(25)
+
+
+@register(
+    "x_snapshot_diff_orders",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT CAST(coalesce(o.o_orderkey, v.o_orderkey) AS BIGINT) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN v.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type
+    FROM orders o FULL OUTER JOIN v2 v USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR v.o_orderkey IS NULL
+       OR o.o_custkey       IS DISTINCT FROM v.o_custkey
+       OR o.o_orderstatus   IS DISTINCT FROM v.o_orderstatus
+       OR o.o_totalprice    IS DISTINCT FROM v.o_totalprice
+       OR o.o_orderdate     IS DISTINCT FROM v.o_orderdate
+       OR o.o_orderpriority IS DISTINCT FROM v.o_orderpriority
+    """,
+)
+def x_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changeset derivation: diff two snapshot versions of the
+    orders table into insert/delete/update rows — the inverse of the
+    MERGE upsert (x_merge_upsert_latest applies a changeset; this
+    derives one). Version 2 is simulated deterministically (drop keys
+    ≡0 mod 97, bump price on keys ≡0 mod 13, append shifted copies of
+    keys ≡0 mod 101) so both engines diff identical inputs. The engine
+    path (operators/relational.snapshot_diff) is join-FREE: tag+union+
+    one keyed groupBy with conditional-max per side — a single shuffle,
+    one row of state per key — where the oracle states the same diff
+    as a full-outer join, correct but two exchanges at scale."""
+    from ..operators.relational import snapshot_diff
+
+    v1 = load_table(spark, sf_dir, "orders")
+    kept = v1.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserted = v1.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    v2 = kept.unionByName(inserted)
+    return snapshot_diff(v1, v2, ["o_orderkey"]).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"), "change_type"
+    )
+
+
+@register(
+    "x_clustering_coefficient",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY node
+    ), tri AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ), tcnt AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      FROM (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY node
+    )
+    SELECT CAST(t.node AS BIGINT) AS partkey,
+           d.deg                  AS degree,
+           t.triangles            AS triangles,
+           round(2.0 * t.triangles / (d.deg * (d.deg - 1)), 6) AS lcc
+    FROM tcnt t JOIN deg d USING (node)
+    ORDER BY round(2.0 * t.triangles / (d.deg * (d.deg - 1)), 6) DESC,
+             t.node
+    LIMIT 25
+    """,
+)
+def x_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: lcc = 2T/(d(d-1)) over
+    the part co-purchase graph — triangle counting composed with the
+    degree aggregate, the standard community-density metric. Ranking
+    cuts on the rounded ratio with a partkey tiebreak; 2.0*T/(d(d-1))
+    is one IEEE division of exact integers, identical in both engines.
+    Restricted to triangle-participating nodes (zero-lcc nodes can
+    never reach a top-25 by lcc)."""
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tc = triangle_counts(edges)
+    lcc = F.round(
+        2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)), 6
+    )
+    return (
+        tc.join(deg, "node")
+        .select(
+            F.col("node").cast("long").alias("partkey"),
+            "degree",
+            F.col("triangles").cast("long").alias("triangles"),
+            lcc.alias("lcc"),
+        )
+        .orderBy(F.desc("lcc"), "partkey")
+        .limit(25)
+    )

@@ -120,3 +120,56 @@ def test_parquet_full_rewrite_fallback(spark, tmp_path):
     assert n == 3
     back = {r["id"]: r["bal"] for r in spark.read.parquet(path).collect()}
     assert back == {1: 1.0, 2: 9.0, 3: 3.0}
+
+
+# -- snapshot_diff: the inverse direction (derive a changeset) ---------------
+
+from cse_datapipeline_and_mls_spark.operators.relational import snapshot_diff  # noqa: E402
+
+
+def _diff(spark, old_rows, new_rows):
+    schema = "k long, v string, x double"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    return {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+
+
+def test_snapshot_diff_full_matrix(spark):
+    old = [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", None)]
+    new = [
+        (1, "a", 1.0),      # unchanged -> absent from output
+        (2, "B", 2.0),      # value change -> update
+        (4, "d", 4.0),      # NULL -> value -> update (null-safe compare)
+        (5, "e", 5.0),      # new key -> insert
+    ]                        # key 3 gone -> delete
+    assert _diff(spark, old, new) == {2: "update", 4: "update", 5: "insert", 3: "delete"}
+
+
+def test_snapshot_diff_value_to_null_is_update(spark):
+    old = [(1, "a", 1.0)]
+    new = [(1, "a", None)]
+    assert _diff(spark, old, new) == {1: "update"}
+
+
+def test_snapshot_diff_identical_snapshots_empty(spark):
+    rows = [(1, "a", 1.0), (2, None, None)]
+    assert _diff(spark, rows, rows) == {}
+
+
+def test_snapshot_diff_replay_through_merge_upsert(spark):
+    """snapshot_diff(old, new) applied back via merge_upsert(old, ...)
+    must reconstruct new exactly (the documented inverse contract)."""
+    schema = "k long, v string, x double"
+    old_rows = [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+    new_rows = [(1, "a", 9.0), (3, "c", 3.0), (7, "z", 7.0)]
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    d = snapshot_diff(old, new, ["k"])
+    # build the merge changeset: upserts carry new values, deletes a tombstone
+    ups = d.filter(F.col("change_type") != "delete").join(new, "k").drop("change_type")
+    dels = d.filter(F.col("change_type") == "delete").join(old, "k").drop("change_type")
+    cs = ups.withColumn("_deleted", F.lit(False)).unionByName(
+        dels.withColumn("_deleted", F.lit(True))
+    )
+    replayed = merge_upsert(old, cs, ["k"], delete_col="_deleted")
+    assert sorted((r["k"], r["v"], r["x"]) for r in replayed.collect()) == sorted(new_rows)

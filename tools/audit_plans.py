@@ -58,6 +58,7 @@ EXPECTED_MANY_EXCHANGES = {
     "x_theta_audience_overlap",  # theta path (2) + one-pass exact side (2) + broadcast combine; all frames past the user shuffle are 1-row
     "x_rolling_mau_sketch",   # daily sketch agg + spine + exact-harness distinct + verdict join; production path alone is 2
     "x_triangle_copurchase",  # wedge self-join + closing pair join + corner agg past the checkpointed edge build — the algorithm's 5
+    "x_clustering_coefficient",  # the triangle shape's 5 + the degree join
     "x_association_rules",    # basket dedup + item/pair/meta aggs + 2 rule-stat joins; every frame past the pair count is ≤ |rules| rows
 }
 EXPECTED_GLOBAL_WINDOW = {

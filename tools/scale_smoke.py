@@ -324,6 +324,91 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
 
     case("rolling_mad_events", rolling_mad)
 
+    # Triangle counting over key-shifted copies of the part co-purchase
+    # graph (disjoint copies: triangles and wedges scale linearly with
+    # copies; per-edge cost must stay flat). Construction runs eager
+    # DISK_ONLY localCheckpoints, so build+count is inside the timer.
+    from cse_datapipeline_and_mls_spark.operators.graph import triangle_counts
+
+    def copurchase_edges(kk: int) -> DataFrame:
+        li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+        b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+        e = a.join(b, "k").filter(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+        copies = spark.range(kk).select(F.col("id").alias("_k"))
+        return e.crossJoin(copies).select(
+            (F.col("src") + F.col("_k") * 10_000_000).alias("src"),
+            (F.col("dst") + F.col("_k") * 10_000_000).alias("dst"),
+        )
+
+    res = {}
+    for label, kk in (("1x", 1), (f"{k_graph}x", k_graph)):
+        e = copurchase_edges(kk)
+        n_edges = e.count()
+        t0 = time.time()
+        triangle_counts(e).write.format("noop").mode("overwrite").save()
+        sec = time.time() - t0
+        res[label] = {
+            "rows": n_edges,
+            "sec": round(sec, 2),
+            "us_per_row": round(sec / n_edges * 1e6, 3),
+        }
+    res["per_row_ratio"] = round(
+        res[f"{k_graph}x"]["us_per_row"] / res["1x"]["us_per_row"], 2
+    )
+    out["triangle_copurchase_edges"] = res
+
+    # Interval-overlap join on key-shifted copies of per-user session
+    # intervals. Copies shift users, NOT time, so bucket occupancy grows
+    # with copies — the honest skew direction (more concurrent sessions
+    # per time window). Denominator = CANDIDATE PAIRS the bucket join
+    # must examine (grows ~quadratically in concurrency by the problem's
+    # nature); flat per-candidate cost = the equi-join plan is doing
+    # exactly the irreducible work.
+    from cse_datapipeline_and_mls_spark.operators.relational import interval_overlap_join
+
+    def session_intervals(kk: int) -> DataFrame:
+        ev = scaled_events(spark, kk).select("event_id", "user_id", "ts")
+        from pyspark.sql import Window as W
+
+        w = TS.series_window("user_id", ["ts", "event_id"])
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        return (
+            ev.select("user_id", "ts", F.sum(new_sess).over(cum).alias("sid"))
+            .groupBy("user_id", "sid")
+            .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        )
+
+    res = {}
+    for label, kk in (("1x", 1), (f"{k_graph}x", k_graph)):
+        sess = session_intervals(kk).localCheckpoint(eager=True)
+        a = sess.select(
+            F.col("user_id").alias("ua"), F.col("sid").alias("sa"),
+            F.col("t0").alias("a_t0"), F.col("t1").alias("a_t1"),
+        )
+        b = sess.select(
+            F.col("user_id").alias("ub"), F.col("sid").alias("sb"),
+            F.col("t0").alias("b_t0"), F.col("t1").alias("b_t1"),
+        )
+        pairs = interval_overlap_join(a, b, "a_t0", "a_t1", "b_t0", "b_t1", 1800)
+        n_pairs = pairs.count()
+        t0 = time.time()
+        pairs.filter(F.col("ua") < F.col("ub")).write.format("noop").mode("overwrite").save()
+        sec = time.time() - t0
+        res[label] = {
+            "rows": n_pairs,
+            "sec": round(sec, 2),
+            "us_per_row": round(sec / max(n_pairs, 1) * 1e6, 3),
+        }
+    res["per_row_ratio"] = round(
+        res[f"{k_graph}x"]["us_per_row"] / res["1x"]["us_per_row"], 2
+    )
+    out["session_overlap_pairs"] = res
+
     return out
 
 
