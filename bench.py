@@ -67,6 +67,13 @@ HEADLINE = [
     "x_bm25_search",
     "x_merge_upsert_latest",
     "w_rolling_mad_anomaly",
+    # r4 session-3 additions: cross-join-free interval overlap, join-free
+    # CDC diff, market-basket rules (triangle counting is covered by the
+    # scale smoke instead — its sf0.1 run is ~14 s, too heavy for a
+    # per-round headline)
+    "j_session_overlap_pairs",
+    "x_snapshot_diff_orders",
+    "x_association_rules",
 ]
 
 

@@ -230,6 +230,7 @@ def test_example_tours_importable():
     root = os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
     for name in (
         "corpus_search",
+        "graph_analytics",
         "sketch_rollups",
         "table_maintenance",
         "vector_search",
