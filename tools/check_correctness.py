@@ -98,13 +98,27 @@ def main() -> int:
         base.update(kw)
         results[name] = base
 
-    for name in names:
+    import gc
+
+    for qi, name in enumerate(names):
         fn = QUERIES[name]
         t0 = time.time()
+        # Release the previous query's DataFrame/py4j references so the
+        # ContextCleaner can drop its cached/checkpointed RDD blocks —
+        # graph ops localCheckpoint their edge sets, and 180 queries of
+        # accumulated blocks OOM a small-heap (vanilla 1g) session at
+        # sf0.1 even though every query passes in isolation.
+        if qi and qi % 20 == 0:
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001
+                pass
         try:
             sdf = fn(spark, args.sf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            del sdf
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             record(name, err=f"spark error: {e}")
