@@ -154,3 +154,56 @@ def test_dense_ids_on_empty(spark):
 
     empty = spark.createDataFrame([], "k long")
     assert assign_dense_ids(empty, ["k"]).count() == 0
+
+
+def test_triangle_counts_on_empty_and_triangle_free_graphs(spark):
+    from cse_datapipeline_and_mls_spark.operators.graph import triangle_counts
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = triangle_counts(empty)
+    assert out.columns == ["node", "triangles"]
+    assert out.count() == 0
+    # non-empty but triangle-free: still empty result, same schema
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert triangle_counts(chain).count() == 0
+
+
+def test_interval_overlap_join_on_empty_sides(spark):
+    from cse_datapipeline_and_mls_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    schema_a = "lid long, a_t0 timestamp, a_t1 timestamp"
+    schema_b = "rid long, b_t0 timestamp, b_t1 timestamp"
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    full = spark.createDataFrame([(1, base, base)], schema_a)
+    empty_b = spark.createDataFrame([], schema_b)
+    out = interval_overlap_join(full, empty_b, "a_t0", "a_t1", "b_t0", "b_t1")
+    assert out.count() == 0
+    assert set(out.columns) == {"lid", "a_t0", "a_t1", "rid", "b_t0", "b_t1"}
+    empty_a = spark.createDataFrame([], schema_a)
+    assert interval_overlap_join(
+        empty_a, empty_b, "a_t0", "a_t1", "b_t0", "b_t1"
+    ).count() == 0
+
+
+def test_snapshot_diff_on_empty_sides(spark):
+    from cse_datapipeline_and_mls_spark.operators.relational import snapshot_diff
+
+    schema = "k long, v string"
+    empty = spark.createDataFrame([], schema)
+    full = spark.createDataFrame([(1, "a")], schema)
+    # empty -> full: everything is an insert
+    assert [
+        r["change_type"] for r in snapshot_diff(empty, full, ["k"]).collect()
+    ] == ["insert"]
+    # full -> empty: everything is a delete
+    assert [
+        r["change_type"] for r in snapshot_diff(full, empty, ["k"]).collect()
+    ] == ["delete"]
+    # empty -> empty: empty changeset with the right schema
+    out = snapshot_diff(empty, empty, ["k"])
+    assert out.columns == ["k", "change_type"]
+    assert out.count() == 0
