@@ -129,6 +129,24 @@ def x_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_neardup_pairs(docs, "text", "doc_id", jaccard_threshold=0.5)
 
 
+@register("x_minhash_incremental")  # rows-only: MinHash is not ANSI-expressible
+def x_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (batch-ingest flavor): incremental MinHash near-dup — new
+    batch (doc_id ≡ 0 mod 5) probed against the standing corpus plus
+    itself, never corpus×corpus. Rows-only check; exact equivalence to
+    the full run restricted to batch-touching pairs is asserted in
+    tests/test_dedup_similarity.py (hash family is seed-pinned, so
+    incremental signatures are bit-identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_neardup_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "text",
+        "doc_id",
+        jaccard_threshold=0.5,
+    )
+
+
 @register("x_simhash_neardup_pairs")  # rows-only: xxhash64 not available in DuckDB
 def x_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 (SimHash flavor): 64-bit simhash + pigeonhole banding join,

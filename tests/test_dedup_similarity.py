@@ -389,3 +389,29 @@ def test_exact_dedup_incremental_semantics(spark):
 
     out = sorted(r["doc_id"] for r in exact_dedup_incremental(new, seen).collect())
     assert out == [11, 13]
+
+
+def test_minhash_incremental_equals_full_run_restricted_to_batch(spark, sf_dir):
+    """Incremental batch-vs-corpus MinHash must reproduce EXACTLY the
+    full-corpus run's pairs that touch a batch member (the seed-pinned
+    hash family makes signatures identical either way)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_neardup_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    expected = {
+        p for p in full if p[0] in batch_ids or p[1] in batch_ids
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_neardup_incremental(
+            batch, corpus, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert expected, "planted near-dups should cross the batch split"
+    assert got == expected
