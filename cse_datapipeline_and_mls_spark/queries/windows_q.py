@@ -615,23 +615,34 @@ def w_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH b AS (
       SELECT event_id, user_id, ts, value,
-             median(value) OVER ({_W_ORACLE}
-                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS med,
-             mad(value)    OVER ({_W_ORACLE}
-                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS mad,
-             count(*)      OVER ({_W_ORACLE}
-                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS n_in_frame
+             list_sort(list(value) OVER ({_W_ORACLE}
+                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)) AS vals
       FROM events
+    ), m AS (
+      SELECT *, CASE WHEN len(vals) % 2 = 1 THEN vals[(len(vals)+1)//2]
+                     ELSE (vals[len(vals)//2] + vals[len(vals)//2 + 1]) / 2
+                END AS med
+      FROM b
+    ), d AS (
+      SELECT *, list_sort(list_transform(vals, v -> abs(v - med))) AS devs
+      FROM m
+    ), z AS (
+      SELECT event_id, user_id, ts, value, med, len(vals) AS n_in_frame,
+             CASE WHEN len(devs) % 2 = 1 THEN devs[(len(devs)+1)//2]
+                  ELSE (devs[len(devs)//2] + devs[len(devs)//2 + 1]) / 2
+             END AS mad
+      FROM d
     )
     SELECT event_id, user_id, ts,
-           round(med, 6) AS med_21,
-           round(mad, 6) AS mad_21,
-           CASE WHEN mad > 0 THEN round(0.6745 * (value - med) / mad, 6)
+           floor(med * 1000000 + 0.5) / 1000000 AS med_21,
+           floor(mad * 1000000 + 0.5) / 1000000 AS mad_21,
+           CASE WHEN mad > 0
+                THEN floor(0.6745 * (value - med) / mad * 1000000 + 0.5) / 1000000
                 ELSE NULL END AS mod_z,
            CAST(CASE WHEN mad > 0 AND abs(0.6745 * (value - med) / mad) > 3.5
                      THEN 1 ELSE 0 END AS INTEGER) AS is_outlier,
            CAST(n_in_frame AS BIGINT) AS n_in_frame
-    FROM b
+    FROM z
     """,
 )
 def w_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,12 +652,15 @@ def w_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Unlike the rolling-mean z-score (W13), a burst of
     outliers cannot drag the baseline: median and MAD have 50%
     breakdown. Spark has no median/MAD window aggregate, so both come
-    from ONE collect_list frame: sorted array → interpolated middle
-    (DuckDB median parity), then |x−med| transform → sorted → middle
-    again. Still one shuffle + one WindowExec; the per-row O(k log k)
-    sort of a 21-row frame is map-side CPU, not data movement. MAD = 0
-    (constant frame) yields NULL z / flag 0 — the guarded-ratio policy
-    (F8/F9)."""
+    from ONE collect_list frame: sorted array → middle element(s), then
+    |x−med| transform → sorted → middle again. The oracle states the
+    SAME list arithmetic explicitly rather than DuckDB's native
+    median()/mad() window aggregates — those interpolate even-count
+    middles with a different FP formula, which flipped one sf0.1 row's
+    6th decimal (1-ulp divergence at a rounding boundary). Still one
+    shuffle + one WindowExec; the per-row O(k log k) sort of a 21-row
+    frame is map-side CPU, not data movement. MAD = 0 (constant frame)
+    yields NULL z / flag 0 — the guarded-ratio policy (F8/F9)."""
     from ..operators import tswindow as TS
 
     ev = _events_series(spark, sf_dir)
@@ -677,13 +691,22 @@ def w_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.withColumn("_mad", arr_median(devs))
     mad = F.col("_mad")
     mod_z = F.when(mad > 0, 0.6745 * (F.col("value") - med) / mad)
+
+    # floor(x*1e6 + 0.5)/1e6, NOT F.round: on identical doubles sitting
+    # exactly on a 6-decimal boundary (money-ratio arithmetic produces
+    # them), Spark's round() (shortest-decimal-string BigDecimal) and
+    # DuckDB's round() (binary value) can still disagree — the explicit
+    # floor form is pure IEEE ops, bit-identical across engines.
+    def q6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
     return base.select(
         "event_id",
         "user_id",
         "ts",
-        F.round(med, 6).alias("med_21"),
-        F.round(mad, 6).alias("mad_21"),
-        F.round(mod_z, 6).alias("mod_z"),
+        q6(med).alias("med_21"),
+        q6(mad).alias("mad_21"),
+        q6(mod_z).alias("mod_z"),
         F.when(F.abs(mod_z) > 3.5, 1).otherwise(0).cast("int").alias("is_outlier"),
         F.size("_vals").cast("long").alias("n_in_frame"),
     )
@@ -745,40 +768,64 @@ def w_sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w_compound_return",
     oracle=f"""
-    WITH r AS (
-      SELECT event_id, user_id, ts,
-             value / nullif(lag(value) OVER ({_W_ORACLE}), 0) AS gross
+    WITH g AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN lag(value) OVER ({_W_ORACLE}) IS NULL
+                       OR lag(value) OVER ({_W_ORACLE}) <= 0
+                  THEN 1 ELSE 0 END AS new_seg
       FROM events
+    ), s AS (
+      SELECT event_id, user_id, ts, value,
+             sum(new_seg) OVER ({_W_ORACLE}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      FROM g
     )
     SELECT event_id, user_id, ts,
-           round(exp(sum(ln(gross)) OVER ({_W_ORACLE}
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
-               AS cum_return
-    FROM r
+           floor((value / first_value(value) OVER (
+                    PARTITION BY user_id, seg ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 * 1000000 + 0.5) / 1000000 AS cum_return
+    FROM s
     """,
 )
 def w_compound_return(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative compound return per series (Π value_t/value_{t-1}
-    from inception) — the multiplicative running total SQL has no
-    aggregate for, expressed as exp(Σ ln(ratio)): numerically stable
-    (sums, not products — no overflow on long series) and one
-    WindowExec sharing the per-key exchange. First row (no lag) yields
-    NULL gross → NULL sum propagates... no: sum() skips NULLs, so the
-    running product starts at the second row exactly like pandas
-    cumprod over ratios; both engines share that skip semantics."""
+    """Cumulative compound return per series since the last reset
+    (series start or any non-positive price): gaps-and-islands segment
+    assignment + value/anchor where anchor = first value of the
+    segment — the telescoped form of Π value_t/value_{t-1}.
+
+    Deliberately NOT exp(Σ ln(ratio)): that form is fine on one engine
+    but not hash-comparable across two — libm exp/ln differ at 1 ulp,
+    and compound returns of 2-decimal prices frequently land EXACTLY on
+    a 6-decimal rounding boundary (ratios of cents have power-of-two
+    denominators, e.g. 18.6953125), where even identical doubles round
+    apart because Spark's round() goes through the shortest decimal
+    string (BigDecimal of Double.toString) while DuckDB rounds the
+    binary value. The telescoped form is ONE division of identical
+    doubles, and quantization is the explicit floor(x*1e6 + 0.5)/1e6 —
+    pure IEEE ops, bit-identical on both engines. Also sidesteps
+    DuckDB's ln(0) Out-of-Range (a zero price exists at sf0.1) where
+    Spark's log() silently NULLs: the zero resets the segment on both
+    sides instead."""
     ev = _events_series(spark, sf_dir)
     from ..operators import tswindow as TS
 
     w = TS.series_window("user_id", ["ts", "event_id"])
-    gross = F.col("value") / F.nullif(F.lag("value").over(w), F.lit(0.0))
+    prev = F.lag("value").over(w)
+    new_seg = F.when(prev.isNull() | (prev <= 0), 1).otherwise(0)
     cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return ev.select(
+    segged = ev.withColumn("seg", F.sum(new_seg).over(cum))
+    w_seg = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ratio = F.col("value") / F.first("value").over(w_seg)
+    return segged.select(
         "event_id",
         "user_id",
         "ts",
-        F.round(F.exp(F.sum(F.log(gross)).over(cum)), 6).alias("cum_return"),
+        (F.floor(ratio * 1000000 + F.lit(0.5)) / 1000000).alias("cum_return"),
     )
 
 

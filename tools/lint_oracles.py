@@ -16,6 +16,17 @@ Static rules (oracle SQL text):
   S3  no bare ``epoch(`` — DuckDB keeps sub-second parts where Spark's
       unix_timestamp truncates; write floor(epoch(ts)).
 
+Known-unlintable hazard (documented, caught only by the sf0.1 sweep):
+``round(x, 6)`` can disagree across engines even on IDENTICAL doubles
+when x sits on/within 1 ulp of a .5 boundary at the rounding scale —
+Spark rounds the shortest decimal string (BigDecimal of
+Double.toString) where DuckDB rounds the binary value. Ratio chains of
+2-decimal money values generate exactly such doubles (cent ratios have
+power-of-two denominators). For those queries, quantize with the
+explicit ``floor(x*1e6 + 0.5)/1e6`` on BOTH sides (pure IEEE ops) or
+reformulate to avoid transcendentals (see w_compound_return,
+w_rolling_mad_anomaly).
+
 Dynamic rules (DuckDB DESCRIBE of the oracle vs the lazy Spark schema,
 at sf0.001 — planning only, nothing executes on the Spark side):
   D1  every oracle output column's DuckDB type must be pandas-stable AND
