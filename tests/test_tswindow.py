@@ -170,3 +170,34 @@ def test_rolling_mad_anomaly_semantics(spark, tmp_path):
     for r in u2:
         if r["n_in_frame"] >= 2:
             assert r["mad_21"] == 0.0 and r["mod_z"] is None and r["is_outlier"] == 0
+
+
+def test_compound_return_exact_boundary_quantization(spark):
+    """Regression for the cross-engine .5-boundary hazard: a cent-ratio
+    series whose compound return is EXACTLY representable and lands on
+    a 6-decimal rounding boundary (18.6953125 = cents ratio with a
+    power-of-two denominator). The floor(x*1e6+0.5)/1e6 quantization
+    must behave like plain-python arithmetic on the identical double —
+    deterministically, with no engine-specific round() path."""
+    from cse_datapipeline_and_mls_spark.queries import QUERIES
+    import datetime as dt, tempfile, os
+
+    base = dt.datetime(2024, 1, 1)
+    # value series: 1.28 -> 23.93 gives ratio 2393/128 = 18.6953125
+    rows = [
+        (1, base, 7, "t", 1.28, "{}"),
+        (2, base + dt.timedelta(minutes=1), 7, "t", 23.93, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r["event_id"]: r["cum_return"]
+            for r in QUERIES["w_compound_return"](spark, d).collect()
+        }
+    expected = (23.93 / 1.28) * 1e6  # 18695312.5 exactly
+    import math
+
+    assert out[1] == 1.0
+    assert out[2] == math.floor(expected + 0.5) / 1e6 == 18.695313
