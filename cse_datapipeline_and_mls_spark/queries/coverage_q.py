@@ -1934,10 +1934,15 @@ def x_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE divisions of exact integers — identical in both engines —
     with the boundary cut taken on the rounded value + (ant, cons)
     tiebreak."""
+    # materialize the deduped basket ONCE — it feeds meta, item counts
+    # and BOTH pair-join sides; unmaterialized, the scan+distinct of the
+    # biggest table re-executes 4x (same re-derivation trap as the
+    # triangle edge build, graph.py)
     b = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     meta = b.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
     item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
