@@ -1491,3 +1491,49 @@ def x_stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 10)
         .drop("_rn")
     )
+
+
+@register(
+    "x_token_budget_cut",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(
+               string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' '),
+               w -> w <> '')) AS BIGINT) AS n_words
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_words,
+             sum(n_words) OVER (PARTITION BY source
+                                ORDER BY n_words DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_words
+      FROM t
+    )
+    SELECT source, CAST(doc_id AS BIGINT) AS doc_id, n_words,
+           CAST(cum_words AS BIGINT) AS cum_words
+    FROM c
+    WHERE cum_words - n_words < 600
+    """,
+)
+def x_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget curation: greedily admit documents
+    (longest-first, doc_id tiebreak) until each source's running token
+    count crosses a 600-token budget (≈ half of each synthetic source, so the cut genuinely binds at every SF) — the doc-level allocation step behind
+    'N tokens per domain' training mixes (the crossing document is
+    kept, so every source reaches its budget). One window pass per
+    stratum: a single exchange on source, running-sum state only.
+    Token counts are whitespace counts (integer); cum is an integer
+    running sum with a fully-tiebroken ordering, so the cut row is
+    engine-exact — no float anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        X.whitespace_token_count("text").cast("long").alias("n_words"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_words"), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn("cum_words", F.sum("n_words").over(w).cast("long"))
+    return c.filter(F.col("cum_words") - F.col("n_words") < 600)

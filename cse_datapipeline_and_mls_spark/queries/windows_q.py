@@ -987,3 +987,65 @@ def j_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_timestamp(F.greatest("a_t0", "b_t0"))
         ).cast("long").alias("overlap_s"),
     )
+
+
+@register(
+    "w_ohlc_6h",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id,
+             CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS bucket,
+             value, ts, event_id
+      FROM events
+    ), rb AS (
+      SELECT user_id, bucket, value,
+             row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM r
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value)                             AS high,
+           min(value)                             AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT)               AS n_trades
+    FROM rb
+    GROUP BY user_id, bucket
+    """,
+)
+def w_ohlc_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle resampling: per series, 6-hour buckets with
+    open/high/low/close/count — the canonical downsampling of a tick
+    stream to bar data. One window pass tags each row's ascending and
+    descending rank within its (user, bucket) — (ts, event_id) ordered,
+    so ties can't flip open/close between engines — and one groupBy
+    folds the bars. Two exchanges total, both keyed on the series;
+    values pass through untouched (no float arithmetic at all), so the
+    hash comparison is raw-value exact. Bucketing via floor(epoch/21600)
+    — unix_timestamp truncation ≡ floor(epoch()), the engine-wide
+    pairing."""
+    ev = _events_series(spark, sf_dir)
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / 21600) * 21600
+    ).alias("bucket")
+    wb_a = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    wb_d = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    tagged = ev.select(
+        F.col("user_id").cast("long").alias("user_id"), bucket, "value", "ts", "event_id"
+    ).select(
+        "user_id",
+        "bucket",
+        "value",
+        F.row_number().over(wb_a).alias("rn_a"),
+        F.row_number().over(wb_d).alias("rn_d"),
+    )
+    return tagged.groupBy("user_id", "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+    )
