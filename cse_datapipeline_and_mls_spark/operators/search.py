@@ -179,3 +179,44 @@ def merge_postings(existing: DataFrame, delta: DataFrame) -> DataFrame:
         .agg(F.sum("tf").alias("tf"))
         .filter(F.col("tf") > 0)
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase (positional) search: (doc_id, n_hits) for every
+    document containing the consecutive word sequence ``phrase``,
+    counting ALL occurrences including self-overlapping ones.
+
+    The positional-postings shape: tokenize once with positions
+    (posexplode), keep only the phrase's terms (the selective filter
+    runs BEFORE any shuffle), then chain k-1 equi-joins on
+    (doc_id, pos - offset) — each join aligns term_i to one position
+    after term_{i-1}. At 100 TB with postings persisted by term, each
+    term's positions are a partition-pruned point lookup and the joins
+    are candidate-sized, never corpus-sized. Tokenization matches the
+    engine-wide convention (lowercase, explicit whitespace class)."""
+    words = [w for w in phrase.lower().split() if w]
+    if not words:
+        raise ValueError("phrase_search: phrase must contain at least one word")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r]+", " "),
+                " ",
+            )
+        ).alias("pos", "term"),
+    ).filter(F.col("term").isin(words))
+    matched = toks.filter(F.col("term") == words[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    for i, w in enumerate(words[1:], start=1):
+        nxt = toks.filter(F.col("term") == w).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        matched = matched.join(nxt, ["doc_id", "p0"], "inner")
+    return matched.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))

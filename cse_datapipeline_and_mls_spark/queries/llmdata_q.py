@@ -1537,3 +1537,43 @@ def x_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).rowsBetween(Window.unboundedPreceding, 0)
     c = t.withColumn("cum_words", F.sum("n_words").over(w).cast("long"))
     return c.filter(F.col("cum_words") - F.col("n_words") < 600)
+
+
+@register(
+    "x_phrase_search",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' '),
+               t -> t <> '') AS words
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(words) - 1, 1)),
+                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS grams
+      FROM w WHERE len(words) >= 3
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(list_filter(grams, x -> x = 'value table part')) AS BIGINT) AS n_hits
+    FROM g
+    WHERE len(list_filter(grams, x -> x = 'value table part')) > 0
+    """,
+)
+def x_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval ('value table part') via positional
+    postings — the phrase-query upgrade over bag-of-words BM25:
+    term-filtered posexplode + two (doc_id, aligned-position)
+    equi-joins + per-doc count (operators/search.phrase_search). The
+    oracle counts the same occurrences by materializing every word
+    trigram per document — correct, but a full-corpus gram scan; the
+    engine plan touches only the three query terms' postings, which is
+    the point. Integer ids and counts only — hash raw-value exact."""
+    from ..operators.search import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = phrase_search(docs, "value table part")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )

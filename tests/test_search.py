@@ -129,3 +129,25 @@ def test_persisted_postings_partition_prune(spark, tmp_path):
     assert got == {("spark", 1), ("spark", 2), ("join", 1), ("join", 3)}
     # directories exist per term; the pruned read touches only 2 of them
     assert len(glob.glob(f"{idx}/term=*")) == 5
+
+
+def test_phrase_search_counts_all_occurrences_including_overlaps(spark):
+    from cse_datapipeline_and_mls_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),        # two hits of "a b c"
+            (2, "a a a a"),            # self-overlapping "a a": 3 hits
+            (3, "a b x c"),            # no hit
+            (4, "A  B\tC"),            # case/whitespace normalization
+        ],
+        "doc_id long, text string",
+    )
+    abc = {r["doc_id"]: r["n_hits"] for r in phrase_search(docs, "a b c").collect()}
+    assert abc == {1: 2, 4: 1}
+    aa = {r["doc_id"]: r["n_hits"] for r in phrase_search(docs, "a a").collect()}
+    assert aa == {2: 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_search(docs, "   ")
