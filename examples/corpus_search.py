@@ -87,6 +87,15 @@ def main() -> None:
         n = on_disk.count()
         print(f"persisted     partition-pruned={pruned}  candidate postings={n}")
 
+    from cse_datapipeline_and_mls_spark.operators.search import phrase_search
+
+    t0 = time.time()
+    hits = phrase_search(docs, "value table part").orderBy("doc_id").limit(5).collect()
+    print(
+        f"phrase        {time.time() - t0:5.2f}s  'value table part' in: "
+        + ", ".join(f"doc {r['doc_id']} x{r['n_hits']}" for r in hits)
+    )
+
     spark.stop()
 
 
