@@ -1049,3 +1049,86 @@ def w_ohlc_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).cast("long").alias("n_trades"),
     )
+
+
+@register(
+    "w_ohlc_daily_from_bars",
+    oracle="""
+    WITH r AS (
+      SELECT user_id,
+             CAST(to_timestamp(floor(epoch(ts) / 86400) * 86400) AS TIMESTAMP) AS day,
+             value, ts, event_id
+      FROM events
+    ), rb AS (
+      SELECT user_id, day, value,
+             row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM r
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           day,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value)                             AS high,
+           min(value)                             AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT)               AS n_trades
+    FROM rb
+    GROUP BY user_id, day
+    """,
+)
+def w_ohlc_daily_from_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup-cascade proof for OHLC bars: the daily bar built by
+    MERGING the 6-hour bars (open of the earliest sub-bar, close of
+    the latest, max/min/sum of the rest) must hash-equal the daily bar
+    computed directly from ticks — which is exactly what the oracle
+    computes. Passing this query IS the losslessness proof for the
+    pre-aggregation cascade (keep bars at the finest grain, answer any
+    coarser granularity from bars, never rescan ticks — the same
+    mergeable-state posture as the sketch rollup tables). The merge is
+    one groupBy over the (already tiny) bar frame."""
+    ev = _events_series(spark, sf_dir)
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / 21600) * 21600
+    ).alias("bucket")
+    wb_a = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    wb_d = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    bars = (
+        ev.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            bucket,
+            "value",
+            "ts",
+            "event_id",
+        )
+        .select(
+            "user_id",
+            "bucket",
+            "value",
+            F.row_number().over(wb_a).alias("rn_a"),
+            F.row_number().over(wb_d).alias("rn_d"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+        )
+    )
+    day = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("bucket") / 86400) * 86400
+    ).alias("day")
+    return (
+        bars.select("user_id", day, "bucket", "open", "high", "low", "close", "n_trades")
+        .groupBy("user_id", "day")
+        .agg(
+            F.max_by("open", F.negate(F.unix_timestamp("bucket"))).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.unix_timestamp("bucket")).alias("close"),
+            F.sum("n_trades").cast("long").alias("n_trades"),
+        )
+    )
