@@ -1577,3 +1577,79 @@ def x_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_hits").cast("long").alias("n_hits"),
     )
+
+
+@register(
+    "x_ngram_novelty",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' '),
+               t -> t <> '') AS words
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(words) - 3, 1)),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                    || ' ' || words[i+3] || ' ' || words[i+4])) AS grams
+      FROM w WHERE len(words) >= 5
+    ), e AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g
+    ), df AS (
+      SELECT gram, count(*) AS n_docs FROM e GROUP BY gram
+    )
+    SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+    FROM e JOIN df USING (gram)
+    GROUP BY e.doc_id
+    """,
+)
+def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: how many of a doc's DISTINCT 5-grams
+    appear in no other document — the originality/memorization-risk
+    score used to spot boilerplate-heavy and template-cloned training
+    docs (low novelty) before they teach the model to parrot. Shape =
+    the duplicated-span family: linear gram explode, one gram-keyed
+    doc-frequency aggregate (map-side combined), join back, per-doc
+    count. Output is pure integers (count + novel count; consumers
+    divide) — no ratio column, so no float hash surface at all. At
+    100 TB, hash the gram to 8 bytes before the shuffle and prune
+    singleton-heavy tails exactly as the span detector documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[ \t\n\r]+", " "), " "
+        ),
+        lambda t: t != F.lit(""),
+    )
+    g = docs.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("w")).filter(
+        F.size("w") >= 5
+    )
+    grams = g.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 5),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("w", i + 1),
+                    F.element_at("w", i + 2),
+                    F.element_at("w", i + 3),
+                    F.element_at("w", i + 4),
+                    F.element_at("w", i + 5),
+                ),
+            )
+        ).alias("grams"),
+    )
+    e = grams.select("doc_id", F.explode("grams").alias("gram"))
+    dfreq = e.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        e.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("n_docs") == 1).cast("int")).cast("long").alias("n_novel"),
+        )
+    )
