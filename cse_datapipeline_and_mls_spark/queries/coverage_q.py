@@ -2112,3 +2112,45 @@ def x_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lcc"), "partkey")
         .limit(25)
     )
+
+
+@register(
+    "agg_mode_per_user",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ), r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           event_type AS mode_event_type,
+           n AS n_occurrences
+    FROM r WHERE rk = 1
+    """,
+)
+def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE per group: each user's most frequent event type — the
+    categorical central-tendency aggregate SQL's MODE() gives and
+    Spark doesn't. Two-stage: (user, type) count (map-side combined),
+    then a rank-1 window over the tiny per-user count frame with a
+    full tiebreak (count desc, type asc) so both engines pick the same
+    winner on ties. Both exchanges key on user_id, so a cluster plans
+    them as one partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
