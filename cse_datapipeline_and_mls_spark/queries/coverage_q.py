@@ -13,6 +13,16 @@ from ..sources import load_table
 from . import register
 
 
+def _q6(c):
+    """floor(x*1e6 + 0.5)/1e6, NOT F.round: identical doubles sitting
+    exactly on a 6-decimal boundary (integer-ratio arithmetic produces
+    them) can round apart between Spark (shortest-decimal-string
+    BigDecimal) and DuckDB (binary value); the explicit floor form is
+    pure IEEE ops, bit-identical across engines. Twin of
+    windows_q.q6."""
+    return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+
 @register(
     "p_date_range_filter",
     oracle="""
@@ -1906,14 +1916,18 @@ def x_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
            r.n_pair               AS n_pair,
            ia.n_item              AS n_ant,
            ic.n_item              AS n_cons,
-           round(r.n_pair * 1.0 / m.n_orders, 6)                       AS support,
-           round(r.n_pair * 1.0 / ia.n_item, 6)                        AS confidence,
-           round(r.n_pair * 1.0 * m.n_orders / (ia.n_item * ic.n_item), 6) AS lift
+           floor((r.n_pair * 1.0 / m.n_orders) * 1000000 + 0.5) / 1000000
+             AS support,
+           floor((r.n_pair * 1.0 / ia.n_item) * 1000000 + 0.5) / 1000000
+             AS confidence,
+           floor((r.n_pair * 1.0 * m.n_orders / (ia.n_item * ic.n_item)) * 1000000
+                 + 0.5) / 1000000                                      AS lift
     FROM rules r
     JOIN item ia ON ia.l_partkey = r.ant
     JOIN item ic ON ic.l_partkey = r.cons
     CROSS JOIN meta m
-    ORDER BY round(r.n_pair * 1.0 * m.n_orders / (ia.n_item * ic.n_item), 6) DESC,
+    ORDER BY floor((r.n_pair * 1.0 * m.n_orders / (ia.n_item * ic.n_item)) * 1000000
+                   + 0.5) / 1000000 DESC,
              r.ant, r.cons
     LIMIT 25
     """,
@@ -1970,12 +1984,11 @@ def x_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pair",
             "n_ant",
             "n_cons",
-            F.round(F.col("n_pair") * 1.0 / F.col("n_orders"), 6).alias("support"),
-            F.round(F.col("n_pair") * 1.0 / F.col("n_ant"), 6).alias("confidence"),
-            F.round(
+            _q6(F.col("n_pair") * 1.0 / F.col("n_orders")).alias("support"),
+            _q6(F.col("n_pair") * 1.0 / F.col("n_ant")).alias("confidence"),
+            _q6(
                 F.col("n_pair") * 1.0 * F.col("n_orders")
-                / (F.col("n_ant") * F.col("n_cons")),
-                6,
+                / (F.col("n_ant") * F.col("n_cons"))
             ).alias("lift"),
         )
     )
@@ -2064,9 +2077,11 @@ def x_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(t.node AS BIGINT) AS partkey,
            d.deg                  AS degree,
            t.triangles            AS triangles,
-           round(2.0 * t.triangles / (d.deg * (d.deg - 1)), 6) AS lcc
+           floor((2.0 * t.triangles / (d.deg * (d.deg - 1))) * 1000000 + 0.5)
+             / 1000000 AS lcc
     FROM tcnt t JOIN deg d USING (node)
-    ORDER BY round(2.0 * t.triangles / (d.deg * (d.deg - 1)), 6) DESC,
+    ORDER BY floor((2.0 * t.triangles / (d.deg * (d.deg - 1))) * 1000000 + 0.5)
+               / 1000000 DESC,
              t.node
     LIMIT 25
     """,
@@ -2098,8 +2113,8 @@ def x_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
     tc = triangle_counts(edges)
-    lcc = F.round(
-        2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)), 6
+    lcc = _q6(
+        2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1))
     )
     return (
         tc.join(deg, "node")

@@ -1498,9 +1498,8 @@ def x_stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT source, doc_id,
-             CAST(len(list_filter(
-               string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' '),
-               w -> w <> '')) AS BIGINT) AS n_words
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r]+')) AS BIGINT)
+               AS n_words
       FROM documents
     ), c AS (
       SELECT source, doc_id, n_words,

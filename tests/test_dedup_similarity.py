@@ -415,3 +415,22 @@ def test_minhash_incremental_equals_full_run_restricted_to_batch(spark, sf_dir):
     }
     assert expected, "planted near-dups should cross the batch split"
     assert got == expected
+
+
+def test_minhash_incremental_empty_batch_returns_empty(spark, sf_dir):
+    """'No new docs this ingest' must yield an empty pair frame, not an
+    LSH.fit crash (Spark's LSH reads the input dimension from the first
+    row) — both for a literally-empty batch and for one emptied by the
+    size(shingles)>0 filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.limit(50)
+    empty = docs.filter(F.lit(False))
+    out = D.minhash_neardup_incremental(empty, corpus)
+    assert out.columns == ["id_a", "id_b", "jaccard_dist"]
+    assert out.count() == 0
+
+    blank = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    out2 = D.minhash_neardup_incremental(blank, corpus)
+    assert out2.count() == 0
