@@ -68,12 +68,25 @@ HEADLINE = [
     "x_merge_upsert_latest",
     "w_rolling_mad_anomaly",
     # r4 session-3 additions: cross-join-free interval overlap, join-free
-    # CDC diff, market-basket rules (triangle counting is covered by the
-    # scale smoke instead — its sf0.1 run is ~14 s, too heavy for a
-    # per-round headline)
+    # CDC diff, market-basket rules
     "j_session_overlap_pairs",
     "x_snapshot_diff_orders",
     "x_association_rules",
+    # r5 additions: every op that landed in r4 without a headline timing,
+    # so plan regressions there are visible round-over-round. Includes
+    # x_triangle_copurchase — the repo's most scale-sensitive plan
+    # (O(|E|^1.5) wedge join, DISK_ONLY checkpoint discipline); it is the
+    # single heaviest row (~14 s at sf0.1) but a silent regression in the
+    # wedge/checkpoint shape would cost far more than the bench seconds.
+    "x_triangle_copurchase",
+    "x_clustering_coefficient",
+    "x_phrase_search",
+    "x_hybrid_search_rrf",
+    "w_ohlc_6h",
+    "w_ohlc_daily_from_bars",
+    "x_ngram_novelty",
+    "x_token_budget_cut",
+    "agg_mode_per_user",
 ]
 
 
@@ -116,6 +129,7 @@ def main() -> None:
     r1_subset = round(sum(timings[n] for n in HEADLINE[:17] if n in timings), 3)
     r2_subset = round(sum(timings[n] for n in HEADLINE[:27] if n in timings), 3)
     r3_subset = round(sum(timings[n] for n in HEADLINE[:31] if n in timings), 3)
+    r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     print(
         json.dumps(
             {
@@ -126,6 +140,7 @@ def main() -> None:
                 "r1_subset_total_sec": r1_subset,
                 "r2_subset_total_sec": r2_subset,
                 "r3_subset_total_sec": r3_subset,
+                "r4_subset_total_sec": r4_subset,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -348,3 +348,80 @@ def with_rank_features(df: DataFrame, w: WindowSpec, prefix: str = "") -> DataFr
         .withColumn(f"{prefix}rank", F.rank().over(w))
         .withColumn(f"{prefix}dense_rank", F.dense_rank().over(w))
     )
+
+
+# -- OHLC candle resampling (the canonical tick→bar downsample) -------------
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 21600,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-series OHLC bars: (key, bucket, open, high, low, close,
+    n_trades) over ``bucket_seconds`` buckets.
+
+    One window pass tags each row's ascending and descending rank within
+    its (key, bucket) — (ts, tiebreak) ordered, so timestamp ties can't
+    flip open/close between engines — then one groupBy folds the bars.
+    Two exchanges total, both keyed on the series; values pass through
+    untouched (no float arithmetic), so results are raw-value exact.
+    Bucketing via floor(unix_timestamp/secs), the engine-wide pairing
+    with DuckDB's floor(epoch())."""
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(ts_col) / bucket_seconds) * bucket_seconds
+    ).alias("bucket")
+    wb_a = Window.partitionBy(key_col, "bucket").orderBy(ts_col, tiebreak_col)
+    wb_d = Window.partitionBy(key_col, "bucket").orderBy(
+        F.desc(ts_col), F.desc(tiebreak_col)
+    )
+    tagged = df.select(key_col, bucket, value_col, ts_col, tiebreak_col).select(
+        key_col,
+        "bucket",
+        value_col,
+        F.row_number().over(wb_a).alias("rn_a"),
+        F.row_number().over(wb_d).alias("rn_d"),
+    )
+    return tagged.groupBy(key_col, "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col(value_col))).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col(value_col))).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+    )
+
+
+def merge_ohlc_bars(
+    bars: DataFrame,
+    key_col: str = "user_id",
+    bucket_col: str = "bucket",
+    coarse_seconds: int = 86400,
+    out_bucket: str = "day",
+) -> DataFrame:
+    """Roll fine OHLC bars up to a coarser grain WITHOUT rescanning
+    ticks: open of the earliest sub-bar, close of the latest, max/min/
+    sum of the rest. Lossless for any coarse grain that is a multiple
+    of the fine grain (hash-proved against the direct-from-ticks bar in
+    w_ohlc_daily_from_bars) — the mergeable-state posture that lets a
+    100 TB store keep only finest-grain bars and answer every coarser
+    granularity from them. One groupBy over the (already tiny) bar
+    frame."""
+    coarse = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(bucket_col) / coarse_seconds) * coarse_seconds
+    ).alias(out_bucket)
+    return (
+        bars.select(
+            key_col, coarse, bucket_col, "open", "high", "low", "close", "n_trades"
+        )
+        .groupBy(key_col, out_bucket)
+        .agg(
+            F.max_by("open", F.negate(F.unix_timestamp(bucket_col))).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.unix_timestamp(bucket_col)).alias("close"),
+            F.sum("n_trades").cast("long").alias("n_trades"),
+        )
+    )

@@ -1,10 +1,14 @@
 """North-star LLM-data-pipeline queries (SURVEY §2.12 X1-X5): dedup,
 similarity search, text analysis over ``documents``/``embeddings``.
 
-Approximate operators (MinHash LSH, SimHash banding) register rows-only
-(no SQL oracle — the hash functions aren't ANSI-expressible); their exact
-counterparts (n-gram Jaccard, brute-force cosine) ARE oracle-checked and
-serve as the quality reference for the approximate paths.
+Approximate operators whose hash families aren't ANSI-expressible
+(MinHash LSH, SimHash banding, MLlib RP-LSH, k-means IVF/PQ) register in
+BRACKET-VERDICT form: the query emits the exact SQL-checkable reference
+result (n-gram Jaccard pairs, normalized-content dup pairs, brute-force
+cosine top-k) plus a boolean verdict that the approximate path's recall
+cleared its bound; the oracle recomputes the exact side and expects
+TRUE, so recall regressions flip the hash. Only genuinely
+non-aggregatable forms (the incremental MinHash twin) stay rows-only.
 """
 
 from __future__ import annotations
@@ -120,13 +124,71 @@ def x_exact_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_minhash_neardup_pairs")  # rows-only: MinHash is not ANSI-expressible
+@register(
+    "x_minhash_neardup_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), tokens AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx FROM words
+    ), grams AS (
+      SELECT doc_id,
+             word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS g
+      FROM tokens WINDOW win AS (PARTITION BY doc_id ORDER BY idx)
+      QUALIFY lead(word, 2) OVER win IS NOT NULL
+    ), dgrams AS (
+      SELECT DISTINCT doc_id, g FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM dgrams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM dgrams a JOIN dgrams b USING (g)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard,
+           TRUE AS minhash_recall_ge_090
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+    """,
+)
 def x_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 (scale flavor): MinHashLSH banding — candidates from hash-bucket
-    equality joins. Rows-only check; quality is cross-checked against
-    x_ngram_jaccard_pairs in tests/test_dedup.py."""
+    equality joins, never n².
+
+    Bracket-verdict form (MinHash signatures aren't ANSI-expressible, so
+    the candidate set itself can never hash-match): the query outputs the
+    EXACT word-3-gram Jaccard ≥ 0.5 pair set (the quality reference, SQL-
+    checkable) plus a boolean verdict that the seed-pinned MinHash path
+    recovered ≥ 90% of those pairs. The oracle recomputes the exact side
+    and expects TRUE — a recall regression (band-count change, seed drift,
+    shingle bug) flips the boolean and fails the hash. Measured recall at
+    sf0.001/0.01/0.1: 1.0 at each (also asserted ≥ 0.9 in
+    tests/test_dedup_similarity.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_neardup_pairs(docs, "text", "doc_id", jaccard_threshold=0.5)
+    exact = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    # materialized once: feeds the output rows, the denominator count and
+    # the semi-join probe (3 consumers — re-derivation trap otherwise)
+    exact = exact.localCheckpoint(eager=True)
+    approx = D.minhash_neardup_pairs(
+        docs, "text", "doc_id", jaccard_threshold=0.5
+    ).select("id_a", "id_b")
+    hits = exact.join(approx, ["id_a", "id_b"], "left_semi")
+    verdict = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            (F.col("n_hit") >= 0.9 * F.col("n_exact")).alias(
+                "minhash_recall_ge_090"
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(verdict))
 
 
 @register("x_minhash_incremental")  # rows-only: MinHash is not ANSI-expressible
@@ -147,12 +209,70 @@ def x_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_simhash_neardup_pairs")  # rows-only: xxhash64 not available in DuckDB
+@register(
+    "x_simhash_neardup_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), tokens AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx FROM words
+    ), grams AS (
+      SELECT doc_id,
+             word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS g
+      FROM tokens WINDOW win AS (PARTITION BY doc_id ORDER BY idx)
+      QUALIFY lead(word, 2) OVER win IS NOT NULL
+    ), dgrams AS (
+      SELECT DISTINCT doc_id, g FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM dgrams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM dgrams a JOIN dgrams b USING (g)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard,
+           TRUE AS simhash_recall_ge_050
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.9
+    """,
+)
 def x_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 (SimHash flavor): 64-bit simhash + pigeonhole banding join,
-    hamming ≤ 3. Pure built-in bit arithmetic, no UDF."""
+    hamming ≤ 3. Pure built-in bit arithmetic, no UDF.
+
+    Bracket-verdict form (xxhash64 isn't available in DuckDB, so simhash
+    values can never hash-match): the query outputs the EXACT word-3-gram
+    Jaccard ≥ 0.9 pair set — near-identical documents, the regime a
+    hamming ≤ 3/64 fingerprint is built to catch — plus a boolean verdict
+    that the simhash path recovered ≥ 50% of them. SimHash is fully
+    deterministic (pure xxhash64 bit arithmetic, no seeds), so the
+    verdict is exactly reproducible: measured recall 0.60 at sf0.01 and
+    0.76 at sf0.1 against the 0.5 bound. The oracle recomputes the exact
+    side and expects TRUE — a fingerprint or banding regression flips
+    the boolean and fails the hash."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3)
+    exact = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.9)
+    exact = exact.localCheckpoint(eager=True)
+    approx = D.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3).select(
+        "id_a", "id_b"
+    )
+    hits = exact.join(approx, ["id_a", "id_b"], "left_semi")
+    verdict = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            (F.col("n_hit") >= 0.5 * F.col("n_exact")).alias(
+                "simhash_recall_ge_050"
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(verdict))
 
 
 @register(
@@ -253,9 +373,10 @@ def x_embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3
     ), scored AS (
       SELECT q.query_id, e.vec_id,
-             round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+             floor((list_dot_product(e.embedding::DOUBLE[], q.qv)
                / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                      * sqrt(list_dot_product(q.qv, q.qv)), 0), 6) AS cosine_sim
+                      * sqrt(list_dot_product(q.qv, q.qv)), 0)) * 1000000 + 0.5)
+               / 1000000 AS cosine_sim
       FROM embeddings e, q
     )
     SELECT query_id, vec_id, cosine_sim,
@@ -337,7 +458,52 @@ def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
 
 
-@register("x_ann_ivf_kmeans_topk")  # rows-only: k-means centroids are not ANSI-reproducible
+def _brute_topk_oracle(query_pred: str, k: int, verdict_col: str) -> str:
+    """DuckDB brute-force cosine top-k (the x_cosine_topk shape) with a
+    constant-TRUE recall verdict column — the oracle half of the ANN
+    bracket-verdict queries below."""
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE {query_pred}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             floor((list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qv, q.qv)), 0)) * 1000000 + 0.5)
+               / 1000000 AS cosine_sim
+      FROM embeddings e, q
+    )
+    SELECT query_id, vec_id, cosine_sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk,
+           TRUE AS {verdict_col}
+    FROM scored
+    QUALIFY rnk <= {k}
+    """
+
+
+def _ann_recall_verdict(
+    exact: DataFrame, approx: DataFrame, bound: float, verdict_col: str
+) -> DataFrame:
+    """Exact brute-force top-k rows + one broadcast boolean: did the ANN
+    path recover ≥ bound of the exact (query_id, vec_id) result set?
+    The exact frame is materialized once (it feeds the output rows, the
+    denominator count and the semi-join probe)."""
+    exact = exact.localCheckpoint(eager=True)
+    hits = exact.join(
+        approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    verdict = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select((F.col("n_hit") >= bound * F.col("n_exact")).alias(verdict_col))
+    )
+    return exact.crossJoin(F.broadcast(verdict))
+
+
+@register(
+    "x_ann_ivf_kmeans_topk",
+    oracle=_brute_topk_oracle("vec_id % 100 = 0", 5, "ivf_recall_ge_060"),
+)
 def x_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path with the REAL codebook: MLlib KMeans (k=32) trains
     the IVF coarse quantizer (similarity.fit_codebook — one distributed
@@ -348,7 +514,13 @@ def x_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only because k-means centroids aren't reproducible in ANSI SQL.
     Measured: expression-tree assignment OOMs Catalyst at k=32, while
     this path's cost is flat in k (see similarity.ivf_topk docstring).
-    Recall vs brute force is asserted in tests/test_dedup_similarity.py."""
+
+    Bracket-verdict form (k-means centroids aren't ANSI-reproducible):
+    outputs the EXACT brute-force top-5 per query (SQL-checkable) plus a
+    boolean that the IVF path's recall@5 cleared the bound — the oracle
+    recomputes the exact side and expects TRUE, so a codebook/probe
+    regression flips the hash. Pooled recall is also asserted in
+    tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
@@ -356,10 +528,18 @@ def x_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.ivf_topk(emb, queries, codebook, k=5, nprobe=4, assign="numpy")
+    exact = S.brute_force_topk(emb, queries, k=5, id_col="vec_id", vec_col="embedding")
+    # nprobe=8 of 32 cells: measured recall@5 0.76/0.68/0.72 at
+    # sf0.001/0.01/0.1 vs 0.64/0.64/0.52 at nprobe=4, at unchanged
+    # latency — comfortable margin over the 0.6 verdict bound.
+    approx = S.ivf_topk(emb, queries, codebook, k=5, nprobe=8, assign="numpy")
+    return _ann_recall_verdict(exact, approx, 0.6, "ivf_recall_ge_060")
 
 
-@register("x_ann_pq_topk")  # rows-only: k-means PQ codebooks are not ANSI-reproducible
+@register(
+    "x_ann_pq_topk",
+    oracle=_brute_topk_oracle("vec_id % 100 = 0", 5, "pq_recall_ge_070"),
+)
 def x_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 compressed-corpus path: product quantization (Jégou et al.
     2011). 64-dim float vectors encode to 8 one-byte codes (32×
@@ -368,8 +548,13 @@ def x_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-batch top cut (the shuffle is partitions × queries × k·refine
     rows, never corpus-sized), and the returned scores are EXACT
     cosines from the rerank join. Deterministic end-to-end (seeded
-    driver-side Lloyd's on the lowest-id sample); recall vs brute force
-    is asserted in tests/test_dedup_similarity.py."""
+    driver-side Lloyd's on the lowest-id sample).
+
+    Bracket-verdict form (PQ codebooks aren't ANSI-reproducible): outputs
+    the EXACT brute-force top-5 per query plus a boolean that the ADC
+    path's recall@5 cleared the bound — the oracle recomputes the exact
+    side and expects TRUE. Pooled recall is also asserted in
+    tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
@@ -377,21 +562,36 @@ def x_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.pq_topk(emb, queries, books, k=5, refine=8)
+    exact = S.brute_force_topk(emb, queries, k=5, id_col="vec_id", vec_col="embedding")
+    # refine=16 ADC candidates per query: measured recall@5
+    # 0.96/0.92/0.80 at sf0.001/0.01/0.1 vs 0.84/0.80/0.68 at refine=8,
+    # at unchanged latency — comfortable margin over the 0.7 bound.
+    approx = S.pq_topk(emb, queries, books, k=5, refine=16)
+    return _ann_recall_verdict(exact, approx, 0.7, "pq_recall_ge_070")
 
 
-@register("x_ann_lsh_topk")  # rows-only: MLlib random-projection LSH is not ANSI-expressible
+@register(
+    "x_ann_lsh_topk",
+    oracle=_brute_topk_oracle("vec_id < 3", 10, "lsh_recall_ge_070"),
+)
 def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path, LSH flavor: BucketedRandomProjectionLSH candidates +
-    exact cosine rerank (operators.similarity.lsh_topk). Recall vs the
-    brute-force baseline is asserted in tests/test_dedup_similarity.py."""
+    exact cosine rerank (operators.similarity.lsh_topk).
+
+    Bracket-verdict form (MLlib's random-projection hash family isn't
+    ANSI-expressible): outputs the EXACT brute-force top-10 per query
+    plus a boolean that the seed-pinned LSH path's recall@10 cleared the
+    bound — the oracle recomputes the exact side and expects TRUE.
+    Pooled recall is also asserted in tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.lsh_topk(emb, queries, k=10)
+    exact = S.brute_force_topk(emb, queries, k=10, id_col="vec_id", vec_col="embedding")
+    approx = S.lsh_topk(emb, queries, k=10)
+    return _ann_recall_verdict(exact, approx, 0.7, "lsh_recall_ge_070")
 
 
 @register(
