@@ -600,3 +600,38 @@ def snapshot_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*keys, "change_type")
     )
+
+
+def mode_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    mode_col: str = "mode",
+    count_col: str = "n",
+) -> DataFrame:
+    """MODE per group: each group's most frequent ``value_col`` — the
+    categorical central-tendency aggregate SQL's MODE() gives and Spark
+    doesn't. Two-stage: (keys, value) count (map-side combined), then a
+    rank-1 window over the tiny per-group count frame. The tiebreak is
+    total (count desc, value asc with NULLS LAST — pinned explicitly
+    because Spark's ascending default is nulls-first while standard SQL
+    engines default nulls-last), so every engine picks the same winner.
+    Both exchanges key on the group, so a cluster plans them as one
+    partitioning. Groups whose values are all NULL yield a NULL mode
+    with the null count."""
+    keys = list(keys)
+    c = df.groupBy(*keys, value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc("_n"), F.col(value_col).asc_nulls_last()
+    )
+    return (
+        c.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            *keys,
+            F.col(value_col).alias(mode_col),
+            F.col("_n").alias(count_col),
+        )
+    )

@@ -436,3 +436,36 @@ def remove_duplicate_spans(
         F.size("_w").cast("long").alias("n_words"),
         (F.size("_w") - F.size(kept)).cast("long").alias("n_removed_words"),
     )
+
+
+def token_budget_cut(
+    docs: DataFrame,
+    budget: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum token-budget curation: greedily admit documents
+    (longest-first, id tiebreak) until each stratum's running token
+    count crosses ``budget`` — the doc-level allocation step behind
+    'N tokens per domain' training mixes. The crossing document is
+    kept, so every stratum reaches its budget; a budget of 0 admits
+    nothing, a budget above the stratum total admits everything.
+
+    One window pass per stratum: a single exchange on the stratum key,
+    running-sum state only. Token counts are whitespace counts
+    (integers); cum is an integer running sum with a fully-tiebroken
+    ordering, so the cut row is engine-exact — no float anywhere.
+    Output: (strata, id, n_words, cum_words) for the admitted docs."""
+    t = docs.select(
+        strata_col,
+        id_col,
+        whitespace_token_count(text_col).cast("long").alias("n_words"),
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.desc("n_words"), id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum_words", F.sum("n_words").over(w).cast("long"))
+    return c.filter(F.col("cum_words") - F.col("n_words") < budget)

@@ -2154,18 +2154,16 @@ def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a rank-1 window over the tiny per-user count frame with a
     full tiebreak (count desc, type asc) so both engines pick the same
     winner on ties. Both exchanges key on user_id, so a cluster plans
-    them as one partitioning."""
-    ev = load_table(spark, sf_dir, "events")
-    c = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    them as one partitioning. Operator: relational.mode_per_group."""
+    from ..operators.relational import mode_per_group
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"), "event_type"
     )
-    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
-    return (
-        c.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            F.col("user_id").cast("long").alias("user_id"),
-            F.col("event_type").alias("mode_event_type"),
-            F.col("n").alias("n_occurrences"),
-        )
+    return mode_per_group(
+        ev,
+        ["user_id"],
+        "event_type",
+        mode_col="mode_event_type",
+        count_col="n_occurrences",
     )

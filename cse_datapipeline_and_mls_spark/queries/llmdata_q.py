@@ -1524,18 +1524,11 @@ def x_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum: a single exchange on source, running-sum state only.
     Token counts are whitespace counts (integer); cum is an integer
     running sum with a fully-tiebroken ordering, so the cut row is
-    engine-exact — no float anywhere."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "source",
-        F.col("doc_id").cast("long").alias("doc_id"),
-        X.whitespace_token_count("text").cast("long").alias("n_words"),
+    engine-exact — no float anywhere. Operator: text.token_budget_cut."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    w = Window.partitionBy("source").orderBy(
-        F.desc("n_words"), "doc_id"
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    c = t.withColumn("cum_words", F.sum("n_words").over(w).cast("long"))
-    return c.filter(F.col("cum_words") - F.col("n_words") < 600)
+    return X.token_budget_cut(docs, budget=600)
 
 
 @register(

@@ -1024,31 +1024,13 @@ def w_ohlc_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     values pass through untouched (no float arithmetic at all), so the
     hash comparison is raw-value exact. Bucketing via floor(epoch/21600)
     — unix_timestamp truncation ≡ floor(epoch()), the engine-wide
-    pairing."""
-    ev = _events_series(spark, sf_dir)
-    bucket = F.timestamp_seconds(
-        F.floor(F.unix_timestamp("ts") / 21600) * 21600
-    ).alias("bucket")
-    wb_a = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
-    wb_d = Window.partitionBy("user_id", "bucket").orderBy(
-        F.desc("ts"), F.desc("event_id")
+    pairing. Operator: tswindow.ohlc_bars."""
+    from ..operators.tswindow import ohlc_bars
+
+    ev = _events_series(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "value", "event_id"
     )
-    tagged = ev.select(
-        F.col("user_id").cast("long").alias("user_id"), bucket, "value", "ts", "event_id"
-    ).select(
-        "user_id",
-        "bucket",
-        "value",
-        F.row_number().over(wb_a).alias("rn_a"),
-        F.row_number().over(wb_d).alias("rn_d"),
-    )
-    return tagged.groupBy("user_id", "bucket").agg(
-        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
-        F.max("value").alias("high"),
-        F.min("value").alias("low"),
-        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
-        F.count(F.lit(1)).cast("long").alias("n_trades"),
-    )
+    return ohlc_bars(ev, "user_id", "ts", "value", bucket_seconds=21600)
 
 
 @register(
@@ -1085,50 +1067,12 @@ def w_ohlc_daily_from_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregation cascade (keep bars at the finest grain, answer any
     coarser granularity from bars, never rescan ticks — the same
     mergeable-state posture as the sketch rollup tables). The merge is
-    one groupBy over the (already tiny) bar frame."""
-    ev = _events_series(spark, sf_dir)
-    bucket = F.timestamp_seconds(
-        F.floor(F.unix_timestamp("ts") / 21600) * 21600
-    ).alias("bucket")
-    wb_a = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
-    wb_d = Window.partitionBy("user_id", "bucket").orderBy(
-        F.desc("ts"), F.desc("event_id")
+    one groupBy over the (already tiny) bar frame. Operators:
+    tswindow.ohlc_bars ∘ tswindow.merge_ohlc_bars."""
+    from ..operators.tswindow import merge_ohlc_bars, ohlc_bars
+
+    ev = _events_series(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "value", "event_id"
     )
-    bars = (
-        ev.select(
-            F.col("user_id").cast("long").alias("user_id"),
-            bucket,
-            "value",
-            "ts",
-            "event_id",
-        )
-        .select(
-            "user_id",
-            "bucket",
-            "value",
-            F.row_number().over(wb_a).alias("rn_a"),
-            F.row_number().over(wb_d).alias("rn_d"),
-        )
-        .groupBy("user_id", "bucket")
-        .agg(
-            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
-            F.count(F.lit(1)).cast("long").alias("n_trades"),
-        )
-    )
-    day = F.timestamp_seconds(
-        F.floor(F.unix_timestamp("bucket") / 86400) * 86400
-    ).alias("day")
-    return (
-        bars.select("user_id", day, "bucket", "open", "high", "low", "close", "n_trades")
-        .groupBy("user_id", "day")
-        .agg(
-            F.max_by("open", F.negate(F.unix_timestamp("bucket"))).alias("open"),
-            F.max("high").alias("high"),
-            F.min("low").alias("low"),
-            F.max_by("close", F.unix_timestamp("bucket")).alias("close"),
-            F.sum("n_trades").cast("long").alias("n_trades"),
-        )
-    )
+    bars = ohlc_bars(ev, "user_id", "ts", "value", bucket_seconds=21600)
+    return merge_ohlc_bars(bars, "user_id", "bucket", coarse_seconds=86400)

@@ -207,3 +207,112 @@ def test_snapshot_diff_on_empty_sides(spark):
     out = snapshot_diff(empty, empty, ["k"])
     assert out.columns == ["k", "change_type"]
     assert out.count() == 0
+
+
+def test_phrase_search_edges(spark, empty_docs):
+    from cse_datapipeline_and_mls_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "no match here"), (3, "")],
+        "doc_id long, text string",
+    )
+    # single-word phrase: plain term count, no positional join needed
+    got = {r["doc_id"]: r["n_hits"] for r in phrase_search(docs, "spark").collect()}
+    assert got == {1: 3}
+    # empty / whitespace-only phrase is a caller error, not a full scan
+    with pytest.raises(ValueError):
+        phrase_search(docs, "   ")
+    # empty corpus → empty result, schema intact
+    out = phrase_search(empty_docs, "value table part")
+    assert out.columns == ["doc_id", "n_hits"]
+    assert out.count() == 0
+
+
+def test_token_budget_cut_edges(spark, empty_docs):
+    from cse_datapipeline_and_mls_spark.operators.text import token_budget_cut
+
+    docs = spark.createDataFrame(
+        [
+            ("a", 1, "one two three"),       # 3 words
+            ("a", 2, "one two"),             # 2 words
+            ("a", 3, "one"),                 # 1 word
+        ],
+        "source string, doc_id long, text string",
+    )
+    # zero budget admits nothing (cum - n < 0 is never true)
+    assert token_budget_cut(docs, budget=0).count() == 0
+    # budget above the stratum total admits everything
+    assert token_budget_cut(docs, budget=100).count() == 3
+    # budget binds mid-stratum: longest-first, the crossing doc is kept
+    got = sorted(
+        r["doc_id"] for r in token_budget_cut(docs, budget=4).collect()
+    )
+    assert got == [1, 2]  # 3 words, then doc 2 crosses the budget of 4
+    assert token_budget_cut(empty_docs, budget=600).count() == 0
+
+
+def test_mode_per_group_all_null_and_ties(spark):
+    from cse_datapipeline_and_mls_spark.operators.relational import mode_per_group
+
+    df = spark.createDataFrame(
+        [
+            (1, "click"), (1, "click"), (1, "buy"),
+            (2, None), (2, None),                    # all-null group
+            (3, "buy"), (3, "click"),                # tie → value asc wins
+            (4, None), (4, "view"),                  # null ties 1-1 with a value
+        ],
+        "user_id long, event_type string",
+    )
+    got = {
+        r["user_id"]: (r["mode"], r["n"])
+        for r in mode_per_group(df, ["user_id"], "event_type").collect()
+    }
+    assert got[1] == ("click", 2)
+    assert got[2] == (None, 2)         # all-null group keeps its null mode
+    assert got[3] == ("buy", 1)        # tiebreak: value ascending
+    assert got[4] == ("view", 1)       # NULLS LAST: the value beats the null
+    empty = spark.createDataFrame([], "user_id long, event_type string")
+    assert mode_per_group(empty, ["user_id"], "event_type").count() == 0
+
+
+def test_ohlc_bars_empty_and_bucket_boundary(spark):
+    from datetime import datetime
+
+    from cse_datapipeline_and_mls_spark.operators.tswindow import (
+        merge_ohlc_bars,
+        ohlc_bars,
+    )
+
+    empty = spark.createDataFrame(
+        [], "user_id long, ts timestamp, value double, event_id long"
+    )
+    out = ohlc_bars(empty, bucket_seconds=3600)
+    assert out.columns == [
+        "user_id", "bucket", "open", "high", "low", "close", "n_trades",
+    ]
+    assert out.count() == 0
+    assert merge_ohlc_bars(out, coarse_seconds=86400).count() == 0
+
+    # a tick exactly on the bucket boundary belongs to the LATER bucket
+    # (floor(epoch/3600) — half-open [start, end) buckets)
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 59, 59), 10.0, 1),
+        (1, datetime(2024, 1, 1, 1, 0, 0), 20.0, 2),   # boundary tick
+        (1, datetime(2024, 1, 1, 1, 30, 0), 5.0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    bars = {r["bucket"].hour: r for r in ohlc_bars(df, bucket_seconds=3600).collect()}
+    assert bars[0]["n_trades"] == 1 and bars[0]["open"] == bars[0]["close"] == 10.0
+    assert bars[1]["n_trades"] == 2
+    assert bars[1]["open"] == 20.0 and bars[1]["close"] == 5.0
+    assert bars[1]["high"] == 20.0 and bars[1]["low"] == 5.0
+    # rollup of the two hourly bars matches the direct daily bar
+    daily = merge_ohlc_bars(
+        ohlc_bars(df, bucket_seconds=3600), coarse_seconds=86400
+    ).collect()
+    direct = ohlc_bars(df, bucket_seconds=86400).withColumnRenamed(
+        "bucket", "day"
+    ).collect()
+    assert sorted(map(tuple, daily)) == sorted(map(tuple, direct))
