@@ -29,6 +29,16 @@ from pyspark.sql import functions as F
 # Partition count of the most recent pagerank() edge materialization —
 # a test observable (see the comment at the assignment site).
 _LAST_EDGE_PARTITIONS: int | None = None
+# Shuffle-exchange count in the most recent edge-materialization plan —
+# >=1 on the repartition path, 0 when a src-bucketed table feeds
+# pre_partitioned=True (the test observable for the bucketed layout).
+_LAST_EDGE_EXCHANGES: int | None = None
+# Runtime (ENSURE_REQUIREMENTS) exchange count of the first iteration's
+# contribution plan — 2 with the cached hash-partitioned edge table
+# (state-side + dst aggregation), 3 if the edge side ever loses its
+# partitioning and re-shuffles |E| per iteration (the localCheckpoint
+# regression this file used to have: LogicalRDD drops outputPartitioning).
+_LAST_ITER_EXCHANGES: int | None = None
 
 
 def pagerank(
@@ -38,6 +48,8 @@ def pagerank(
     iters: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 2,
+    pre_partitioned: bool = False,
+    edge_storage: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list. Returns
     (node, rank) with ranks summing to 1. Deterministic up to
@@ -62,12 +74,47 @@ def pagerank(
     # sf0.01 with a plain .cache(). defaultParallelism is cluster-
     # proportional, and hashing on src co-partitions the materialized
     # edges with the per-iteration contribution join key.
-    par = max(edges.sparkSession.sparkContext.defaultParallelism, 1)
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition(par, "src")
-        .localCheckpoint(eager=True)
+    # pre_partitioned=True: the caller vouches the input is already
+    # hash-distributed on src — e.g. a src-bucketed table scan, whose
+    # bucket hash IS the shuffle hash — so the |E|-sized repartition is
+    # skipped entirely. At 100 TB that per-run edge shuffle is the
+    # single biggest one-time stage PageRank pays; a bucketed layout
+    # pays it once at ingest and amortizes it over every later run
+    # (SCALE.md §graph).
+    pre = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not pre_partitioned:
+        par = max(edges.sparkSession.sparkContext.defaultParallelism, 1)
+        pre = pre.repartition(par, "src")
+    global _LAST_EDGE_EXCHANGES
+    _LAST_EDGE_EXCHANGES = pre._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange"
     )
+    # Two edge-materialization modes, measured at sf0.1 local[32]:
+    #
+    # "checkpoint" (default for in-session edge frames): localCheckpoint
+    #   stores raw rows and re-scans them for free, BUT its LogicalRDD
+    #   drops outputPartitioning, so every iteration's rank join
+    #   re-shuffles the edge table on src (one extra ENSURE_REQUIREMENTS
+    #   exchange per iteration). In LOCAL mode that shuffle is a cheap
+    #   disk spill and this path wins: 5.2 s vs 8.4 s.
+    #
+    # "persist" (default when pre_partitioned, i.e. a bucketed layout):
+    #   InMemoryRelation preserves the cached plan's HashPartitioning
+    #   (the repartition above, or the bucket layout), so the
+    #   per-iteration edge-side exchange DISAPPEARS — only the |V|-sized
+    #   state shuffle and the partial-aggregated contribution shuffle
+    #   remain (asserted via _LAST_ITER_EXCHANGES in tests/test_graph).
+    #   Locally the columnar decode per iteration costs more than the
+    #   shuffle it saves; on a 1000-executor cluster the saved exchange
+    #   is |E| over the NETWORK per iteration, which dominates — use
+    #   "persist" (plus a src-bucketed edge table) at cluster scale.
+    if edge_storage is None:
+        edge_storage = "persist" if pre_partitioned else "checkpoint"
+    if edge_storage == "persist":
+        e = pre.persist()
+        e.count()
+    else:
+        e = pre.localCheckpoint(eager=True)
     # Observable for the regression test: the materialized edge
     # partition count drives every iteration's task count. If this ever
     # reads shuffle.partitions (e.g. 200 in a vanilla session) instead
@@ -89,6 +136,7 @@ def pagerank(
     state = nodes.join(out_deg, nodes["node"] == out_deg["src"], "left").select(
         "node", F.coalesce("deg", F.lit(0)).alias("deg"), F.lit(1.0 / n_nodes).alias("rank")
     )
+    global _LAST_ITER_EXCHANGES
     for i in range(iters):
         contribs = (
             e.join(state, e["src"] == state["node"])
@@ -97,6 +145,16 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
+        if i == 0:
+            # ENSURE_REQUIREMENTS counts only runtime exchanges (the
+            # cached edge build's one-time repartition is tagged
+            # REPARTITION_BY_NUM inside the InMemoryRelation subtree)
+            _LAST_ITER_EXCHANGES = (
+                contribs._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+                .count("ENSURE_REQUIREMENTS")
+            )
         # mass parked on dangling nodes redistributes uniformly
         dangling = state.filter(F.col("deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")

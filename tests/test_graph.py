@@ -126,3 +126,53 @@ def test_triangle_counts_match_bruteforce_on_random_graph(spark):
             for n in (a, b, c):
                 expected[n] = expected.get(n, 0) + 1
     assert _tri(spark, edges) == expected
+
+
+def test_pagerank_from_bucketed_edges_skips_the_edge_shuffle(spark):
+    """A src-bucketed edge table feeds pagerank(pre_partitioned=True)
+    with ZERO exchanges in the edge materialization (the bucket hash IS
+    the shuffle hash), vs >=1 on the repartition path — the pay-at-
+    ingest layout SCALE.md prescribes for 100 TB edge tables. Ranks
+    must be identical either way."""
+    from cse_datapipeline_and_mls_spark.operators import graph as G
+    from cse_datapipeline_and_mls_spark.sources.sinks import write_bucketed
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(40) for b in range(40) if (a * 7 + b) % 5 == 0 and a != b],
+        "src long, dst long",
+    )
+    plain = {r["node"]: r["rank"] for r in G.pagerank(edges, iters=4).collect()}
+    assert G._LAST_EDGE_EXCHANGES >= 1
+    # default checkpoint storage drops partitioning → the edge side
+    # re-shuffles per iteration
+    ckpt_iter_exchanges = G._LAST_ITER_EXCHANGES
+
+    # persist storage keeps the hash partitioning → the per-iteration
+    # edge-side exchange is gone (only state + contribution agg remain),
+    # identical ranks
+    persisted = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(edges, iters=4, edge_storage="persist").collect()
+    }
+    # exactly two runtime exchanges remain: the |V|-sized state join
+    # and the contribution aggregation — strictly fewer than checkpoint
+    assert G._LAST_ITER_EXCHANGES == 2 < ckpt_iter_exchanges
+    assert all(abs(plain[k] - persisted[k]) < 1e-12 for k in plain)
+
+    spark.sql("DROP TABLE IF EXISTS t_pr_edges_b")
+    try:
+        write_bucketed(edges, "t_pr_edges_b", "src", 8)
+        bucketed = {
+            r["node"]: r["rank"]
+            for r in G.pagerank(
+                spark.table("t_pr_edges_b"), iters=4, pre_partitioned=True
+            ).collect()
+        }
+        assert G._LAST_EDGE_EXCHANGES == 0  # no ingest-side shuffle at all
+        # bucket hash survives the cache: same reduced exchange count as
+        # the persisted in-session path
+        assert G._LAST_ITER_EXCHANGES == 2 < ckpt_iter_exchanges
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pr_edges_b")
+    assert set(plain) == set(bucketed)
+    assert all(abs(plain[k] - bucketed[k]) < 1e-12 for k in plain)

@@ -44,6 +44,14 @@ EXPECTED_CROSS = {
     "x_rolling_mau_sketch",   # 30-row day-spine broadcast range join (exact harness side)
     "x_customer_churn_sketch",  # 1-row sketch-estimate frame broadcast onto the 1-row exact frame
     "x_association_rules",    # 1-row n_orders scalar broadcast onto the rule frame
+    # r5 bracket-verdict conversions: exact reference result + a 1-row
+    # recall-verdict broadcast crossJoin (queries/northstar.py)
+    "x_minhash_neardup_pairs",
+    "x_simhash_neardup_pairs",
+    "x_ann_lsh_topk",         # also: brute-force exact side broadcasts the 3-query set
+    "x_ann_ivf_kmeans_topk",
+    "x_ann_pq_topk",
+    "x_pagerank_bucketed_edges",  # 1-row dangling-mass broadcast per iteration
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -58,6 +66,10 @@ EXPECTED_MANY_EXCHANGES = {
     "x_theta_audience_overlap",  # theta path (2) + one-pass exact side (2) + broadcast combine; all frames past the user shuffle are 1-row
     "x_rolling_mau_sketch",   # daily sketch agg + spine + exact-harness distinct + verdict join; production path alone is 2
     "x_triangle_copurchase",  # wedge self-join + closing pair join + corner agg past the checkpointed edge build — the algorithm's 5
+    "x_ann_lsh_topk",         # exact brute-force side + LSH candidate join + verdict aggs (bracket-verdict form)
+    "x_ann_ivf_kmeans_topk",  # exact side + probe-cell join + verdict aggs
+    "x_ann_pq_topk",          # exact side + ADC candidate shuffle + verdict aggs
+    "x_pagerank_bucketed_edges",  # power iteration exchanges, same as x_pagerank_suppliers
     "x_clustering_coefficient",  # the triangle shape's 5 + the degree join
     "x_association_rules",    # basket dedup + item/pair/meta aggs + 2 rule-stat joins; every frame past the pair count is ≤ |rules| rows
 }
