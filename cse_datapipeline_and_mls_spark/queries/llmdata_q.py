@@ -1040,25 +1040,68 @@ def x_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_heavy_hitters")  # rows-only: MG estimates depend on partition
+@register(
+    "x_heavy_hitters",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' '))
+             AS item
+      FROM documents
+    ), c AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS true_count FROM t GROUP BY item
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM t
+    )
+    SELECT c.item, c.true_count, TRUE AS mg_within_bracket
+    FROM c CROSS JOIN m
+    WHERE c.true_count > m.n / 65.0
+    """,
+)
 def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent tokens via a merged Misra–Gries sketch (k=64): one scan,
     O(k) memory per partition, a k·partitions-sized exchange instead of
-    the vocabulary-sized shuffle the exact ``x_word_topk`` pays. Emits
-    every sketch survivor with its [lo, hi] true-count bracket; the
-    containment guarantee (every token with true count > n/(k+1)
-    present, bracket correct vs exact counts) is asserted in
+    the vocabulary-sized shuffle the exact ``x_word_topk`` pays.
+
+    Bracket-verdict form (MG estimates depend on partition boundaries,
+    so raw sketch counts can never hash-match): the query outputs every
+    TRUE heavy hitter (exact count > n/(k+1) — the SQL-checkable exact
+    side) plus a per-token boolean that the sketch (a) contains it and
+    (b) brackets its true count within [lo, hi]. Both are DETERMINISTIC
+    guarantees of the Misra–Gries algorithm, not probabilistic bounds —
+    a merge bug or an undercount-bound error flips the boolean and
+    fails the hash. The full sketch-side invariants stay asserted in
     tests/test_sketches.py."""
     from ..operators import sketches as SK
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\r]+", " "), " ").alias(
-            "tokens"
-        )
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\r]+", " "), " "
     )
-    out = SK.frequent_items(toks, "tokens", k=64)
-    return out.select("item", "est", "lo", "hi").orderBy(F.desc("est"), "item")
+    toks = docs.select(words.alias("tokens"))
+    sketch = SK.frequent_items(toks, "tokens", k=64).select("item", "lo", "hi")
+    # exact token counts materialized once — they feed both the heavy
+    # cut and (via their sum) the total-n threshold, so the explode over
+    # the corpus runs exactly one time
+    counts = (
+        docs.select(F.explode(words).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("true_count").cast("long").alias("n"))
+    heavy = counts.crossJoin(F.broadcast(total)).filter(
+        F.col("true_count") > F.col("n") / 65.0
+    )
+    return heavy.join(sketch, "item", "left").select(
+        "item",
+        "true_count",
+        (
+            F.col("lo").isNotNull()
+            & (F.col("lo") <= F.col("true_count"))
+            & (F.col("true_count") <= F.col("hi"))
+        ).alias("mg_within_bracket"),
+    )
 
 
 @register(

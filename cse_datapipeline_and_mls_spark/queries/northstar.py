@@ -191,22 +191,77 @@ def x_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(F.broadcast(verdict))
 
 
-@register("x_minhash_incremental")  # rows-only: MinHash is not ANSI-expressible
+@register(
+    "x_minhash_incremental",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), tokens AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx FROM words
+    ), grams AS (
+      SELECT doc_id,
+             word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS g
+      FROM tokens WINDOW win AS (PARTITION BY doc_id ORDER BY idx)
+      QUALIFY lead(word, 2) OVER win IS NOT NULL
+    ), dgrams AS (
+      SELECT DISTINCT doc_id, g FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM dgrams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM dgrams a JOIN dgrams b USING (g)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard,
+           TRUE AS incremental_recall_ge_090
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+      AND (id_a % 5 = 0 OR id_b % 5 = 0)
+    """,
+)
 def x_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 (batch-ingest flavor): incremental MinHash near-dup — new
     batch (doc_id ≡ 0 mod 5) probed against the standing corpus plus
-    itself, never corpus×corpus. Rows-only check; exact equivalence to
-    the full run restricted to batch-touching pairs is asserted in
-    tests/test_dedup_similarity.py (hash family is seed-pinned, so
-    incremental signatures are bit-identical)."""
+    itself, never corpus×corpus; per-batch cost ∝ |batch| bucket probes.
+
+    Bracket-verdict form: outputs the EXACT batch-touching n-gram
+    Jaccard ≥ 0.5 pair set (SQL-checkable) plus a boolean that the
+    incremental MinHash path recovered ≥ 90% of it. The seed-pinned
+    hash family makes incremental signatures bit-identical to a full
+    run (exact equivalence asserted in tests/test_dedup_similarity.py),
+    so the verdict inherits the full run's measured 1.0 recall. The
+    oracle recomputes the exact side restricted to pairs with a batch
+    member and expects TRUE."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_neardup_incremental(
+    exact = (
+        D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+        .filter((F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0))
+        .localCheckpoint(eager=True)
+    )
+    approx = D.minhash_neardup_incremental(
         docs.filter(F.col("doc_id") % 5 == 0),
         docs.filter(F.col("doc_id") % 5 != 0),
         "text",
         "doc_id",
         jaccard_threshold=0.5,
+    ).select("id_a", "id_b")
+    hits = exact.join(approx, ["id_a", "id_b"], "left_semi")
+    verdict = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            (F.col("n_hit") >= 0.9 * F.col("n_exact")).alias(
+                "incremental_recall_ge_090"
+            )
+        )
     )
+    return exact.crossJoin(F.broadcast(verdict))
 
 
 @register(

@@ -51,6 +51,8 @@ EXPECTED_CROSS = {
     "x_ann_lsh_topk",         # also: brute-force exact side broadcasts the 3-query set
     "x_ann_ivf_kmeans_topk",
     "x_ann_pq_topk",
+    "x_minhash_incremental",
+    "x_heavy_hitters",        # 1-row total-n broadcast onto the exact counts
     "x_pagerank_bucketed_edges",  # 1-row dangling-mass broadcast per iteration
 }
 
@@ -70,6 +72,7 @@ EXPECTED_MANY_EXCHANGES = {
     "x_ann_ivf_kmeans_topk",  # exact side + probe-cell join + verdict aggs
     "x_ann_pq_topk",          # exact side + ADC candidate shuffle + verdict aggs
     "x_pagerank_bucketed_edges",  # power iteration exchanges, same as x_pagerank_suppliers
+    "x_minhash_incremental",  # exact shingle-join side + LSH probe joins + verdict aggs (bracket-verdict form)
     "x_clustering_coefficient",  # the triangle shape's 5 + the degree join
     "x_association_rules",    # basket dedup + item/pair/meta aggs + 2 rule-stat joins; every frame past the pair count is ≤ |rules| rows
 }
