@@ -1651,12 +1651,14 @@ def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. Output is pure integers (count + novel count; consumers
     divide) — no ratio column, so no float hash surface at all.
 
-    Plan notes (41 s → 5 s at sf0.1): grams are hashed to 8 bytes
-    BEFORE any shuffle (novelty needs only equality, same
-    collision-free contract as exact dedup); the exploded gram frame is
-    checkpointed once (it feeds two aggregates — unmaterialized, the
-    regex tokenization of the whole corpus re-derives per consumer);
-    and instead of joining doc-frequency back to the corpus-sized gram
+    Plan notes (41 s → ~7 s at sf0.1, three fixes): grams build
+    array-level via text.word_ngrams (the index-lambda form re-ran the
+    tokenizer once PER GRAM after projection collapse — 20.9 s alone);
+    grams are hashed to 8 bytes BEFORE any shuffle (novelty needs only
+    equality, same collision-free contract as exact dedup); the
+    exploded gram frame is checkpointed once (it feeds two aggregates —
+    unmaterialized, the whole build re-derives per consumer); and
+    instead of joining doc-frequency back to the corpus-sized gram
     frame, novelty folds gram-side: a gram with df==1 still carries its
     single owner doc_id through max(), so n_novel is a tiny doc-keyed
     count of the df==1 grams and the only join left is per-doc-frame ×
@@ -1671,21 +1673,12 @@ def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = docs.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("w")).filter(
         F.size("w") >= 5
     )
+    # array-level gram build (text.word_ngrams): the index-lambda form
+    # re-evaluated the tokenizer once per gram after projection collapse
+    # (measured 20.9 s -> 1.5 s for this frame at sf0.1)
     grams = g.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - 5),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("w", i + 1),
-                    F.element_at("w", i + 2),
-                    F.element_at("w", i + 3),
-                    F.element_at("w", i + 4),
-                    F.element_at("w", i + 5),
-                ),
-            )
-        ).alias("grams"),
+        F.array_distinct(X.word_ngrams(F.col("w"), 5)).alias("grams"),
     )
     e = (
         grams.select("doc_id", F.explode("grams").alias("gram"))
