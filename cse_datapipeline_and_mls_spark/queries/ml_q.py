@@ -59,12 +59,35 @@ def ml_feature_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_gbt_classifier_metrics")  # rows-only: model fitting is not ANSI SQL
+@register(
+    "ml_gbt_classifier_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT max(ts)::DATE - 7 AS cut, CAST(count(*) AS BIGINT) AS n FROM events
+    )
+    SELECT m.n AS n_events,
+           (SELECT CAST(count(*) AS BIGINT) FROM events e, m WHERE e.ts >= m.cut)
+             AS n_test_window,
+           TRUE AS auc_ge_070,
+           TRUE AS accuracy_ge_060,
+           TRUE AS confusion_sums_match
+    FROM m
+    """,
+)
 def ml_gbt_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M5: assembler → weighted GBTClassifier, time-split, AUC +
     accuracy + confusion counts — the reference's classifier.py pipeline
     MLlib-native. Small maxIter so the correctness driver stays fast;
-    params scale up via classifier_pipeline kwargs."""
+    params scale up via classifier_pipeline kwargs.
+
+    Bracket-verdict form (model fitting is not ANSI SQL, and GBT split
+    choices can shift with float-summation order, so raw metrics can
+    never hash-match): outputs the SQL-checkable exact side — total
+    event count and the last-7-days test-window count, pinning the
+    time-split semantics — plus booleans that AUC ≥ 0.7 and accuracy ≥
+    0.6 (measured 0.79–0.80 / 0.71–0.73 across sf0.001/0.01/0.1) and
+    that the confusion matrix sums to the labeled test count. Raw
+    metric values stay asserted in tests/test_ml.py."""
     from ..ml import (
         add_binary_label_and_weights,
         binary_metrics,
@@ -82,18 +105,44 @@ def ml_gbt_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = time_split(labeled, "ts", test_days=7)
     model = classifier_pipeline(DEFAULT_FEATURES, max_iter=5, max_depth=3).fit(train)
     m = binary_metrics(model.transform(test))
+    n_test = test.count()
+    cut = ev.agg(F.date_sub(F.max("ts"), 7).alias("s")).collect()[0]["s"]
+    n_events = ev.count()
+    n_window = ev.filter(F.col("ts") >= F.lit(cut)).count()
     return spark.createDataFrame(
-        [(float(m["auc"]), float(m["accuracy"]), m["tp"], m["tn"], m["fp"], m["fn"])],
-        "auc double, accuracy double, tp long, tn long, fp long, fn long",
+        [
+            (
+                n_events,
+                n_window,
+                bool(m["auc"] >= 0.7),
+                bool(m["accuracy"] >= 0.6),
+                bool(m["tp"] + m["tn"] + m["fp"] + m["fn"] == n_test),
+            )
+        ],
+        "n_events long, n_test_window long, auc_ge_070 boolean, "
+        "accuracy_ge_060 boolean, confusion_sums_match boolean",
     )
 
 
-@register("ml_feature_importances")  # rows-only: model fitting is not ANSI SQL
+@register(
+    "ml_feature_importances",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_features,
+           TRUE AS importances_sum_to_1,
+           TRUE AS importances_nonnegative,
+           TRUE AS ranked_nonincreasing
+    """,
+)
 def ml_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5: sorted GBT feature importances — the reference prints these
-    after every classifier fit (classifier.py:96-100). Returns one row
-    per feature (rank, feature, importance), importances summing to 1;
-    asserted in tests/test_ml.py."""
+    after every classifier fit (classifier.py:96-100).
+
+    Bracket-verdict form: one row asserting the importance-vector
+    contract — exactly len(DEFAULT_FEATURES)=10 entries, nonnegative,
+    summing to 1 (±1e-6), and ranked non-increasing. The importance
+    VALUES are fit-specific (float-summation order can shift splits) so
+    they can never hash-match; the per-feature ranking stays asserted
+    in tests/test_ml.py."""
     from ..ml import (
         add_binary_label_and_weights,
         build_price_features,
@@ -111,18 +160,50 @@ def ml_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, _ = time_split(labeled, "ts", test_days=7)
     model = classifier_pipeline(DEFAULT_FEATURES, max_iter=5, max_depth=3).fit(train)
     ranked = feature_importances(model, DEFAULT_FEATURES)
+    vals = [float(v) for _, v in ranked]
     return spark.createDataFrame(
-        [(i + 1, name, float(v)) for i, (name, v) in enumerate(ranked)],
-        "rank long, feature string, importance double",
+        [
+            (
+                len(vals),
+                bool(abs(sum(vals) - 1.0) < 1e-6),
+                bool(all(v >= 0.0 for v in vals)),
+                bool(all(vals[i] >= vals[i + 1] for i in range(len(vals) - 1))),
+            )
+        ],
+        "n_features long, importances_sum_to_1 boolean, "
+        "importances_nonnegative boolean, ranked_nonincreasing boolean",
     )
 
 
-@register("ml_gbt_regressor_metrics")  # rows-only: model fitting is not ANSI SQL
+@register(
+    "ml_gbt_regressor_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT max(ts)::DATE - 7 AS cut, CAST(count(*) AS BIGINT) AS n FROM events
+    )
+    SELECT m.n AS n_events,
+           (SELECT CAST(count(*) AS BIGINT) FROM events e, m WHERE e.ts >= m.cut)
+             AS n_test_window,
+           TRUE AS mae_le_rmse,
+           TRUE AS r2_le_1,
+           TRUE AS directional_acc_ge_040,
+           TRUE AS scored_eq_test
+    FROM m
+    """,
+)
 def ml_gbt_regressor_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6-M13: assembler → RobustScaler → GBTRegressor on next-step
     pct-change, RMSE/MAE/R² + directional accuracy, score-side price
     reconstruction — regression.py's XGB path without the toPandas
-    boundary."""
+    boundary.
+
+    Bracket-verdict form: exact side = total event count + last-7-days
+    test-window count (pinning the split semantics); verdicts = the
+    mathematical invariants MAE ≤ RMSE and R² ≤ 1, directional accuracy
+    ≥ 0.4 (measured 0.50–0.66 across SFs — raw RMSE/MAE scale with the
+    data so only invariants are portable), and the price-reconstruction
+    scorer covering exactly the test rows. Raw metric values stay
+    asserted in tests/test_ml.py."""
     from ..ml import (
         build_price_features,
         directional_accuracy,
@@ -148,9 +229,23 @@ def ml_gbt_regressor_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = regression_metrics(preds)
     da = directional_accuracy(preds)
     n_scored = score_with_price_reconstruction(model, test, price="value").count()
+    n_test = test.count()
+    cut = ev.agg(F.date_sub(F.max("ts"), 7).alias("s")).collect()[0]["s"]
+    n_events = ev.count()
+    n_window = ev.filter(F.col("ts") >= F.lit(cut)).count()
     return spark.createDataFrame(
-        [(float(m["rmse"]), float(m["mae"]), float(m["r2"]), float(da), n_scored)],
-        "rmse double, mae double, r2 double, directional_accuracy double, n_scored long",
+        [
+            (
+                n_events,
+                n_window,
+                bool(m["mae"] <= m["rmse"] + 1e-9),
+                bool(m["r2"] <= 1.0 + 1e-9),
+                bool(da >= 0.4),
+                bool(n_scored == n_test),
+            )
+        ],
+        "n_events long, n_test_window long, mae_le_rmse boolean, r2_le_1 boolean, "
+        "directional_acc_ge_040 boolean, scored_eq_test boolean",
     )
 
 
@@ -185,7 +280,20 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(media)
 
 
-@register("ml_quality_classifier")  # rows-only: model fits are not ANSI-expressible
+@register(
+    "ml_quality_classifier",
+    oracle="""
+    WITH b AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10
+               AS bkt
+      FROM documents
+    )
+    SELECT CAST(sum(CASE WHEN bkt < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN bkt >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           TRUE AS auc_ge_090
+    FROM b
+    """,
+)
 def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bridge between the ML and LLM-data blocks: train a logistic
     tree ensemble to predict the Gopher keep/drop decision from cheap text
@@ -231,9 +339,13 @@ def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(asm.transform(train))
     scored = model.transform(asm.transform(test))
     auc = BinaryClassificationEvaluator(labelCol="label").evaluate(scored)
+    # bracket-verdict output: the md5-bucket split sizes are the exact
+    # SQL-checkable side ('0x'||hex)::BIGINT in DuckDB == conv(hex,16,10)
+    # in Spark); the fit's quality rides as a boolean (measured AUC 1.0
+    # at every SF vs the 0.9 bound asserted in tests/test_ml.py)
     return spark.createDataFrame(
-        [(round(auc, 4), train.count(), test.count())],
-        "auc double, n_train long, n_test long",
+        [(train.count(), test.count(), bool(auc >= 0.9))],
+        "n_train long, n_test long, auc_ge_090 boolean",
     )
 
 

@@ -152,7 +152,7 @@ def test_quality_classifier_recovers_rules(spark, sf_dir):
 
     row = QUERIES["ml_quality_classifier"](spark, sf_dir).collect()[0]
     assert row["n_train"] > 0 and row["n_test"] > 0
-    assert row["auc"] >= 0.9, f"AUC {row['auc']}"
+    assert row["auc_ge_090"], "learned filter failed the AUC >= 0.9 bound"
 
 
 def test_pca_variance_and_projection(spark, sf_dir):
