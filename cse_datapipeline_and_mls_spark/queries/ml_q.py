@@ -1,8 +1,11 @@
 """ML + multimodal registry queries (SURVEY §2.11 M-series, §2.12 X5).
 
-The feature block is SQL-expressible and oracle-checked; training queries
-are rows-only (GBT fitting is not ANSI SQL) but return deterministic-shape
-metric rows the driver can count.
+The feature block is SQL-expressible and directly oracle-checked; the
+model-fit queries register in BRACKET-VERDICT form (GBT fitting is not
+ANSI SQL and split choices shift with float-summation order): each
+emits a SQL-checkable exact side (split window counts, bucket sizes,
+covariance trace) plus invariant/bound booleans, so the driver still
+hash-checks every one.
 """
 
 from __future__ import annotations
@@ -270,14 +273,56 @@ def x_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_multimodal_features")  # rows-only: byte stats computed in a Pandas UDF
+@register(
+    "x_multimodal_features",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ), f AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY doc_id, c
+    ), s AS (
+      SELECT doc_id, c, n, sum(n) OVER (PARTITION BY doc_id) AS tot FROM f
+    ), agg AS (
+      SELECT doc_id,
+             CAST(any_value(tot) AS BIGINT) AS n_bytes,
+             sum(ord(c) * n) * 1.0 / any_value(tot) AS bmean,
+             -sum((n * 1.0 / tot) * log2(n * 1.0 / tot)) AS ent
+      FROM s GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+             AS modality,
+           n_bytes,
+           floor(bmean * 1000000 + 0.5) / 1000000 AS byte_mean,
+           floor(ent * 1000000 + 0.5) / 1000000   AS byte_entropy
+    FROM agg
+    """,
+)
 def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: mapInPandas feature extraction over binary payloads (the Arrow
     batch path a real decoder uses; deterministic byte-stat fake in this
-    build — see operators.multimodal.decode_media)."""
+    build — see operators.multimodal.decode_media).
+
+    Oracle-checked: the synthetic payloads are the documents' UTF-8
+    bytes and the corpus is pure ASCII (verified at every SF), so the
+    Pandas-UDF byte statistics are exactly reproducible in SQL —
+    characters ARE bytes, byte_mean is one division of exact integer
+    sums, and entropy is the char-frequency Shannon entropy (quantized
+    to 6 decimals on both sides: its p·log2 p summation order differs
+    between numpy and SQL). This pins the whole mapInPandas pipeline —
+    Arrow transfer, batch shape, uint8 view, per-payload fold — not
+    just its row count."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.synth_media_from_documents(docs)
-    return MM.extract_features(media)
+    out = MM.extract_features(media)
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return out.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        q6(F.col("byte_mean")).alias("byte_mean"),
+        q6(F.col("byte_entropy")).alias("byte_entropy"),
+    )
 
 
 @register(
