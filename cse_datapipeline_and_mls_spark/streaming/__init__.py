@@ -11,6 +11,7 @@ from .pipeline import (
     session_aggregate,
     sketch_rollup_stream,
     threshold_alerts,
+    ohlc_aggregate,
     windowed_aggregate,
 )
 from .stateful import running_zscore_anomalies
@@ -24,6 +25,7 @@ __all__ = [
     "dedup_against_history",
     "enrich_stream",
     "threshold_alerts",
+    "ohlc_aggregate",
     "windowed_aggregate",
     "session_aggregate",
     "run_to_memory_sink",

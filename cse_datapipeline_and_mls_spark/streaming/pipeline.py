@@ -133,6 +133,47 @@ def windowed_aggregate(
     )
 
 
+def ohlc_aggregate(
+    stream: DataFrame,
+    key: str = "user_id",
+    size: str = "6 hours",
+    watermark: str = "1 day",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming OHLC candles: tumbling event-time bars with open/close
+    chosen by ``min_by``/``max_by`` over the (ts, tiebreak) struct order
+    — the streaming-safe formulation of the batch
+    ``tswindow.ohlc_bars`` (row_number windows don't exist in
+    streaming; ordered arg-min/arg-max does, and it is MERGEABLE:
+    partial states combine by keeping the earlier/later (ts, tiebreak)
+    witness, which is exactly what a late-arriving tick inside the
+    watermark needs). ``F.window`` aligns to the epoch, so bars land on
+    the same boundaries as the batch twin's floor(epoch/secs) buckets —
+    stream/batch parity is asserted in tests/test_streaming.py."""
+    ord_ = F.struct(F.col("ts"), F.col(tiebreak_col))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(key, F.window("ts", size))
+        .agg(
+            F.min_by(value_col, ord_).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, ord_).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+        )
+        .select(
+            key,
+            F.col("window.start").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_trades",
+        )
+    )
+
+
 def session_aggregate(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -436,3 +436,22 @@ def test_merge_postings_deletion_via_negation(spark):
     )
     left = {(r["term"], r["doc_id"]): r["tf"] for r in merge_postings(existing, delta).collect()}
     assert left == {("a", 2): 1}
+
+
+def test_ohlc_stream_matches_batch_bars(spark, events_dir):
+    """Streaming OHLC (min_by/max_by tumbling bars) must equal the batch
+    tswindow.ohlc_bars result bar-for-bar — F.window aligns to the epoch
+    exactly like the batch floor(epoch/secs) bucket, and the ordered
+    arg-min/arg-max picks the same fully-tiebroken open/close."""
+    from cse_datapipeline_and_mls_spark.operators.tswindow import ohlc_bars
+
+    stream = ST.ingest_file_stream(spark, events_dir)
+    got = ST.run_to_memory_sink(
+        ST.ohlc_aggregate(stream, size="1 hour"), "ohlc_test", output_mode="complete"
+    )
+    batch = spark.read.parquet(events_dir).select(
+        "user_id", "ts", "value", "event_id"
+    )
+    want = ohlc_bars(batch, "user_id", "ts", "value", bucket_seconds=3600)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
