@@ -1246,7 +1246,15 @@ def x_pagerank_bucketed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_graph.py). Identical ranks to
     x_pagerank_suppliers — same unrolled-SQL oracle. The amortized-run
     path is what the bench's min-of-3 measures; run 1 pays the one-time
-    layout write, exactly like production ingest."""
+    layout write, exactly like production ingest.
+
+    Bench-reading note: locally this row runs ~1–2 s SLOWER than
+    x_pagerank_suppliers (measured interleaved 7.8 vs 5.6 s at sf0.1)
+    because the persisted edge cache pays columnar decode per iteration
+    while a local-mode shuffle is only a disk spill — the documented
+    local/cluster inversion (SCALE.md §Graph). On a real cluster the
+    balance flips: the layout deletes an |E|-sized NETWORK exchange
+    from materialization and every iteration."""
     import re
 
     from ..operators.graph import pagerank

@@ -297,3 +297,41 @@ def test_dense_ids_are_a_sorted_bijection(spark, keys, nparts):
     df = spark.createDataFrame([(k,) for k in keys], "k bigint").repartition(nparts)
     got = {r["k"]: r["dense_id"] for r in assign_dense_ids(df, ["k"]).collect()}
     assert [got[k] for k in sorted(keys)] == list(range(len(keys)))
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abcx", min_size=1, max_size=3),
+            min_size=0,
+            max_size=12,
+        ).map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(min_value=2, max_value=5),
+)
+@SETTINGS
+def test_word_ngrams_matches_naive_python(spark, texts, n):
+    """The zip_with n-gram build (text.word_ngrams — the fix for the
+    per-gram tokenizer re-evaluation trap) must produce exactly the
+    naive Python sliding-window n-grams for every input, including docs
+    shorter than n and empty docs."""
+    from cse_datapipeline_and_mls_spark.operators.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    words_expr = F.split(
+        F.regexp_replace(F.lower(F.trim("t")), r"[ \t\n\r]+", " "), " "
+    )
+    got = {
+        r["id"]: r["g"]
+        for r in df.select("id", word_ngrams(words_expr, n).alias("g")).collect()
+    }
+    import re
+
+    for i, t in enumerate(texts):
+        ws = re.sub(r"[ \t\n\r]+", " ", t.lower().strip()).split(" ")
+        want = [" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)]
+        assert got[i] == want, (t, n)
