@@ -64,3 +64,35 @@ def test_runtime_bloom_filter_injects_and_preserves_results(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning — the partition-level twin of the Bloom
+    filter: when the fact table is PARTITIONED on the join key, the dim
+    side's filtered key set prunes whole fact partitions at runtime
+    (the scan shows a dynamicpruning subquery instead of reading every
+    directory). This is the layout+join contract write_partitioned
+    exists for."""
+    from cse_datapipeline_and_mls_spark.sources.sinks import write_partitioned
+
+    fact_path = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    write_partitioned(ev, fact_path, ["event_type"])
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 3.0), ("view", 0.5), ("signup", 2.0), ("error", 0.0)],
+        "event_type string, weight double",
+    ).filter(F.col("weight") >= 3.0)  # selects exactly one partition
+
+    q = (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    rows = q.collect()
+    assert [r["event_type"] for r in rows] == ["purchase"]
+    want = ev.filter(F.col("event_type") == "purchase").count()
+    assert rows[0]["n"] == want
