@@ -492,3 +492,139 @@ def token_budget_cut(
     )
     c = t.withColumn("cum_words", F.sum("n_words").over(w).cast("long"))
     return c.filter(F.col("cum_words") - F.col("n_words") < budget)
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    max_words: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Train byte-pair-encoding merge rules on a corpus (Sennrich et al.
+    2016 — the classic subword tokenizer behind GPT-2-family vocabs).
+
+    Spark-first split of the work: the ONLY corpus-scale step is the
+    word-frequency aggregation (one explode + map-side-combined groupBy
+    — the same shape as x_word_topk), because classic BPE trains on the
+    word-frequency DICTIONARY, not the raw text. The merge loop then
+    runs driver-side over that bounded summary (``max_words`` caps it;
+    the top-K word list carries ~all corpus mass under Zipf), exactly
+    the bounded-driver-summary posture of the PQ codebook fit. Fully
+    deterministic: ties in pair frequency break lexicographically.
+
+    Returns the ordered merge list [(left, right), ...]; words are
+    split to characters plus a '</w>' end-of-word marker, so merges
+    can't cross word boundaries."""
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r]+", " "), " "
+    )
+    wc = (
+        docs.select(F.explode(words).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(list(r["w"]) + ["</w>"]): int(r["n"]) for r in wc
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, freq in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + freq
+        if not pairs:
+            break
+        # deterministic tiebreak: highest count, then lexicographically
+        # smallest pair
+        best_pair = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best_pair)
+        merged = best_pair[0] + best_pair[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, freq in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if (
+                    i < len(sym) - 1
+                    and sym[i] == best_pair[0]
+                    and sym[i + 1] == best_pair[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply ordered BPE merges to one word (driver/UDF-side helper)."""
+    sym = list(word) + ["</w>"]
+    for a, b in merges:
+        out = []
+        i = 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token counts under a trained merge list.
+
+    Distributed shape: the corpus is never re-encoded row-by-row in
+    Python — the DISTINCT words (bounded vocabulary) are encoded once
+    each, the word→n_subtokens map broadcasts back onto the exploded
+    corpus, and the per-doc counts are one keyed aggregation. Unseen
+    words (beyond the training cap) still encode correctly: the merge
+    application is pure and total on any string.
+
+    Output: (id, n_words, n_char_tokens, n_bpe_tokens) where
+    n_char_tokens = chars + 1 end marker per word — the pre-merge
+    baseline, so n_bpe_tokens ≤ n_char_tokens always, with equality
+    only if no merge ever fires."""
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r]+", " "), " "
+    )
+    ew = (
+        docs.select(F.col(id_col), F.explode(words).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    distinct_words = ew.select("w").distinct()
+
+    merges_local = list(merges)
+
+    def encode_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            toks = [len(bpe_encode_word(w, merges_local)) for w in pdf["w"]]
+            yield pd.DataFrame({"w": pdf["w"], "n_sub": toks})
+
+    encoded = distinct_words.mapInPandas(encode_batch, "w string, n_sub int")
+    return (
+        ew.join(F.broadcast(encoded), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("w") + 1).cast("long").alias("n_char_tokens"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+    )
