@@ -91,6 +91,8 @@ HEADLINE = [
     # table; min-of-3 measures the amortized re-run path, which is the
     # production shape for recurring graph jobs)
     "x_pagerank_bucketed_edges",
+    # r5 session 3: BPE merge training + distinct-word re-encode
+    "x_bpe_token_stats",
 ]
 
 
