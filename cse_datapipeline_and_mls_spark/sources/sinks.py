@@ -201,3 +201,96 @@ def expire_partitions(
             _shutil.rmtree(d)
             dropped.append(val)
     return sorted(dropped)
+
+
+class AuditFailure(RuntimeError):
+    """Raised when a write-audit-publish stage fails its check suite;
+    carries the failing (check_name, kind, n_violations) rows."""
+
+    def __init__(self, failures: list):
+        self.failures = failures
+        super().__init__(
+            "write-audit-publish rejected: "
+            + "; ".join(f"{n} ({k}): {v} violations" for n, k, v in failures)
+        )
+
+
+def write_audit_publish(
+    df,
+    path: str,
+    checks: list,
+    parents: dict | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Write-audit-publish: stage the data as a NEW immutable version
+    directory, run a Deequ-style expectation suite against what was
+    actually written, and only then atomically flip the table pointer —
+    readers (``read_published``) never observe a half-written or
+    invalid snapshot, and a failed audit leaves the current version
+    untouched (the poisoned staging dir is removed).
+
+    Layout: ``{path}/v_N`` immutable version dirs + a ``_VERSION``
+    pointer file; the publish is a POSIX-atomic ``os.replace`` of the
+    pointer. Old versions remain for time travel (``read_version``) /
+    rollback until a retention job prunes them — the same
+    snapshot-pointer contract every production table format provides
+    (Iceberg/Delta), scaled down to plain parquet directories. At
+    100 TB the audit pass is one aggregate job over the staged files
+    (see operators/expectations.py's cost model); nothing is
+    rewritten on publish.
+
+    Returns the published version number."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..operators.expectations import validate_expectations
+
+    root = path.rstrip("/")
+    _os.makedirs(root, exist_ok=True)
+    current = _read_pointer(root)
+    version = current + 1
+    staged = f"{root}/v_{version}"
+    df.write.mode(mode).parquet(staged)
+    spark = df.sparkSession
+    # audit the FILES, not the incoming frame: this also catches
+    # write-path corruption/schema surprises, which auditing df cannot
+    staged_df = spark.read.parquet(staged)
+    results = validate_expectations(staged_df, checks, parents=parents).collect()
+    failures = [
+        (r["check_name"], r["kind"], r["n_violations"])
+        for r in results
+        if not r["passed"]
+    ]
+    if failures:
+        _shutil.rmtree(staged, ignore_errors=True)
+        raise AuditFailure(failures)
+    tmp = f"{root}/_VERSION.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    _os.replace(tmp, f"{root}/_VERSION")  # POSIX-atomic pointer flip
+    return version
+
+
+def _read_pointer(root: str) -> int:
+    import os as _os
+
+    p = f"{root.rstrip('/')}/_VERSION"
+    if not _os.path.exists(p):
+        return 0
+    with open(p) as fh:
+        return int(fh.read().strip())
+
+
+def read_published(spark, path: str):
+    """Read the currently-published snapshot of a write-audit-publish
+    table (raises if nothing has been published yet)."""
+    root = path.rstrip("/")
+    v = _read_pointer(root)
+    if v == 0:
+        raise FileNotFoundError(f"no published version under {root}")
+    return spark.read.parquet(f"{root}/v_{v}")
+
+
+def read_version(spark, path: str, version: int):
+    """Time travel: read a specific retained version directory."""
+    return spark.read.parquet(f"{path.rstrip('/')}/v_{version}")

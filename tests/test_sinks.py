@@ -100,3 +100,46 @@ def test_expire_partitions_drops_only_doomed_dirs(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         expire_partitions(spark, path, "day")
+
+
+def test_write_audit_publish_gates_and_time_travels(spark, tmp_path):
+    """WAP contract: a failing audit leaves the published snapshot
+    untouched (and removes the poisoned staging dir); a passing audit
+    atomically advances the pointer; old versions stay readable."""
+    import pytest as _pytest
+
+    from cse_datapipeline_and_mls_spark.operators.expectations import Check
+    from cse_datapipeline_and_mls_spark.sources.sinks import (
+        AuditFailure,
+        read_published,
+        read_version,
+        write_audit_publish,
+    )
+
+    path = str(tmp_path / "wap_table")
+    checks = [Check("flag_not_null", "not_null", col="flag")]
+
+    good1 = spark.createDataFrame([(1, "A"), (2, "B")], "pk long, flag string")
+    assert write_audit_publish(good1, path, checks) == 1
+    assert read_published(spark, path).count() == 2
+
+    bad = spark.createDataFrame([(3, None)], "pk long, flag string")
+    with _pytest.raises(AuditFailure) as exc:
+        write_audit_publish(bad, path, checks)
+    assert exc.value.failures[0][0] == "flag_not_null"
+    # publish pointer still at v1; the bad staging dir is gone
+    assert read_published(spark, path).count() == 2
+    import os
+
+    assert not os.path.exists(f"{path}/v_2")
+
+    good2 = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "pk long, flag string"
+    )
+    # a new publish lands as v3's predecessor number... the failed v2 slot
+    # is reused (pointer-based, not directory-based, versioning)
+    v = write_audit_publish(good2, path, checks)
+    assert v == 2
+    assert read_published(spark, path).count() == 3
+    # time travel to the first snapshot
+    assert read_version(spark, path, 1).count() == 2
