@@ -50,11 +50,24 @@ def pagerank(
     checkpoint_every: int = 2,
     pre_partitioned: bool = False,
     edge_storage: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list. Returns
     (node, rank) with ranks summing to 1. Deterministic up to
     floating-point summation order (use tolerances, not hashes, when
     comparing).
+
+    ``init_ranks`` (node, rank) warm-starts the iteration from a
+    previous run's output — the incremental-recompute path for a
+    recurring job on a slowly-evolving graph: nodes keep their prior
+    rank, NEW nodes enter at 1/n, and the vector is renormalized to a
+    distribution (one aggregate + 1-row broadcast). Power iteration
+    contracts at rate ``damping`` toward the unique fixed point of the
+    CURRENT graph regardless of the start vector, so a warm start
+    changes only how many iterations remain — measured in
+    tests/test_graph.py: after a small edge perturbation, 2 warm
+    iterations land closer to the new fixed point than 2 cold ones,
+    and a converged vector fed back is already at the fixed point.
 
     ``checkpoint_every=2`` is measured, not arbitrary: each iteration
     references the previous state THREE times (contributions, dangling
@@ -133,9 +146,26 @@ def pagerank(
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # degree rides with the rank vector so the per-iteration join is
     # rank ⋈ edges only
-    state = nodes.join(out_deg, nodes["node"] == out_deg["src"], "left").select(
-        "node", F.coalesce("deg", F.lit(0)).alias("deg"), F.lit(1.0 / n_nodes).alias("rank")
+    base = nodes.join(out_deg, nodes["node"] == out_deg["src"], "left").select(
+        "node", F.coalesce("deg", F.lit(0)).alias("deg")
     )
+    if init_ranks is None:
+        state = base.withColumn("rank", F.lit(1.0 / n_nodes))
+    else:
+        prev = init_ranks.select(F.col("node"), F.col("rank").alias("_prev"))
+        s0 = (
+            base.join(prev, "node", "left")
+            .withColumn("rank", F.coalesce("_prev", F.lit(1.0 / n_nodes)))
+            .drop("_prev")
+        )
+        # renormalize to a probability vector (prior ranks of departed
+        # nodes are gone; new nodes injected mass) — one tiny agg
+        total = s0.agg(F.sum("rank").alias("_t"))
+        state = (
+            s0.crossJoin(F.broadcast(total))
+            .select("node", "deg", (F.col("rank") / F.col("_t")).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
     global _LAST_ITER_EXCHANGES
     for i in range(iters):
         contribs = (

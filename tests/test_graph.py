@@ -176,3 +176,40 @@ def test_pagerank_from_bucketed_edges_skips_the_edge_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS t_pr_edges_b")
     assert set(plain) == set(bucketed)
     assert all(abs(plain[k] - bucketed[k]) < 1e-12 for k in plain)
+
+
+def test_pagerank_warm_start_converges_faster_after_perturbation(spark):
+    """Warm-start contract: a converged vector fed back is already at
+    the fixed point (2 iterations move it < 1e-9), and after a small
+    edge change, warm iterations land closer to the NEW fixed point
+    than the same number of cold ones."""
+    edges = [(a, (a * 3 + 1) % 25) for a in range(25)] + [
+        (a, (a * 7 + 2) % 25) for a in range(25)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    converged = pagerank(df, iters=40)
+    c = {r["node"]: r["rank"] for r in converged.collect()}
+
+    warm_same = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=2, init_ranks=converged).collect()
+    }
+    assert max(abs(warm_same[k] - c[k]) for k in c) < 1e-9
+    assert math.isclose(sum(warm_same.values()), 1.0, abs_tol=1e-9)
+
+    # perturb: rewire two edges and add a brand-new node
+    df2 = spark.createDataFrame(
+        edges[2:] + [(1, 26), (26, 3)], "src long, dst long"
+    )
+    target = {r["node"]: r["rank"] for r in pagerank(df2, iters=40).collect()}
+
+    def l1(ranks):
+        return sum(abs(ranks.get(k, 0.0) - v) for k, v in target.items())
+
+    cold = {r["node"]: r["rank"] for r in pagerank(df2, iters=2).collect()}
+    warm = {
+        r["node"]: r["rank"]
+        for r in pagerank(df2, iters=2, init_ranks=converged).collect()
+    }
+    assert math.isclose(sum(warm.values()), 1.0, abs_tol=1e-9)
+    assert l1(warm) < l1(cold), (l1(warm), l1(cold))
