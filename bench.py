@@ -136,6 +136,7 @@ def main() -> None:
     r2_subset = round(sum(timings[n] for n in HEADLINE[:27] if n in timings), 3)
     r3_subset = round(sum(timings[n] for n in HEADLINE[:31] if n in timings), 3)
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
+    r5_subset = round(sum(timings[n] for n in HEADLINE[:54] if n in timings), 3)
     print(
         json.dumps(
             {
@@ -147,6 +148,7 @@ def main() -> None:
                 "r2_subset_total_sec": r2_subset,
                 "r3_subset_total_sec": r3_subset,
                 "r4_subset_total_sec": r4_subset,
+                "r5_subset_total_sec": r5_subset,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -434,3 +434,24 @@ def test_minhash_incremental_empty_batch_returns_empty(spark, sf_dir):
     )
     out2 = D.minhash_neardup_incremental(blank, corpus)
     assert out2.count() == 0
+
+
+def test_connected_components_warm_start_append_only(spark):
+    """Warm-start CC on an append-only pair stream: prior labels seed
+    propagation, the min-id contract is preserved through component
+    merges, and convergence takes fewer rounds than a cold run."""
+    chain = [(i, i + 1) for i in range(0, 12)]  # one long chain: 0..12
+    p1 = spark.createDataFrame(chain[:6], "id_a long, id_b long")
+    l1 = D.connected_components(p1)
+    # append pairs that EXTEND and MERGE components
+    p2 = spark.createDataFrame(chain, "id_a long, id_b long")
+    cold = {r["node"]: r["label"] for r in D.connected_components(p2).collect()}
+    cold_rounds = D._LAST_CC_ROUNDS
+    warm = {
+        r["node"]: r["label"]
+        for r in D.connected_components(p2, init_labels=l1).collect()
+    }
+    warm_rounds = D._LAST_CC_ROUNDS
+    assert warm == cold  # same clustering, min-id labels
+    assert set(warm.values()) == {0}
+    assert warm_rounds < cold_rounds, (warm_rounds, cold_rounds)
