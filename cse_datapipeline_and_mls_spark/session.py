@@ -14,6 +14,10 @@ the config profile:
   while the DuckDB oracle is UTC-naive; pinning makes hashes comparable.
 * shuffle.partitions defaults to the local core count; on a real cluster
   AQE coalesces from a deliberately high initial number instead.
+* Runtime Bloom-filter join pruning stays at Spark's default (enabled,
+  10 GB application-side-scan floor) — it arms exactly at the scale it
+  pays for; tests/test_runtime_filters.py proves the injection and
+  result parity with lowered thresholds.
 """
 
 from __future__ import annotations
