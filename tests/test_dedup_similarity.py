@@ -455,3 +455,28 @@ def test_connected_components_warm_start_append_only(spark):
     assert warm == cold  # same clustering, min-id labels
     assert set(warm.values()) == {0}
     assert warm_rounds < cold_rounds, (warm_rounds, cold_rounds)
+
+
+def test_bracket_verdicts_flip_on_regressions(spark, sf_dir):
+    """The recall-verdict wiring must be LIVE: an approximate path that
+    loses its candidates has to flip the boolean (a vacuously-true
+    verdict would let real regressions hash-pass)."""
+    from cse_datapipeline_and_mls_spark.queries.northstar import (
+        _ann_recall_verdict,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(emb, queries, k=5)
+    empty = spark.createDataFrame([], "query_id long, vec_id long")
+    out = _ann_recall_verdict(exact, empty, 0.7, "recall_ok").collect()
+    assert out and all(r["recall_ok"] is False for r in out)
+
+    # and with the true candidates back, the same wiring passes
+    ok = _ann_recall_verdict(exact, exact.select("query_id", "vec_id"), 0.7,
+                             "recall_ok").collect()
+    assert ok and all(r["recall_ok"] is True for r in ok)
