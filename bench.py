@@ -93,6 +93,11 @@ HEADLINE = [
     "x_pagerank_bucketed_edges",
     # r5 session 3: BPE merge training + distinct-word re-encode
     "x_bpe_token_stats",
+    # r5 session 3: the flagship near-dup query in its bracket-verdict
+    # form — exact n-gram-Jaccard side + MinHashLSH recall probe; the
+    # heaviest previously-unbenched operator (13 s at sf0.1), so its
+    # gram/LSH machinery now has round-over-round regression visibility
+    "x_minhash_neardup_pairs",
 ]
 
 
