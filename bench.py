@@ -141,7 +141,7 @@ def main() -> None:
     r2_subset = round(sum(timings[n] for n in HEADLINE[:27] if n in timings), 3)
     r3_subset = round(sum(timings[n] for n in HEADLINE[:31] if n in timings), 3)
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
-    r5_subset = round(sum(timings[n] for n in HEADLINE[:54] if n in timings), 3)
+    r5_subset = round(sum(timings[n] for n in HEADLINE[:55] if n in timings), 3)
     print(
         json.dumps(
             {
