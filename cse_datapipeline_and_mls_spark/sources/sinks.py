@@ -237,7 +237,10 @@ def write_audit_publish(
     (Iceberg/Delta), scaled down to plain parquet directories. At
     100 TB the audit pass is one aggregate job over the staged files
     (see operators/expectations.py's cost model); nothing is
-    rewritten on publish.
+    rewritten on publish. Single-writer by assumption (one recurring
+    job owns a table, the usual batch-pipeline contract); concurrent
+    publishers need a real table format's commit protocol, not a
+    pointer file.
 
     Returns the published version number."""
     import os as _os
