@@ -204,6 +204,14 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             state = state.localCheckpoint(eager=True)
+    if edge_storage == "persist":
+        # sever the returned frame's lineage from the cached edge table,
+        # then release it: CacheManager entries are NOT reclaimed by GC
+        # (unlike localCheckpoint RDDs), so a long-lived session running
+        # recurring PageRank jobs would otherwise accumulate one pinned
+        # |E|-sized cache per run. The final |V|-row checkpoint is cheap.
+        state = state.localCheckpoint(eager=True)
+        e.unpersist()
     return state.select("node", "rank")
 
 

@@ -92,18 +92,18 @@ def brute_force_topk(
     c = ensure_min_parallelism(
         corpus.select(F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_norm"))
     )
-    # floor(x*1e6 + 0.5)/1e6, NOT F.round: on a cosine landing exactly on
-    # a 6-decimal boundary, Spark's round (shortest-decimal BigDecimal)
-    # and DuckDB's (binary value) can disagree by 1 ulp of the 6th
-    # decimal AND flip the rank order near ties (observed at sf0.1).
-    # The floor form is pure IEEE ops, bit-identical across engines.
+    # numeric.q6, NOT F.round: a cosine landing exactly on a 6-decimal
+    # boundary rounded apart between engines and flipped ranks at sf0.1
+    # (see operators/numeric.py for the full rationale).
+    from .numeric import q6
+
     raw = dot(F.col(vec_col), F.col("_qvec")) / F.nullif(
         F.col("_norm") * F.col("_qnorm"), F.lit(0.0)
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        (F.floor(raw * 1000000 + F.lit(0.5)) / 1000000).alias("cosine_sim"),
+        q6(raw).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (

@@ -13,14 +13,7 @@ from ..sources import load_table
 from . import register
 
 
-def _q6(c):
-    """floor(x*1e6 + 0.5)/1e6, NOT F.round: identical doubles sitting
-    exactly on a 6-decimal boundary (integer-ratio arithmetic produces
-    them) can round apart between Spark (shortest-decimal-string
-    BigDecimal) and DuckDB (binary value); the explicit floor form is
-    pure IEEE ops, bit-identical across engines. Twin of
-    windows_q.q6."""
-    return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+from ..operators.numeric import q6 as _q6  # engine-wide 6-decimal quantizer
 
 
 @register(

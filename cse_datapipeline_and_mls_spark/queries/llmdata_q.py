@@ -1323,9 +1323,10 @@ def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), dense AS (
       SELECT e.vec_id AS doc_id,
              row_number() OVER (
-               ORDER BY round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+               ORDER BY floor((list_dot_product(e.embedding::DOUBLE[], q.qv)
                  / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                        * sqrt(list_dot_product(q.qv, q.qv)), 0), 6) DESC, e.vec_id
+                        * sqrt(list_dot_product(q.qv, q.qv)), 0)) * 1000000 + 0.5)
+                 / 1000000 DESC, e.vec_id
              ) AS rank
       FROM embeddings e CROSS JOIN q
       QUALIFY rank <= 20

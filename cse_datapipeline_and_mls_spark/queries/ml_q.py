@@ -314,8 +314,9 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     just its row count."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.synth_media_from_documents(docs)
+    from ..operators.numeric import q6
+
     out = MM.extract_features(media)
-    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
     return out.select(
         "media_id",
         "modality",

@@ -692,13 +692,8 @@ def w_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = F.col("_mad")
     mod_z = F.when(mad > 0, 0.6745 * (F.col("value") - med) / mad)
 
-    # floor(x*1e6 + 0.5)/1e6, NOT F.round: on identical doubles sitting
-    # exactly on a 6-decimal boundary (money-ratio arithmetic produces
-    # them), Spark's round() (shortest-decimal-string BigDecimal) and
-    # DuckDB's round() (binary value) can still disagree — the explicit
-    # floor form is pure IEEE ops, bit-identical across engines.
-    def q6(c):
-        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    # numeric.q6, NOT F.round — see operators/numeric.py for why
+    from ..operators.numeric import q6
 
     return base.select(
         "event_id",

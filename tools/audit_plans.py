@@ -52,7 +52,6 @@ EXPECTED_CROSS = {
     "x_ann_ivf_kmeans_topk",
     "x_ann_pq_topk",
     "x_minhash_incremental",
-    "x_heavy_hitters",        # 1-row total-n broadcast onto the exact counts
     "x_pagerank_bucketed_edges",  # 1-row dangling-mass broadcast per iteration
 }
 
