@@ -202,24 +202,40 @@ def interval_join(
     right_ts: str = "ts_r",
     within: str = "15 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join within a time interval (SURVEY §2.9
-    absent list): right events within [left_ts, left_ts + within].
+    """Stream-stream join within a time interval (SURVEY §2.9 absent
+    list): right events within [left_ts, left_ts + within].
 
     Both sides are watermarked so the join state is bounded — Spark
     evicts buffered rows once event time passes the interval + watermark.
     At scale, state size ≈ keys × events-per-interval, independent of
     stream length. The identical expression joins two batch DataFrames
-    (how the test checks it).
-    """
-    cond = (
-        (left[key] == right[f"{key}_r"])
-        & (right[right_ts] >= left[left_ts])
-        & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {within}"))
-    )
+    (how the tests check it).
+
+    ``how="left_outer"`` emits unmatched LEFT rows null-padded — but
+    only once the watermark proves no matching right row can still
+    arrive, which is why outer stream-stream joins REQUIRE the
+    watermark + the time-bound join condition (Spark rejects them
+    otherwise): the null verdict for a row is final exactly when its
+    interval has fully expired from the right buffer. The canonical use
+    is the "click with no purchase within N minutes" abandonment feed
+    (tested for stream/batch parity in tests/test_streaming.py)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"interval_join supports inner/left_outer, got {how!r}")
+    # watermark FIRST, then build the condition from the watermarked
+    # frames: a condition referencing the pre-watermark plans resolves
+    # fine for inner joins, but the OUTER-join analyzer must see the
+    # watermark on the very attributes the range condition uses — built
+    # the old way it reports "not supported without a watermark"
     l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
-    return l.join(r, cond, "inner")
+    cond = (
+        (l[key] == r[f"{key}_r"])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how)
 
 
 def enrich_stream(

@@ -455,3 +455,62 @@ def test_ohlc_stream_matches_batch_bars(spark, events_dir):
     want = ohlc_bars(batch, "user_id", "ts", "value", bucket_seconds=3600)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_stream_stream_left_outer_interval_join_matches_batch(spark, events_dir):
+    """left_outer interval join: clicks with NO buy inside the window
+    must arrive null-padded once the watermark closes their interval —
+    the abandonment-feed shape. Stream result must equal the identical
+    batch expression row-for-row (including the null-padded rows)."""
+    raw = ST.ingest_file_stream(spark, events_dir)
+    clicks = raw.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    buys = raw.filter(F.col("event_type") == "buy").select(
+        F.col("user_id").alias("user_id_r"), F.col("ts").alias("ts_r"),
+        F.col("event_id").alias("buy_id"),
+    )
+    joined = ST.interval_join(clicks, buys, how="left_outer").select(
+        "event_id", "buy_id"
+    )
+    got = sorted(
+        map(tuple, ST.run_to_memory_sink(joined, "ssj_lo_test").collect()),
+        key=str,
+    )
+
+    b = spark.read.parquet(events_dir)
+    bc = b.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    bb = b.filter(F.col("event_type") == "buy").select(
+        F.col("user_id").alias("user_id_r"), F.col("ts").alias("ts_r"),
+        F.col("event_id").alias("buy_id"),
+    )
+    batch_rows = (
+        ST.interval_join(bc, bb, how="left_outer")
+        .select("event_id", "buy_id", "ts")  # ts = the left click's time
+        .collect()
+    )
+    # A null verdict is only FINAL once the watermark passes the click's
+    # interval; after the last event the watermark stops advancing, so
+    # clicks in the trailing (within + watermark) window stay buffered —
+    # the correct streaming semantics, not a bug. Compare exactly:
+    # matched rows must agree everywhere; null-padded rows must agree
+    # for every click the watermark could close.
+    import datetime as _dt
+
+    # the global watermark is the MIN over both inputs of (max event
+    # time - 30m); a click can be null-finalized only once its interval
+    # end (ts + 15m) is strictly below that
+    max_click = max(r["ts"] for r in bc.collect())
+    max_buy = max(r["ts_r"] for r in bb.collect())
+    wm = min(max_click, max_buy) - _dt.timedelta(minutes=30)
+    cutoff = wm - _dt.timedelta(minutes=15)
+    want = sorted(
+        (r["event_id"], r["buy_id"])
+        for r in batch_rows
+        if r["buy_id"] is not None or r["ts"] < cutoff
+    )
+    got_set = set(got)
+    assert got_set >= set(want), set(want) - got_set
+    # and nothing extra beyond the full batch result
+    assert got_set <= {(r["event_id"], r["buy_id"]) for r in batch_rows}
+    assert any(buy is None for _, buy in got), "expected abandonment rows"
