@@ -98,6 +98,9 @@ HEADLINE = [
     # heaviest previously-unbenched operator (13 s at sf0.1), so its
     # gram/LSH machinery now has round-over-round regression visibility
     "x_minhash_neardup_pairs",
+    # ...and the SimHash flavor: the 64-bit one-pass fingerprint fold +
+    # pigeonhole banding join has no other bench row
+    "x_simhash_neardup_pairs",
 ]
 
 
@@ -141,7 +144,7 @@ def main() -> None:
     r2_subset = round(sum(timings[n] for n in HEADLINE[:27] if n in timings), 3)
     r3_subset = round(sum(timings[n] for n in HEADLINE[:31] if n in timings), 3)
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
-    r5_subset = round(sum(timings[n] for n in HEADLINE[:55] if n in timings), 3)
+    r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     print(
         json.dumps(
             {
