@@ -70,6 +70,52 @@ def asof_join(
     return filled.filter(F.col("_side") == 1).drop("_t", "_side")
 
 
+def asof_join_forward(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_time: str,
+    dim_time: str,
+    dim_cols: Sequence[str],
+) -> DataFrame:
+    """Forward as-of join: for each fact row, the EARLIEST dim row with
+    ``dim_time >= fact_time`` on the same key — "the next quote after
+    the trade", the mirror of the backward default.
+
+    Same union-and-fill shape (one shuffle on the key): within each key
+    order by (time, side) with dim rows sorting AFTER fact rows at
+    equal timestamps (ties resolve to 'at or after'), then BACK-fill
+    dim attributes with first_value over [current row, ∞). Fact rows
+    past the last dim row get nulls, exactly like DuckDB's
+    ``ASOF JOIN ... ON f.t <= d.t`` (the oracle in
+    j_asof_forward_events)."""
+    fact_cols = fact.columns
+    f_tagged = fact.withColumn("_t", F.col(fact_time)).withColumn("_side", F.lit(0))
+    for c in dim_cols:
+        f_tagged = f_tagged.withColumn(c, F.lit(None).cast(dict(dim.dtypes)[c]))
+    d_tagged = dim.select(
+        F.col(on),
+        F.col(dim_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in dim_cols],
+    )
+    for c in fact_cols:
+        if c not in (on,):
+            d_tagged = d_tagged.withColumn(c, F.lit(None).cast(dict(f_tagged.dtypes)[c]))
+    unioned = f_tagged.select(
+        on, "_t", "_side", *[c for c in fact_cols if c != on], *dim_cols
+    ).unionByName(d_tagged.select(on, "_t", "_side", *[c for c in fact_cols if c != on], *dim_cols))
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_t", "_side")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = unioned
+    for c in dim_cols:
+        filled = filled.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return filled.filter(F.col("_side") == 0).drop("_t", "_side")
+
+
 def asof_join_pandas(
     fact: DataFrame,
     dim: DataFrame,

@@ -109,6 +109,49 @@ def j_asof_event_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_asof_forward_events",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS close_ts,
+             round(avg(value), 6) AS day_avg
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts, d.day_avg AS next_day_avg
+    FROM events e ASOF LEFT JOIN dim d
+      ON e.user_id = d.user_id AND e.ts <= d.close_ts
+    """,
+)
+def j_asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4, FORWARD direction: each event aligned to the NEXT day-close
+    snapshot at-or-after its timestamp — "the next quote after the
+    trade", the mirror of the backward as-of default and the other half
+    of pandas merge_asof's direction parameter. Same union +
+    one-key-shuffle shape (operators.asof.asof_join_forward), verified
+    against DuckDB's native forward ASOF JOIN (``e.ts <= d.close_ts``).
+    Events after their user's last snapshot correctly get nulls."""
+    from ..operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy(
+        "user_id",
+        (F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY")).alias(
+            "close_ts"
+        ),
+    ).agg(F.round(F.avg("value"), 6).alias("day_avg"))
+    joined = asof_join_forward(
+        ev.select("event_id", "user_id", "ts"),
+        dim,
+        on="user_id",
+        fact_time="ts",
+        dim_time="close_ts",
+        dim_cols=["day_avg"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("day_avg").alias("next_day_avg")
+    )
+
+
+@register(
     "o_pagination_orders",
     oracle="""
     SELECT o_orderkey, o_totalprice, rn

@@ -58,3 +58,26 @@ def test_asof_pandas_path_agrees(spark, fact_dim):
         for r in asof_join_pandas(fact, dim, "k", "ts", "snap", ["v"]).collect()
     }
     assert union_path == pandas_path
+
+
+def test_asof_forward_direction_edges(spark):
+    """Forward as-of: earliest dim at-or-after; equal timestamps match
+    ('at or after'); facts past the last dim get nulls; facts before
+    the first dim take it."""
+    from cse_datapipeline_and_mls_spark.operators.asof import asof_join_forward
+
+    fact = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 20, "c"), (2, 1, "d")],
+        "k long, t long, tag string",
+    )
+    dim = spark.createDataFrame(
+        [(1, 7, 70.0), (1, 10, 100.0), (1, 15, 150.0)],
+        "k long, dt long, v double",
+    )
+    got = {
+        r["tag"]: r["v"]
+        for r in asof_join_forward(
+            fact, dim, on="k", fact_time="t", dim_time="dt", dim_cols=["v"]
+        ).collect()
+    }
+    assert got == {"a": 70.0, "b": 100.0, "c": None, "d": None}
