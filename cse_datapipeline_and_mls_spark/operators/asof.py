@@ -25,6 +25,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -44,30 +45,41 @@ def asof_join(
     before'); forward-fill dim attributes; keep fact rows.
     """
     fact_cols = fact.columns
-    f_tagged = fact.withColumn("_t", F.col(fact_time)).withColumn("_side", F.lit(1))
-    for c in dim_cols:
-        f_tagged = f_tagged.withColumn(c, F.lit(None).cast(dict(dim.dtypes)[c]))
+    # All dim attributes ride in ONE struct filled as a unit: filling
+    # each column independently with last(ignorenulls) would pull a
+    # NULL attribute from an EARLIER dim row, stitching the output from
+    # two different dim rows (ADVICE r5) — an ASOF join must return the
+    # matched row's NULL. The struct itself is never null on a dim row
+    # (even if every field is), so the fill carries whole rows.
+    dim_fields = {f.name: f for f in dim.schema.fields}
+    struct_t = T.StructType([dim_fields[c] for c in dim_cols])
+    f_tagged = (
+        fact.withColumn("_t", F.col(fact_time))
+        .withColumn("_side", F.lit(1))
+        .withColumn("_dimrow", F.lit(None).cast(struct_t))
+    )
     d_tagged = dim.select(
         F.col(on),
         F.col(dim_time).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c) for c in dim_cols],
+        F.struct(*[F.col(c) for c in dim_cols]).alias("_dimrow"),
     )
     for c in fact_cols:
         if c not in (on,):
             d_tagged = d_tagged.withColumn(c, F.lit(None).cast(dict(f_tagged.dtypes)[c]))
-    unioned = f_tagged.select(
-        on, "_t", "_side", *[c for c in fact_cols if c != on], *dim_cols
-    ).unionByName(d_tagged.select(on, "_t", "_side", *[c for c in fact_cols if c != on], *dim_cols))
+    cols = [on, "_t", "_side", *[c for c in fact_cols if c != on], "_dimrow"]
+    unioned = f_tagged.select(*cols).unionByName(d_tagged.select(*cols))
     w = (
         Window.partitionBy(on)
         .orderBy("_t", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned
+    out = unioned.withColumn(
+        "_dimrow", F.last("_dimrow", ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 1)
     for c in dim_cols:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return filled.filter(F.col("_side") == 1).drop("_t", "_side")
+        out = out.withColumn(c, F.col("_dimrow").getField(c))
+    return out.drop("_t", "_side", "_dimrow")
 
 
 def asof_join_forward(
@@ -90,30 +102,38 @@ def asof_join_forward(
     ``ASOF JOIN ... ON f.t <= d.t`` (the oracle in
     j_asof_forward_events)."""
     fact_cols = fact.columns
-    f_tagged = fact.withColumn("_t", F.col(fact_time)).withColumn("_side", F.lit(0))
-    for c in dim_cols:
-        f_tagged = f_tagged.withColumn(c, F.lit(None).cast(dict(dim.dtypes)[c]))
+    # Single-struct back-fill for the same reason as asof_join: all dim
+    # attributes must come from the SAME matched (earliest at-or-after)
+    # dim row, including its NULLs.
+    dim_fields = {f.name: f for f in dim.schema.fields}
+    struct_t = T.StructType([dim_fields[c] for c in dim_cols])
+    f_tagged = (
+        fact.withColumn("_t", F.col(fact_time))
+        .withColumn("_side", F.lit(0))
+        .withColumn("_dimrow", F.lit(None).cast(struct_t))
+    )
     d_tagged = dim.select(
         F.col(on),
         F.col(dim_time).alias("_t"),
         F.lit(1).alias("_side"),
-        *[F.col(c) for c in dim_cols],
+        F.struct(*[F.col(c) for c in dim_cols]).alias("_dimrow"),
     )
     for c in fact_cols:
         if c not in (on,):
             d_tagged = d_tagged.withColumn(c, F.lit(None).cast(dict(f_tagged.dtypes)[c]))
-    unioned = f_tagged.select(
-        on, "_t", "_side", *[c for c in fact_cols if c != on], *dim_cols
-    ).unionByName(d_tagged.select(on, "_t", "_side", *[c for c in fact_cols if c != on], *dim_cols))
+    cols = [on, "_t", "_side", *[c for c in fact_cols if c != on], "_dimrow"]
+    unioned = f_tagged.select(*cols).unionByName(d_tagged.select(*cols))
     w = (
         Window.partitionBy(on)
         .orderBy("_t", "_side")
         .rowsBetween(0, Window.unboundedFollowing)
     )
-    filled = unioned
+    out = unioned.withColumn(
+        "_dimrow", F.first("_dimrow", ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 0)
     for c in dim_cols:
-        filled = filled.withColumn(c, F.first(c, ignorenulls=True).over(w))
-    return filled.filter(F.col("_side") == 0).drop("_t", "_side")
+        out = out.withColumn(c, F.col("_dimrow").getField(c))
+    return out.drop("_t", "_side", "_dimrow")
 
 
 def asof_join_pandas(

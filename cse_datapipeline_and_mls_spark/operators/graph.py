@@ -141,6 +141,12 @@ def pagerank(
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
+        # Release the edge cache before bailing: on the persist path the
+        # CacheManager entry is catalog-held even for empty data, and a
+        # long-lived session calling pagerank on empty graphs would pin
+        # one entry per call (ADVICE r5).
+        if edge_storage == "persist":
+            e.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
 
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))

@@ -1291,24 +1291,35 @@ def x_pagerank_bucketed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     local/cluster inversion (SCALE.md §Graph). On a real cluster the
     balance flips: the layout deletes an |E|-sized NETWORK exchange
     from materialization and every iteration."""
+    import hashlib
     import re
 
     from ..operators.graph import pagerank
     from ..sources.sinks import write_bucketed
 
-    table = "pr_edges_b_" + re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    # Key the cached layout by the FULL data root, not just its leaf:
+    # two different roots sharing a basename (e.g. .../a/sf0.01 and
+    # .../b/sf0.01) must not silently reuse each other's edges
+    # (ADVICE r5). The leaf stays in the name for readability; the
+    # digest disambiguates.
+    root = sf_dir.rstrip("/")
+    table = (
+        "pr_edges_b_"
+        + re.sub(r"\W", "_", root.rsplit("/", 1)[-1])
+        + "_"
+        + hashlib.sha1(root.encode()).hexdigest()[:8]
+    )
     if not spark.catalog.tableExists(table):
-        # a previous session may have left the managed-table directory
-        # behind (the default in-memory catalog forgets it on exit);
-        # clear the location so the bucketed write can claim it
-        import shutil
-
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        for prefix in ("file://", "file:"):
-            if wh.startswith(prefix):
-                wh = wh[len(prefix):]
-                break
-        shutil.rmtree(f"{wh.rstrip('/')}/{table}", ignore_errors=True)
+        # A previous session may have left the managed-table directory
+        # behind (the default in-memory catalog forgets it on exit).
+        # DROP TABLE can't clear an orphan the catalog never heard of,
+        # so delete the location through the Hadoop FileSystem API —
+        # scheme-aware, unlike a raw shutil.rmtree of the URI string.
+        wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table}")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
         o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         edges = (

@@ -731,7 +731,7 @@ def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), pairs AS (
       SELECT id_a, id_b
       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-      WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.3
+      WHERE floor(n_inter / (sa.sz + sb.sz - n_inter) * 1000000 + 0.5) / 1000000 >= 0.3
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL

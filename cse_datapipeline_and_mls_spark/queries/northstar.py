@@ -68,12 +68,14 @@ def x_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT id_a, id_b,
-           round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+    SELECT id_a, id_b, jaccard
+    FROM (
+      SELECT id_a, id_b,
+             floor(n_inter / (sa.sz + sb.sz - n_inter) * 1000000 + 0.5) / 1000000 AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= 0.5
     """,
 )
 def x_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,13 +150,14 @@ def x_exact_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT id_a, id_b,
-           round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard,
-           TRUE AS minhash_recall_ge_090
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+    SELECT id_a, id_b, jaccard, TRUE AS minhash_recall_ge_090
+    FROM (
+      SELECT id_a, id_b,
+             floor(n_inter / (sa.sz + sb.sz - n_inter) * 1000000 + 0.5) / 1000000 AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= 0.5
     """,
 )
 def x_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,13 +218,14 @@ def x_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT id_a, id_b,
-           round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard,
-           TRUE AS incremental_recall_ge_090
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+    SELECT id_a, id_b, jaccard, TRUE AS incremental_recall_ge_090
+    FROM (
+      SELECT id_a, id_b,
+             floor(n_inter / (sa.sz + sb.sz - n_inter) * 1000000 + 0.5) / 1000000 AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= 0.5
       AND (id_a % 5 = 0 OR id_b % 5 = 0)
     """,
 )
@@ -288,13 +292,14 @@ def x_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT id_a, id_b,
-           round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard,
-           TRUE AS simhash_recall_ge_050
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.9
+    SELECT id_a, id_b, jaccard, TRUE AS simhash_recall_ge_050
+    FROM (
+      SELECT id_a, id_b,
+             floor(n_inter / (sa.sz + sb.sz - n_inter) * 1000000 + 0.5) / 1000000 AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= 0.9
     """,
 )
 def x_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,7 +890,7 @@ def x_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), pairs AS (
       SELECT id_a, id_b
       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-      WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.3
+      WHERE floor(n_inter / (sa.sz + sb.sz - n_inter) * 1000000 + 0.5) / 1000000 >= 0.3
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL
@@ -948,7 +953,7 @@ def x_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), pairs AS (
       SELECT id_a, id_b
       FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-      WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.3
+      WHERE floor(n_inter / (sa.sz + sb.sz - n_inter) * 1000000 + 0.5) / 1000000 >= 0.3
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL

@@ -81,3 +81,32 @@ def test_asof_forward_direction_edges(spark):
         ).collect()
     }
     assert got == {"a": 70.0, "b": 100.0, "c": None, "d": None}
+
+
+def test_asof_null_dim_attribute_stays_null(spark):
+    """ADVICE r5: a NULL attribute on the MATCHED dim row must come out
+    NULL — per-column fill would pull it from a neighboring dim row,
+    stitching the output from two different rows. Both directions, two
+    dim columns so cross-row stitching is detectable."""
+    from cse_datapipeline_and_mls_spark.operators.asof import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    fact = spark.createDataFrame([(1, 10, "f1"), (1, 30, "f2")], "k long, t long, tag string")
+    dim = spark.createDataFrame(
+        [(1, 5, 50.0, "x"), (1, 9, None, "y"), (1, 31, None, "z"), (1, 40, 400.0, "w")],
+        "k long, dt long, v double, lbl string",
+    )
+    back = {
+        r["tag"]: (r["v"], r["lbl"])
+        for r in asof_join(fact, dim, "k", "t", "dt", ["v", "lbl"]).collect()
+    }
+    # f1 matches dt=9 (v NULL, lbl 'y'); v must NOT be back-filled from dt=5
+    assert back == {"f1": (None, "y"), "f2": (None, "y")}
+    fwd = {
+        r["tag"]: (r["v"], r["lbl"])
+        for r in asof_join_forward(fact, dim, "k", "t", "dt", ["v", "lbl"]).collect()
+    }
+    # f2 matches dt=31 (v NULL, lbl 'z'); v must NOT be pulled from dt=40
+    assert fwd == {"f1": (None, "z"), "f2": (None, "z")}

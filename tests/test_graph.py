@@ -213,3 +213,15 @@ def test_pagerank_warm_start_converges_faster_after_perturbation(spark):
     }
     assert math.isclose(sum(warm.values()), 1.0, abs_tol=1e-9)
     assert l1(warm) < l1(cold), (l1(warm), l1(cold))
+
+
+def test_pagerank_empty_graph_releases_persist(spark):
+    """ADVICE r5: the empty-graph early return on the persist path must
+    unpersist the edge cache, not leave a catalog-held entry per call."""
+    from cse_datapipeline_and_mls_spark.operators.graph import pagerank
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(empty, iters=2, edge_storage="persist")
+    assert out.count() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
