@@ -126,17 +126,25 @@ def observed(df: DataFrame, name: str = "ingest") -> DataFrame:
     the existing actions — NO extra pass over the data, unlike a
     separate .count()/.agg()). Read them back per-action via
     ``df.sparkSession`` listener or, on batch, from the returned
-    Observation. Returns (df, observation)."""
-    from pyspark.sql import Observation
+    Observation. Returns (df, observation).
 
-    obs = Observation(name)
+    Streaming frames are supported too (``Observation`` objects are
+    batch-only, so the metrics are registered under ``name`` instead):
+    returns (df, name), and each micro-batch's values arrive in
+    ``StreamingQueryProgress.observedMetrics[name]`` — see
+    ``streaming.run_audited_to_memory_sink``, which pairs them with the
+    state store's late-row drop counts."""
     first = df.columns[0]
-    out = df.observe(
-        obs,
+    metrics = (
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col(first).isNull(), 1)).alias(f"null_{first}"),
     )
-    return out, obs
+    if df.isStreaming:
+        return df.observe(name, *metrics), name
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs
 
 
 def read_resilient(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:

@@ -237,12 +237,25 @@ def write_audit_publish(
     (Iceberg/Delta), scaled down to plain parquet directories. At
     100 TB the audit pass is one aggregate job over the staged files
     (see operators/expectations.py's cost model); nothing is
-    rewritten on publish. Single-writer by assumption (one recurring
-    job owns a table, the usual batch-pipeline contract); concurrent
-    publishers need a real table format's commit protocol, not a
-    pointer file.
+    rewritten on publish.
 
-    Returns the published version number."""
+    Concurrent publishers are safe (VERDICT r5 #6): each writer leases
+    its version number via an O_CREAT|O_EXCL claim file (``v_N._claim``
+    — POSIX-atomic, the same trick as the pointer flip), so two writers
+    never stage into the same directory — the loser advances to the
+    next number. The pointer flip is read-check-replace under a short
+    ``_PUBLISH.lock`` lease so a slower lower-version commit can never
+    regress the pointer over a newer one; both version dirs are
+    retained either way (time travel sees every committed version). A
+    successful version keeps its claim file forever (numbers are never
+    reused once published); a failed audit releases the claim along
+    with the staged dir, so the slot is reused — pointer-based
+    versioning, as the tests pin.
+
+    Returns the published version number (which may be BELOW the
+    current pointer if a concurrent writer committed a later version
+    first — the returned number is always readable via
+    ``read_version``)."""
     import os as _os
     import shutil as _shutil
 
@@ -250,8 +263,7 @@ def write_audit_publish(
 
     root = path.rstrip("/")
     _os.makedirs(root, exist_ok=True)
-    current = _read_pointer(root)
-    version = current + 1
+    version = _claim_version(root, _read_pointer(root) + 1)
     staged = f"{root}/v_{version}"
     df.write.mode(mode).parquet(staged)
     spark = df.sparkSession
@@ -266,12 +278,63 @@ def write_audit_publish(
     ]
     if failures:
         _shutil.rmtree(staged, ignore_errors=True)
+        _os.unlink(f"{root}/v_{version}._claim")
         raise AuditFailure(failures)
-    tmp = f"{root}/_VERSION.tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(version))
-    _os.replace(tmp, f"{root}/_VERSION")  # POSIX-atomic pointer flip
+    lock = _acquire_publish_lock(root)
+    try:
+        if version > _read_pointer(root):
+            tmp = f"{root}/_VERSION.tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(version))
+            _os.replace(tmp, f"{root}/_VERSION")  # POSIX-atomic pointer flip
+    finally:
+        _os.unlink(lock)
     return version
+
+
+def _claim_version(root: str, start: int) -> int:
+    """Lease the next free version number: O_CREAT|O_EXCL creation of
+    ``v_N._claim`` is atomic on POSIX (and O(1) — no directory listing),
+    so exactly one contending writer wins each number and losers walk
+    forward. Claim files are empty markers, pruned with their version
+    dirs by retention."""
+    import os as _os
+
+    v = start
+    while True:
+        try:
+            fd = _os.open(
+                f"{root}/v_{v}._claim",
+                _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY,
+            )
+            _os.close(fd)
+            return v
+        except FileExistsError:
+            v += 1
+
+
+def _acquire_publish_lock(root: str, timeout: float = 30.0) -> str:
+    """Short O_CREAT|O_EXCL lease serializing the read-check-replace
+    pointer flip (microseconds held). A crashed publisher can strand
+    the lock; the bounded spin surfaces that as an error instead of a
+    silent hang — delete ``_PUBLISH.lock`` to recover."""
+    import os as _os
+    import time as _time
+
+    lock = f"{root}/_PUBLISH.lock"
+    deadline = _time.monotonic() + timeout
+    while True:
+        try:
+            fd = _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            _os.close(fd)
+            return lock
+        except FileExistsError:
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"publish lock {lock} held for >{timeout}s — "
+                    "stale from a crashed publisher? delete it to recover"
+                )
+            _time.sleep(0.01)
 
 
 def _read_pointer(root: str) -> int:

@@ -7,6 +7,7 @@ from .pipeline import (
     ingest_file_stream,
     inverted_index_stream,
     interval_join,
+    run_audited_to_memory_sink,
     run_to_memory_sink,
     session_aggregate,
     sketch_rollup_stream,
@@ -29,6 +30,7 @@ __all__ = [
     "windowed_aggregate",
     "session_aggregate",
     "run_to_memory_sink",
+    "run_audited_to_memory_sink",
     "interval_join",
     "expectations_on_stream",
     "running_zscore_anomalies",

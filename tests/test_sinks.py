@@ -143,3 +143,57 @@ def test_write_audit_publish_gates_and_time_travels(spark, tmp_path):
     assert read_published(spark, path).count() == 3
     # time travel to the first snapshot
     assert read_version(spark, path, 1).count() == 2
+
+
+def test_write_audit_publish_concurrent_writers(spark, tmp_path):
+    """VERDICT r5 #6: two publishers racing on one table must stage into
+    DISJOINT version dirs (O_EXCL claim lease — the loser advances to
+    the next number), both versions must be retained, and the pointer
+    must land on the max committed version regardless of flip order."""
+    import os
+    import threading
+
+    from cse_datapipeline_and_mls_spark.operators.expectations import Check
+    from cse_datapipeline_and_mls_spark.sources.sinks import (
+        read_published,
+        read_version,
+        write_audit_publish,
+    )
+
+    path = str(tmp_path / "wap_race")
+    checks = [Check("flag_not_null", "not_null", col="flag")]
+    base = spark.createDataFrame([(1, "A")], "pk long, flag string")
+    assert write_audit_publish(base, path, checks) == 1
+
+    results: dict[str, int] = {}
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(2)
+
+    def publish(tag: str, n_rows: int) -> None:
+        try:
+            df = spark.createDataFrame(
+                [(i, tag) for i in range(n_rows)], "pk long, flag string"
+            )
+            barrier.wait()
+            results[tag] = write_audit_publish(df, path, checks)
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+
+    t1 = threading.Thread(target=publish, args=("w1", 2))
+    t2 = threading.Thread(target=publish, args=("w2", 3))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    # disjoint leases: versions 2 and 3, one each
+    assert sorted(results.values()) == [2, 3]
+    # both committed versions retained and readable
+    assert os.path.isdir(f"{path}/v_2") and os.path.isdir(f"{path}/v_3")
+    assert {read_version(spark, path, v).count() for v in (2, 3)} == {2, 3}
+    # pointer on the LATER commit even if the lower version flipped last
+    with open(f"{path}/_VERSION") as fh:
+        assert int(fh.read()) == 3
+    winner = [tag for tag, v in results.items() if v == 3][0]
+    pub = read_published(spark, path)
+    assert pub.count() == (2 if winner == "w1" else 3)
+    assert pub.select("flag").distinct().collect()[0][0] == winner
+    # the publish lock is released
+    assert not os.path.exists(f"{path}/_PUBLISH.lock")

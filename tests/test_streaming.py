@@ -514,3 +514,111 @@ def test_stream_stream_left_outer_interval_join_matches_batch(spark, events_dir)
     # and nothing extra beyond the full batch result
     assert got_set <= {(r["event_id"], r["buy_id"]) for r in batch_rows}
     assert any(buy is None for _, buy in got), "expected abandonment rows"
+
+
+def _staged_batches(spark, tmp_path_factory, name, batches, schema):
+    """Write each batch as one parquet file with strictly increasing
+    mtimes so the file source (maxFilesPerTrigger=1, oldest-first)
+    replays them as separate micro-batches in order."""
+    import os
+    import time
+
+    src = str(tmp_path_factory.mktemp(name))
+    t0 = time.time() - 1000
+    for i, rows in enumerate(batches):
+        part = f"{src}/b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(part)
+        for root, _dirs, files in os.walk(part):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + 10 * i, t0 + 10 * i))
+    return src
+
+
+def test_windowed_aggregate_drops_late_rows_and_counts_them(spark, tmp_path_factory):
+    """VERDICT r5 #4: an event older than the watermark must be DROPPED
+    by the windowed aggregation (its window never materializes), and
+    the drop must be observable — numRowsDroppedByWatermark via
+    run_audited_to_memory_sink, arrival counts via observed()."""
+    import datetime as dt
+
+    from cse_datapipeline_and_mls_spark.sources.ingest import observed
+
+    T = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = _staged_batches(
+        spark,
+        tmp_path_factory,
+        "late_win",
+        # NOTE the extra batch between the watermark-advancing event and
+        # the late arrival: since SPARK-40925 the LATE-event filter uses
+        # the PREVIOUS batch's watermark (eventTimeWatermarkForLateEvents)
+        # while eviction uses the current one, so a row is only counted
+        # dropped once the 9:50 watermark is one full batch old.
+        [
+            [(1, T(10, 0), 1, "click", 1.0, "{}")],          # watermark -> 9:50
+            [(3, T(10, 1), 1, "view", 2.0, "{}")],            # on-time; 9:50 now 'old'
+            [(2, T(9, 0), 1, "click", 1.0, "{}")],            # LATE: 9:00 < 9:50 -> dropped
+            [(4, T(11, 0), 1, "buy", 3.0, "{}")],             # pushes watermark to 10:50
+        ],
+        schema,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    stream, metric_name = observed(stream, "late_win_audit")
+    out, audit = ST.run_audited_to_memory_sink(
+        ST.windowed_aggregate(stream, size="5 minutes", watermark="10 minutes"),
+        "late_win_test",
+    )
+    # the late event's window [9:00, 9:05) never appears
+    assert out.filter(F.col("window_start") == T(9, 0)).count() == 0
+    # the on-time 10:00/10:01 windows finalized once the 11:00 event
+    # moved the watermark past them
+    assert out.filter(F.col("window_start") == T(10, 0)).count() == 2
+    # the state store counted exactly the one late row as dropped
+    assert audit["rows_dropped_by_watermark"] == 1
+    # observed() saw all 4 arrivals across the micro-batches
+    arrived = sum(b[metric_name]["n_rows"] for b in audit["observed"])
+    assert arrived == 4
+
+
+def test_content_dedup_stream_drops_late_rows_and_counts_them(spark, tmp_path_factory):
+    """Same policy check for the streaming dedup: a late row with NEVER-
+    SEEN content is still dropped (it is behind the fingerprint state's
+    watermark horizon), and the drop is counted."""
+    import datetime as dt
+
+    from cse_datapipeline_and_mls_spark.sources.ingest import observed
+
+    T = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    schema = "doc_id long, ts timestamp, props string"
+    src = _staged_batches(
+        spark,
+        tmp_path_factory,
+        "late_dedup",
+        [
+            [(1, T(10, 0), "content A")],                     # watermark -> 9:50
+            [(3, T(10, 1), "content C")],                     # on-time; 9:50 now 'old'
+            [(2, T(9, 0), "content B")],                      # LATE, fresh content -> dropped
+        ],
+        schema,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    stream, metric_name = observed(stream, "late_dedup_audit")
+    out, audit = ST.run_audited_to_memory_sink(
+        ST.content_dedup_stream(stream, text_col="props", watermark="10 minutes"),
+        "late_dedup_test",
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {1, 3}  # late doc 2 excluded despite fresh content
+    assert audit["rows_dropped_by_watermark"] == 1
+    arrived = sum(b[metric_name]["n_rows"] for b in audit["observed"])
+    assert arrived == 3
