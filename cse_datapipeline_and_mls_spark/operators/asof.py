@@ -136,6 +136,85 @@ def asof_join_forward(
     return out.drop("_t", "_side", "_dimrow")
 
 
+def asof_join_nearest(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_time: str,
+    dim_time: str,
+    dim_cols: Sequence[str],
+) -> DataFrame:
+    """Nearest as-of join: for each fact row, the dim row with minimal
+    |dim_time − fact_time| on the same key; ties (equidistant before/
+    after) resolve to the EARLIER dim row — pandas ``merge_asof
+    (direction='nearest')`` semantics.
+
+    One union + ONE shuffle on the key, like the directional variants:
+    with dim rows ordered before fact rows at equal timestamps, the
+    backward candidate is ``last(ignorenulls)`` over (-∞, 0] and the
+    forward candidate ``first(ignorenulls)`` over [0, ∞) — both frames
+    share the single window sort. The matched dim timestamp rides
+    inside the candidate struct, so the distance compare uses exact
+    integer microseconds (or the raw numeric for numeric time axes),
+    and the whole matched row is chosen as a unit (no cross-row
+    attribute stitching). A dim row AT the fact timestamp is the
+    backward candidate at distance 0 and always wins, so the one shared
+    sort order loses nothing."""
+    fact_cols = fact.columns
+    dim_fields = {f.name: f for f in dim.schema.fields}
+    time_t = dim_fields[dim_time].dataType
+    struct_t = T.StructType(
+        [T.StructField("_dt", time_t)] + [dim_fields[c] for c in dim_cols]
+    )
+    is_ts = isinstance(time_t, T.TimestampType)
+
+    def _num(c):
+        return F.unix_micros(c) if is_ts else c.cast("double")
+
+    f_tagged = (
+        fact.withColumn("_t", F.col(fact_time))
+        .withColumn("_side", F.lit(1))
+        .withColumn("_dimrow", F.lit(None).cast(struct_t))
+    )
+    d_tagged = dim.select(
+        F.col(on),
+        F.col(dim_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(dim_time).alias("_dt"), *[F.col(c) for c in dim_cols]
+        ).alias("_dimrow"),
+    )
+    for c in fact_cols:
+        if c not in (on,):
+            d_tagged = d_tagged.withColumn(c, F.lit(None).cast(dict(f_tagged.dtypes)[c]))
+    cols = [on, "_t", "_side", *[c for c in fact_cols if c != on], "_dimrow"]
+    unioned = f_tagged.select(*cols).unionByName(d_tagged.select(*cols))
+    w = Window.partitionBy(on).orderBy("_t", "_side")
+    back = F.last("_dimrow", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = F.first("_dimrow", ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = (
+        unioned.withColumn("_b", back)
+        .withColumn("_f", fwd)
+        .filter(F.col("_side") == 1)
+    )
+    bd = _num(F.col("_t")) - _num(F.col("_b._dt"))
+    fd = _num(F.col("_f._dt")) - _num(F.col("_t"))
+    chosen = (
+        F.when(F.col("_f").isNull(), F.col("_b"))
+        .when(F.col("_b").isNull(), F.col("_f"))
+        .when(bd <= fd, F.col("_b"))
+        .otherwise(F.col("_f"))
+    )
+    out = out.withColumn("_n", chosen)
+    for c in dim_cols:
+        out = out.withColumn(c, F.col("_n").getField(c))
+    return out.drop("_t", "_side", "_b", "_f", "_n")
+
+
 def asof_join_pandas(
     fact: DataFrame,
     dim: DataFrame,

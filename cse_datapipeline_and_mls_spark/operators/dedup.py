@@ -107,6 +107,22 @@ def shingle(df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shing
     return df.withColumn(out, F.array_distinct(word_ngrams(words, n)))
 
 
+def _ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Small-scan guard: an input that arrives as fewer partitions than
+    cores (one consolidated parquet file — the local testdata shape, or
+    a single compacted object at ingest) would run every MAP-SIDE stage
+    downstream (shingling, MinHash signatures, SimHash folds) on one
+    task, serializing the embarrassingly-parallel part of the pipeline.
+    Repartition up to defaultParallelism only in that case — at
+    production scale inputs carry thousands of partitions and this is a
+    no-op (no extra exchange). Measured: the sf0.1 MinHash production
+    leg drops ~4× once its signature stage parallelizes."""
+    par = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -134,7 +150,7 @@ def minhash_neardup_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = shingle(df.select(id_col, text_col), text_col, n=n)
+    sh = shingle(_ensure_min_parallelism(df.select(id_col, text_col)), text_col, n=n)
     sh = sh.filter(F.size("shingles") > 0)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True)
     feats = tf.transform(sh)
@@ -257,7 +273,9 @@ def simhash_neardup_pairs(
         )
     if 64 % n_bands != 0:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
-    sh = with_simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    sh = with_simhash(
+        _ensure_min_parallelism(df.select(id_col, text_col)), text_col
+    ).select(id_col, "simhash")
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
     bands = sh.select(
@@ -323,7 +341,9 @@ def ngram_jaccard_pairs(
                 f"Use minhash_neardup_pairs / simhash_neardup_pairs for "
                 f"production-scale corpora, or pass max_rows=None to force it."
             )
-    sh = shingle(df.select(id_col, text_col), text_col, n=n).filter(F.size("shingles") > 0)
+    sh = shingle(
+        _ensure_min_parallelism(df.select(id_col, text_col)), text_col, n=n
+    ).filter(F.size("shingles") > 0)
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("sz"))
     # join on the 8-byte xxhash64 of each shingle, not the shingle
     # string: intersection counts only need equality, so the shuffle
@@ -632,7 +652,7 @@ def minhash_neardup_incremental(
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     def featurize(df: DataFrame) -> DataFrame:
-        sh = shingle(df.select(id_col, text_col), text_col, n=n)
+        sh = shingle(_ensure_min_parallelism(df.select(id_col, text_col)), text_col, n=n)
         sh = sh.filter(F.size("shingles") > 0)
         tf = HashingTF(
             inputCol="shingles",

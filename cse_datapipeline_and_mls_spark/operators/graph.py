@@ -221,6 +221,87 @@ def pagerank(
     return state.select("node", "rank")
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    teleport: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): the teleport
+    step jumps to the given ``teleport`` node set (column ``node``,
+    uniform over its members present in the graph) instead of uniformly
+    to all nodes — rank concentrates around the seed set, the standard
+    similarity/recommendation walk (Haveliwala, "Topic-sensitive
+    PageRank", WWW 2002). Dangling mass also restarts at the seeds, so
+    ranks still sum to 1.
+
+    Same measured plan discipline as ``pagerank`` (repartition before
+    materializing, eager checkpoints every ``checkpoint_every``); the
+    teleport vector rides the state frame as a constant column, so the
+    per-iteration shape is identical — one |E| contribution shuffle +
+    one |V| state join, nothing teleport-sized is ever broadcast except
+    the 1-row dangling aggregate."""
+    par = max(edges.sparkSession.sparkContext.defaultParallelism, 1)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = teleport.select(F.col("node")).distinct().join(nodes, "node", "left_semi")
+    m = seeds.count()
+    if m == 0:
+        raise ValueError("personalized_pagerank: no teleport node exists in the graph")
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = (
+        nodes.join(out_deg, nodes["node"] == out_deg["src"], "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .join(seeds.withColumn("_s", F.lit(1)), "node", "left")
+        # p(v): the restart distribution, constant across iterations
+        .select(
+            "node", "deg", (F.coalesce("_s", F.lit(0)) / m).alias("p")
+        )
+    )
+    # start AT the restart distribution (the conventional PPR start;
+    # the fixed point is start-independent regardless)
+    state = base.withColumn("rank", F.col("p")).localCheckpoint(eager=True)
+    for i in range(iters):
+        contribs = (
+            e.join(state, e["src"] == state["node"])
+            .filter(F.col("deg") > 0)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = state.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        state = (
+            state.join(contribs, state["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "deg",
+                "p",
+                (
+                    F.lit(1.0 - damping) * F.col("p")
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("dm") * F.col("p"))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            state = state.localCheckpoint(eager=True)
+    return state.select("node", "rank")
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",

@@ -2279,3 +2279,295 @@ def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode_col="mode_event_type",
         count_col="n_occurrences",
     )
+
+
+@register(
+    "j_asof_nearest_events",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, date_trunc('day', ts) AS snap_ts,
+             round(avg(value), 6) AS day_avg
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT e.event_id, e.user_id, e.ts, d.snap_ts AS bt, d.day_avg AS bv
+      FROM events e ASOF LEFT JOIN dim d
+        ON e.user_id = d.user_id AND e.ts >= d.snap_ts
+    ), f AS (
+      SELECT e.event_id, d.snap_ts AS ft, d.day_avg AS fv
+      FROM events e ASOF LEFT JOIN dim d
+        ON e.user_id = d.user_id AND e.ts <= d.snap_ts
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN ft IS NULL THEN bv
+                WHEN bt IS NULL THEN fv
+                WHEN epoch_us(b.ts) - epoch_us(bt)
+                     <= epoch_us(ft) - epoch_us(b.ts) THEN bv
+                ELSE fv END AS nearest_day_avg
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def j_asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4, NEAREST direction — the third of pandas merge_asof's
+    directions, completing backward/forward/tolerance: each event takes
+    whichever daily snapshot (previous or next day-start) is closer in
+    time, ties to the earlier one. operators.asof.asof_join_nearest
+    runs both directional fills over ONE window sort (single shuffle on
+    the key) and compares exact microsecond distances; the oracle
+    composes DuckDB's two native directional ASOF joins and picks the
+    nearer side with the same integer arithmetic."""
+    from ..operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("snap_ts")
+    ).agg(F.round(F.avg("value"), 6).alias("day_avg"))
+    joined = asof_join_nearest(
+        ev.select("event_id", "user_id", "ts"),
+        dim,
+        on="user_id",
+        fact_time="ts",
+        dim_time="snap_ts",
+        dim_cols=["day_avg"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("day_avg").alias("nearest_day_avg")
+    )
+
+
+@register(
+    "o_topn_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def o_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N PER GROUP (the group-limit flavor of O2's global top-k):
+    top-3 orders by price within each order priority. The rank-filter
+    shape lets Spark insert WindowGroupLimit below the shuffle, so each
+    map task forwards only its local top-3 per group instead of sorting
+    whole partitions — the same operator-level guarantee
+    TakeOrderedAndProject gives the global case, asserted on the plan
+    in tests/test_relational.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "agg_vwap_supplier_month",
+    oracle="""
+    SELECT l_suppkey,
+           date_trunc('month', l_shipdate) AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           floor(sum(l_extendedprice) / sum(l_quantity) * 1000000 + 0.5)
+             / 1000000 AS vwap
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def agg_vwap_supplier_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per supplier-month — the classic
+    finance rollup (VWAP = Σ price·qty / Σ qty; l_extendedprice is
+    already the line's price×qty). One map-side-combined aggregation,
+    ratio quantized with q6 on both sides (sum order differs between
+    engines at the last ulp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        "l_suppkey",
+        F.to_date(F.date_trunc("month", F.col("l_shipdate"))).alias("ship_month"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        _q6(F.sum("l_extendedprice") / F.sum("l_quantity")).alias("vwap"),
+    )
+
+
+@register(
+    "w_longest_streak",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_all,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_type
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type, rn_all - rn_type AS grp,
+             CAST(count(*) AS BIGINT) AS run_len
+      FROM seq GROUP BY 1, 2, 3
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           max(run_len) AS longest_streak
+    FROM runs GROUP BY user_id
+    """,
+)
+def w_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE same-type events per user — the
+    gaps-and-islands streak variant (w_gap_detection finds time gaps;
+    this groups value runs). Two row_numbers over the same (user, time)
+    sort — their difference is constant within a run — then two keyed
+    aggregations; everything shuffles on user_id once, so a cluster
+    plans one exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"), "event_type", "ts", "event_id"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn("grp", F.row_number().over(w_all) - F.row_number().over(w_type))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(F.max("run_len").alias("longest_streak"))
+
+
+@register(
+    "agg_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, user_id % 2 AS grp, CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, grp, n,
+             sum(n) OVER (PARTITION BY event_type) AS row_tot,
+             sum(n) OVER (PARTITION BY grp) AS col_tot,
+             sum(n) OVER () AS grand
+      FROM cells
+    )
+    SELECT floor(sum((n - row_tot * col_tot / grand)
+                     * (n - row_tot * col_tot / grand)
+                     / (row_tot * col_tot / grand)) * 1000000 + 0.5)
+             / 1000000 AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT grp) - 1) AS BIGINT) AS dof
+    FROM tot
+    """,
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test statistic for independence of event_type
+    × user-parity — the categorical association measure next to
+    agg_corr_covar's numeric one. The contingency table is one
+    map-side-combined count; the expected-value windows run over the
+    CELL frame (|types|×2 rows), never data rows, so the only
+    data-sized work is the first aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("grp")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("grp")
+    wg = Window.partitionBy()
+    t = (
+        cells.withColumn("row_tot", F.sum("n").over(wr))
+        .withColumn("col_tot", F.sum("n").over(wc))
+        .withColumn("grand", F.sum("n").over(wg))
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("grand")
+    return t.agg(
+        _q6(F.sum((F.col("n") - e) * (F.col("n") - e) / e)).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("grp") - 1)
+        ).cast("long").alias("dof"),
+    )
+
+
+def _ppr_oracle(iters: int = 6, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank oracle: same MATERIALIZED-CTE
+    power iteration as _pagerank_oracle but over the UNDIRECTED
+    customer-supplier graph, with the teleport/dangling mass restarting
+    at the seed suppliers (node 1..10) instead of uniformly. The
+    (1-damping) literal is emitted as repr(1.0 - damping) so both
+    engines multiply the bit-identical double."""
+    d = repr(damping)
+    rest = repr(1.0 - damping)
+    sql = """
+    WITH dir AS MATERIALIZED (
+      SELECT DISTINCT -o.o_custkey AS src, l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS MATERIALIZED (
+      SELECT src, dst FROM dir UNION ALL SELECT dst, src FROM dir
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), meta AS (
+      SELECT CAST(count(*) AS BIGINT) AS m FROM nodes
+      WHERE node BETWEEN 1 AND 10
+    ), odeg AS (
+      SELECT src AS node, count(*) AS deg FROM e GROUP BY src
+    ), s0 AS MATERIALIZED (
+      SELECT nd.node, coalesce(odeg.deg, 0) AS deg,
+             CASE WHEN nd.node BETWEEN 1 AND 10
+                  THEN 1.0 / (SELECT m FROM meta) ELSE 0.0 END AS p,
+             CASE WHEN nd.node BETWEEN 1 AND 10
+                  THEN 1.0 / (SELECT m FROM meta) ELSE 0.0 END AS rank
+      FROM nodes nd LEFT JOIN odeg USING (node)
+    )"""
+    prev = "s0"
+    for i in range(1, iters + 1):
+        sql += f""", c{i} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(s.rank / s.deg) AS contrib
+      FROM e JOIN {prev} s ON e.src = s.node AND s.deg > 0
+      GROUP BY e.dst
+    ), dm{i} AS MATERIALIZED (
+      SELECT coalesce(sum(rank), 0.0) AS dm FROM {prev} WHERE deg = 0
+    ), s{i} AS MATERIALIZED (
+      SELECT s.node, s.deg, s.p,
+             {rest} * s.p
+               + {d} * (coalesce(c.contrib, 0.0)
+                        + (SELECT dm FROM dm{i}) * s.p) AS rank
+      FROM {prev} s LEFT JOIN c{i} c USING (node)
+    )"""
+        prev = f"s{i}"
+    sql += f"""
+    SELECT CAST(node AS BIGINT) AS suppkey, round(rank, 8) AS rank
+    FROM {prev} WHERE node > 0
+    ORDER BY round(rank, 8) DESC, node
+    LIMIT 20
+    """
+    return sql
+
+
+@register("x_pagerank_personalized", oracle=_ppr_oracle(iters=6))
+def x_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) seeded at
+    suppliers 1-10 over the UNDIRECTED customer-supplier purchase graph
+    — 'suppliers similar to these ten through shared customers', the
+    recommendation/similarity walk the uniform variant can't express.
+    Undirected edges matter: suppliers are sinks in the directed graph,
+    so a directed PPR would trivially park all mass on the seeds.
+    operators/graph.personalized_pagerank keeps the uniform variant's
+    measured plan discipline (repartition-then-materialize, eager
+    checkpoints every 2); the oracle unrolls the same recurrence with
+    teleport/dangling mass restarting at the seeds."""
+    from ..operators.graph import personalized_pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select((-F.col("o_custkey")).alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    teleport = spark.range(1, 11).select(F.col("id").alias("node"))
+    pr = personalized_pagerank(edges, teleport, iters=6)
+    return (
+        pr.filter(F.col("node") > 0)
+        .select(F.col("node").alias("suppkey"), F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "suppkey")
+        .limit(20)
+    )

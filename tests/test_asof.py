@@ -110,3 +110,40 @@ def test_asof_null_dim_attribute_stays_null(spark):
     }
     # f2 matches dt=31 (v NULL, lbl 'z'); v must NOT be pulled from dt=40
     assert fwd == {"f1": (None, "z"), "f2": (None, "z")}
+
+
+def test_asof_nearest_direction(spark):
+    """Nearest as-of: min |dim_t - fact_t|, ties to the EARLIER dim row
+    (pandas merge_asof direction='nearest'); whole matched rows are
+    chosen (a NULL attribute on the nearest row stays NULL)."""
+    from cse_datapipeline_and_mls_spark.operators.asof import asof_join_nearest
+
+    fact = spark.createDataFrame(
+        [(1, 5, "before_first"), (1, 9, "closer_back"), (1, 12, "tie"),
+         (1, 30, "after_last"), (2, 7, "lonely")],
+        "k long, t long, tag string",
+    )
+    dim = spark.createDataFrame(
+        [(1, 8, 80.0, "a"), (1, 16, None, "b")],
+        "k long, dt long, v double, lbl string",
+    )
+    got = {
+        r["tag"]: (r["v"], r["lbl"])
+        for r in asof_join_nearest(fact, dim, "k", "t", "dt", ["v", "lbl"]).collect()
+    }
+    assert got["before_first"] == (80.0, "a")   # only forward exists
+    assert got["closer_back"] == (80.0, "a")    # |9-8|=1 < |16-9|=7
+    assert got["tie"] == (80.0, "a")            # |12-8|=4 == |16-12|=4 -> earlier
+    assert got["after_last"] == (None, "b")     # nearest row's NULL stays NULL
+    assert got["lonely"] == (None, None)        # key with no dim rows
+
+
+def test_asof_nearest_equal_timestamp_wins(spark):
+    from cse_datapipeline_and_mls_spark.operators.asof import asof_join_nearest
+
+    fact = spark.createDataFrame([(1, 10, "x")], "k long, t long, tag string")
+    dim = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 11, 2.0)], "k long, dt long, v double"
+    )
+    [r] = asof_join_nearest(fact, dim, "k", "t", "dt", ["v"]).collect()
+    assert r["v"] == 1.0  # distance 0 beats distance 1

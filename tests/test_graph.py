@@ -225,3 +225,37 @@ def test_pagerank_empty_graph_releases_persist(spark):
     out = pagerank(empty, iters=2, edge_storage="persist")
     assert out.count() == 0
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    """PPR over a small undirected path graph: ranks sum to 1, the seed
+    outranks every other node, and rank decays with distance from the
+    seed; empty teleport set raises."""
+    import pytest as _pytest
+
+    from cse_datapipeline_and_mls_spark.operators.graph import personalized_pagerank
+
+    # path 1-2-3-4 plus an isolated pair 5-6, undirected
+    und = [(1, 2), (2, 3), (3, 4), (5, 6)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    ranks = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(edges, seeds, iters=20).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # rank decays with distance from the seed PAST its immediate
+    # neighbor (node 2 may legitimately outrank the seed: the degree-1
+    # seed sends it ALL its mass while 2 splits its own both ways)
+    assert ranks[2] > ranks[3] > ranks[4]
+    assert ranks[1] > ranks[3]
+    # the seed always keeps at least the restart share (1-d)·p = 0.15
+    assert ranks[1] > 0.15
+    # the disconnected component is unreachable from the seed
+    assert ranks[5] == 0.0 and ranks[6] == 0.0
+
+    ghost = spark.createDataFrame([(99,)], "node long")
+    with _pytest.raises(ValueError):
+        personalized_pagerank(edges, ghost, iters=2)

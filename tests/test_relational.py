@@ -356,3 +356,27 @@ def test_interval_overlap_join_touching_endpoints_inclusive(spark):
         ).collect()
     }
     assert got == {2}
+
+
+def test_topn_per_group_uses_window_group_limit(spark):
+    """The rank<=N filter must push a WindowGroupLimit below the
+    shuffle (map tasks forward only local top-N per group) — the plan
+    guarantee the o_topn_per_group query documents."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(g, i, float((i * 37) % 100)) for g in ("a", "b") for i in range(50)],
+        "grp string, id long, price double",
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("price"), F.asc("id"))
+    top = df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = top.collect()
+    assert len(rows) == 6
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append(r["price"])
+    for g, prices in by_grp.items():
+        want = sorted((float((i * 37) % 100) for i in range(50)), reverse=True)[:3]
+        assert sorted(prices, reverse=True) == want

@@ -53,6 +53,7 @@ EXPECTED_CROSS = {
     "x_ann_pq_topk",
     "x_minhash_incremental",
     "x_pagerank_bucketed_edges",  # 1-row dangling-mass broadcast per iteration
+    "x_pagerank_personalized",    # same 1-row dangling-mass broadcast per iteration (graph.personalized_pagerank)
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -74,6 +75,7 @@ EXPECTED_MANY_EXCHANGES = {
     "x_minhash_incremental",  # exact shingle-join side + LSH probe joins + verdict aggs (bracket-verdict form)
     "x_clustering_coefficient",  # the triangle shape's 5 + the degree join
     "x_association_rules",    # basket dedup + item/pair/meta aggs + 2 rule-stat joins; every frame past the pair count is ≤ |rules| rows
+    "x_pagerank_personalized",  # power iteration over the undirected graph: 2-3 exchanges x 6 iterations is the algorithm
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented

@@ -409,6 +409,183 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
     )
     out["session_overlap_pairs"] = res
 
+    # 13. MinHash banded candidate generation (VERDICT r5 #2): the
+    # band-bucket fan-out is the one place a skewed shingle set could
+    # recreate all-pairs. Disjoint copies (unique per-copy text) keep
+    # each copy's true near-dup structure, so candidates/pairs scale
+    # linearly with copies; flat per-OUTPUT-PAIR cost = the banding
+    # stayed bucket-bounded (a fan-out blowup would grow it).
+    # NOTE on partitioning for this and the two cases below: the local
+    # sf0.1 documents table is ONE parquet file, so the map-side
+    # signature/tokenize stages of a crossJoin-scaled copy would run as
+    # a single task — measuring one thread, not the plan. A corpus at
+    # the simulated scale arrives as many files/partitions; repartition
+    # to defaultParallelism at BOTH scales to measure the real shape.
+    par_docs = max(spark.sparkContext.defaultParallelism, 1)
+    res = {}
+    for label, kk in (("1x", 1), (f"{k_graph}x", k_graph)):
+        pairs = D.minhash_neardup_pairs(
+            scaled_docs(spark, kk).repartition(par_docs),
+            "text", "doc_id", jaccard_threshold=0.5
+        )
+        n_pairs = pairs.count()
+        sec = timed(pairs)
+        res[label] = {
+            "rows": n_pairs,
+            "sec": round(sec, 2),
+            "us_per_row": round(sec / max(n_pairs, 1) * 1e6, 3),
+        }
+    res["per_row_ratio"] = round(
+        res[f"{k_graph}x"]["us_per_row"] / res["1x"]["us_per_row"], 2
+    )
+    out["minhash_banded_pairs"] = res
+
+    # 14. BPE distinct-word re-encode (VERDICT r5 #2): merges train ONCE
+    # on the bounded frequency dict; the re-encode cost that could grow
+    # is the DISTINCT-word broadcast. Disjoint copies multiply the
+    # corpus while the vocabulary stays ~constant, so per-INPUT-row
+    # cost must stay flat (the broadcast is vocab-sized, the corpus
+    # side is one exploded equi-join + keyed agg).
+    merges = X.train_bpe_merges(scaled_docs(spark, 1), n_merges=50)
+    res = {}
+    for label, kk in (("1x", 1), (f"{k_graph}x", k_graph)):
+        docs_k = scaled_docs(spark, kk).repartition(par_docs)
+        n_in = docs_k.count()
+        sec = min(
+            timed(X.bpe_token_counts(docs_k, merges)),
+            timed(X.bpe_token_counts(docs_k, merges)),
+        )
+        res[label] = {
+            "rows": n_in,
+            "sec": round(sec, 2),
+            "us_per_row": round(sec / n_in * 1e6, 3),
+        }
+    res["per_row_ratio"] = round(
+        res[f"{k_graph}x"]["us_per_row"] / res["1x"]["us_per_row"], 2
+    )
+    out["bpe_reencode_docs"] = res
+
+    # 15. BM25 under STOP-LIKE terms (VERDICT r5 #2): query terms are
+    # the corpus's 3 most frequent words, so the OR-mode candidate set
+    # touches corpus-sized posting lists — posting-list skew in the
+    # hybrid-search BM25 leg. Per-INPUT-row cost must stay flat: the
+    # union of postings touched is linear in corpus size, and the
+    # per-term document-frequency agg is map-side combined.
+    words_expr = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[ \t\n\r]+", " "), " "
+    )
+    stop_terms = [
+        r["w"]
+        for r in scaled_docs(spark, 1)
+        .select(F.explode(words_expr).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(3)
+        .collect()
+    ]
+
+    def bm25_stop(one):
+        docs_k = scaled_docs(spark, 1 if one else k_graph).repartition(par_docs)
+        postings, stats = build_inverted_index(docs_k)
+        return bm25_topk(postings, stats, stop_terms, k=10, mode="any")
+
+    res = {}
+    for label, kk in (("1x", 1), (f"{k_graph}x", k_graph)):
+        one = label == "1x"
+        n_in = scaled_docs(spark, 1 if one else k_graph).count()
+        sec = min(timed(bm25_stop(one)), timed(bm25_stop(one)))
+        res[label] = {
+            "rows": n_in,
+            "sec": round(sec, 2),
+            "us_per_row": round(sec / n_in * 1e6, 3),
+        }
+    res["per_row_ratio"] = round(
+        res[f"{k_graph}x"]["us_per_row"] / res["1x"]["us_per_row"], 2
+    )
+    out["bm25_stopterm_search"] = res
+
+    # 16. SKEWED-key join (VERDICT r5 #3): 30% of fact rows land on ONE
+    # join key (the rest uniform) — the first smoke case that measures
+    # an actual hot key rather than disjoint uniform copies. Three
+    # variants over the same materialized inputs, broadcast disabled so
+    # the join genuinely shuffles:
+    #   plain_noaqe  — sort-merge join, AQE skew splitting OFF: the hot
+    #                  key's partition serializes on one task.
+    #   plain_aqe    — AQE skew splitting ON with thresholds lowered to
+    #                  local-scale sizes; the final plan must show the
+    #                  split (isSkew/skew=true) for the trigger claim.
+    #   salted       — the explicit salted_equi_join rewrite (32
+    #                  buckets), AQE splitting off to isolate it.
+    from cse_datapipeline_and_mls_spark.operators.relational import salted_equi_join
+
+    ev = scaled_events(spark, k_events)
+    fact = ev.select(
+        F.when(F.col("event_id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "event_id",
+        "value",
+        "props",
+    ).localCheckpoint(eager=True)
+    dim = (
+        fact.select(F.col("k").alias("dk"))
+        .distinct()
+        .withColumn("w", F.col("dk") * 2.0)
+        .localCheckpoint(eager=True)
+    )
+    n_fact = fact.count()
+    conf_prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        )
+    }
+    res = {"rows": n_fact, "hot_key_share": 0.3}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def join_once(mode: str):
+            if mode == "salted":
+                j = salted_equi_join(
+                    fact, dim, "k", "dk", discriminator=F.col("event_id"),
+                    salt_buckets=32,
+                )
+            else:
+                j = fact.join(dim, fact["k"] == dim["dk"])
+            t0 = time.time()
+            j.write.format("noop").mode("overwrite").save()
+            sec = time.time() - t0
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            return sec, "skew" in plan.lower()
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        res["plain_noaqe_sec"] = round(min(join_once("plain")[0], join_once("plain")[0]), 2)
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m"
+        )
+        sec_a, trig_a = join_once("plain")
+        sec_b, trig_b = join_once("plain")
+        res["plain_aqe_sec"] = round(min(sec_a, sec_b), 2)
+        res["aqe_skew_split_triggered"] = bool(trig_a or trig_b)
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        res["salted_sec"] = round(min(join_once("salted")[0], join_once("salted")[0]), 2)
+        res["salted_speedup_vs_plain"] = round(
+            res["plain_noaqe_sec"] / res["salted_sec"], 2
+        ) if res["salted_sec"] else None
+    finally:
+        for k, v in conf_prev.items():
+            spark.conf.set(k, v)
+    out["skewed_join_hot_key"] = res
+
     return out
 
 
