@@ -411,10 +411,13 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
 
     # 13. MinHash banded candidate generation (VERDICT r5 #2): the
     # band-bucket fan-out is the one place a skewed shingle set could
-    # recreate all-pairs. Disjoint copies (unique per-copy text) keep
-    # each copy's true near-dup structure, so candidates/pairs scale
-    # linearly with copies; flat per-OUTPUT-PAIR cost = the banding
-    # stayed bucket-bounded (a fan-out blowup would grow it).
+    # recreate all-pairs. The " copyK" suffix makes copies distinct but
+    # CROSS-COPY near-dups real (a doc and its other-copy twin differ
+    # in one word), so the true pair set grows ~k² while input grows k —
+    # deliberately adversarial for banding. Per-OUTPUT-PAIR cost must
+    # stay flat-or-falling: the measured r6 run handled the ~1000×
+    # pair blowup at per-pair cost FALLING 31622→256 µs (ratio 0.01),
+    # i.e. cost tracked the candidate set, never n².
     # NOTE on partitioning for this and the two cases below: the local
     # sf0.1 documents table is ONE parquet file, so the map-side
     # signature/tokenize stages of a crossJoin-scaled copy would run as
@@ -520,22 +523,30 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
     #                  buckets), AQE splitting off to isolate it.
     from cse_datapipeline_and_mls_spark.operators.relational import salted_equi_join
 
-    ev = scaled_events(spark, k_events)
-    fact = ev.select(
-        F.when(F.col("event_id") % 10 < 3, F.lit(0))
-        .otherwise(F.col("user_id"))
-        .alias("k"),
-        "event_id",
-        "value",
-        "props",
-    ).localCheckpoint(eager=True)
-    dim = (
-        fact.select(F.col("k").alias("dk"))
-        .distinct()
-        .withColumn("w", F.col("dk") * 2.0)
-        .localCheckpoint(eager=True)
-    )
-    n_fact = fact.count()
+    def build_skew_inputs():
+        # REBUILT per variant: the AQE skew rule reads its knobs from
+        # the conf state in effect when the checkpointed input frames
+        # are CONSTRUCTED — measured deterministically on this build
+        # (5/5 splits with confs set before localCheckpoint, 0/3 with
+        # the same sets issued after), so toggling skewJoin.enabled on
+        # shared inputs would silently measure the wrong variant.
+        ev = scaled_events(spark, k_events)
+        fact = ev.select(
+            F.when(F.col("event_id") % 10 < 3, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .alias("k"),
+            "event_id",
+            "value",
+            "props",
+        ).localCheckpoint(eager=True)
+        dim = (
+            fact.select(F.col("k").alias("dk"))
+            .distinct()
+            .withColumn("w", F.col("dk") * 2.0)
+            .localCheckpoint(eager=True)
+        )
+        return fact, dim
+
     conf_prev = {
         k: spark.conf.get(k)
         for k in (
@@ -545,42 +556,60 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
         )
     }
-    res = {"rows": n_fact, "hot_key_share": 0.3}
+    res = {"hot_key_share": 0.3}
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-
-        def join_once(mode: str):
-            if mode == "salted":
-                j = salted_equi_join(
-                    fact, dim, "k", "dk", discriminator=F.col("event_id"),
-                    salt_buckets=32,
-                )
-            else:
-                j = fact.join(dim, fact["k"] == dim["dk"])
-            t0 = time.time()
-            j.write.format("noop").mode("overwrite").save()
-            sec = time.time() - t0
-            plan = j._jdf.queryExecution().executedPlan().toString()
-            return sec, "skew" in plan.lower()
-
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        res["plain_noaqe_sec"] = round(min(join_once("plain")[0], join_once("plain")[0]), 2)
-
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # thresholds sized to the local shuffle (hot partition ~30 MB,
+        # median ~3 MB); production uses the 256 MB defaults
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m"
         )
-        sec_a, trig_a = join_once("plain")
-        sec_b, trig_b = join_once("plain")
-        res["plain_aqe_sec"] = round(min(sec_a, sec_b), 2)
-        res["aqe_skew_split_triggered"] = bool(trig_a or trig_b)
 
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        res["salted_sec"] = round(min(join_once("salted")[0], join_once("salted")[0]), 2)
-        res["salted_speedup_vs_plain"] = round(
-            res["plain_noaqe_sec"] / res["salted_sec"], 2
-        ) if res["salted_sec"] else None
+        def run_variant(mode: str, skew_enabled: bool):
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.enabled",
+                "true" if skew_enabled else "false",
+            )
+            fact, dim = build_skew_inputs()
+            res.setdefault("rows", fact.count())
+            best, triggered = float("inf"), False
+            for _ in range(2):
+                if mode == "salted":
+                    j = salted_equi_join(
+                        fact, dim, "k", "dk", discriminator=F.col("event_id"),
+                        salt_buckets=32,
+                    )
+                else:
+                    j = fact.join(dim, fact["k"] == dim["dk"])
+                # execute THROUGH the DataFrame's own QueryExecution:
+                # AQE finalizes (and records skew splits in) the plan of
+                # the execution that actually ran — a separate write
+                # QueryExecution would leave this one un-finalized
+                qe = j._jdf.queryExecution()
+                t0 = time.time()
+                qe.toRdd().count()
+                best = min(best, time.time() - t0)
+                triggered = triggered or (
+                    "skew=true" in qe.executedPlan().toString()
+                )
+            return round(best, 2), triggered
+
+        res["plain_noaqe_sec"], _ = run_variant("plain", False)
+        res["plain_aqe_sec"], res["aqe_skew_split_triggered"] = run_variant(
+            "plain", True
+        )
+        res["salted_sec"], _ = run_variant("salted", False)
+        res["salted_speedup_vs_plain"] = (
+            round(res["plain_noaqe_sec"] / res["salted_sec"], 2)
+            if res["salted_sec"]
+            else None
+        )
+        res["aqe_speedup_vs_plain"] = (
+            round(res["plain_noaqe_sec"] / res["plain_aqe_sec"], 2)
+            if res["plain_aqe_sec"]
+            else None
+        )
     finally:
         for k, v in conf_prev.items():
             spark.conf.set(k, v)
