@@ -360,3 +360,34 @@ def read_published(spark, path: str):
 def read_version(spark, path: str, version: int):
     """Time travel: read a specific retained version directory."""
     return spark.read.parquet(f"{path.rstrip('/')}/v_{version}")
+
+
+def prune_versions(path: str, keep_last: int = 2) -> list[int]:
+    """Retention for a write-audit-publish table: delete version
+    directories older than the newest ``keep_last``, NEVER touching the
+    published version (the pointer target survives even if it falls
+    outside the window — readers must not lose the live snapshot).
+    Claim files are kept for every version ever leased, pruned or not:
+    they are what guarantees version numbers are never reused, so a
+    concurrent publisher can't resurrect a pruned number into a
+    time-travel collision. Pure directory removal — zero data reads.
+
+    Returns the pruned version numbers (sorted)."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    root = path.rstrip("/")
+    current = _read_pointer(root)
+    versions = sorted(
+        int(m.group(1))
+        for d in _os.listdir(root)
+        if (m := _re.fullmatch(r"v_(\d+)", d)) and _os.path.isdir(f"{root}/{d}")
+    )
+    keep = set(versions[-keep_last:]) | {current}
+    pruned = []
+    for v in versions:
+        if v not in keep:
+            _shutil.rmtree(f"{root}/v_{v}", ignore_errors=True)
+            pruned.append(v)
+    return sorted(pruned)

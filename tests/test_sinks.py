@@ -197,3 +197,34 @@ def test_write_audit_publish_concurrent_writers(spark, tmp_path):
     assert pub.select("flag").distinct().collect()[0][0] == winner
     # the publish lock is released
     assert not os.path.exists(f"{path}/_PUBLISH.lock")
+
+
+def test_prune_versions_keeps_published_and_recent(spark, tmp_path):
+    """Retention never deletes the published snapshot (even when it is
+    older than the keep window) and keeps claim files so pruned version
+    numbers are never re-leased."""
+    import os
+
+    from cse_datapipeline_and_mls_spark.operators.expectations import Check
+    from cse_datapipeline_and_mls_spark.sources.sinks import (
+        prune_versions,
+        read_published,
+        write_audit_publish,
+    )
+
+    path = str(tmp_path / "wap_prune")
+    checks = [Check("flag_not_null", "not_null", col="flag")]
+    for i in range(4):
+        df = spark.createDataFrame([(i, f"v{i+1}")], "pk long, flag string")
+        assert write_audit_publish(df, path, checks) == i + 1
+    # roll the pointer back to v1 (time-travel style pin), then prune
+    with open(f"{path}/_VERSION", "w") as fh:
+        fh.write("1")
+    pruned = prune_versions(path, keep_last=2)
+    assert pruned == [2]  # v3, v4 recent; v1 published; v2 pruned
+    assert os.path.isdir(f"{path}/v_1") and not os.path.isdir(f"{path}/v_2")
+    assert read_published(spark, path).count() == 1
+    # claim files survive pruning -> the next publish leases v5, not v2
+    assert os.path.exists(f"{path}/v_2._claim")
+    df = spark.createDataFrame([(9, "v5")], "pk long, flag string")
+    assert write_audit_publish(df, path, checks) == 5
