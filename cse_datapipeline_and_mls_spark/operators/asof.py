@@ -159,7 +159,12 @@ def asof_join_nearest(
     and the whole matched row is chosen as a unit (no cross-row
     attribute stitching). A dim row AT the fact timestamp is the
     backward candidate at distance 0 and always wins, so the one shared
-    sort order loses nothing."""
+    sort order loses nothing.
+
+    Precondition (shared with every as-of variant): dim rows are unique
+    per (key, time) — duplicate timestamps make the matched row, and
+    therefore 'nearest', ill-defined. Aggregate the dim to the key+time
+    grain first (as the registered queries do)."""
     fact_cols = fact.columns
     dim_fields = {f.name: f for f in dim.schema.fields}
     time_t = dim_fields[dim_time].dataType
@@ -223,14 +228,21 @@ def asof_join_pandas(
     dim_time: str,
     dim_cols: Sequence[str],
     tolerance=None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Per-key ``pd.merge_asof`` via cogrouped applyInPandas — for
-    tolerance/nearest semantics. Arrow-batched; shuffles both sides once
-    on the key."""
+    """Per-key ``pd.merge_asof`` via cogrouped applyInPandas — the
+    escape hatch exposing pandas' full surface (``direction`` in
+    backward/forward/nearest × ``tolerance``) in one place; the native
+    single-shuffle compositions above cover each direction without
+    Python. Arrow-batched; shuffles both sides once on the key.
+    Cross-implementation parity (pandas vs native, all three
+    directions) is asserted in tests/test_asof.py."""
     import pandas as pd
 
     from pyspark.sql import types as T
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join_pandas: unknown direction {direction!r}")
     dim_types = {f.name: f.dataType for f in dim.schema.fields}
     fields = list(fact.schema.fields) + [T.StructField(c, dim_types[c]) for c in dim_cols]
     schema = T.StructType(fields)
@@ -246,7 +258,7 @@ def asof_join_pandas(
             right,
             left_on=fact_time,
             right_on=dim_time,
-            direction="backward",
+            direction=direction,
             tolerance=tolerance,
         )
         return merged[names]

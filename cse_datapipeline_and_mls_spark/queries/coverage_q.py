@@ -2571,3 +2571,91 @@ def x_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "suppkey")
         .limit(20)
     )
+
+
+@register(
+    "w_max_drawdown",
+    oracle="""
+    WITH runs AS (
+      SELECT user_id, ts, event_id, value,
+             max(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_max
+      FROM events
+    ), dd AS (
+      SELECT user_id,
+             (value - run_max) / nullif(run_max, 0) AS drawdown
+      FROM runs
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           floor(min(drawdown) * 1000000 + 0.5) / 1000000 AS max_drawdown
+    FROM dd GROUP BY user_id
+    """,
+)
+def w_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user series — the classic risk metric
+    (largest peak-to-trough drop relative to the running peak; the
+    reference's stock domain makes this a first-class ask). One running
+    max over the (user, time) sort + one keyed min — both on user_id,
+    so a cluster plans a single exchange. The most-negative ratio is
+    q6-quantized on both sides (money-like values land on 6-decimal
+    boundaries)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = ev.withColumn("run_max", F.max("value").over(w)).select(
+        "user_id",
+        ((F.col("value") - F.col("run_max")) / F.nullif(F.col("run_max"), F.lit(0))).alias(
+            "drawdown"
+        ),
+    )
+    return dd.groupBy("user_id").agg(_q6(F.min("drawdown")).alias("max_drawdown"))
+
+
+@register(
+    "agg_hhi_market_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1
+    ), tot AS (
+      SELECT nation, r, sum(r) OVER () AS t FROM rev
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_nations,
+           floor(sum((r / t) * (r / t)) * 1000000 + 0.5) / 1000000 AS hhi,
+           floor((1.0 / count(*)) * 1000000 + 0.5) / 1000000 AS hhi_floor
+    FROM tot
+    """,
+)
+def agg_hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index of supplier
+    revenue by nation: sum of squared revenue shares, with the 1/N
+    perfectly-competitive floor alongside. The share windows run over
+    the per-nation aggregate frame (25 rows), never data rows; the only
+    data-sized work is one revenue aggregation behind two broadcast dim
+    joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    t = rev.withColumn("t", F.sum("r").over(Window.partitionBy()))
+    share2 = (F.col("r") / F.col("t")) * (F.col("r") / F.col("t"))
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        _q6(F.sum(share2)).alias("hhi"),
+        _q6(F.lit(1.0) / F.count(F.lit(1))).alias("hhi_floor"),
+    )

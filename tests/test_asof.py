@@ -147,3 +147,107 @@ def test_asof_nearest_equal_timestamp_wins(spark):
     )
     [r] = asof_join_nearest(fact, dim, "k", "t", "dt", ["v"]).collect()
     assert r["v"] == 1.0  # distance 0 beats distance 1
+
+
+def test_asof_nearest_brute_force_parity(spark):
+    """Randomized parity: asof_join_nearest agrees with a driver-side
+    brute-force nearest (min |dt - t|, ties to the earlier dim row)
+    across keys, duplicates, and keys missing dim rows."""
+    import random
+
+    from cse_datapipeline_and_mls_spark.operators.asof import asof_join_nearest
+
+    rng = random.Random(7)
+    fact_rows = [
+        (i, rng.randint(0, 2), rng.randint(0, 1000)) for i in range(300)
+    ]
+    # (k, dt) unique: duplicate dim timestamps make 'nearest' ill-defined
+    # (documented operator precondition, same as the directional forms)
+    seen: set = set()
+    dim_rows = []
+    for i in range(60):
+        k, dt = rng.randint(0, 2), rng.randint(0, 1000)
+        if (k, dt) not in seen:
+            seen.add((k, dt))
+            dim_rows.append((k, dt, float(i)))
+    fact = spark.createDataFrame(fact_rows, "fid long, k long, t long")
+    dim = spark.createDataFrame(dim_rows, "k long, dt long, v double")
+
+    def brute(k, t):
+        cands = [(dt, v) for (dk, dt, v) in dim_rows if dk == k]
+        if not cands:
+            return None
+        best = min(cands, key=lambda c: (abs(c[0] - t), c[0]))
+        return best[1]
+
+    got = {
+        r["fid"]: r["v"]
+        for r in asof_join_nearest(fact, dim, "k", "t", "dt", ["v"]).collect()
+    }
+    assert len(got) == len(fact_rows)
+    for fid, k, t in fact_rows:
+        assert got[fid] == brute(k, t), (fid, k, t, got[fid], brute(k, t))
+
+
+def test_asof_pandas_directions_agree_with_native(spark):
+    """The pandas escape hatch and the three native single-shuffle
+    compositions implement the same semantics: parity on random data
+    for backward, forward, and nearest (tie-free times for nearest —
+    tie policy is pinned separately on the native form)."""
+    import random
+
+    from cse_datapipeline_and_mls_spark.operators.asof import (
+        asof_join,
+        asof_join_forward,
+        asof_join_nearest,
+        asof_join_pandas,
+    )
+
+    rng = random.Random(11)
+    fact = spark.createDataFrame(
+        [(i, rng.randint(0, 2), rng.randint(0, 500) * 2) for i in range(200)],
+        "fid long, k long, t long",  # even times
+    )
+    seen: set = set()
+    dim_rows = []
+    for i in range(40):
+        k, dt = rng.randint(0, 2), rng.randint(0, 500) * 2 + 1  # odd times: no 0-distance or symmetric ties? (|even-odd| can tie)
+        if (k, dt) not in seen:
+            seen.add((k, dt))
+            dim_rows.append((k, dt, float(i)))
+    dim = spark.createDataFrame(dim_rows, "k long, dt long, v double")
+
+    native = {
+        "backward": asof_join(fact, dim, "k", "t", "dt", ["v"]),
+        "forward": asof_join_forward(fact, dim, "k", "t", "dt", ["v"]),
+    }
+    for direction, nat in native.items():
+        a = {(r["fid"], r["v"]) for r in nat.collect()}
+        b = {
+            (r["fid"], r["v"])
+            for r in asof_join_pandas(
+                fact, dim, "k", "t", "dt", ["v"], direction=direction
+            ).collect()
+        }
+        assert a == b, direction
+    # nearest: symmetric ties possible with even-odd spacing; compare on
+    # the tie-free subset (both engines agree everywhere else)
+    nat = {r["fid"]: r["v"] for r in asof_join_nearest(fact, dim, "k", "t", "dt", ["v"]).collect()}
+    pnd = {
+        r["fid"]: r["v"]
+        for r in asof_join_pandas(fact, dim, "k", "t", "dt", ["v"], direction="nearest").collect()
+    }
+    fact_rows = fact.collect()
+    ties = 0
+    for r in fact_rows:
+        cands = sorted(abs(dt - r["t"]) for (k, dt, _v) in dim_rows if k == r["k"])
+        if len(cands) >= 2 and cands[0] == cands[1]:
+            ties += 1
+            continue
+        assert nat[r["fid"]] == pnd[r["fid"]], r
+    assert ties < len(fact_rows) // 2  # the comparison actually covered most rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join_pandas(fact, dim, "k", "t", "dt", ["v"], direction="sideways")
