@@ -40,6 +40,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def _load_all() -> None:
     from . import (  # noqa: F401
+        analytics_q,
         coverage_q,
         functions_q,
         llmdata_q,

@@ -1,0 +1,274 @@
+"""Applied-analytics queries extending the coverage surface: forensic
+data-quality audits (Benford), distribution-drift monitoring (PSI),
+marketing attribution (last touch), and time-weighted pricing (TWAP).
+
+Each follows the registry determinism rules: identical aliases both
+sides, q6 quantization on order-sensitive float aggregates, window
+orders carrying a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.numeric import q6 as _q6
+from ..sources import load_table
+from . import register
+
+
+@register(
+    "agg_benford_first_digit",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    ), digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cents GROUP BY 1
+    ), tot AS (
+      SELECT digit, n, sum(n) OVER () AS total FROM digits
+    )
+    SELECT digit, n,
+           floor((n * 1.0 / total) * 1000000 + 0.5) / 1000000 AS share,
+           floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5) / 1000000
+             AS benford_expected
+    FROM tot ORDER BY digit
+    """,
+)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of lineitem prices — the classic
+    forensic data-quality screen (fabricated or truncated monetary data
+    drifts from the log10(1+1/d) curve). The digit is extracted from
+    the EXACT integer cents (floor(x*100+0.5) — prices carry 2
+    decimals) so no float-format string differences can leak between
+    engines; one data-sized aggregation, then shares over the 9-row
+    digit frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("c")
+    )
+    digits = (
+        cents.select(F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = digits.withColumn("total", F.sum("n").over(Window.partitionBy()))
+    return tot.select(
+        "digit",
+        "n",
+        _q6(F.col("n") / F.col("total")).alias("share"),
+        _q6(F.log10(1.0 + 1.0 / F.col("digit"))).alias("benford_expected"),
+    ).orderBy("digit")
+
+
+@register(
+    "agg_psi_price_drift",
+    oracle="""
+    WITH bins AS (
+      SELECT CAST(range AS BIGINT) AS bin FROM range(10)
+    ), a AS (
+      SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+    ), b AS (
+      SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+    ), j AS (
+      SELECT bins.bin,
+             coalesce(a.n, 0) AS n_ref, coalesce(b.n, 0) AS n_cur
+      FROM bins LEFT JOIN a ON a.bin = bins.bin
+                LEFT JOIN b ON b.bin = bins.bin
+    ), t AS (
+      SELECT bin, n_ref, n_cur,
+             (n_ref + 1.0) / (sum(n_ref) OVER () + 10.0) AS p,
+             (n_cur + 1.0) / (sum(n_cur) OVER () + 10.0) AS q
+      FROM j
+    )
+    SELECT bin, n_ref, n_cur,
+           floor(p * 1000000 + 0.5) / 1000000 AS p_ref,
+           floor(q * 1000000 + 0.5) / 1000000 AS p_cur,
+           floor((q - p) * ln(q / p) * 1000000 + 0.5) / 1000000
+             AS psi_contrib
+    FROM t ORDER BY bin
+    """,
+)
+def agg_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor on the order-price
+    distribution, 1995 (reference window) vs 1996 (current window) —
+    the standard pre-retraining distribution-shift gate for an ML
+    feature. Fixed-width bins (10 x 50k over the known price domain)
+    joined to a generated bin spine so empty bins survive; Laplace
+    (+1) smoothing on BOTH engines keeps ln() off zero without an
+    epsilon constant. Per-bin contributions sum to the headline PSI;
+    everything after the two year-filtered aggregations runs on the
+    10-row bin frame."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    bin_col = F.least(F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(9))
+
+    def year_counts(yr: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == yr)
+            .select(bin_col.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    bins = spark.range(10).select(F.col("id").alias("bin"))
+    a = year_counts(1995).withColumnRenamed("n", "na")
+    b = year_counts(1996).withColumnRenamed("n", "nb")
+    j = (
+        bins.join(a, "bin", "left")
+        .join(b, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("na", F.lit(0)).alias("n_ref"),
+            F.coalesce("nb", F.lit(0)).alias("n_cur"),
+        )
+    )
+    w = Window.partitionBy()
+    t = j.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + 1.0) / (F.sum("n_ref").over(w) + 10.0)).alias("p"),
+        ((F.col("n_cur") + 1.0) / (F.sum("n_cur").over(w) + 10.0)).alias("q"),
+    )
+    return t.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        _q6(F.col("p")).alias("p_ref"),
+        _q6(F.col("q")).alias("p_cur"),
+        _q6((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))).alias(
+            "psi_contrib"
+        ),
+    ).orderBy("bin")
+
+
+@register(
+    "t_attribution_last_touch",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END
+               AS is_touch
+      FROM events
+    ), g AS (
+      SELECT *,
+             sum(is_touch) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS grp
+      FROM ev
+    ), touches AS (
+      SELECT user_id, event_type AS touch_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM ev WHERE is_touch = 1
+    )
+    SELECT coalesce(t.touch_type, 'none') AS touch_type,
+           CAST(count(*) AS BIGINT) AS conversions,
+           floor(sum(g.value) * 1000000 + 0.5) / 1000000
+             AS attributed_revenue
+    FROM g LEFT JOIN touches t
+      ON t.user_id = g.user_id AND t.rn = g.grp
+    WHERE g.event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def t_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent PRECEDING view/click (strictly before in
+    (ts, event_id) order; purchases with no prior touch land in
+    'none'). The ignore-nulls-free formulation — a running count of
+    touches names the last touch's per-user row_number, then one equi-
+    join retrieves its type — keeps both engines on plain windows + an
+    equi-join, all partitioned by user_id, so the whole query is one
+    exchange plus the touch join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    ev = ev.withColumn(
+        "is_touch", F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = ev.withColumn("grp", F.sum("is_touch").over(w))
+    touches = ev.filter(F.col("is_touch") == 1).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    purchases = g.filter(F.col("event_type") == "purchase")
+    joined = purchases.join(
+        touches,
+        (purchases["user_id"] == touches["t_user"]) & (purchases["grp"] == touches["rn"]),
+        "left",
+    )
+    return (
+        joined.groupBy(F.coalesce("touch_type", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            _q6(F.sum("value")).alias("attributed_revenue"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+@register(
+    "w_twap_daily",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             value, epoch_us(ts) / 1000000.0 AS t,
+             lead(epoch_us(ts) / 1000000.0) OVER (
+               PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY ts, event_id) AS t_next
+      FROM events
+    )
+    SELECT user_id, day,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           floor(sum(value * (t_next - t)) / sum(t_next - t) * 1000000 + 0.5)
+             / 1000000 AS twap
+    FROM s WHERE t_next IS NOT NULL
+    GROUP BY user_id, day ORDER BY user_id, day
+    """,
+)
+def w_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per user-day: each observation is
+    weighted by its holding time (seconds until the next same-day
+    observation; the day's last observation closes the weighting — the
+    interval-weighted complement of agg_vwap_supplier_month's volume
+    weighting). Timestamps become fractional epoch seconds via the
+    micros/1e6 double division both engines share bit-for-bit
+    (unix_micros/1e6 = DuckDB epoch_us()/1e6 — integer micros divided
+    identically, so no truncation-vs-fraction asymmetry and no bare
+    epoch()), and the weighted ratio is q6'd. The
+    lead window and the keyed agg share the (user, day) partitioning:
+    one exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    ev = ev.withColumn("day", F.date_trunc("day", "ts").cast("date")).withColumn(
+        "t", F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    s = ev.withColumn("t_next", F.lead("t").over(w)).filter(
+        F.col("t_next").isNotNull()
+    )
+    dt = F.col("t_next") - F.col("t")
+    return (
+        s.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            _q6(F.sum(F.col("value") * dt) / F.sum(dt)).alias("twap"),
+        )
+        .orderBy("user_id", "day")
+    )
