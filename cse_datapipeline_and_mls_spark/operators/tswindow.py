@@ -425,3 +425,46 @@ def merge_ohlc_bars(
             F.sum("n_trades").cast("long").alias("n_trades"),
         )
     )
+
+
+# -- CUSUM change-point statistic (sequential drift detection) --------------
+
+
+def with_cusum(
+    df: DataFrame,
+    value_col: str,
+    w: WindowSpec,
+    target: Column,
+    slack: Column,
+    out: str = "cusum",
+) -> DataFrame:
+    """One-sided (upper) CUSUM statistic per key:
+
+        s_t = max(0, s_{t-1} + (x_t - target - slack))
+
+    computed WITHOUT a recursive/stateful pass via the Lindley-recursion
+    closed form: with d_t = x_t - target - slack and prefix sums
+    S_t = sum(d_1..d_t), the reflected walk is
+
+        s_t = S_t - min(0, min_{j<=t} S_j)
+
+    so two cumulative windows (running sum + running min) over the same
+    sort replace the per-row recurrence — native whole-stage-codegen
+    exprs, no applyInPandas, one exchange when the caller's downstream
+    work shares ``w``'s partitioning. ``target``/``slack`` may be plain
+    literals or per-key window aggregates (e.g. the key's mean and
+    k*sigma); evaluating them over ``w``'s partition keeps everything in
+    the same exchange.
+
+    The page/CUSUM alert rule (s_t > h) is left to the caller so the
+    decision threshold can be quantized consistently with its oracle
+    twin (compare q6(s) to q6(h), never raw floats to raw floats —
+    FIXTURES.md §6)."""
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    d = F.col(value_col) - target - slack
+    df = df.withColumn("_cusum_s", F.sum(d).over(cum))
+    df = df.withColumn(
+        out,
+        F.col("_cusum_s") - F.least(F.lit(0.0), F.min("_cusum_s").over(cum)),
+    )
+    return df.drop("_cusum_s")

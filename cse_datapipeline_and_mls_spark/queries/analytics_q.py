@@ -272,3 +272,78 @@ def w_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "w_cusum_drift_alerts",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_id, value,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             stddev_pop(value) OVER (PARTITION BY user_id) AS sig
+      FROM events
+    ), walk AS (
+      SELECT user_id, ts, event_id, sig,
+             sum(value - mu - 0.5 * sig) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cum
+      FROM base
+    ), stat AS (
+      SELECT user_id, ts, sig,
+             s_cum - least(0.0, min(s_cum) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+      FROM walk
+    ), q AS (
+      SELECT user_id, ts,
+             floor(s * 1000000 + 0.5) / 1000000 AS s6,
+             floor(4.0 * sig * 1000000 + 0.5) / 1000000 AS h6
+      FROM stat
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) FILTER (WHERE s6 > h6) AS BIGINT) AS n_alerts,
+           floor(max(s6) * 1000000 + 0.5) / 1000000 AS max_stat,
+           min(ts) FILTER (WHERE s6 > h6) AS first_alert_ts
+    FROM q GROUP BY user_id ORDER BY user_id
+    """,
+)
+def w_cusum_drift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential change-point detection: one-sided CUSUM of each
+    user's value series against its own mean, slack k = 0.5 sigma and
+    decision threshold h = 4 sigma (the textbook Page parametrization).
+    The recurrence s_t = max(0, s_{t-1} + d_t) is NOT run statefully —
+    operators/tswindow.with_cusum uses the Lindley closed form
+    (prefix sum minus its running min), so the whole detector is two
+    cumulative windows + the per-key baseline window, all partitioned
+    by user_id: one exchange, full whole-stage codegen, no Python.
+    Alert decisions compare the q6-quantized statistic to the
+    q6-quantized threshold on BOTH engines (never raw vs raw)."""
+    from ..operators import tswindow as TS
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    wp = Window.partitionBy("user_id")
+    ev = ev.withColumn("mu", F.avg("value").over(wp)).withColumn(
+        "sig", F.stddev_pop("value").over(wp)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    st = TS.with_cusum(
+        ev, "value", w, target=F.col("mu"), slack=0.5 * F.col("sig"), out="s"
+    )
+    q = st.select(
+        "user_id",
+        "ts",
+        _q6(F.col("s")).alias("s6"),
+        _q6(4.0 * F.col("sig")).alias("h6"),
+    )
+    alert = F.col("s6") > F.col("h6")
+    return (
+        q.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            F.count(F.when(alert, 1)).alias("n_alerts"),
+            _q6(F.max("s6")).alias("max_stat"),
+            F.min(F.when(alert, F.col("ts"))).alias("first_alert_ts"),
+        )
+        .orderBy("user_id")
+    )

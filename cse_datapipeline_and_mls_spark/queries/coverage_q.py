@@ -2659,3 +2659,78 @@ def agg_hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q6(F.sum(share2)).alias("hhi"),
         _q6(F.lit(1.0) / F.count(F.lit(1))).alias("hhi_floor"),
     )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling twin for graph.k_core's capped-round contract:
+    exactly ``rounds`` degree-filter-semijoin blocks, then the converged
+    flag as e_N == e_{N-1} (counts suffice: peeling only removes edges).
+    Mechanically generated so the round count stays in lockstep with the
+    registered query's max_rounds."""
+    parts = [
+        """
+    WITH bk AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n
+        FROM bk x JOIN bk y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2) WHERE n >= 2)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    k{i} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT node, count(*) AS d FROM (
+          SELECT a AS node FROM e{i - 1}
+          UNION ALL SELECT b FROM e{i - 1}) GROUP BY node)
+      WHERE d >= {k}),
+    e{i} AS MATERIALIZED (
+      SELECT a, b FROM e{i - 1}
+      WHERE a IN (SELECT node FROM k{i})
+        AND b IN (SELECT node FROM k{i}))""")
+    parts.append(f"""
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(count(*) AS BIGINT) AS core_degree,
+           (SELECT count(*) FROM e{rounds})
+             = (SELECT count(*) FROM e{rounds - 1}) AS converged
+    FROM (SELECT a AS node FROM e{rounds}
+          UNION ALL SELECT b FROM e{rounds})
+    GROUP BY node ORDER BY node""")
+    return "".join(parts)
+
+
+@register("x_kcore_copurchase", oracle=_kcore_oracle(k=2, rounds=10))
+def x_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the REPEAT co-purchase graph (edges = part pairs
+    bought together in >= 2 orders — the sparse, signal-bearing layer
+    of the basket graph): iterative peeling via graph.k_core with the
+    capped-round contract (max_rounds=10; fixpoint measured at <= 6
+    rounds across sf0.001/0.01/0.1, so converged=true rides along as a
+    hash-checked invariant). The oracle unrolls exactly the cap, so
+    even a graph needing more rounds keeps both engines on the same
+    intermediate state — the flag flips false on BOTH sides instead of
+    the results diverging. Per round: one degree agg + two node-keyed
+    semi-joins; the support>=2 pre-filter is the same guard posture as
+    x_association_rules (never the raw quadratic basket explode at
+    scale)."""
+    from ..operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bk = li.distinct()
+    a = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    kc = k_core(edges, k=2, max_rounds=10)
+    return kc.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+        "converged",
+    ).orderBy("node")

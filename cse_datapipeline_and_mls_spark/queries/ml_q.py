@@ -531,3 +531,72 @@ def x_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(top8 >= 0.125)).alias("top8_explained_ge_0125"),
         F.lit(bool(monotone)).alias("components_nonincreasing"),
     )
+
+
+@register(
+    "ml_fpgrowth_itemsets",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), meta AS (
+      SELECT CAST(ceil(0.00013 * count(DISTINCT l_orderkey)) AS BIGINT) AS mc
+      FROM b
+    ), singles AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS itemset,
+             CAST(1 AS BIGINT) AS set_size,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM b GROUP BY l_partkey
+      HAVING count(*) >= (SELECT mc FROM meta)
+    ), pairs AS (
+      SELECT CAST(x.l_partkey AS VARCHAR) || ',' || CAST(y.l_partkey AS VARCHAR)
+               AS itemset,
+             CAST(2 AS BIGINT) AS set_size,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM b x JOIN b y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY x.l_partkey, y.l_partkey
+      HAVING count(*) >= (SELECT mc FROM meta)
+    )
+    SELECT itemset, set_size, freq FROM singles
+    UNION ALL
+    SELECT itemset, set_size, freq FROM pairs
+    ORDER BY set_size, itemset
+    """,
+)
+def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining with MLlib's distributed FP-Growth (Han
+    et al.'s FP-tree, parallelized PFP-style — no candidate generation,
+    two scans of the basket table) over order baskets. minSupport
+    0.00013 reproduces MLlib's exact threshold rule (minCount =
+    ceil(minSupport * n_baskets) — the identical double product + ceil
+    on both engines) so the oracle can re-derive the same frequent
+    sets by brute-force SQL for sizes 1-2; the engine output is
+    filtered to those sizes for the comparison (size-3+ sets only
+    exist at thresholds where the quadratic oracle would be the wrong
+    tool). Itemsets are emitted as comma-joined ascending id strings
+    on both sides. At 100 TB FP-Growth is THE right plan — support
+    counting shuffles item-conditional projections, never enumerating
+    per-basket pair explosions the way the oracle does."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+    )
+    fp = FPGrowth(itemsCol="items", minSupport=0.00013)
+    fi = fp.fit(baskets).freqItemsets
+    return (
+        fi.filter(F.size("items") <= 2)
+        .select(
+            F.concat_ws(
+                ",",
+                F.transform(F.array_sort("items"), lambda x: x.cast("string")),
+            ).alias("itemset"),
+            F.size("items").cast("long").alias("set_size"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+        .orderBy("set_size", "itemset")
+    )

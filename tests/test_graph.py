@@ -259,3 +259,38 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
     ghost = spark.createDataFrame([(99,)], "node long")
     with _pytest.raises(ValueError):
         personalized_pagerank(edges, ghost, iters=2)
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle,
+    pendant nodes peel off over two rounds; converged=True."""
+    from cse_datapipeline_and_mls_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    rows = {r["node"]: (r["core_degree"], r["converged"]) for r in k_core(edges, k=2).collect()}
+    assert rows == {1: (2, True), 2: (2, True), 3: (2, True)}
+
+
+def test_k_core_cap_reports_nonconvergence(spark):
+    """A long chain under k=2 peels one endpoint pair per round; with a
+    cap smaller than the rounds needed, the capped intermediate state is
+    returned with converged=False (the oracle-replayable contract)."""
+    from cse_datapipeline_and_mls_spark.operators.graph import k_core
+
+    chain = [(i, i + 1) for i in range(12)]
+    out = k_core(spark.createDataFrame(chain, "src long, dst long"), k=2, max_rounds=2)
+    rows = out.collect()
+    assert rows and all(r["converged"] is False for r in rows)
+    # two peels remove two nodes from each end: nodes 2..10 remain
+    assert sorted(r["node"] for r in rows) == list(range(2, 11))
+
+
+def test_k_core_empty_core(spark):
+    """A star graph has no 2-core: result is empty, converged=True."""
+    from cse_datapipeline_and_mls_spark.operators.graph import k_core
+
+    star = [(0, i) for i in range(1, 6)]
+    out = k_core(spark.createDataFrame(star, "src long, dst long"), k=2, max_rounds=10)
+    assert out.count() == 0

@@ -201,3 +201,34 @@ def test_compound_return_exact_boundary_quantization(spark):
 
     assert out[1] == 1.0
     assert out[2] == math.floor(expected + 0.5) / 1e6 == 18.695313
+
+
+def test_cusum_matches_recurrence(spark):
+    """The Lindley closed form (prefix sum minus running min) equals the
+    literal per-row recurrence s_t = max(0, s_{t-1} + d_t), on random
+    multi-key series including all-negative and all-positive drifts."""
+    import random
+
+    from pyspark.sql import Window
+
+    from cse_datapipeline_and_mls_spark.operators.tswindow import with_cusum
+
+    rng = random.Random(3)
+    rows = [
+        (k, i, rng.uniform(-5, 5)) for k in range(4) for i in range(50)
+    ] + [(9, i, -1.0) for i in range(5)] + [(8, i, 2.5) for i in range(5)]
+    df = spark.createDataFrame(rows, "k long, i long, x double")
+    w = Window.partitionBy("k").orderBy("i")
+    got = {
+        (r["k"], r["i"]): r["cusum"]
+        for r in with_cusum(
+            df, "x", w, target=__import__("pyspark").sql.functions.lit(0.3),
+            slack=__import__("pyspark").sql.functions.lit(0.1),
+        ).collect()
+    }
+    series: dict = {}
+    for k, i, x in sorted(rows):
+        s_prev = series.get(k, [0.0])[-1] if k in series else 0.0
+        s = max(0.0, s_prev + (x - 0.3 - 0.1))
+        series.setdefault(k, []).append(s)
+        assert abs(got[(k, i)] - s) < 1e-9, (k, i, got[(k, i)], s)
