@@ -465,3 +465,64 @@ def k_core(
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
     return deg.withColumn("converged", F.lit(converged))
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over an undirected graph, run for EXACTLY ``rounds``
+    synchronized rounds: labels start as node ids; each round every
+    node adopts the most frequent label among its neighbors, ties
+    broken to the smallest label. Returns (node, community).
+
+    The fixed-round synchronous definition (not "until stable") is
+    deliberate, same contract as k_core's cap: asynchronous/converged
+    LPA is order-dependent and can oscillate on bipartite structures,
+    while R synchronous rounds with a total tie-break are a pure
+    function of (graph, R) that an oracle replays by unrolling R
+    blocks. Callers pick small R — community structure emerges in a
+    handful of rounds and long LPA runs famously wash out to one giant
+    label anyway.
+
+    Scale: per round one |2E|-row neighbor-label join (node-keyed) +
+    one (node,label) count + one per-node argmax window — all
+    hash-partitioned on node, so a cluster co-partitions every stage;
+    state is 2 columns x |V|. Lineage truncated with an eager
+    localCheckpoint per round (the pagerank idiom)."""
+    und = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    for _ in range(rounds):
+        nbr = und.join(
+            labels.select(F.col("node").alias("b"), "lbl"), "b"
+        ).select(F.col("a").alias("node"), "lbl").unionByName(
+            und.join(
+                labels.select(F.col("node").alias("a"), "lbl"), "a"
+            ).select(F.col("b").alias("node"), "lbl")
+        )
+        cnt = nbr.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+        labels = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

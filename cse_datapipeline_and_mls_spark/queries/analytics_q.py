@@ -347,3 +347,86 @@ def w_cusum_drift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_W = "PARTITION BY user_id ORDER BY ts, event_id"
+# EWM-volatility constants: RiskMetrics-style lambda from span 20, and
+# the block length of the exact block-rebased closed form (tswindow
+# with_ema, block_factor 25). The !r-rendered literals keep the oracle
+# on the IDENTICAL doubles.
+_EWM_SPAN = 20
+_EWM_A = 1.0 - 2.0 / (_EWM_SPAN + 1.0)
+_EWM_L = 25 * (_EWM_SPAN + 1)
+
+
+@register(
+    "w_ewm_volatility",
+    oracle=f"""
+    WITH ret AS (
+      SELECT event_id, user_id, ts,
+             value / nullif(lag(value) OVER ({_W}), 0) - 1.0 AS r
+      FROM events
+    ), base AS (
+      SELECT event_id, user_id, ts, r * r AS r2,
+             row_number() OVER ({_W}) - 1 AS g
+      FROM ret WHERE r IS NOT NULL
+    ), reb AS (
+      SELECT *, g % {_EWM_L} AS pos, g // {_EWM_L} AS blk,
+             (r2) * power({_EWM_A!r}, -(g % {_EWM_L})) AS v
+      FROM base
+    ), sums AS (
+      SELECT *,
+             sum(v) OVER (PARTITION BY user_id, blk ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vrun
+      FROM reb
+    ), tots AS (
+      SELECT *,
+             last_value(vrun) OVER (PARTITION BY user_id, blk ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS vtot
+      FROM sums
+    ), spliced AS (
+      SELECT *,
+             coalesce(lag(vtot, {_EWM_L}) OVER ({_W})
+                    - lag(vrun, {_EWM_L}) OVER ({_W}), 0.0) AS prev
+      FROM tots
+    )
+    SELECT event_id, user_id, ts,
+           floor(sqrt(power({_EWM_A!r}, pos)
+                 * (vrun + power({_EWM_A!r}, {float(_EWM_L)!r}) * prev)
+               / ((1.0 - power({_EWM_A!r}, least(g + 1, {_EWM_L})))
+                  / {1.0 - _EWM_A!r})) * 1000000 + 0.5) / 1000000 AS ewm_vol
+    FROM spliced
+    """,
+)
+def w_ewm_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted volatility (RiskMetrics-style): per-user
+    percentage returns, squared, smoothed by the EXACT block-rebased
+    EWM closed form (tswindow.with_ema — bounded exponents at any
+    series length, L=525 trailing truncation whose dropped weight is
+    below output quantization), then sqrt. The first observation per
+    user (no return) is excluded on BOTH sides before row numbering so
+    the block arithmetic stays aligned. Every arithmetic step including
+    the cross-block splice is mirrored in the oracle; the volatility is
+    q6-quantized. Same one-exchange posture as w_ema: the (user, block)
+    windows cluster on a superset of the user partitioning."""
+    from ..operators.tswindow import with_ema
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ret = ev.withColumn(
+        "r", F.col("value") / F.nullif(F.lag("value").over(w), F.lit(0)) - 1.0
+    ).filter(F.col("r").isNotNull())
+    r2 = ret.withColumn("r2", F.col("r") * F.col("r"))
+    out = with_ema(
+        r2,
+        "r2",
+        out="ewm_var",
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        span=_EWM_SPAN,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", _q6(F.sqrt("ewm_var")).alias("ewm_vol")
+    )

@@ -2734,3 +2734,79 @@ def x_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("core_degree").cast("long").alias("core_degree"),
         "converged",
     ).orderBy("node")
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled synchronous-LPA twin for graph.label_propagation's
+    fixed-round contract: R neighbor-vote blocks (count + min-tie-break
+    argmax), MATERIALIZED so DuckDB doesn't inline each round's CTE
+    into the next exponentially."""
+    parts = [
+        """
+    WITH bk AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ed AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n
+        FROM bk x JOIN bk y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2) WHERE n >= 2),
+    l0 AS MATERIALIZED (
+      SELECT node, node AS lbl FROM (
+        SELECT a AS node FROM ed UNION SELECT b FROM ed))"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    nbr{i} AS (
+      SELECT e.a AS node, l.lbl FROM ed e JOIN l{i - 1} l ON l.node = e.b
+      UNION ALL
+      SELECT e.b, l.lbl FROM ed e JOIN l{i - 1} l ON l.node = e.a),
+    cnt{i} AS (
+      SELECT node, lbl, count(*) AS c FROM nbr{i} GROUP BY node, lbl),
+    l{i} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM cnt{i}) WHERE rn = 1)""")
+    parts.append(f"""
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(lbl AS BIGINT) AS community,
+           CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+    FROM l{rounds} ORDER BY node""")
+    return "".join(parts)
+
+
+@register("x_label_propagation_communities", oracle=_lpa_oracle(rounds=4))
+def x_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the repeat co-purchase graph via
+    synchronous label propagation (graph.label_propagation, 4 fixed
+    rounds, smallest-label tie-break — the deterministic fixed-round
+    contract; see the operator docstring for why not
+    iterate-to-stability). Communities group parts that repeatedly
+    sell together — the graph complement of x_association_rules'
+    pairwise lifts. Oracle unrolls the identical 4 synchronous rounds.
+    Per round: node-keyed joins + (node,label) count + argmax window —
+    co-partitioned on a cluster; the ≥2-support edge filter keeps the
+    graph the sparse signal-bearing layer, as in x_kcore_copurchase."""
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bk = li.distinct()
+    a = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    com = label_propagation(edges, rounds=4)
+    return com.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("community").cast("long").alias("community"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("community"))
+        .cast("long")
+        .alias("community_size"),
+    ).orderBy("node")

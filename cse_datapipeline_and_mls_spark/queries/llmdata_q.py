@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as X
+from ..operators.numeric import q6 as _q6
 from ..sources import load_table
 from . import register
 
@@ -1758,3 +1759,103 @@ def x_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_bpe") >= F.col("n_words")).alias("bpe_ge_words"),
         (F.col("n_bpe") < F.col("n_char_tokens")).alias("bpe_compresses"),
     )
+
+
+@register(
+    "x_source_contamination_matrix",
+    oracle="""
+    WITH words AS (
+      SELECT source, doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), tokens AS (
+      SELECT source, doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx FROM words
+    ), grams AS (
+      SELECT source,
+             word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS g
+      FROM tokens WINDOW win AS (PARTITION BY doc_id ORDER BY idx)
+      QUALIFY lead(word, 2) OVER win IS NOT NULL
+    ), sg AS (
+      SELECT DISTINCT source, g FROM grams
+    ), sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS sz FROM sg GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM sg a JOIN sg b USING (g)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, sa.sz AS n_a, sb.sz AS n_b, i.n_inter,
+           floor(i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) * 1000000 + 0.5)
+             / 1000000 AS jaccard,
+           floor(i.n_inter * 1.0 / sa.sz * 1000000 + 0.5) / 1000000
+             AS contain_a_in_b,
+           floor(i.n_inter * 1.0 / sb.sz * 1000000 + 0.5) / 1000000
+             AS contain_b_in_a
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY i.src_a, i.src_b
+    """,
+)
+def x_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level cross-source overlap diagnostic: pairwise 3-gram
+    Jaccard AND directional containment (|A∩B|/|A| — the
+    train-test-contamination direction) between every pair of document
+    sources. The dataset-grain complement of the doc-grain
+    contamination screen (x_contamination_screen): it answers "which
+    SOURCES share content" before any per-document work.
+
+    Plan is posting-list shaped: grams explode map-side, ONE shuffle
+    groups them by gram into a distinct source set (sources-per-gram ≤
+    |sources|, so no hub blowup), and both the per-source sizes and the
+    per-pair intersections explode out of that one materialized frame
+    (localCheckpoint — two consumers would otherwise re-derive the
+    tokenize+shuffle per leg). Intersection/size aggregations are
+    O(sources²)/O(sources) rows — at 100 TB only the gram shuffle is
+    data-sized, the matrix never is."""
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    gram_sources = (
+        D.shingle(docs, "text", n=3)
+        .select("source", F.explode("shingles").alias("g"))
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .select("srcs")
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        gram_sources.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    pair_pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "srcs",
+                lambda x: F.transform("srcs", lambda y: F.struct(x.alias("a"), y.alias("b"))),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
+    inter = (
+        gram_sources.select(F.explode(pair_pairs).alias("p"))
+        .select(F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("n_b"))
+    out = inter.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        _q6(F.col("n_inter") / union_sz).alias("jaccard"),
+        _q6(F.col("n_inter") / F.col("n_a")).alias("contain_a_in_b"),
+        _q6(F.col("n_inter") / F.col("n_b")).alias("contain_b_in_a"),
+    ).orderBy("src_a", "src_b")

@@ -294,3 +294,16 @@ def test_k_core_empty_core(spark):
     star = [(0, i) for i in range(1, 6)]
     out = k_core(spark.createDataFrame(star, "src long, dst long"), k=2, max_rounds=10)
     assert out.count() == 0
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: labels converge to the
+    min node id of each clique; the bridge does not merge them."""
+    from cse_datapipeline_and_mls_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], "src long, dst long")
+    com = {r["node"]: r["community"] for r in label_propagation(edges, rounds=4).collect()}
+    assert {com[n] for n in range(4)} == {0}
+    assert {com[n] for n in range(10, 14)} == {10}
