@@ -430,3 +430,171 @@ def w_ewm_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", _q6(F.sqrt("ewm_var")).alias("ewm_vol")
     )
+
+
+@register(
+    "agg_gini_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS r
+      FROM lineitem GROUP BY l_suppkey
+    ), ranked AS (
+      SELECT r, row_number() OVER (ORDER BY r, l_suppkey) AS i,
+             count(*) OVER () AS n, sum(r) OVER () AS tot
+      FROM rev
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_suppliers,
+           floor((2.0 * sum(i * r) / (max(n) * max(tot))
+                  - (max(n) + 1.0) / max(n)) * 1000000 + 0.5) / 1000000
+             AS gini
+    FROM ranked
+    """,
+)
+def agg_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of supplier revenue concentration — the
+    Lorenz-curve summary complementing agg_hhi_market_concentration's
+    squared-share view. Rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n
+    over ascending revenue (suppkey tiebreak; equal revenues make the
+    rank assignment irrelevant to Σ i·x_i, so the statistic is
+    tie-stable). One keyed aggregation is the only data-sized work;
+    the rank window runs over the supplier frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+    )
+    wr = Window.orderBy("r", "l_suppkey")
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "r",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("r").over(wall).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_suppliers"),
+        _q6(
+            2.0 * F.sum(F.col("i") * F.col("r")) / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n")
+        ).alias("gini"),
+    )
+
+
+@register(
+    "agg_ks_price_drift",
+    oracle="""
+    WITH a AS (
+      SELECT o_totalprice AS p FROM orders WHERE year(o_orderdate) = 1995
+    ), b AS (
+      SELECT o_totalprice AS p FROM orders WHERE year(o_orderdate) = 1996
+    ), u AS (
+      SELECT p, CAST(count(*) FILTER (WHERE side = 'a') AS BIGINT) AS ca,
+             CAST(count(*) FILTER (WHERE side = 'b') AS BIGINT) AS cb
+      FROM (SELECT p, 'a' AS side FROM a UNION ALL SELECT p, 'b' FROM b)
+      GROUP BY p
+    ), e AS (
+      SELECT sum(ca) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) * 1.0
+               / (SELECT count(*) FROM a) AS fa,
+             sum(cb) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) * 1.0
+               / (SELECT count(*) FROM b) AS fb
+      FROM u
+    )
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_ref,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_cur,
+           floor(max(abs(fa - fb)) * 1000000 + 0.5) / 1000000 AS ks_stat
+    FROM e
+    """,
+)
+def agg_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic on the order-price
+    distribution, 1995 vs 1996 — the nonparametric companion to
+    agg_psi_price_drift's binned view (sup-norm ECDF distance; no
+    binning choice to defend). Distinct prices are aggregated first so
+    the running ECDFs walk one row per distinct value (ties across the
+    two samples handled by construction); integer cumulative counts
+    divide by integer totals, so both engines trace identical doubles
+    up to the single q6'd max. The global ECDF window runs over the
+    distinct-price frame, not raw rows."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    a = o.filter(F.year("o_orderdate") == 1995).select(F.col("o_totalprice").alias("p"))
+    b = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_totalprice").alias("p"))
+    na, nb = a.count(), b.count()
+    u = (
+        a.withColumn("side", F.lit("a"))
+        .unionByName(b.withColumn("side", F.lit("b")))
+        .groupBy("p")
+        .agg(
+            F.count(F.when(F.col("side") == "a", 1)).alias("ca"),
+            F.count(F.when(F.col("side") == "b", 1)).alias("cb"),
+        )
+    )
+    we = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    e = u.select(
+        (F.sum("ca").over(we) * 1.0 / F.lit(na)).alias("fa"),
+        (F.sum("cb").over(we) * 1.0 / F.lit(nb)).alias("fb"),
+    )
+    return e.agg(
+        F.lit(na).cast("long").alias("n_ref"),
+        F.lit(nb).cast("long").alias("n_cur"),
+        _q6(F.max(F.abs(F.col("fa") - F.col("fb")))).alias("ks_stat"),
+    )
+
+
+@register(
+    "agg_wilson_daily_conversion",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2
+    ), agg AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(conv) AS BIGINT) AS n_converted,
+             sum(conv) * 1.0 / count(*) AS p, count(*) * 1.0 AS n
+      FROM daily GROUP BY day
+    )
+    SELECT day, n_users, n_converted,
+           floor(p * 1000000 + 0.5) / 1000000 AS rate,
+           floor((p + 1.9208 / n - 1.96 * sqrt(p * (1 - p) / n + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n) * 1000000 + 0.5) / 1000000 AS wilson_lo,
+           floor((p + 1.9208 / n + 1.96 * sqrt(p * (1 - p) / n + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n) * 1000000 + 0.5) / 1000000 AS wilson_hi
+    FROM agg ORDER BY day
+    """,
+)
+def agg_wilson_daily_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily user→purchase conversion rate with the Wilson 95% score
+    interval — the right uncertainty band for small daily cohorts
+    (never leaves [0,1], unlike the normal approximation). Trials =
+    users active that day, successes = users with a purchase that day
+    (successes ≤ trials by construction, so the sqrt argument is
+    nonnegative). z constants appear as exact literals (1.96, z²=3.8416,
+    z²/2=1.9208, z²/4=0.9604) identically on both engines. Two keyed
+    aggregations, both on (day[, user]) — a cluster co-partitions
+    them."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "event_type")
+    daily = (
+        ev.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+        .groupBy("day", "user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "conv"
+            )
+        )
+    )
+    agg = daily.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").cast("long").alias("n_converted"),
+    )
+    p = F.col("n_converted") * 1.0 / F.col("n_users")
+    n = F.col("n_users") * 1.0
+    half = 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    return agg.select(
+        "day",
+        "n_users",
+        "n_converted",
+        _q6(p).alias("rate"),
+        _q6((p + 1.9208 / n - half) / (1 + 3.8416 / n)).alias("wilson_lo"),
+        _q6((p + 1.9208 / n + half) / (1 + 3.8416 / n)).alias("wilson_hi"),
+    ).orderBy("day")

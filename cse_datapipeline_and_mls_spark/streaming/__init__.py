@@ -15,7 +15,7 @@ from .pipeline import (
     ohlc_aggregate,
     windowed_aggregate,
 )
-from .stateful import running_zscore_anomalies
+from .stateful import cusum_alerts_stream, running_zscore_anomalies
 from .tws import running_distinct_types
 
 __all__ = [
@@ -34,4 +34,5 @@ __all__ = [
     "interval_join",
     "expectations_on_stream",
     "running_zscore_anomalies",
+    "cusum_alerts_stream",
 ]

@@ -107,3 +107,74 @@ def running_zscore_anomalies(
             timeoutConf="NoTimeout",
         )
     )
+
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("cusum", DoubleType()),
+        StructField("alert", StringType()),
+    ]
+)
+
+# CUSUM state: the single reflected-walk value. O(1) per key, ever.
+CUSUM_STATE_SCHEMA = StructType([StructField("s", DoubleType())])
+
+
+def _cusum_batches(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: "GroupState",
+    target: float,
+    slack: float,
+    threshold: float,
+) -> Iterator[pd.DataFrame]:
+    (s,) = state.get if state.exists else (0.0,)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        stats = []
+        for v in pdf["value"].astype(float):
+            s = max(0.0, s + (v - target - slack))
+            stats.append(s)
+        out = pdf[["user_id", "event_id", "ts", "value"]].copy()
+        out["cusum"] = stats
+        out["alert"] = ["Alert" if x > threshold else "Normal" for x in stats]
+        yield out
+    state.update((s,))
+
+
+def cusum_alerts_stream(
+    stream: DataFrame,
+    target: float,
+    slack: float,
+    threshold: float,
+) -> DataFrame:
+    """Streaming one-sided CUSUM change-point detector: the literal
+    Page recurrence s = max(0, s + (x - target - slack)) carried across
+    micro-batches as ONE double per key — the streaming counterpart of
+    the batch Lindley closed form (tswindow.with_cusum; the batch
+    w_cusum_drift_alerts query derives target/slack from the key's own
+    full history, which is non-causal — a live detector takes them as
+    known baselines, e.g. from the previous day's batch job). Within a
+    micro-batch rows are scored in event-time order; cross-batch
+    ordering is the source's contract, as with running_zscore_anomalies.
+    State size is #keys x 1 double regardless of stream length — the
+    100 TB-safe shape."""
+
+    def fn(key, pdfs, state):
+        return _cusum_batches(key, pdfs, state, target, slack, threshold)
+
+    return (
+        stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -622,3 +622,36 @@ def test_content_dedup_stream_drops_late_rows_and_counts_them(spark, tmp_path_fa
     assert audit["rows_dropped_by_watermark"] == 1
     arrived = sum(b[metric_name]["n_rows"] for b in audit["observed"])
     assert arrived == 3
+
+
+def test_stateful_cusum_matches_batch_closed_form(spark, events_dir):
+    """Streaming CUSUM (literal Page recurrence, one double of state per
+    key, carried across micro-batches) equals the batch Lindley closed
+    form (tswindow.with_cusum) on the same data with the same fixed
+    target/slack; alert decisions agree everywhere."""
+    from pyspark.sql import Window
+
+    from cse_datapipeline_and_mls_spark.operators.tswindow import with_cusum
+
+    stream = ST.ingest_file_stream(spark, events_dir).dropDuplicates(["event_id"])
+    got = ST.run_to_memory_sink(
+        ST.cusum_alerts_stream(stream, target=24.0, slack=2.0, threshold=40.0),
+        "cusum_test",
+    )
+    batch = spark.read.parquet(events_dir).dropDuplicates(["event_id"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = with_cusum(
+        batch, "value", w, target=F.lit(24.0), slack=F.lit(2.0), out="cusum"
+    ).select("event_id", "cusum")
+    got_map = {r["event_id"]: (round(r["cusum"], 6), r["alert"]) for r in got.collect()}
+    want_map = {
+        r["event_id"]: (round(r["cusum"], 6), "Alert" if r["cusum"] > 40.0 else "Normal")
+        for r in want.collect()
+    }
+    assert len(got_map) == 200
+    mismatches = {
+        k: (got_map[k], want_map[k])
+        for k in want_map
+        if abs(got_map[k][0] - want_map[k][0]) > 1e-6 or got_map[k][1] != want_map[k][1]
+    }
+    assert not mismatches, f"{len(mismatches)} mismatches, e.g. {list(mismatches.items())[:3]}"
