@@ -103,6 +103,17 @@ HEADLINE = [
     "x_simhash_neardup_pairs",
     # r6: the last bracket-verdict ANN row without a headline timing
     "x_ann_lsh_topk",
+    # r6 session 2: the round's scale-sensitive newcomers — iterative
+    # graph ops (capped-round k-core, synchronous LPA), distributed
+    # FP-Growth, the posting-shaped cross-source contamination matrix,
+    # and the two heaviest new window detectors (block-rebased EWM
+    # volatility, Lindley-form CUSUM)
+    "x_kcore_copurchase",
+    "x_label_propagation_communities",
+    "ml_fpgrowth_itemsets",
+    "x_source_contamination_matrix",
+    "w_ewm_volatility",
+    "w_cusum_drift_alerts",
 ]
 
 
@@ -223,6 +234,7 @@ def main() -> None:
     r3_subset = round(sum(timings[n] for n in HEADLINE[:31] if n in timings), 3)
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
+    r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
     print(
         json.dumps(
             {
@@ -235,6 +247,7 @@ def main() -> None:
                 "r3_subset_total_sec": r3_subset,
                 "r4_subset_total_sec": r4_subset,
                 "r5_subset_total_sec": r5_subset,
+                "r6_subset_total_sec": r6_subset,
                 "production_sec": production,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

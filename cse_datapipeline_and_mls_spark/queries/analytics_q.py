@@ -598,3 +598,228 @@ def agg_wilson_daily_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q6((p + 1.9208 / n - half) / (1 + 3.8416 / n)).alias("wilson_lo"),
         _q6((p + 1.9208 / n + half) / (1 + 3.8416 / n)).alias("wilson_hi"),
     ).orderBy("day")
+
+
+@register(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH ref AS (
+      SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS ref_day FROM events
+    ), p AS (
+      SELECT user_id,
+             date_diff('day', CAST(date_trunc('day', max(ts)) AS DATE),
+                       (SELECT ref_day FROM ref)) AS r_days,
+             CAST(count(*) AS BIGINT) AS freq,
+             floor(sum(value) * 1000000 + 0.5) / 1000000 AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(r_days AS BIGINT) AS r_days, freq, monetary,
+           CAST(ntile(5) OVER (ORDER BY r_days DESC, user_id) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY freq ASC, user_id) AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary ASC, user_id) AS BIGINT) AS m_score,
+           CAST(ntile(5) OVER (ORDER BY r_days DESC, user_id) * 100
+                + ntile(5) OVER (ORDER BY freq ASC, user_id) * 10
+                + ntile(5) OVER (ORDER BY monetary ASC, user_id) AS BIGINT)
+             AS rfm_code
+    FROM p ORDER BY user_id
+    """,
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user purchase recency (days back
+    from the corpus's last event day), frequency, and monetary value,
+    quintile-scored into the classic 111..555 codes. Scores sort on the
+    QUANTIZED monetary value (q6) with a user_id tiebreak so quintile
+    boundaries can't flip on float-summation noise. The ntile windows
+    run over the per-user aggregate frame — at production scale swap
+    them for percent_rank over range-partitioned sorts; the data-sized
+    work is the one purchase aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    ref_day = ev.agg(F.date_trunc("day", F.max("ts")).cast("date").alias("d"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.max("ts")).cast("date").alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            _q6(F.sum("value")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref_day))
+        .select(
+            "user_id",
+            F.datediff(F.col("d"), F.col("last_day")).cast("long").alias("r_days"),
+            "freq",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy(F.desc("r_days"), "user_id")
+    wf = Window.orderBy(F.asc("freq"), "user_id")
+    wm = Window.orderBy(F.asc("monetary"), "user_id")
+    r, fq, m = (
+        F.ntile(5).over(wr).cast("long"),
+        F.ntile(5).over(wf).cast("long"),
+        F.ntile(5).over(wm).cast("long"),
+    )
+    return p.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "r_days",
+        "freq",
+        "monetary",
+        r.alias("r_score"),
+        fq.alias("f_score"),
+        m.alias("m_score"),
+        (r * 100 + fq * 10 + m).alias("rfm_code"),
+    ).orderBy("user_id")
+
+
+@register(
+    "t_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), cnt AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           floor(n * 1.0 / sum(n) OVER (PARTITION BY cur) * 1000000 + 0.5)
+             / 1000000 AS p
+    FROM cnt ORDER BY cur, nxt
+    """,
+)
+def t_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences (the clickstream what-happens-next model): transition
+    counts from each event to the user's next event, normalized per
+    source state. One lead window + one keyed count; the normalizing
+    window runs over the |states|² count frame. Integer count ratios
+    are q6'd."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cnt = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    return cnt.select(
+        "cur",
+        "nxt",
+        "n",
+        _q6(F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("cur"))).alias("p"),
+    ).orderBy("cur", "nxt")
+
+
+@register(
+    "t_kaplan_meier_conversion",
+    oracle="""
+    WITH ref AS (
+      SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS ref_day FROM events
+    ), signup AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+      SELECT s.user_id, s.t0, min(e.ts) AS t1
+      FROM signup s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts > s.t0
+      GROUP BY s.user_id, s.t0
+    ), subj AS (
+      SELECT user_id,
+             CASE WHEN t1 IS NOT NULL
+                  THEN date_diff('day', CAST(date_trunc('day', t0) AS DATE),
+                                        CAST(date_trunc('day', t1) AS DATE))
+                  ELSE date_diff('day', CAST(date_trunc('day', t0) AS DATE),
+                                        (SELECT ref_day FROM ref)) END AS dur,
+             CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM conv
+    ), risk AS (
+      SELECT d.dur,
+             CAST(sum(CASE WHEN s.dur >= d.dur THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_at_risk,
+             CAST(sum(CASE WHEN s.dur = d.dur AND s.ev = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_events
+      FROM (SELECT DISTINCT dur FROM subj WHERE ev = 1) d, subj s
+      GROUP BY d.dur
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_days, n_at_risk, n_events,
+           floor(exp(sum(ln(1.0 - n_events * 1.0 / n_at_risk))
+                     OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)) * 1000000 + 0.5) / 1000000
+             AS survival
+    FROM risk ORDER BY dur
+    """,
+)
+def t_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for signup→purchase conversion:
+    duration = days from a user's first signup to their first
+    subsequent purchase, right-censored at the corpus's last event day
+    for users who never convert. S(t) = Π(1 − d_i/n_i) over event
+    durations, computed as exp of a running sum of logs — identical
+    doubles through ln/exp on both engines, q6'd at the output. The
+    at-risk/step computation runs over the per-user subject frame
+    (one row per signup user) and the distinct-duration spine; the
+    data-sized work is the signup/purchase aggregations, all keyed on
+    user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    ref_day = ev.agg(F.date_trunc("day", F.max("ts")).cast("date").alias("ref_day"))
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    conv = (
+        signup.join(
+            purch,
+            (signup["user_id"] == purch["p_user"]) & (purch["pts"] > signup["t0"]),
+            "left",
+        )
+        .groupBy("user_id", "t0")
+        .agg(F.min("pts").alias("t1"))
+    )
+    subj = conv.crossJoin(F.broadcast(ref_day)).select(
+        F.when(
+            F.col("t1").isNotNull(),
+            F.datediff(
+                F.date_trunc("day", "t1").cast("date"),
+                F.date_trunc("day", "t0").cast("date"),
+            ),
+        )
+        .otherwise(
+            F.datediff(F.col("ref_day"), F.date_trunc("day", "t0").cast("date"))
+        )
+        .alias("dur"),
+        F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    spine = subj.filter(F.col("ev") == 1).select("dur").distinct().withColumnRenamed("dur", "d_dur")
+    risk = (
+        spine.crossJoin(subj)
+        .groupBy("d_dur")
+        .agg(
+            F.sum(F.when(F.col("dur") >= F.col("d_dur"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_at_risk"),
+            F.sum(
+                F.when((F.col("dur") == F.col("d_dur")) & (F.col("ev") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_events"),
+        )
+    )
+    wk = Window.orderBy("d_dur").rowsBetween(Window.unboundedPreceding, 0)
+    return risk.select(
+        F.col("d_dur").cast("long").alias("duration_days"),
+        "n_at_risk",
+        "n_events",
+        _q6(
+            F.exp(
+                F.sum(F.log(1.0 - F.col("n_events") * 1.0 / F.col("n_at_risk"))).over(wk)
+            )
+        ).alias("survival"),
+    ).orderBy("duration_days")

@@ -316,3 +316,32 @@ def test_ohlc_bars_empty_and_bucket_boundary(spark):
         "bucket", "day"
     ).collect()
     assert sorted(map(tuple, daily)) == sorted(map(tuple, direct))
+
+
+def test_k_core_empty_edges(spark):
+    from cse_datapipeline_and_mls_spark.operators.graph import k_core
+
+    e = spark.createDataFrame([], "src long, dst long")
+    out = k_core(e, k=2, max_rounds=5)
+    assert out.columns == ["node", "core_degree", "converged"]
+    assert out.count() == 0
+
+
+def test_label_propagation_empty_edges(spark):
+    from cse_datapipeline_and_mls_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame([], "src long, dst long")
+    out = label_propagation(e, rounds=3)
+    assert out.columns == ["node", "community"]
+    assert out.count() == 0
+
+
+def test_with_cusum_empty_series(spark):
+    from pyspark.sql import Window, functions as F
+
+    from cse_datapipeline_and_mls_spark.operators.tswindow import with_cusum
+
+    df = spark.createDataFrame([], "k long, i long, x double")
+    w = Window.partitionBy("k").orderBy("i")
+    out = with_cusum(df, "x", w, target=F.lit(0.0), slack=F.lit(0.0))
+    assert "cusum" in out.columns and out.count() == 0

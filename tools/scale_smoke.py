@@ -615,6 +615,93 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
             spark.conf.set(k, v)
     out["skewed_join_hot_key"] = res
 
+    # 18. k-core peeling (r6): rounds x (degree agg + 2 semi-joins) on
+    # the sparse repeat-co-purchase graph. Disjoint copies leave the
+    # round count unchanged (each copy peels identically), so per-EDGE
+    # cost must stay flat as |E| scales with copies.
+    from cse_datapipeline_and_mls_spark.operators.graph import k_core, label_propagation
+
+    def sparse_edges(kk: int) -> DataFrame:
+        li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+        bk = li.distinct()
+        a = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+        b = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+        e = (
+            a.join(b, "k")
+            .filter(F.col("src") < F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("src", "dst")
+        )
+        copies = spark.range(kk).select(F.col("id").alias("_k"))
+        return e.crossJoin(copies).select(
+            (F.col("src") + F.col("_k") * 10_000_000).alias("src"),
+            (F.col("dst") + F.col("_k") * 10_000_000).alias("dst"),
+        )
+
+    for case_name, op in (
+        ("kcore_sparse_edges", lambda e: k_core(e, k=2, max_rounds=10)),
+        ("label_propagation_edges", lambda e: label_propagation(e, rounds=4)),
+    ):
+        res = {}
+        for label, kk in (("1x", 1), (f"{k_graph}x", k_graph)):
+            e = sparse_edges(kk)
+            n_edges = e.count()
+            t0 = time.time()
+            op(e).write.format("noop").mode("overwrite").save()
+            sec = time.time() - t0
+            res[label] = {
+                "rows": n_edges,
+                "sec": round(sec, 2),
+                "us_per_row": round(sec / n_edges * 1e6, 3),
+            }
+        res["per_row_ratio"] = round(
+            res[f"{k_graph}x"]["us_per_row"] / res["1x"]["us_per_row"], 2
+        )
+        out[case_name] = res
+
+    # 19. Cross-source contamination matrix (r6): one gram shuffle into
+    # per-gram source sets, O(sources^2) matrix out. Doc copies multiply
+    # gram rows; source count is FIXED, so per-input-doc cost must stay
+    # flat (the matrix never grows with the corpus).
+    from cse_datapipeline_and_mls_spark.queries import QUERIES as _Q
+
+    def contamination(one):
+        docs = scaled_docs(spark, 1 if one else k_docs).select(
+            "source", "doc_id", "text"
+        )
+        gram_sources = (
+            D.shingle(docs, "text", n=3)
+            .select("source", F.explode("shingles").alias("g"))
+            .groupBy("g")
+            .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+            .select("srcs")
+        )
+        pair_pairs = F.filter(
+            F.flatten(
+                F.transform(
+                    "srcs",
+                    lambda x: F.transform(
+                        "srcs", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                    ),
+                )
+            ),
+            lambda pr: pr["a"] < pr["b"],
+        )
+        return (
+            gram_sources.select(F.explode(pair_pairs).alias("p"))
+            .select(F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+
+    case(
+        "source_contamination_docs",
+        contamination,
+        n_rows_fn=lambda one: scaled_docs(spark, 1 if one else k_docs).count(),
+    )
+
     return out
 
 
