@@ -468,3 +468,61 @@ def with_cusum(
         F.col("_cusum_s") - F.least(F.lit(0.0), F.min("_cusum_s").over(cum)),
     )
     return df.drop("_cusum_s")
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    duration_col: str = "dur",
+    event_col: str = "ev",
+) -> DataFrame:
+    """Kaplan–Meier survival estimator over a subject frame (one row per
+    subject, ``duration_col`` = observed duration, ``event_col`` = 1 for
+    an event, 0 for right-censored). Returns one row per EVENT duration:
+    ``(duration_days, n_at_risk, n_events, survival)``, survival un-
+    quantized (callers quantize at the output boundary).
+
+    Scale posture: the subject frame is grouped by duration FIRST (one
+    data-sized aggregation), so every window below runs over the
+    distinct-duration spine — thousands of rows, not subjects. n_at_risk
+    is the reverse-cumulative subject count over that spine
+    (``sum(n_total) OVER (ORDER BY dur DESC)``) — no spine×subjects
+    cross join. The spine windows are unpartitioned by construction
+    (a survival curve is a global ordered product) but run on a
+    duration-grouped frame whose cardinality is bounded by the observed
+    duration range, not the corpus.
+
+    Absorbed-step guard: when a step converts ALL remaining at-risk
+    subjects (``n_events == n_at_risk``) the survival factor is exactly
+    0 — ``ln(0)`` is undefined (DuckDB throws, Spark's ``log`` returns
+    NULL which ``sum`` silently skips, inflating the tail). Survival is
+    forced to exactly 0.0 at and after any such step via a cumulative
+    flag, and only strictly-positive factors enter the log-sum. (Such a
+    step is necessarily the last event duration — nobody remains — but
+    the guard is structural, not positional.)"""
+    dur, ev = F.col(duration_col), F.col(event_col)
+    grouped = subjects.groupBy(duration_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(ev).cast("long").alias("n_events"),
+    )
+    w_desc = Window.orderBy(dur.desc()).rowsBetween(Window.unboundedPreceding, 0)
+    risk = grouped.select(
+        dur,
+        "n_events",
+        F.sum("n_total").over(w_desc).alias("n_at_risk"),
+    ).filter(F.col("n_events") > 0)
+    wk = Window.orderBy(duration_col).rowsBetween(Window.unboundedPreceding, 0)
+    absorbed = F.max(
+        F.when(F.col("n_events") == F.col("n_at_risk"), 1).otherwise(0)
+    ).over(wk)
+    logsum = F.sum(
+        F.when(
+            F.col("n_events") < F.col("n_at_risk"),
+            F.log(1.0 - F.col("n_events") * 1.0 / F.col("n_at_risk")),
+        ).otherwise(F.lit(0.0))
+    ).over(wk)
+    return risk.select(
+        dur.cast("long").alias("duration_days"),
+        "n_at_risk",
+        "n_events",
+        F.when(absorbed == 1, F.lit(0.0)).otherwise(F.exp(logsum)).alias("survival"),
+    )

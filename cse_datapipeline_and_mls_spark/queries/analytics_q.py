@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.numeric import q6 as _q6
+from ..operators.tswindow import kaplan_meier
 from ..sources import load_table
 from . import register
 
@@ -736,21 +737,30 @@ def t_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         (SELECT ref_day FROM ref)) END AS dur,
              CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS ev
       FROM conv
+    ), grouped AS (
+      SELECT dur, CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(ev) AS BIGINT) AS n_events
+      FROM subj GROUP BY dur
     ), risk AS (
-      SELECT d.dur,
-             CAST(sum(CASE WHEN s.dur >= d.dur THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_at_risk,
-             CAST(sum(CASE WHEN s.dur = d.dur AND s.ev = 1 THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_events
-      FROM (SELECT DISTINCT dur FROM subj WHERE ev = 1) d, subj s
-      GROUP BY d.dur
+      SELECT dur, n_events,
+             CAST(sum(n_total) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_at_risk
+      FROM grouped
     )
     SELECT CAST(dur AS BIGINT) AS duration_days, n_at_risk, n_events,
-           floor(exp(sum(ln(1.0 - n_events * 1.0 / n_at_risk))
+           CASE WHEN max(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
                      OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW)) * 1000000 + 0.5) / 1000000
-             AS survival
-    FROM risk ORDER BY dur
+                           AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE floor(exp(sum(CASE WHEN n_events < n_at_risk
+                                        THEN ln(1.0 - n_events * 1.0 / n_at_risk)
+                                        ELSE 0.0 END)
+                               OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW))
+                           * 1000000 + 0.5) / 1000000
+           END AS survival
+    FROM risk WHERE n_events > 0 ORDER BY dur
     """,
 )
 def t_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -760,10 +770,11 @@ def t_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for users who never convert. S(t) = Π(1 − d_i/n_i) over event
     durations, computed as exp of a running sum of logs — identical
     doubles through ln/exp on both engines, q6'd at the output. The
-    at-risk/step computation runs over the per-user subject frame
-    (one row per signup user) and the distinct-duration spine; the
-    data-sized work is the signup/purchase aggregations, all keyed on
-    user_id."""
+    absorbed-step guard (survival exactly 0 at and after any step with
+    n_events == n_at_risk) and the crossJoin-free reverse-cumulative
+    at-risk counts live in :func:`operators.tswindow.kaplan_meier`; the
+    data-sized work here is the signup/purchase aggregations keyed on
+    user_id — everything after the duration group-by is spine-sized."""
     ev = load_table(spark, sf_dir, "events")
     ref_day = ev.agg(F.date_trunc("day", F.max("ts")).cast("date").alias("ref_day"))
     signup = (
@@ -797,29 +808,10 @@ def t_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dur"),
         F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("ev"),
     )
-    spine = subj.filter(F.col("ev") == 1).select("dur").distinct().withColumnRenamed("dur", "d_dur")
-    risk = (
-        spine.crossJoin(subj)
-        .groupBy("d_dur")
-        .agg(
-            F.sum(F.when(F.col("dur") >= F.col("d_dur"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_at_risk"),
-            F.sum(
-                F.when((F.col("dur") == F.col("d_dur")) & (F.col("ev") == 1), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_events"),
-        )
-    )
-    wk = Window.orderBy("d_dur").rowsBetween(Window.unboundedPreceding, 0)
-    return risk.select(
-        F.col("d_dur").cast("long").alias("duration_days"),
+    km = kaplan_meier(subj, "dur", "ev")
+    return km.select(
+        "duration_days",
         "n_at_risk",
         "n_events",
-        _q6(
-            F.exp(
-                F.sum(F.log(1.0 - F.col("n_events") * 1.0 / F.col("n_at_risk"))).over(wk)
-            )
-        ).alias("survival"),
+        _q6(F.col("survival")).alias("survival"),
     ).orderBy("duration_days")

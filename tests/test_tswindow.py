@@ -232,3 +232,51 @@ def test_cusum_matches_recurrence(spark):
         s = max(0.0, s_prev + (x - 0.3 - 0.1))
         series.setdefault(k, []).append(s)
         assert abs(got[(k, i)] - s) < 1e-9, (k, i, got[(k, i)], s)
+
+
+def test_kaplan_meier_absorbed_step_survival_exactly_zero(spark):
+    # 4 subjects: one event at dur=1 (3 remain at risk after), then BOTH
+    # remaining at-risk subjects convert at dur=3 (n_events == n_at_risk
+    # after the censored dur=2 subject leaves) -> survival must be
+    # exactly 0.0 there, not NULL-skipped-log-inflated.
+    subj = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (3, 1)], "dur int, ev int"
+    )
+    rows = {
+        r["duration_days"]: r
+        for r in TS.kaplan_meier(subj, "dur", "ev").collect()
+    }
+    assert set(rows) == {1, 3}  # event durations only; censored dur=2 excluded
+    assert rows[1]["n_at_risk"] == 4 and rows[1]["n_events"] == 1
+    assert math.isclose(rows[1]["survival"], 0.75)
+    assert rows[3]["n_at_risk"] == 2 and rows[3]["n_events"] == 2
+    assert rows[3]["survival"] == 0.0
+
+
+def test_kaplan_meier_everyone_converts_at_step_k(spark):
+    # The driver-red shape: ALL subjects convert at the same duration.
+    subj = spark.createDataFrame([(5, 1)] * 7, "dur int, ev int")
+    rows = TS.kaplan_meier(subj, "dur", "ev").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["duration_days"], r["n_at_risk"], r["n_events"]) == (5, 7, 7)
+    assert r["survival"] == 0.0
+
+
+def test_kaplan_meier_matches_hand_product(spark):
+    # Standard no-absorption curve vs the hand-computed KM product,
+    # with censoring interleaved between event durations.
+    subj = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 0), (3, 1), (4, 0), (6, 1), (8, 0)],
+        "dur int, ev int",
+    )
+    got = {
+        r["duration_days"]: (r["n_at_risk"], r["n_events"], r["survival"])
+        for r in TS.kaplan_meier(subj, "dur", "ev").collect()
+    }
+    s1 = 1 - 2 / 7
+    s3 = s1 * (1 - 1 / 4)
+    s6 = s3 * (1 - 1 / 2)
+    assert got[1][:2] == (7, 2) and math.isclose(got[1][2], s1)
+    assert got[3][:2] == (4, 1) and math.isclose(got[3][2], s3)
+    assert got[6][:2] == (2, 1) and math.isclose(got[6][2], s6)
