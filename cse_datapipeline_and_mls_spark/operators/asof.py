@@ -172,9 +172,28 @@ def asof_join_nearest(
         [T.StructField("_dt", time_t)] + [dim_fields[c] for c in dim_cols]
     )
     is_ts = isinstance(time_t, T.TimestampType)
+    is_date = isinstance(time_t, T.DateType)
+    if not (
+        is_ts
+        or is_date
+        or isinstance(time_t, (T.NumericType, T.TimestampNTZType))
+    ):
+        # A silently un-castable axis (string, struct, ...) would make
+        # every distance NULL and the when-chain fall through to the
+        # forward candidate — fail loudly instead.
+        raise ValueError(
+            f"asof_join_nearest: unsupported time-axis type {time_t.simpleString()}; "
+            "use timestamp, date, or a numeric column"
+        )
 
     def _num(c):
-        return F.unix_micros(c) if is_ts else c.cast("double")
+        if is_ts:
+            return F.unix_micros(c)
+        if isinstance(time_t, T.TimestampNTZType):
+            return F.unix_micros(c.cast("timestamp"))
+        if is_date:
+            return F.unix_date(c)
+        return c.cast("double")
 
     f_tagged = (
         fact.withColumn("_t", F.col(fact_time))

@@ -79,7 +79,7 @@ def p_future_date_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dim AS (
       SELECT user_id, date_trunc('day', ts) AS snap_ts,
-             round(avg(value), 6) AS day_avg
+             floor(avg(value) * 1000000 + 0.5) / 1000000 AS day_avg
       FROM events GROUP BY 1, 2
     )
     SELECT e.event_id, e.user_id, e.ts, d.day_avg
@@ -96,7 +96,7 @@ def j_asof_event_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     dim = ev.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("snap_ts")
-    ).agg(F.round(F.avg("value"), 6).alias("day_avg"))
+    ).agg(_q6(F.avg("value")).alias("day_avg"))
     joined = asof_join(
         ev.select("event_id", "user_id", "ts"),
         dim,
@@ -113,7 +113,7 @@ def j_asof_event_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dim AS (
       SELECT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS close_ts,
-             round(avg(value), 6) AS day_avg
+             floor(avg(value) * 1000000 + 0.5) / 1000000 AS day_avg
       FROM events GROUP BY 1, 2
     )
     SELECT e.event_id, e.user_id, e.ts, d.day_avg AS next_day_avg
@@ -137,7 +137,7 @@ def j_asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY")).alias(
             "close_ts"
         ),
-    ).agg(F.round(F.avg("value"), 6).alias("day_avg"))
+    ).agg(_q6(F.avg("value")).alias("day_avg"))
     joined = asof_join_forward(
         ev.select("event_id", "user_id", "ts"),
         dim,
@@ -812,7 +812,7 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dim AS (
       SELECT user_id, date_trunc('day', ts) AS snap_ts,
-             round(avg(value), 6) AS day_avg
+             floor(avg(value) * 1000000 + 0.5) / 1000000 AS day_avg
       FROM events GROUP BY 1, 2
     )
     SELECT e.event_id, e.user_id, e.ts,
@@ -838,7 +838,7 @@ def j_asof_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     dim = ev.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("snap_ts")
-    ).agg(F.round(F.avg("value"), 6).alias("day_avg"))
+    ).agg(_q6(F.avg("value")).alias("day_avg"))
     joined = asof_join_pandas(
         ev.select("event_id", "user_id", "ts"),
         dim,
@@ -2286,7 +2286,7 @@ def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dim AS (
       SELECT user_id, date_trunc('day', ts) AS snap_ts,
-             round(avg(value), 6) AS day_avg
+             floor(avg(value) * 1000000 + 0.5) / 1000000 AS day_avg
       FROM events GROUP BY 1, 2
     ), b AS (
       SELECT e.event_id, e.user_id, e.ts, d.snap_ts AS bt, d.day_avg AS bv
@@ -2320,7 +2320,7 @@ def j_asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     dim = ev.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("snap_ts")
-    ).agg(F.round(F.avg("value"), 6).alias("day_avg"))
+    ).agg(_q6(F.avg("value")).alias("day_avg"))
     joined = asof_join_nearest(
         ev.select("event_id", "user_id", "ts"),
         dim,

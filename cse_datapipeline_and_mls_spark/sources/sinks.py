@@ -265,21 +265,31 @@ def write_audit_publish(
     _os.makedirs(root, exist_ok=True)
     version = _claim_version(root, _read_pointer(root) + 1)
     staged = f"{root}/v_{version}"
-    df.write.mode(mode).parquet(staged)
-    spark = df.sparkSession
-    # audit the FILES, not the incoming frame: this also catches
-    # write-path corruption/schema surprises, which auditing df cannot
-    staged_df = spark.read.parquet(staged)
-    results = validate_expectations(staged_df, checks, parents=parents).collect()
-    failures = [
-        (r["check_name"], r["kind"], r["n_violations"])
-        for r in results
-        if not r["passed"]
-    ]
-    if failures:
+    try:
+        df.write.mode(mode).parquet(staged)
+        spark = df.sparkSession
+        # audit the FILES, not the incoming frame: this also catches
+        # write-path corruption/schema surprises, which auditing df cannot
+        staged_df = spark.read.parquet(staged)
+        results = validate_expectations(staged_df, checks, parents=parents).collect()
+        failures = [
+            (r["check_name"], r["kind"], r["n_violations"])
+            for r in results
+            if not r["passed"]
+        ]
+        if failures:
+            raise AuditFailure(failures)
+    except BaseException:
+        # ANY failure between claim and publish — audit, write-path
+        # error, OOM-kill-adjacent interrupts — must release the claim
+        # and remove the partial staged dir, or the version slot leaks
+        # forever for every future writer.
         _shutil.rmtree(staged, ignore_errors=True)
-        _os.unlink(f"{root}/v_{version}._claim")
-        raise AuditFailure(failures)
+        try:
+            _os.unlink(f"{root}/v_{version}._claim")
+        except FileNotFoundError:
+            pass
+        raise
     lock = _acquire_publish_lock(root)
     try:
         if version > _read_pointer(root):

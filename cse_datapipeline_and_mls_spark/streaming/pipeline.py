@@ -317,25 +317,72 @@ def run_audited_to_memory_sink(
       from ``sources.ingest.observed``), so arrival counts and drop
       counts can be reconciled: arrived == emitted + dropped + in-state.
 
-    A production deployment attaches the same accounting to any sink via
-    a StreamingQueryListener reading the identical progress fields; the
-    memory-sink form is the test/dev harness."""
+    The accounting goes through a ``StreamingQueryListener`` registered
+    BEFORE ``start()`` — NOT ``recentProgress``, whose buffer is capped
+    by ``spark.sql.streaming.numRecentProgressUpdates`` (default 100):
+    any run past ~100 micro-batches would silently undercount drops.
+    The listener sees every progress event exactly once; after stop()
+    the (async) listener bus is drained until the query's final batchId
+    has arrived, so the audit is exact regardless of batch count."""
     import json as _json
+    import time as _time
 
-    writer = df.writeStream.outputMode(output_mode).format("memory").queryName(query_name)
-    q = writer.start()
-    q.processAllAvailable()
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _ProgressCollector(StreamingQueryListener):
+        def __init__(self) -> None:
+            self.progress: list[dict] = []
+
+        def onQueryStarted(self, event) -> None:  # noqa: D102
+            pass
+
+        def onQueryProgress(self, event) -> None:  # noqa: D102
+            p = event.progress
+            self.progress.append(_json.loads(p.json) if hasattr(p, "json") else dict(p))
+
+        def onQueryIdle(self, event) -> None:  # noqa: D102
+            pass
+
+        def onQueryTerminated(self, event) -> None:  # noqa: D102
+            pass
+
+    spark = df.sparkSession
+    collector = _ProgressCollector()
+    spark.streams.addListener(collector)
+    try:
+        writer = df.writeStream.outputMode(output_mode).format("memory").queryName(query_name)
+        q = writer.start()
+        q.processAllAvailable()
+        qid = str(q.id)
+        last = q.lastProgress
+        q.stop()
+        # Listener delivery is asynchronous: wait for the final batch's
+        # event before summing (bounded — the bus drains in well under
+        # this on a local session; on timeout we sum what arrived).
+        want = last.get("batchId") if last else None
+        deadline = _time.monotonic() + 30.0
+        while want is not None and _time.monotonic() < deadline:
+            if any(
+                p.get("id") == qid and p.get("batchId") == want
+                for p in collector.progress
+            ):
+                break
+            _time.sleep(0.05)
+    finally:
+        spark.streams.removeListener(collector)
     dropped = 0
     observed_batches: list[dict] = []
-    for p in q.recentProgress:
-        prog = _json.loads(p.json) if hasattr(p, "json") else p
+    seen_batches: set[int] = set()
+    for prog in collector.progress:
+        if prog.get("id") != qid or prog.get("batchId") in seen_batches:
+            continue
+        seen_batches.add(prog.get("batchId"))
         for op in prog.get("stateOperators", []):
             dropped += int(op.get("numRowsDroppedByWatermark", 0))
         om = prog.get("observedMetrics", {})
         if om:
             observed_batches.append(om)
-    q.stop()
-    result = df.sparkSession.sql(f"SELECT * FROM {query_name}")
+    result = spark.sql(f"SELECT * FROM {query_name}")
     return result, {
         "rows_dropped_by_watermark": dropped,
         "observed": observed_batches,

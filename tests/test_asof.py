@@ -251,3 +251,34 @@ def test_asof_pandas_directions_agree_with_native(spark):
 
     with _pytest.raises(ValueError):
         asof_join_pandas(fact, dim, "k", "t", "dt", ["v"], direction="sideways")
+
+
+def test_asof_nearest_date_axis(spark):
+    """A DateType time axis uses exact day distances (unix_date), not a
+    silently-NULL double cast that made every row take the forward
+    candidate (ADVICE r6)."""
+    from cse_datapipeline_and_mls_spark.operators.asof import asof_join_nearest
+
+    d = dt.date
+    fact = spark.createDataFrame(
+        [(1, d(2024, 1, 10), "near_back"), (1, d(2024, 1, 26), "near_fwd")],
+        "k long, t date, tag string",
+    )
+    dim = spark.createDataFrame(
+        [(1, d(2024, 1, 8), 1.0), (1, d(2024, 1, 28), 2.0)],
+        "k long, dt date, v double",
+    )
+    got = {
+        r["tag"]: r["v"]
+        for r in asof_join_nearest(fact, dim, "k", "t", "dt", ["v"]).collect()
+    }
+    assert got == {"near_back": 1.0, "near_fwd": 2.0}
+
+
+def test_asof_nearest_rejects_string_axis(spark):
+    from cse_datapipeline_and_mls_spark.operators.asof import asof_join_nearest
+
+    fact = spark.createDataFrame([(1, "a", "x")], "k long, t string, tag string")
+    dim = spark.createDataFrame([(1, "b", 1.0)], "k long, dt string, v double")
+    with pytest.raises(ValueError, match="unsupported time-axis type"):
+        asof_join_nearest(fact, dim, "k", "t", "dt", ["v"])

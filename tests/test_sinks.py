@@ -228,3 +228,35 @@ def test_prune_versions_keeps_published_and_recent(spark, tmp_path):
     assert os.path.exists(f"{path}/v_2._claim")
     df = spark.createDataFrame([(9, "v5")], "pk long, flag string")
     assert write_audit_publish(df, path, checks) == 5
+
+
+def test_wap_releases_claim_on_non_audit_failure(spark, tmp_path):
+    """A failure that is NOT an AuditFailure (e.g. the staged write
+    itself raising) must still release the version claim and remove the
+    partial staged dir — otherwise the slot leaks forever (ADVICE r6)."""
+    import pytest as _pytest
+
+    from cse_datapipeline_and_mls_spark.operators.expectations import Check
+    from cse_datapipeline_and_mls_spark.sources.sinks import (
+        read_published,
+        write_audit_publish,
+    )
+
+    checks = [Check("id_not_null", "not_null", col="id")]
+    root = str(tmp_path / "wap_leak")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    write_audit_publish(df, root, checks)
+
+    # Poison the NEXT staged write: a frame whose evaluation raises.
+    bad = spark.createDataFrame([(1,)], "id long").select(
+        F.raise_error(F.lit("boom")).alias("id")
+    )
+    with _pytest.raises(Exception, match="boom"):
+        write_audit_publish(bad, root, checks)
+    assert not os.path.exists(f"{root}/v_2._claim")  # claim released
+    assert not os.path.exists(f"{root}/v_2")  # partial stage removed
+
+    # The slot is reusable: the next good writer takes v_2 and publishes.
+    v = write_audit_publish(df, root, checks)
+    assert v == 2
+    assert read_published(spark, root).count() == 1
