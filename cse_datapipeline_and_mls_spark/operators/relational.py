@@ -480,9 +480,15 @@ def assign_dense_ids(
         "_pid", F.spark_partition_id()
     )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset")
+    # prefix-sum offsets via a tiny broadcast theta self-join (one row
+    # per partition, so O(P^2) pairs is nothing) — NOT an unpartitioned
+    # window, which would be a WindowExec single-task stage; constant
+    # partition keys get folded away, so no window formulation avoids it
+    lower = counts.select(F.col("_pid").alias("_pid2"), F.col("_n").alias("_n2"))
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_offset"))
     )
     w_in = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
