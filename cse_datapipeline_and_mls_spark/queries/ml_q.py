@@ -386,6 +386,62 @@ def x_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_multimodal_png_decode",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ), f AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY doc_id, c
+    ), s AS (
+      SELECT doc_id, c, n, sum(n) OVER (PARTITION BY doc_id) AS tot FROM f
+    ), agg AS (
+      SELECT doc_id,
+             CAST(any_value(tot) AS BIGINT) AS n_pixels,
+             sum(ord(c) * n) * 1.0 / any_value(tot) AS pmean,
+             -sum((n * 1.0 / tot) * log2(n * 1.0 / tot)) AS ent
+      FROM s GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(length(d.text) AS INTEGER) AS width,
+           CAST(1 AS INTEGER) AS height,
+           CAST(8 AS INTEGER) AS bit_depth,
+           agg.n_pixels,
+           floor(pmean * 1000000 + 0.5) / 1000000 AS pixel_mean,
+           floor(ent * 1000000 + 0.5) / 1000000   AS pixel_entropy
+    FROM documents d JOIN agg ON agg.doc_id = d.doc_id
+    """,
+)
+def x_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5's second real codec leg (VERDICT r6 #5, the image twin of
+    x_multimodal_wav_decode): every document is synthesized into a
+    genuine grayscale-8 PNG (stdlib struct/zlib — CRC-correct chunks,
+    zlib IDAT, filter-0 scanline) whose pixel row IS the document's
+    bytes; extract_image_stats then walks the real container — IHDR
+    parse for width/height/bit-depth AND a full inflate + de-filter
+    decode for the pixel stats — inside one Arrow-batched mapInPandas.
+
+    Oracle-checked end-to-end: decoded pixels are exactly the ASCII
+    text bytes, so width (= byte count), the IHDR constants, and the
+    post-decode statistics replay exactly in SQL over the text column.
+    A chunk-walk bug, CRC/layout confusion, inflate slip, or filter
+    mishandling shifts the output and fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synth_png_from_documents(docs)
+    from ..operators.numeric import q6
+
+    out = MM.extract_image_stats(media, decoder=MM.decode_media)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "bit_depth",
+        "n_pixels",
+        q6(F.col("pixel_mean")).alias("pixel_mean"),
+        q6(F.col("pixel_entropy")).alias("pixel_entropy"),
+    )
+
+
+@register(
     "ml_quality_classifier",
     oracle="""
     WITH b AS (

@@ -59,7 +59,11 @@ def test_frame_sampling_fanout(spark):
 
 
 def test_decode_media_is_an_explicit_stub():
+    # video is the remaining honest stub; image raises ValueError on
+    # garbage (a real decoder rejects, it doesn't fall through to fake)
     with pytest.raises(NotImplementedError):
+        MM.decode_media(b"bytes", "video")
+    with pytest.raises(ValueError):
         MM.decode_media(b"bytes", "image")
 
 
@@ -109,7 +113,7 @@ def test_codec_swap_point_composes(media, monkeypatch):
 def test_decode_media_real_wav_roundtrip():
     """The audio leg is a REAL decode: stdlib wave writer -> decode_media
     recovers exactly the sample bytes; 16-bit payloads come back int16;
-    non-RIFF bytes are rejected, and image stays an explicit stub."""
+    non-RIFF bytes are rejected, and video stays an explicit stub."""
     import io
     import struct
     import wave as wavelib
@@ -140,7 +144,7 @@ def test_decode_media_real_wav_roundtrip():
     with pytest.raises(ValueError):
         MM.decode_media(b"not a riff payload at all........", "audio")
     with pytest.raises(NotImplementedError):
-        MM.decode_media(b"bytes", "image")
+        MM.decode_media(b"bytes", "video")
 
 
 def test_synth_wav_documents_decode_to_text_bytes(spark):
@@ -165,3 +169,64 @@ def test_synth_wav_documents_decode_to_text_bytes(spark):
     assert feats[0]["n_bytes"] == 3
     assert feats[2]["byte_entropy"] == 0.0 and math.isclose(feats[2]["byte_mean"], 97.0)
     assert feats[1]["n_bytes"] == 11 and feats[1]["byte_entropy"] > 0
+
+
+def _make_png(pix: bytes, width: int, height: int, *, filt: int = 0,
+              bit_depth: int = 8, color_type: int = 0) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    raw = b"".join(
+        bytes([filt]) + pix[r * width:(r + 1) * width] for r in range(height)
+    )
+    return (MM.PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_decode_media_real_png_roundtrip():
+    import numpy as np
+
+    pix = bytes(range(200)) * 3  # 600 bytes -> 3 rows of 200
+    png = _make_png(pix, 200, 3)
+    assert MM.png_info(png) == (200, 3, 8, 0)
+    vals = MM.decode_media(png, "image")
+    assert vals.dtype == np.uint8
+    assert bytes(vals.tobytes()) == pix  # de-filter strips row filter bytes
+
+
+def test_decode_media_png_rejects_unsupported():
+    png_rgb = _make_png(b"\x01\x02\x03" * 4, 2, 2, color_type=2)
+    with pytest.raises(ValueError, match="grayscale-8"):
+        MM.decode_media(png_rgb, "image")
+    png_filt = _make_png(bytes(8), 4, 2, filt=1)
+    with pytest.raises(ValueError, match="filter 0"):
+        MM.decode_media(png_filt, "image")
+    with pytest.raises(ValueError, match="not a PNG"):
+        MM.png_info(b"GIF89a....")
+
+
+def test_synth_png_documents_decode_to_text_bytes(spark):
+    """End-to-end: synth writes REAL PNGs; extract_image_stats decodes
+    them and the stats equal the driver-side numpy stats of the raw
+    text bytes — container framing is lossless."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(1, "hello png"), (2, "aAbB" * 25)], "doc_id long, text string"
+    )
+    media = MM.synth_png_from_documents(docs)
+    rows = {r["media_id"]: r for r in MM.extract_image_stats(media).collect()}
+    for doc_id, text in [(1, "hello png"), (2, "aAbB" * 25)]:
+        b = np.frombuffer(text.encode(), dtype=np.uint8)
+        r = rows[doc_id]
+        assert (r["width"], r["height"], r["bit_depth"]) == (len(text), 1, 8)
+        assert r["n_pixels"] == len(text)
+        assert math.isclose(r["pixel_mean"], float(b.mean()))
+        _, counts = np.unique(b, return_counts=True)
+        p = counts / b.size
+        assert math.isclose(r["pixel_entropy"], float(-(p * np.log2(p)).sum()))
