@@ -114,6 +114,25 @@ HEADLINE = [
     "x_source_contamination_matrix",
     "w_ewm_volatility",
     "w_cusum_drift_alerts",
+    # r7: the r6 analytics additions that shipped without headline
+    # timings (VERDICT r6 #3) — individually small aggregations, but
+    # the set is the round's applied-analytics surface and Kaplan-Meier
+    # just had its plan rebuilt (crossJoin -> reverse-cumulative)
+    "agg_benford_first_digit",
+    "agg_psi_price_drift",
+    "agg_ks_price_drift",
+    "agg_gini_revenue_concentration",
+    "agg_wilson_daily_conversion",
+    "agg_rfm_segmentation",
+    "w_twap_daily",
+    "t_attribution_last_touch",
+    "t_markov_transitions",
+    "t_kaplan_meier_conversion",
+    # r7: the real-codec multimodal legs (container synth + decode in
+    # Arrow-batched mapInPandas — the only Python-heavy headline rows,
+    # which is exactly why their cost needs round-over-round eyes)
+    "x_multimodal_wav_decode",
+    "x_multimodal_png_decode",
 ]
 
 
@@ -235,6 +254,7 @@ def main() -> None:
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
+    r7_subset = round(sum(timings[n] for n in HEADLINE[:63] if n in timings), 3)
     print(
         json.dumps(
             {
@@ -248,6 +268,7 @@ def main() -> None:
                 "r4_subset_total_sec": r4_subset,
                 "r5_subset_total_sec": r5_subset,
                 "r6_subset_total_sec": r6_subset,
+                "r7_subset_total_sec": r7_subset,
                 "production_sec": production,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

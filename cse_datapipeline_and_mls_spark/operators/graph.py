@@ -526,3 +526,57 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    center_deg_cap: int = 64,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected graph: for every
+    non-adjacent node pair (a, b) sharing at least one neighbor, the
+    score Σ_z 1/ln(deg(z)) over common neighbors z. Returns
+    (a, b, common_neighbors, score) with a < b, unquantized.
+
+    ``center_deg_cap`` bounds the wedge fan-out: a center of degree d
+    emits d·(d−1)/2 candidate pairs, so one hub can dominate the whole
+    enumeration while contributing ~nothing to any score (its weight is
+    1/ln(d) → 0, and pairs "linked" only through a hub are noise — the
+    reason the weight exists at all). Capping centers at ``deg ≤ cap``
+    is therefore part of the operator's DEFINITION (pinned identically
+    in oracles), not an approximation knob bolted on for scale; it
+    turns the worst case from O(Δ²) per hub into O(cap²).
+
+    Scale: one degree aggregation, one join of the (capped) adjacency
+    with itself keyed on the CENTER node, one (a,b) aggregation, one
+    anti-join against the edge set — all hash-partitioned exchanges,
+    no iteration, no driver state. Centers of degree < 2 are dropped
+    up front (they form no wedge, and ln(1) = 0 would divide by zero).
+    """
+    und = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
+        und.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    centers = deg.filter((F.col("d") >= 2) & (F.col("d") <= center_deg_cap)).select(
+        "z", (1.0 / F.log(F.col("d"))).alias("w")
+    )
+    wadj = adj.join(centers, "z")
+    left = wadj.select("z", F.col("x").alias("xa"), "w")
+    right = wadj.select("z", F.col("x").alias("xb"))
+    pairs = (
+        left.join(right, "z")
+        .filter(F.col("xa") < F.col("xb"))
+        .groupBy(F.col("xa").alias("a"), F.col("xb").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum("w").alias("score"),
+        )
+    )
+    return pairs.join(und, ["a", "b"], "left_anti")

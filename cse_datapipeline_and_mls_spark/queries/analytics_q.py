@@ -814,3 +814,142 @@ def t_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         _q6(F.col("survival")).alias("survival"),
     ).orderBy("duration_days")
+
+
+@register(
+    "agg_seasonal_hour_index",
+    oracle="""
+    WITH prof AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS hour_avg
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT event_type, avg(value) AS type_avg FROM events GROUP BY 1
+    ), anom AS (
+      SELECT e.event_type, CAST(hour(e.ts) AS BIGINT) AS hr,
+             CAST(count(*) FILTER (
+               WHERE floor(e.value * 1000000 + 0.5) / 1000000
+                     > floor(2 * p.hour_avg * 1000000 + 0.5) / 1000000
+             ) AS BIGINT) AS n_anomalies
+      FROM events e JOIN prof p
+        ON p.event_type = e.event_type AND p.hr = hour(e.ts)
+      GROUP BY 1, 2
+    )
+    SELECT p.event_type, p.hr, p.n,
+           floor(p.hour_avg / b.type_avg * 1000000 + 0.5) / 1000000
+             AS seasonal_index,
+           a.n_anomalies
+    FROM prof p
+    JOIN base b ON b.event_type = p.event_type
+    JOIN anom a ON a.event_type = p.event_type AND a.hr = p.hr
+    ORDER BY p.event_type, p.hr
+    """,
+)
+def agg_seasonal_hour_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) profile per event type — the multiplica-
+    tive seasonal-index decomposition used for intraday baselining:
+    index = slot average / series average, plus a per-slot count of
+    values breaching 2× their seasonal slot baseline (both sides
+    compare q6-to-q6, never raw floats, per the engine convention).
+    Two data-sized aggregations plus one fact-side re-join against the
+    broadcastable 24×|types| profile; everything else runs on the
+    profile frame. At 100 TB the profile join is a broadcast hash join
+    with no fact shuffle — the same shape as any dim enrich."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    ev = ev.withColumn("hr", F.hour("ts").cast("long"))
+    prof = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("hour_avg")
+    )
+    base = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    anom = (
+        ev.join(F.broadcast(prof.select("event_type", "hr", "hour_avg")), ["event_type", "hr"])
+        .groupBy("event_type", "hr")
+        .agg(
+            F.sum(
+                F.when(_q6(F.col("value")) > _q6(2 * F.col("hour_avg")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalies")
+        )
+    )
+    return (
+        prof.join(F.broadcast(base), "event_type")
+        .join(F.broadcast(anom), ["event_type", "hr"])
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            _q6(F.col("hour_avg") / F.col("type_avg")).alias("seasonal_index"),
+            "n_anomalies",
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+@register(
+    "agg_woe_iv_priority",
+    oracle="""
+    WITH bins AS (
+      SELECT o_orderpriority,
+             CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_good,
+             CAST(count(*) FILTER (WHERE o_orderstatus <> 'F') AS BIGINT)
+               AS n_bad
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT o_orderpriority, n_good, n_bad,
+             sum(n_good) OVER () AS g, sum(n_bad) OVER () AS b
+      FROM bins
+    )
+    SELECT o_orderpriority, n_good, n_bad,
+           floor(ln(((n_good + 0.5) * (b + 0.5))
+                    / ((n_bad + 0.5) * (g + 0.5))) * 1000000 + 0.5) / 1000000
+             AS woe,
+           floor((n_good * 1.0 / g - n_bad * 1.0 / b)
+                 * ln(((n_good + 0.5) * (b + 0.5))
+                      / ((n_bad + 0.5) * (g + 0.5))) * 1000000 + 0.5) / 1000000
+             AS iv_contrib
+    FROM tot ORDER BY o_orderpriority
+    """,
+)
+def agg_woe_iv_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen of order priority
+    against fulfilment (the credit-scoring feature-selection classic):
+    per categorical bin, WOE = ln(good share / bad share) with the
+    half-count (Laplace 0.5) smoothing pinned IDENTICALLY on both
+    engines — ln(((g_i+.5)(B+.5))/((b_i+.5)(G+.5))) — and the bin's IV
+    contribution (share gap × WOE). One data-sized aggregation; the
+    WOE arithmetic runs over the 5-row bin frame (the OVER () totals
+    are bin-frame windows, not data-sized)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus")
+    bins = o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+    )
+    w = Window.partitionBy()
+    tot = bins.select(
+        "o_orderpriority",
+        "n_good",
+        "n_bad",
+        F.sum("n_good").over(w).alias("g"),
+        F.sum("n_bad").over(w).alias("b"),
+    )
+    woe = F.log(
+        ((F.col("n_good") + 0.5) * (F.col("b") + 0.5))
+        / ((F.col("n_bad") + 0.5) * (F.col("g") + 0.5))
+    )
+    return tot.select(
+        "o_orderpriority",
+        "n_good",
+        "n_bad",
+        _q6(woe).alias("woe"),
+        _q6(
+            (F.col("n_good") * 1.0 / F.col("g") - F.col("n_bad") * 1.0 / F.col("b"))
+            * woe
+        ).alias("iv_contrib"),
+    ).orderBy("o_orderpriority")

@@ -2810,3 +2810,72 @@ def x_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("long")
         .alias("community_size"),
     ).orderBy("node")
+
+
+@register(
+    "x_adamic_adar_links",
+    oracle="""
+    WITH bk AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n
+        FROM bk x JOIN bk y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2) WHERE n >= 2),
+    adj AS MATERIALIZED (
+      SELECT a AS z, b AS x FROM e UNION ALL SELECT b, a FROM e),
+    ctr AS (
+      SELECT z, 1.0 / ln(d) AS w FROM (
+        SELECT z, count(*) AS d FROM adj GROUP BY z)
+      WHERE d >= 2 AND d <= 64),
+    wadj AS (SELECT adj.z, adj.x, ctr.w FROM adj JOIN ctr USING (z)),
+    pairs AS (
+      SELECT l.x AS a, r.x AS b,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             sum(l.w) AS s
+      FROM wadj l JOIN wadj r ON l.z = r.z AND l.x < r.x
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+             common_neighbors,
+             floor(s * 1000000 + 0.5) / 1000000 AS score
+      FROM pairs p
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.a AND e.b = p.b))
+    SELECT * FROM cand ORDER BY score DESC, a, b LIMIT 50
+    """,
+)
+def x_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the repeat co-purchase graph: top-50 predicted
+    edges by Adamic–Adar score (Σ 1/ln(deg) over common neighbors,
+    non-adjacent pairs only) — "parts these two parts will co-sell
+    with", the classic neighborhood-overlap recommender signal. Uses
+    graph.adamic_adar with its definitional center-degree cap (64):
+    hubs contribute ~0 weight but O(Δ²) wedge pairs, so the cap is part
+    of the score's semantics on both engines, not an approximation.
+    Ordering is on the q6-quantized score (ties → node ids) so the
+    top-50 cut selects identical rows on both engines."""
+    from ..operators.graph import adamic_adar
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bk = li.distinct()
+    a = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    aa = adamic_adar(edges, center_deg_cap=64)
+    return (
+        aa.select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            "common_neighbors",
+            _q6(F.col("score")).alias("score"),
+        )
+        .orderBy(F.desc("score"), "a", "b")
+        .limit(50)
+    )

@@ -656,3 +656,70 @@ def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("set_size", "itemset")
     )
+
+
+@register(
+    "ml_prefixspan_sequences",
+    oracle="""
+    WITH meta AS (
+      SELECT CAST(ceil(0.2 * count(DISTINCT user_id)) AS BIGINT) AS mc
+      FROM events
+    ), singles AS (
+      SELECT event_type AS pattern, CAST(1 AS BIGINT) AS length,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS freq
+      FROM events GROUP BY event_type
+      HAVING count(DISTINCT user_id) >= (SELECT mc FROM meta)
+    ), pairs AS (
+      SELECT x.event_type || '>' || y.event_type AS pattern,
+             CAST(2 AS BIGINT) AS length,
+             CAST(count(DISTINCT x.user_id) AS BIGINT) AS freq
+      FROM events x JOIN events y
+        ON x.user_id = y.user_id
+       AND (x.ts < y.ts OR (x.ts = y.ts AND x.event_id < y.event_id))
+      GROUP BY x.event_type, y.event_type
+      HAVING count(DISTINCT x.user_id) >= (SELECT mc FROM meta)
+    )
+    SELECT pattern, length, freq FROM singles
+    UNION ALL
+    SELECT pattern, length, freq FROM pairs
+    ORDER BY length, pattern
+    """,
+)
+def ml_prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining with MLlib's distributed PrefixSpan
+    (Pei et al. 2001 — projected-database growth, no candidate
+    generation) over per-user event-type sequences ordered by
+    (ts, event_id). maxPatternLength=2 pins the surface the quadratic
+    SQL oracle can re-derive exactly: length-1 support = users with the
+    event, length-2 support for a>b = users with an a-event strictly
+    before (same total order) a b-event; minSupport 0.2 reproduces
+    MLlib's minCount = ceil(minSupport * n_sequences) rule on both
+    engines. Each sequence element is a singleton itemset, so multi-
+    item elements cannot appear and the pattern string is the plain
+    '>' join. At 100 TB PrefixSpan's projected-database shuffles are
+    the right plan; the per-user ordered-pair EXISTS enumeration stays
+    confined to the oracle."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("s")
+        )
+        .select(
+            F.transform("s", lambda r: F.array(r["event_type"])).alias("sequence")
+        )
+    )
+    ps = PrefixSpan(minSupport=0.2, maxPatternLength=2, sequenceCol="sequence")
+    pat = ps.findFrequentSequentialPatterns(seqs)
+    return (
+        pat.select(
+            F.concat_ws(">", F.flatten("sequence")).alias("pattern"),
+            F.size(F.flatten("sequence")).cast("long").alias("length"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+        .orderBy("length", "pattern")
+    )

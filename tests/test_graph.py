@@ -307,3 +307,37 @@ def test_label_propagation_two_cliques(spark):
     com = {r["node"]: r["community"] for r in label_propagation(edges, rounds=4).collect()}
     assert {com[n] for n in range(4)} == {0}
     assert {com[n] for n in range(10, 14)} == {10}
+
+
+def test_adamic_adar_scores_and_center_cap(spark):
+    import math
+
+    from cse_datapipeline_and_mls_spark.operators.graph import adamic_adar
+
+    # square 1-2-3-4-1: non-adjacent diagonals (1,3) and (2,4), each
+    # with two degree-2 common neighbors -> score 2/ln(2)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (4, 3)], "src long, dst long"
+    )
+    got = {(r["a"], r["b"]): r for r in adamic_adar(edges).collect()}
+    assert set(got) == {(1, 3), (2, 4)}
+    assert got[(1, 3)]["common_neighbors"] == 2
+    assert math.isclose(got[(1, 3)]["score"], 2 / math.log(2))
+
+    # add a hub adjacent to all four: with the cap below the hub's
+    # degree the hub is not a wedge center (its pairs are noise);
+    # raising the cap admits it
+    hub = spark.createDataFrame(
+        [(9, 1), (9, 2), (9, 3), (9, 4)], "src long, dst long"
+    )
+    both = edges.unionByName(hub)
+    # (the hub also raises nodes 2 and 4 to degree 3, so the diagonal
+    # weight becomes 2/ln(3) in both variants)
+    capped = {(r["a"], r["b"]): r for r in adamic_adar(both, center_deg_cap=3).collect()}
+    assert math.isclose(capped[(1, 3)]["score"], 2 / math.log(3))
+    assert capped[(1, 3)]["common_neighbors"] == 2
+    full = {(r["a"], r["b"]): r for r in adamic_adar(both, center_deg_cap=64).collect()}
+    assert math.isclose(full[(1, 3)]["score"], 2 / math.log(3) + 1 / math.log(4))
+    assert full[(1, 3)]["common_neighbors"] == 3
+    # adjacent pairs never appear, with or without the hub
+    assert (1, 2) not in full and (9, 1) not in full

