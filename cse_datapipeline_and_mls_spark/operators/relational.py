@@ -476,8 +476,15 @@ def assign_dense_ids(
     if not order_cols:
         raise ValueError("assign_dense_ids: order_cols must be non-empty")
     par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(par, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # eager materialization: the ranged frame feeds BOTH the counts agg
+    # and the final join — unmaterialized, each reference re-derives the
+    # caller's whole upstream subtree (and re-samples range boundaries,
+    # which must be IDENTICAL between the two reads for the offsets to
+    # line up with the in-partition ranks)
+    ranged = (
+        df.repartitionByRange(par, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     # prefix-sum offsets via a tiny broadcast theta self-join (one row

@@ -825,7 +825,9 @@ def t_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
              avg(value) AS hour_avg
       FROM events GROUP BY 1, 2
     ), base AS (
-      SELECT event_type, avg(value) AS type_avg FROM events GROUP BY 1
+      SELECT event_type,
+             sum(hour_avg * n) / sum(n) AS type_avg
+      FROM prof GROUP BY 1
     ), anom AS (
       SELECT e.event_type, CAST(hour(e.ts) AS BIGINT) AS hr,
              CAST(count(*) FILTER (
@@ -852,16 +854,25 @@ def agg_seasonal_hour_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = slot average / series average, plus a per-slot count of
     values breaching 2× their seasonal slot baseline (both sides
     compare q6-to-q6, never raw floats, per the engine convention).
-    Two data-sized aggregations plus one fact-side re-join against the
-    broadcastable 24×|types| profile; everything else runs on the
-    profile frame. At 100 TB the profile join is a broadcast hash join
-    with no fact shuffle — the same shape as any dim enrich."""
+    The series average is the count-weighted mean of the slot averages
+    — derived FROM the profile (identically on both engines) rather
+    than a second pass over the facts, so the query scans events twice
+    (profile build + breach count), not three times. At 100 TB the
+    profile join is a broadcast hash join with no fact shuffle — the
+    same shape as any dim enrich."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     ev = ev.withColumn("hr", F.hour("ts").cast("long"))
-    prof = ev.groupBy("event_type", "hr").agg(
-        F.count(F.lit(1)).alias("n"), F.avg("value").alias("hour_avg")
+    # the profile frame (|types| x 24 rows) is referenced three times
+    # (base derivation, breach join, output join) — materialize it once
+    # or each reference re-derives the full events aggregation
+    prof = (
+        ev.groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("hour_avg"))
+        .localCheckpoint(eager=True)
     )
-    base = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    base = prof.groupBy("event_type").agg(
+        (F.sum(F.col("hour_avg") * F.col("n")) / F.sum("n")).alias("type_avg")
+    )
     anom = (
         ev.join(F.broadcast(prof.select("event_type", "hr", "hour_avg")), ["event_type", "hr"])
         .groupBy("event_type", "hr")

@@ -712,6 +712,10 @@ def ml_prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.transform("s", lambda r: F.array(r["event_type"])).alias("sequence")
         )
+        # PrefixSpan scans its input once per pattern-growth round —
+        # materialize the |users|-row sequence frame so each scan reads
+        # the built sequences, not the events aggregation again
+        .localCheckpoint(eager=True)
     )
     ps = PrefixSpan(minSupport=0.2, maxPatternLength=2, sequenceCol="sequence")
     pat = ps.findFrequentSequentialPatterns(seqs)

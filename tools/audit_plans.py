@@ -54,6 +54,13 @@ EXPECTED_CROSS = {
     "x_minhash_incremental",
     "x_pagerank_bucketed_edges",  # 1-row dangling-mass broadcast per iteration
     "x_pagerank_personalized",    # same 1-row dangling-mass broadcast per iteration (graph.personalized_pagerank)
+    # r7: assign_dense_ids' prefix-sum offsets are a theta self-join on
+    # the per-partition counts frame (rows = #partitions) — the
+    # deliberate replacement for the folded-away unpartitioned window
+    "x_dense_ids_documents",
+    "agg_gini_revenue_concentration",
+    "agg_rfm_segmentation",   # 1-row (r/f/m quantile cutoffs) broadcast onto the customer frame
+    "t_kaplan_meier_conversion",  # 1-row censoring-reference-day broadcast
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -64,7 +71,7 @@ EXPECTED_MANY_EXCHANGES = {
     "x_pagerank_suppliers",  # power iteration: 3 exchanges x 6 iterations is the algorithm, not a plan bug
     "x_data_quality_checks",  # 1 fused row-level scan + unique groupBy + anti-join + result union (expectations.py)
     "t_funnel_3step",         # 3 stage aggs + 2 stage joins, ALL keyed on user_id — exchange-free on a user-bucketed table (docstring)
-    "x_dense_ids_documents",  # range exchange + pid counts + pid-clustered window; the only SinglePartition stage sees #partitions rows, not data rows
+    "x_dense_ids_documents",  # range exchange + pid counts + offsets theta-join + pid-clustered window; no single-partition stage at all as of r7
     "x_theta_audience_overlap",  # theta path (2) + one-pass exact side (2) + broadcast combine; all frames past the user shuffle are 1-row
     "x_rolling_mau_sketch",   # daily sketch agg + spine + exact-harness distinct + verdict join; production path alone is 2
     "x_triangle_copurchase",  # wedge self-join + closing pair join + corner agg past the checkpointed edge build — the algorithm's 5
@@ -80,7 +87,6 @@ EXPECTED_MANY_EXCHANGES = {
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
     "x_word_topk",
-    "x_dense_ids_documents",  # offsets window over the per-partition counts frame (rows = #partitions)
     "x_hybrid_search_rrf",    # rank window over a top-20 candidate list
     "x_rolling_mau_sketch",   # sliding sketch-fold over the DAY SPINE (365 rows/year, calendar-bounded)
 }
