@@ -133,6 +133,14 @@ HEADLINE = [
     # which is exactly why their cost needs round-over-round eyes)
     "x_multimodal_wav_decode",
     "x_multimodal_png_decode",
+    # r7 session 2: the round's new scale-sensitive ops — fixed-
+    # iteration HITS (2 node-keyed joins/iteration), Adamic-Adar link
+    # prediction (the wedge join), PrefixSpan sequence mining, and the
+    # corpus-telemetry scan
+    "x_hits_suppliers",
+    "x_adamic_adar_links",
+    "ml_prefixspan_sequences",
+    "x_tokenizer_fertility",
 ]
 
 

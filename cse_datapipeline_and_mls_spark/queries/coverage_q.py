@@ -2879,3 +2879,73 @@ def x_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "a", "b")
         .limit(50)
     )
+
+
+def _hits_oracle(iters: int = 4) -> str:
+    """Unrolled HITS twin for graph.hits' fixed-iteration contract:
+    per iteration a RAW authority block (hub-score join grouped on
+    dst) and a raw hub block (authority-score join grouped on src),
+    MATERIALIZED per step like the pagerank and LPA oracles, with the
+    single sum-normalization at the output — mirroring the operator's
+    end-normalization (identical result, exact-integer early
+    iterations)."""
+    parts = [
+        """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT -o.o_custkey AS src, l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    h0 AS MATERIALIZED (
+      SELECT node, 1.0 AS s FROM (
+        SELECT src AS node FROM e UNION SELECT dst FROM e))"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    a{i} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(h{i - 1}.s) AS s
+      FROM e JOIN h{i - 1} ON h{i - 1}.node = e.src GROUP BY e.dst),
+    h{i} AS MATERIALIZED (
+      SELECT e.src AS node, sum(a{i}.s) AS s
+      FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY e.src)""")
+    parts.append(f"""
+    SELECT CAST(node AS BIGINT) AS suppkey,
+           round(s / (SELECT sum(s) FROM a{iters}), 8) AS authority
+    FROM a{iters} WHERE node > 0
+    ORDER BY round(s / (SELECT sum(s) FROM a{iters}), 8) DESC, suppkey
+    LIMIT 20""")
+    return "".join(parts)
+
+
+@register("x_hits_suppliers", oracle=_hits_oracle(iters=4))
+def x_hits_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier authority via HITS on the customer→supplier purchase
+    graph (the pagerank queries' edge set: good customers are hubs,
+    widely-bought-from suppliers are authorities — the mutually-
+    reinforcing flavor PageRank's single score can't express). Fixed 4
+    sum-normalized iterations (graph.hits), hash-checked against the
+    unrolled SQL twin with ranks rounded to 8 decimals — power
+    iteration contracts, so cross-engine float jitter never reaches
+    the 8th decimal (the pagerank precedent). Customer ids negated for
+    key-space disambiguation, collision-free at any SF; top-20 cut on
+    the ROUNDED score with suppkey tiebreak."""
+    from ..operators.graph import hits
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (-F.col("o_custkey")).alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    hs = hits(edges, iters=4)
+    return (
+        hs.filter(F.col("node") > 0)
+        .select(
+            F.col("node").cast("long").alias("suppkey"),
+            F.round("authority", 8).alias("authority"),
+        )
+        .orderBy(F.desc("authority"), "suppkey")
+        .limit(20)
+    )

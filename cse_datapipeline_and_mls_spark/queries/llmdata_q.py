@@ -1859,3 +1859,59 @@ def x_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         _q6(F.col("n_inter") / F.col("n_a")).alias("contain_a_in_b"),
         _q6(F.col("n_inter") / F.col("n_b")).alias("contain_b_in_a"),
     ).orderBy("src_a", "src_b")
+
+
+@register(
+    "x_tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS BIGINT) AS n_tok,
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r]+'))
+               AS BIGINT) AS n_ws,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           floor(avg(n_tok * 1.0 / nullif(n_ws, 0)) * 1000000 + 0.5) / 1000000
+             AS fertility,
+           floor(avg(n_chars * 1.0 / nullif(n_tok, 0)) * 1000000 + 0.5) / 1000000
+             AS chars_per_token
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility report — the mix-design metric a
+    training pipeline watches when a tokenizer change lands: tokens per
+    whitespace word (fertility; >1.3-ish flags scripts/domains the
+    tokenizer fragments) and characters per token (compression), using
+    the engine's BPE-ish token regex. Per-document ratios are exact
+    integer divisions (bit-identical across engines); only the
+    per-source averages are order-sensitive, so q6 lands on exactly
+    those. One map over documents + one per-source aggregation — at
+    100 TB this is a single scan-shaped pass with a 1-row-per-source
+    result, the cheapest possible corpus telemetry."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        X.token_count("text").cast("long").alias("n_tok"),
+        X.whitespace_token_count("text").cast("long").alias("n_ws"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            _q6(F.avg(F.col("n_tok") * 1.0 / F.nullif("n_ws", F.lit(0)))).alias(
+                "fertility"
+            ),
+            _q6(
+                F.avg(F.col("n_chars") * 1.0 / F.nullif("n_tok", F.lit(0)))
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )

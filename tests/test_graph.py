@@ -341,3 +341,23 @@ def test_adamic_adar_scores_and_center_cap(spark):
     assert full[(1, 3)]["common_neighbors"] == 3
     # adjacent pairs never appear, with or without the hub
     assert (1, 2) not in full and (9, 1) not in full
+
+
+def test_hits_two_iteration_closed_form(spark):
+    import math
+
+    from cse_datapipeline_and_mls_spark.operators.graph import hits
+
+    # u1->{v1,v2}, u2->{v1}; hand-unrolled sum-normalized HITS:
+    # iter1: a=(2/3,1/3)  h=(3/5,2/5)
+    # iter2: a=(5/8,3/8)  h=(8/13,5/13)
+    edges = spark.createDataFrame(
+        [(-1, 10), (-1, 20), (-2, 10)], "src long, dst long"
+    )
+    got = {r["node"]: r for r in hits(edges, iters=2).collect()}
+    assert math.isclose(got[10]["authority"], 5 / 8)
+    assert math.isclose(got[20]["authority"], 3 / 8)
+    assert math.isclose(got[-1]["hub"], 8 / 13)
+    assert math.isclose(got[-2]["hub"], 5 / 13)
+    # no in-edges -> authority 0; no out-edges -> hub 0
+    assert got[-1]["authority"] == 0.0 and got[10]["hub"] == 0.0
