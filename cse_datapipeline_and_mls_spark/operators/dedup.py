@@ -383,6 +383,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_self_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """EXACT n-gram shingle CONTAINMENT for all pairs sharing ≥1 shingle:
+    C(A⊂B) = |A∩B| / |A| and C(B⊂A) = |A∩B| / |B|, keeping pairs where
+    either direction reaches ``threshold``.
+
+    Containment is the asymmetric near-dup detector Jaccard misses: a
+    short document quoted whole inside a much longer one has
+    containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0 (Broder's resemblance vs
+    containment distinction, and the reason corpus pipelines screen for
+    subset/quotation duplication separately from symmetric near-dups).
+
+    Same machinery and scale posture as ngram_jaccard_pairs: shingle
+    explode → 8-byte xxhash64 equi-join → per-pair intersection counts;
+    worst case quadratic in shared-shingle pairs, so this is the
+    verification/curation tool with the same ``max_rows`` guard — the
+    banded MinHash path remains the production screen, with this as the
+    exact re-check on its candidates. Both directions are quantized
+    (q6) BEFORE thresholding so the cut lands identically in a paired
+    oracle."""
+    if max_rows is not None:
+        probed = df.select(id_col).limit(max_rows + 1).count()
+        if probed > max_rows:
+            raise ValueError(
+                f"ngram_containment_self_pairs is the exact shingle-join oracle "
+                f"(worst-case O(n²) pair count): input exceeds max_rows={max_rows}. "
+                f"Screen with minhash_neardup_pairs and re-check its candidates, "
+                f"or pass max_rows=None to force it."
+            )
+    sh = shingle(
+        _ensure_min_parallelism(df.select(id_col, text_col)), text_col, n=n
+    ).filter(F.size("shingles") > 0)
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("sz"))
+    ex = sh.select(id_col, F.explode("shingles").alias("_g")).select(
+        id_col, F.xxhash64("_g").alias("g")
+    )
+    a = ex.select(F.col(id_col).alias("id_a"), "g")
+    b = ex.select(F.col(id_col).alias("id_b"), "g")
+    inter = (
+        a.join(b, on="g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            q6(F.col("n_inter") / F.col("sz_a")).alias("cont_a_in_b"),
+            q6(F.col("n_inter") / F.col("sz_b")).alias("cont_b_in_a"),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
+        )
+    )
+
+
 # Rounds the most recent connected_components run took to converge —
 # the warm-start test observable.
 _LAST_CC_ROUNDS: int = 0

@@ -42,6 +42,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         analytics_q,
         coverage_q,
+        curation_q,
         functions_q,
         llmdata_q,
         ml_q,

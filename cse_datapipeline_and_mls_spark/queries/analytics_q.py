@@ -964,3 +964,80 @@ def agg_woe_iv_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             * woe
         ).alias("iv_contrib"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "agg_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT
+        sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)      AS n_r,
+        sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)     AS n_o,
+        avg(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)  AS mean_r,
+        avg(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice END) AS mean_o,
+        var_samp(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)  AS v_r,
+        var_samp(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice END) AS v_o
+      FROM lineitem
+    ), se AS (
+      SELECT n_r, n_o, mean_r, mean_o, v_r, v_o,
+             v_r / n_r AS se2_r, v_o / n_o AS se2_o
+      FROM s
+    )
+    SELECT CAST(n_r AS BIGINT) AS n_r,
+           CAST(n_o AS BIGINT) AS n_o,
+           floor(mean_r * 1000000 + 0.5) / 1000000 AS mean_r,
+           floor(mean_o * 1000000 + 0.5) / 1000000 AS mean_o,
+           floor((mean_r - mean_o) / sqrt(se2_r + se2_o) * 1000000 + 0.5) / 1000000
+             AS t_stat,
+           floor((se2_r + se2_o) * (se2_r + se2_o)
+                 / (se2_r * se2_r / (n_r - 1) + se2_o * se2_o / (n_o - 1))
+                 * 1000000 + 0.5) / 1000000 AS df_welch
+    FROM se
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two cohorts in one scan:
+    does the extended price of RETURNED lineitems (l_returnflag='R')
+    differ from the rest? Emits group sizes, means, the t statistic,
+    and the Welch–Satterthwaite degrees of freedom — the A/B-test
+    primitive an analytics engine runs constantly.
+
+    Scale: conditional aggregation (sum/avg/var_samp over CASE
+    expressions) computes BOTH cohorts' moments in a single map-side
+    partial agg + 1-row final combine — no second scan, no join, no
+    group-by shuffle of the fact table; at 100 TB the cost is the
+    scan. The t and df formulas are pure 1-row float expressions with
+    identical association on both engines; var_samp flavor is pinned
+    explicitly (ddof=1) to match DuckDB's."""
+    li = load_table(spark, sf_dir, "lineitem")
+    is_r = F.col("l_returnflag") == "R"
+    s = li.agg(
+        F.sum(F.when(is_r, 1).otherwise(0)).alias("n_r"),
+        F.sum(F.when(~is_r, 1).otherwise(0)).alias("n_o"),
+        F.avg(F.when(is_r, F.col("l_extendedprice"))).alias("mean_r"),
+        F.avg(F.when(~is_r, F.col("l_extendedprice"))).alias("mean_o"),
+        F.var_samp(F.when(is_r, F.col("l_extendedprice"))).alias("v_r"),
+        F.var_samp(F.when(~is_r, F.col("l_extendedprice"))).alias("v_o"),
+    )
+    se = s.select(
+        "*",
+        (F.col("v_r") / F.col("n_r")).alias("se2_r"),
+        (F.col("v_o") / F.col("n_o")).alias("se2_o"),
+    )
+    return se.select(
+        F.col("n_r").cast("long").alias("n_r"),
+        F.col("n_o").cast("long").alias("n_o"),
+        _q6(F.col("mean_r")).alias("mean_r"),
+        _q6(F.col("mean_o")).alias("mean_o"),
+        _q6(
+            (F.col("mean_r") - F.col("mean_o"))
+            / F.sqrt(F.col("se2_r") + F.col("se2_o"))
+        ).alias("t_stat"),
+        _q6(
+            (F.col("se2_r") + F.col("se2_o")) * (F.col("se2_r") + F.col("se2_o"))
+            / (
+                F.col("se2_r") * F.col("se2_r") / (F.col("n_r") - 1)
+                + F.col("se2_o") * F.col("se2_o") / (F.col("n_o") - 1)
+            )
+        ).alias("df_welch"),
+    )

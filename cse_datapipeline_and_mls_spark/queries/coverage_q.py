@@ -2736,11 +2736,13 @@ def x_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
-def _lpa_oracle(rounds: int) -> str:
-    """Unrolled synchronous-LPA twin for graph.label_propagation's
-    fixed-round contract: R neighbor-vote blocks (count + min-tie-break
-    argmax), MATERIALIZED so DuckDB doesn't inline each round's CTE
-    into the next exponentially."""
+def _lpa_ctes(rounds: int) -> str:
+    """Shared WITH-block prefix for the unrolled synchronous-LPA twins
+    (label query below; modularity in curation_q): R neighbor-vote
+    blocks (count + min-tie-break argmax), MATERIALIZED so DuckDB
+    doesn't inline each round's CTE into the next exponentially.
+    Exposes CTEs ``ed`` (the support>=2 co-purchase edges) and
+    ``l{rounds}`` (node -> final label)."""
     parts = [
         """
     WITH bk AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -2767,12 +2769,18 @@ def _lpa_oracle(rounds: int) -> str:
         SELECT node, lbl,
                row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
         FROM cnt{i}) WHERE rn = 1)""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _lpa_oracle(rounds: int) -> str:
+    return (
+        _lpa_ctes(rounds)
+        + f"""
     SELECT CAST(node AS BIGINT) AS node,
            CAST(lbl AS BIGINT) AS community,
            CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
-    FROM l{rounds} ORDER BY node""")
-    return "".join(parts)
+    FROM l{rounds} ORDER BY node"""
+    )
 
 
 @register("x_label_propagation_communities", oracle=_lpa_oracle(rounds=4))

@@ -1,0 +1,313 @@
+"""Corpus-curation queries: the document-shaping passes a web-scale
+training pipeline runs between raw crawl and tokenizer — per-domain
+caps, segment-level (C4/MassiveText-style) exact dedup, asymmetric
+containment screening, seeded epoch shuffles, and partition-quality
+scoring for the community structure the graph layer discovers.
+
+Every query is oracle-checked (hash-compare vs DuckDB at sf0.01);
+determinism follows the registry rules (q6 quantizer, unique window
+tiebreakers, thresholds applied to the quantized value on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators.numeric import q6 as _q6
+from ..sources import load_table
+from . import register
+from .coverage_q import _lpa_ctes
+
+
+@register(
+    "x_domain_cap_documents",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                                   AS n_docs,
+           CAST(sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT)  AS n_kept,
+           CAST(sum(CASE WHEN rn > 20 THEN 1 ELSE 0 END) AS BIGINT)   AS n_dropped,
+           CAST(sum(CASE WHEN rn <= 20 THEN n_chars ELSE 0 END) AS BIGINT)
+                                                                      AS chars_kept
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def x_domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the anti-over-representation pass web
+    corpora run so one prolific domain can't dominate the training mix
+    (C4 and successors cap or downweight per-domain contributions).
+    Keep at most K=20 documents per source, preferring longer documents
+    (n_chars DESC, doc_id tiebreak), and report kept/dropped counts and
+    retained characters per source.
+
+    Scale: one hash shuffle on ``source``; the per-source rank is a
+    window sort whose partition size a hot domain inflates — but the
+    production mitigation is already in the plan's shape: a pre-pass
+    ``groupBy(source).count()`` broadcast lets you rank ONLY the
+    over-cap domains (the overwhelming majority of domains at web scale
+    fall under the cap and skip the sort entirely), and within a single
+    pathological domain the rank-then-filter can run as a per-partition
+    top-K (each partition keeps its local top-K before the global
+    rank — the TakeOrderedAndProject idea applied per key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = docs.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rn") <= 20, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 20, 1).otherwise(0)).cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("rn") <= 20, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "x_segment_dedup_corpus",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(text), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), segs AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(floor((len(w) - 1) / 8) AS INT))) AS seg_idx,
+             w
+      FROM words
+    ), hashed AS (
+      SELECT doc_id, seg_idx,
+             md5(array_to_string(list_slice(w, seg_idx * 8 + 1, seg_idx * 8 + 8), ' ')) AS h,
+             doc_id * 1000000 + seg_idx AS pos_key
+      FROM segs
+    ), marked AS (
+      SELECT doc_id, seg_idx, pos_key,
+             min(pos_key) OVER (PARTITION BY h) AS first_key
+      FROM hashed
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                                          AS n_segs,
+           CAST(sum(CASE WHEN pos_key = first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN pos_key <> first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM marked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def x_segment_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup across the corpus — the C4 /
+    MassiveText line-dedup pass, at 8-word non-overlapping segment
+    granularity (the synthetic corpus has no newlines, so fixed word
+    windows stand in for lines; the operator is granularity-agnostic).
+    A segment's globally FIRST occurrence (smallest (doc_id, seg_idx))
+    is kept; every later occurrence anywhere in the corpus is dropped.
+    Output is the per-document audit: total / kept / dropped segments.
+
+    Scale: segmenting is map-side (split → explode(sequence) → slice);
+    the only shuffle keys on the segment's md5. First-occurrence is a
+    ``groupBy(h).agg(min(pos_key))`` + hash join back — deliberately
+    NOT a window over h: partial (map-side) min aggregation absorbs the
+    boilerplate-segment skew a web corpus always has (the same hot-key
+    argument as exact_dedup_by_content), where a window would sort
+    every occurrence of the hottest segment in one task. The final
+    per-doc rollup re-shuffles on doc_id. md5 (not xxhash64) because
+    the oracle must compute the identical key SQL-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.regexp_replace(F.trim(F.col("text")), r"[ \t\n\r]+", " "), " ")
+    d = D._ensure_min_parallelism(
+        docs.select("doc_id", words.alias("_w"), ((F.size(words) - 1) / 8).cast("int").alias("_mx"))
+    )
+    segs = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("_mx"))).alias("seg_idx"),
+        "_w",
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.md5(
+            F.concat_ws(" ", F.slice("_w", F.col("seg_idx") * 8 + 1, 8)).cast("binary")
+        ).alias("h"),
+        (F.col("doc_id") * 1000000 + F.col("seg_idx")).alias("pos_key"),
+    )
+    firsts = segs.groupBy("h").agg(F.min("pos_key").alias("first_key"))
+    marked = segs.join(firsts, "h")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("pos_key") == F.col("first_key"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("pos_key") != F.col("first_key"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x_shingle_containment_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), tokens AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx FROM words
+    ), grams AS (
+      SELECT doc_id,
+             word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS g
+      FROM tokens WINDOW win AS (PARTITION BY doc_id ORDER BY idx)
+      QUALIFY lead(word, 2) OVER win IS NOT NULL
+    ), dgrams AS (
+      SELECT DISTINCT doc_id, g FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM dgrams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM dgrams a JOIN dgrams b USING (g)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, cont_a_in_b, cont_b_in_a
+    FROM (
+      SELECT id_a, id_b,
+             floor(n_inter / sa.sz * 1000000 + 0.5) / 1000000 AS cont_a_in_b,
+             floor(n_inter / sb.sz * 1000000 + 0.5) / 1000000 AS cont_b_in_a
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) WHERE cont_a_in_b >= 0.6 OR cont_b_in_a >= 0.6
+    """,
+)
+def x_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup screening: word-3-gram shingle CONTAINMENT
+    |A∩B|/|A| in both directions, keeping pairs where either reaches
+    0.6 — catches quotation/subset duplication (short doc embedded in a
+    long one) that symmetric Jaccard scores near |A|/|B| ≈ 0 and never
+    flags. Broder's resemblance-vs-containment distinction, as a
+    first-class curation query. Exact shingle-equi-join flavor (the
+    SQL-expressible oracle tool); production screens with the banded
+    MinHash path and re-checks candidates with this. See
+    operators/dedup.ngram_containment_self_pairs for the scale contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_self_pairs(docs, "text", "doc_id", n=3, threshold=0.6)
+
+
+@register(
+    "x_epoch_shuffle",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    LIMIT 100
+    """,
+)
+def x_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic training-order shuffle: every document gets
+    a pseudo-random sort key md5(seed || doc_id) and the epoch reads
+    documents in key order — reproducible across runs and engines (no
+    RNG state), different every epoch (change the seed string), and
+    statistically indistinguishable from a uniform shuffle for training
+    purposes. This is how a data loader shards + orders a 100 TB corpus
+    without materializing a permutation: the key is computed map-side,
+    and range-partitioning on it both shuffles globally AND yields
+    evenly-sized shards (md5 is uniform), so no epoch hotspots.
+
+    The query returns the first 100 documents of epoch 7's order:
+    ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
+    top-K, then a driver-side merge of K-row heads — no global sort is
+    ever materialized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(
+            F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")).cast("binary")
+        ).alias("shuffle_key"),
+    )
+    return keyed.orderBy("shuffle_key", "doc_id").limit(100)
+
+
+def _modularity_oracle(rounds: int) -> str:
+    """LPA-partition modularity twin: reuses the unrolled LPA CTE
+    prefix (coverage_q._lpa_ctes) and computes Newman's Q from
+    integer-valued aggregates only — intra-edge count and Σ d_c² are
+    BIGINTs, so the single float expression at the end is bit-identical
+    across engines regardless of summation order."""
+    return (
+        _lpa_ctes(rounds)
+        + f""",
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM ed UNION ALL SELECT b FROM ed) GROUP BY node),
+    dc AS (
+      SELECT l.lbl, sum(d.d) AS d_c
+      FROM deg d JOIN l{rounds} l ON l.node = d.node GROUP BY l.lbl),
+    intra AS (
+      SELECT count(*) AS e_in
+      FROM ed e JOIN l{rounds} la ON la.node = e.a
+                JOIN l{rounds} lb ON lb.node = e.b
+      WHERE la.lbl = lb.lbl),
+    m AS (SELECT count(*) AS m FROM ed)
+    SELECT CAST(m.m AS BIGINT) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM dc) AS n_communities,
+           floor((CAST(intra.e_in AS DOUBLE) / m.m
+                  - CAST((SELECT sum(d_c * d_c) FROM dc) AS DOUBLE)
+                    / (4 * m.m * m.m)) * 1000000 + 0.5) / 1000000 AS modularity
+    FROM m, intra"""
+    )
+
+
+@register("x_graph_modularity", oracle=_modularity_oracle(rounds=4))
+def x_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition quality of the 4-round LPA communities on the repeat
+    co-purchase graph: Newman modularity
+    Q = Σ_c [ e_c/m − (d_c/2m)² ] — the standard "are these communities
+    real structure or noise" score (Q near 0 ⇒ no better than random;
+    0.3+ ⇒ strong structure). Computed via the algebraic identity
+    Q = intra/m − (Σ_c d_c²)/(4m²) so every aggregate crossing the
+    cluster is an INTEGER (edge count, Σ d_c²) — order-independent,
+    hash-stable — and the only float math is one final expression.
+
+    Scale: labels come from the capped-round LPA operator (node-keyed
+    joins, localCheckpoint lineage truncation); the modularity operator
+    (operators/graph.modularity) adds two node-keyed label joins on the
+    edge list, a degree agg, and two per-community sums — all
+    co-partitioned on a cluster, nothing quadratic. The 1-row
+    edge-count side is broadcast."""
+    from ..operators.graph import label_propagation, modularity
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bk = li.distinct()
+    a = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+        # materialize once: the basket self-join feeds FOUR consumers
+        # (LPA + modularity's e2/deg/m) and would re-derive per consumer
+        .localCheckpoint(eager=True)
+    )
+    lab = label_propagation(edges, rounds=4)
+    q = modularity(edges, lab)
+    return q.select(
+        "n_edges", "n_communities", _q6(F.col("modularity")).alias("modularity")
+    )

@@ -62,6 +62,7 @@ EXPECTED_CROSS = {
     "agg_rfm_segmentation",   # 1-row (r/f/m quantile cutoffs) broadcast onto the customer frame
     "t_kaplan_meier_conversion",  # 1-row censoring-reference-day broadcast
     "x_hits_suppliers",       # two 1-row sum-normalizer broadcasts at output (graph.hits)
+    "x_graph_modularity",     # two 1-row broadcasts (edge count, Σd_c²) onto the 1-row intra frame (graph.modularity)
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -85,6 +86,7 @@ EXPECTED_MANY_EXCHANGES = {
     "x_association_rules",    # basket dedup + item/pair/meta aggs + 2 rule-stat joins; every frame past the pair count is ≤ |rules| rows
     "x_pagerank_personalized",  # power iteration over the undirected graph: 2-3 exchanges x 6 iterations is the algorithm
     "x_hits_suppliers",       # 2 node-keyed joins x 4 iterations past the checkpoints is the algorithm
+    "x_graph_modularity",     # past the checkpointed edge build: 2 label joins + degree agg + per-community sums + 3 1-row aggs
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
