@@ -141,6 +141,22 @@ HEADLINE = [
     "x_adamic_adar_links",
     "ml_prefixspan_sequences",
     "x_tokenizer_fertility",
+    # r7 session 3: the corpus-curation batch — segment dedup and
+    # containment are corpus-scan-shaped (the scale-sensitive pair);
+    # the rest are cheap but belong to the round's surface
+    "x_segment_dedup_corpus",
+    "x_shingle_containment_pairs",
+    "x_domain_cap_documents",
+    "x_epoch_shuffle",
+    "x_graph_modularity",
+    "agg_welch_ttest",
+    # r7 session 3 (applied stats + graph structure): the bootstrap is
+    # the only 20x-row-explosion query in the headline; assortativity
+    # re-runs the basket edge build
+    "agg_bootstrap_ci_revenue",
+    "w_seasonal_decompose_daily",
+    "x_degree_assortativity",
+    "x_quantile_norm_doclen",
 ]
 
 
@@ -262,7 +278,7 @@ def main() -> None:
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
-    r7_subset = round(sum(timings[n] for n in HEADLINE[:63] if n in timings), 3)
+    r7_subset = round(sum(timings[n] for n in HEADLINE[:89] if n in timings), 3)
     print(
         json.dumps(
             {

@@ -720,3 +720,45 @@ def modularity(edges: DataFrame, labels: DataFrame, src: str = "src", dst: str =
             - F.col("sum_dc2").cast("double") / (4 * F.col("m") * F.col("m"))
         ).alias("modularity"),
     )
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of an undirected
+    simple graph (edges deduped, src < dst): the Pearson correlation of
+    endpoint degrees over the DOUBLED edge list. Returns one row
+    (n_edges, assortativity), assortativity unquantized (NULL for a
+    degree-regular graph where the variance is 0).
+
+    The doubled-edge symmetry collapses the Pearson formula to
+    r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) with n = 2m, Σx = Σ(dₐ+d_b),
+    Σxy = 2·Σ(dₐ·d_b), Σx² = Σ(dₐ²+d_b²) — every distributed aggregate
+    an INTEGER, so the result is order-independent and hash-stable;
+    float math is one final 1-row expression (the modularity
+    discipline). Plan: degree agg + two node-keyed degree joins + one
+    global integer agg. Σ(dₐ·d_b) needs the decimal(38) variant past
+    ~3e9 summed degree products."""
+    deg = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias(src), F.col("d").alias("_da"))
+    db = deg.select(F.col("node").alias(dst), F.col("d").alias("_db"))
+    s = (
+        edges.select(src, dst)
+        .join(da, src)
+        .join(db, dst)
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.col("_da") + F.col("_db")).alias("sx"),
+            (2 * F.sum(F.col("_da") * F.col("_db"))).alias("sxy"),
+            F.sum(F.col("_da") * F.col("_da") + F.col("_db") * F.col("_db")).alias("sxx"),
+        )
+    )
+    num = (2 * F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+    den = (2 * F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        F.col("m").cast("long").alias("n_edges"),
+        (num / F.nullif(den, F.lit(0.0))).alias("assortativity"),
+    )

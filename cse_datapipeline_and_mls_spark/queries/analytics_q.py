@@ -1041,3 +1041,182 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("df_welch"),
     )
+
+
+@register(
+    "agg_bootstrap_ci_revenue",
+    oracle="""
+    WITH reps AS (
+      SELECT o_orderkey, o_totalprice,
+             unnest(generate_series(0, 19)) AS rep
+      FROM orders
+    ), weighted AS (
+      SELECT rep, o_totalprice,
+             CASE
+               WHEN u < 0.36787944117144233 THEN 0
+               WHEN u < 0.7357588823428847  THEN 1
+               WHEN u < 0.9196986029286058  THEN 2
+               WHEN u < 0.9810118431238462  THEN 3
+               WHEN u < 0.9963401531726563  THEN 4
+               WHEN u < 0.9994058151824183  THEN 5
+               ELSE 6
+             END AS wt
+      FROM (
+        SELECT rep, o_totalprice,
+               ('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':'
+                               || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967296.0 AS u
+        FROM reps)
+    ), rep_means AS (
+      SELECT rep,
+             floor(sum(wt * o_totalprice) / nullif(sum(wt), 0)
+                   * 1000000 + 0.5) / 1000000 AS rep_mean
+      FROM weighted GROUP BY rep
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_reps,
+           floor(avg(rep_mean) * 1000000 + 0.5) / 1000000 AS boot_mean,
+           min(rep_mean) AS ci_lo,
+           max(rep_mean) AS ci_hi
+    FROM rep_means
+    """,
+)
+def agg_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap confidence interval for mean order revenue
+    via DETERMINISTIC Poisson resampling: instead of materializing 20
+    resampled datasets (impossible at 100 TB), each row contributes a
+    Poisson(1)-distributed weight to each replicate — the standard
+    m-out-of-n "Poissonization" of the bootstrap (each bootstrap
+    draw's multiplicity converges to Poisson(1)) used by large-scale
+    systems because it needs only a map-side weight per (row,
+    replicate) and one aggregation. The weight is a pure function of
+    md5(seed‖replicate‖row-key) mapped through the Poisson(1) inverse
+    CDF, so both engines (and any two cluster runs) reproduce the
+    identical resample — no RNG state, no collect.
+
+    Plan: explode(sequence(0..19)) is map-side (20× rows, zero
+    shuffle), then ONE groupBy(rep) with map-side partial aggregation
+    — 20 groups regardless of input size. Emits the replicate count,
+    the bootstrap mean-of-means, and the [min, max] envelope of the 20
+    replicate means (with 20 replicates the 2.5/97.5% quantiles ARE
+    the envelope); replicate means are q6-quantized before the
+    min/max so the envelope picks identically on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    reps = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("rep").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    wt = (
+        F.when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .when(u < 0.9994058151824183, 5)
+        .otherwise(6)
+    )
+    weighted = reps.select("rep", "o_totalprice", wt.alias("wt"))
+    rep_means = weighted.groupBy("rep").agg(
+        _q6(
+            F.sum(F.col("wt") * F.col("o_totalprice"))
+            / F.nullif(F.sum("wt"), F.lit(0))
+        ).alias("rep_mean")
+    )
+    return rep_means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+        _q6(F.avg("rep_mean")).alias("boot_mean"),
+        F.min("rep_mean").alias("ci_lo"),
+        F.max("rep_mean").alias("ci_hi"),
+    )
+
+
+@register(
+    "w_seasonal_decompose_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             sum(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT day, revenue,
+             CASE WHEN count(*) OVER win = 7
+                  THEN avg(revenue) OVER win END AS trend
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), s AS (
+      SELECT dayofweek(day) AS dow, avg(revenue - trend) AS seasonal
+      FROM t WHERE trend IS NOT NULL GROUP BY 1
+    )
+    SELECT t.day,
+           CAST(s.dow AS BIGINT) AS dow,
+           floor(t.revenue * 1000000 + 0.5) / 1000000 AS revenue,
+           floor(t.trend * 1000000 + 0.5) / 1000000 AS trend,
+           floor(s.seasonal * 1000000 + 0.5) / 1000000 AS seasonal,
+           floor((t.revenue - t.trend - s.seasonal) * 1000000 + 0.5) / 1000000
+             AS remainder
+    FROM t JOIN s ON s.dow = dayofweek(t.day)
+    ORDER BY t.day
+    """,
+)
+def w_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily revenue
+    series: trend = centered 7-day moving average (full windows only —
+    the 3 edge days on each side get NULL trend and NULL remainder),
+    seasonal = day-of-week mean of the detrended series, remainder =
+    revenue − trend − seasonal. The moving-average flavor of STL — the
+    first thing an analyst runs on any business time series.
+
+    Scale: the raw fact scan collapses to ONE row per day before any
+    window runs, so the unpartitioned 7-row frame slides over the DAY
+    SPINE (365 rows/year — calendar-bounded, the x_rolling_mau_sketch
+    posture), not over data-sized input; the 7-row seasonal profile
+    broadcast-joins back. Day-of-week parity: Spark dayofweek() is
+    1=Sunday..7, DuckDB's is 0=Sunday..6 — the engine subtracts 1."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    win = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "revenue",
+        F.when(F.count(F.lit(1)).over(win) == 7, F.avg("revenue").over(win)).alias(
+            "trend"
+        ),
+    )
+    s = (
+        t.filter(F.col("trend").isNotNull())
+        .groupBy((F.dayofweek("day") - 1).alias("dow"))
+        .agg(F.avg(F.col("revenue") - F.col("trend")).alias("seasonal"))
+    )
+    out = t.join(
+        F.broadcast(s), (F.dayofweek(t["day"]) - 1) == s["dow"]
+    )
+    return out.select(
+        "day",
+        F.col("dow").cast("long").alias("dow"),
+        _q6(F.col("revenue")).alias("revenue"),
+        _q6(F.col("trend")).alias("trend"),
+        _q6(F.col("seasonal")).alias("seasonal"),
+        _q6(F.col("revenue") - F.col("trend") - F.col("seasonal")).alias("remainder"),
+    ).orderBy("day")

@@ -2957,3 +2957,69 @@ def x_hits_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority"), "suppkey")
         .limit(20)
     )
+
+
+@register(
+    "x_degree_assortativity",
+    oracle="""
+    WITH bk AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n
+        FROM bk x JOIN bk y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2) WHERE n >= 2),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+    s AS (
+      SELECT count(*) AS m,
+             sum(da.d + db.d)             AS sx,
+             2 * sum(da.d * db.d)         AS sxy,
+             sum(da.d * da.d + db.d * db.d) AS sxx
+      FROM e JOIN deg da ON da.node = e.a
+             JOIN deg db ON db.node = e.b)
+    SELECT CAST(m AS BIGINT) AS n_edges,
+           floor(CAST(2 * m * sxy - sx * sx AS DOUBLE)
+                 / nullif(CAST(2 * m * sxx - sx * sx AS DOUBLE), 0.0)
+                 * 1000000 + 0.5) / 1000000 AS assortativity
+    FROM s
+    """,
+)
+def x_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the repeat co-purchase graph: the
+    Pearson correlation of endpoint degrees across edges (Newman 2002)
+    — positive means hubs buy with hubs (assortative mixing), negative
+    means hub-and-spoke structure. The discriminator between social-ish
+    and infrastructure-ish graph shapes, as a single scalar.
+
+    Determinism/scale: the symmetric doubled-edge formulation collapses
+    to Σx=Σy and Σx²=Σy², so r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²)
+    with EVERY distributed aggregate an integer (degree products) —
+    order-independent, hash-stable; the only float math is one final
+    1-row expression (the x_graph_modularity discipline). Plan: degree
+    agg + two node-keyed degree joins on the edge list + one global
+    integer agg; nothing quadratic. Σ(d_a·d_b) overflows BIGINT only
+    past ~3e9 summed degree products per edge set — the decimal(38)
+    variant applies before that. Denominator 0 (regular graph) yields
+    NULL rather than a division error on both engines."""
+    from ..operators.graph import degree_assortativity
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bk = li.distinct()
+    a = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+        # one materialization for the degree agg + the degree join
+        .localCheckpoint(eager=True)
+    )
+    r = degree_assortativity(edges)
+    return r.select(
+        "n_edges", _q6(F.col("assortativity")).alias("assortativity")
+    )

@@ -311,3 +311,85 @@ def x_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "n_edges", "n_communities", _q6(F.col("modularity")).alias("modularity")
     )
+
+
+@register(
+    "x_quantile_norm_doclen",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS r
+      FROM documents
+    ), tot AS (SELECT count(*) AS n FROM documents),
+    cg AS (
+      SELECT g.n_chars, CAST(floor(r * 100 / n) AS INT) + 1 AS centile
+      FROM g, tot
+    ), cut AS (
+      SELECT centile, max(n_chars) AS cutoff FROM cg GROUP BY centile
+    ), s AS (
+      SELECT doc_id, source, n_chars,
+             CAST(floor(
+               (row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1)
+               * 100 / count(*) OVER (PARTITION BY source)) AS INT) + 1
+               AS src_centile
+      FROM documents
+    )
+    SELECT s.doc_id, s.source, CAST(s.n_chars AS BIGINT) AS n_chars,
+           s.src_centile, CAST(c.cutoff AS BIGINT) AS norm_chars
+    FROM s JOIN cut c ON c.centile = s.src_centile
+    ORDER BY s.doc_id
+    """,
+)
+def x_quantile_norm_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources: each
+    document's WITHIN-SOURCE length centile is mapped onto the GLOBAL
+    length distribution's cutoff for that centile — the standard
+    cross-source calibration trick (quantile normalization from
+    bioinformatics, equally used to make per-source quality/length
+    scores comparable before mixing a corpus: a "long" doc from a
+    short-doc source and a "long" doc from a long-doc source land on
+    the same normalized scale).
+
+    Scale: the global centile comes from operators/relational.
+    assign_dense_ids (range-repartition + per-partition offsets — NO
+    single-partition row_number over the corpus; the oracle's naive
+    global window is the small-data twin), collapsed to a 100-row
+    cutoff table that broadcast-joins back. Within-source ranks are
+    partitioned windows (integer row_number/count math — no ntile
+    implementation-dependence), and every derived column is integer
+    arithmetic: nothing floats, nothing order-dependent."""
+    from ..operators.relational import assign_dense_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = assign_dense_ids(docs.select("doc_id", "n_chars"), ["n_chars", "doc_id"], "r")
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    cg = g.crossJoin(F.broadcast(tot)).select(
+        "n_chars",
+        (F.floor(F.col("r") * 100 / F.col("n")).cast("int") + 1).alias("centile"),
+    )
+    cut = cg.groupBy("centile").agg(F.max("n_chars").alias("cutoff"))
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    s = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.floor(
+                (F.row_number().over(w) - 1)
+                * 100
+                / F.count(F.lit(1)).over(Window.partitionBy("source"))
+            ).cast("int")
+            + 1
+        ).alias("src_centile"),
+    )
+    return (
+        s.join(F.broadcast(cut), s["src_centile"] == cut["centile"])
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "src_centile",
+            F.col("cutoff").cast("long").alias("norm_chars"),
+        )
+        .orderBy("doc_id")
+    )

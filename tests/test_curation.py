@@ -154,3 +154,76 @@ class TestCurationQueries:
         )
         assert t == pytest.approx(0.0)
         assert dfw == pytest.approx(4.0)  # equal variances, n=3 each -> 2(n-1)
+
+
+class TestDegreeAssortativity:
+    def test_star_graph_is_minus_one(self, spark):
+        from cse_datapipeline_and_mls_spark.operators.graph import degree_assortativity
+
+        edges = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "src long, dst long")
+        r = degree_assortativity(edges).collect()[0]
+        assert r.n_edges == 3
+        assert r.assortativity == pytest.approx(-1.0)
+
+    def test_regular_graph_is_null(self, spark):
+        # 4-cycle: every degree 2 -> zero variance -> NULL, not a crash
+        from cse_datapipeline_and_mls_spark.operators.graph import degree_assortativity
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+        )
+        r = degree_assortativity(edges).collect()[0]
+        assert r.n_edges == 4
+        assert r.assortativity is None
+
+
+class TestAppliedStats:
+    def test_bootstrap_ci_envelope(self, spark, sf_dir):
+        from cse_datapipeline_and_mls_spark.queries.analytics_q import (
+            agg_bootstrap_ci_revenue,
+        )
+
+        r = agg_bootstrap_ci_revenue(spark, sf_dir).collect()[0]
+        assert r.n_reps == 20
+        assert r.ci_lo <= r.boot_mean <= r.ci_hi
+        # the resample envelope should bracket the true mean tightly
+        from cse_datapipeline_and_mls_spark.sources import load_table
+
+        true_mean = load_table(spark, sf_dir, "orders").agg(
+            F.avg("o_totalprice")
+        ).collect()[0][0]
+        assert r.ci_lo <= true_mean <= r.ci_hi
+        spread = (r.ci_hi - r.ci_lo) / true_mean
+        assert spread < 0.2, f"envelope implausibly wide: {spread}"
+
+    def test_seasonal_decompose_identity_and_edges(self, spark, sf_dir):
+        from cse_datapipeline_and_mls_spark.queries.analytics_q import (
+            w_seasonal_decompose_daily,
+        )
+
+        rows = w_seasonal_decompose_daily(spark, sf_dir).collect()
+        assert len(rows) > 30
+        nulls = [r for r in rows if r.trend is None]
+        assert len(nulls) == 6, "exactly the 3 edge days each side lack a full MA window"
+        for r in rows:
+            if r.trend is not None:
+                assert r.remainder == pytest.approx(
+                    r.revenue - r.trend - r.seasonal, abs=2e-6
+                )
+            assert 0 <= r.dow <= 6
+
+    def test_quantile_norm_monotone(self, spark, sf_dir):
+        from cse_datapipeline_and_mls_spark.queries.curation_q import (
+            x_quantile_norm_doclen,
+        )
+
+        rows = x_quantile_norm_doclen(spark, sf_dir).collect()
+        assert rows
+        by_src: dict = {}
+        for r in rows:
+            assert 1 <= r.src_centile <= 100
+            by_src.setdefault(r.source, []).append((r.src_centile, r.norm_chars))
+        for pairs in by_src.values():
+            pairs.sort()
+            norms = [n for _, n in pairs]
+            assert norms == sorted(norms), "normalized length must be monotone in centile"

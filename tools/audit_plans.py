@@ -63,6 +63,7 @@ EXPECTED_CROSS = {
     "t_kaplan_meier_conversion",  # 1-row censoring-reference-day broadcast
     "x_hits_suppliers",       # two 1-row sum-normalizer broadcasts at output (graph.hits)
     "x_graph_modularity",     # two 1-row broadcasts (edge count, Σd_c²) onto the 1-row intra frame (graph.modularity)
+    "x_quantile_norm_doclen", # 1-row corpus-count broadcast onto the dense-id frame (global centile denominator)
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -87,12 +88,15 @@ EXPECTED_MANY_EXCHANGES = {
     "x_pagerank_personalized",  # power iteration over the undirected graph: 2-3 exchanges x 6 iterations is the algorithm
     "x_hits_suppliers",       # 2 node-keyed joins x 4 iterations past the checkpoints is the algorithm
     "x_graph_modularity",     # past the checkpointed edge build: 2 label joins + degree agg + per-community sums + 3 1-row aggs
+    "x_degree_assortativity", # past the checkpointed edge build: degree agg + 2 node-keyed degree joins + 1-row integer agg
+    "x_quantile_norm_doclen", # assign_dense_ids' range+pid stages + 100-row cutoff agg + per-source window; corpus joins broadcast-only
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
     "x_word_topk",
     "x_hybrid_search_rrf",    # rank window over a top-20 candidate list
     "x_rolling_mau_sketch",   # sliding sketch-fold over the DAY SPINE (365 rows/year, calendar-bounded)
+    "w_seasonal_decompose_daily",  # 7-day MA over the DAY SPINE (calendar-bounded), facts pre-collapsed to 1 row/day
 }
 
 
