@@ -628,3 +628,64 @@ def bpe_token_counts(
             F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def segment_dedup_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+) -> DataFrame:
+    """Corpus-wide segment-level exact dedup audit (the C4/MassiveText
+    line-dedup pass at fixed word-window granularity): split each doc
+    into non-overlapping ``seg_words``-word segments, keep each
+    segment's globally FIRST occurrence (smallest (id, seg_idx)), and
+    return the per-document audit (id, n_segs, n_kept, n_dropped).
+
+    Scale contract: segmenting is map-side (split → explode(sequence)
+    → slice); the only corpus shuffle keys on the segment md5 (md5,
+    not xxhash64, so a SQL oracle computes the identical key).
+    First-occurrence is groupBy(h).agg(min(pos_key)) + a hash join
+    back — deliberately NOT a window over h: map-side partial min
+    absorbs the boilerplate-segment hot keys a web corpus always has,
+    where a window would sort the hottest segment's every occurrence
+    in one task. The final per-doc rollup re-shuffles on the id.
+    ``pos_key = id*1e6 + seg_idx`` assumes <1e6 segments per doc."""
+    from .dedup import _ensure_min_parallelism
+
+    words = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"[ \t\n\r]+", " "), " ")
+    d = _ensure_min_parallelism(
+        df.select(
+            id_col,
+            words.alias("_w"),
+            ((F.size(words) - 1) / seg_words).cast("int").alias("_mx"),
+        )
+    )
+    segs = d.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.col("_mx"))).alias("seg_idx"),
+        "_w",
+    ).select(
+        id_col,
+        "seg_idx",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("_w", F.col("seg_idx") * seg_words + 1, seg_words)
+            ).cast("binary")
+        ).alias("h"),
+        (F.col(id_col) * 1000000 + F.col("seg_idx")).alias("pos_key"),
+    )
+    firsts = segs.groupBy("h").agg(F.min("pos_key").alias("first_key"))
+    return (
+        segs.join(firsts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("pos_key") == F.col("first_key"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("pos_key") != F.col("first_key"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

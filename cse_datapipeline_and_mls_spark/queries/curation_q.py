@@ -124,38 +124,10 @@ def x_segment_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     every occurrence of the hottest segment in one task. The final
     per-doc rollup re-shuffles on doc_id. md5 (not xxhash64) because
     the oracle must compute the identical key SQL-side."""
+    from ..operators.text import segment_dedup_audit
+
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.regexp_replace(F.trim(F.col("text")), r"[ \t\n\r]+", " "), " ")
-    d = D._ensure_min_parallelism(
-        docs.select("doc_id", words.alias("_w"), ((F.size(words) - 1) / 8).cast("int").alias("_mx"))
-    )
-    segs = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.col("_mx"))).alias("seg_idx"),
-        "_w",
-    ).select(
-        "doc_id",
-        "seg_idx",
-        F.md5(
-            F.concat_ws(" ", F.slice("_w", F.col("seg_idx") * 8 + 1, 8)).cast("binary")
-        ).alias("h"),
-        (F.col("doc_id") * 1000000 + F.col("seg_idx")).alias("pos_key"),
-    )
-    firsts = segs.groupBy("h").agg(F.min("pos_key").alias("first_key"))
-    marked = segs.join(firsts, "h")
-    return (
-        marked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_segs"),
-            F.sum(F.when(F.col("pos_key") == F.col("first_key"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_kept"),
-            F.sum(F.when(F.col("pos_key") != F.col("first_key"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_dropped"),
-        )
-        .orderBy("doc_id")
-    )
+    return segment_dedup_audit(docs, "text", "doc_id", seg_words=8).orderBy("doc_id")
 
 
 @register(

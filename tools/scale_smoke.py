@@ -702,6 +702,65 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
         n_rows_fn=lambda one: scaled_docs(spark, 1 if one else k_docs).count(),
     )
 
+    # 20a. Segment-level corpus dedup (r7 curation batch): map-side
+    # segmenting + one md5-keyed groupBy-min + join back + per-doc
+    # rollup. The unique-per-copy corpus keeps the segment key space
+    # growing with the data — per-row cost must stay flat even though
+    # the first-occurrence table is corpus-sized.
+    def seg_dedup(one):
+        return X.segment_dedup_audit(scaled_docs(spark, 1 if one else k_docs))
+
+    case("segment_dedup_docs", seg_dedup)
+
+    # 20b. Deterministic Poisson bootstrap (r7): 20x map-side explode +
+    # md5 weight per (row, replicate) + ONE 20-group agg. Output is a
+    # fixed 20 rows, so cost is reported per INPUT row; linearity here
+    # proves the explode never shuffles and the agg stays map-side.
+    def bootstrap(one):
+        ev = scaled_events(spark, 1 if one else k_events)
+        reps = ev.select(
+            "event_id", "value", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep")
+        )
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("boot:"),
+                            F.col("rep").cast("string"),
+                            F.lit(":"),
+                            F.col("event_id").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+        )
+        wt = (
+            F.when(u < 0.36787944117144233, 0)
+            .when(u < 0.7357588823428847, 1)
+            .when(u < 0.9196986029286058, 2)
+            .when(u < 0.9810118431238462, 3)
+            .when(u < 0.9963401531726563, 4)
+            .when(u < 0.9994058151824183, 5)
+            .otherwise(6)
+        )
+        return (
+            reps.select("rep", "value", wt.alias("wt"))
+            .groupBy("rep")
+            .agg((F.sum(F.col("wt") * F.col("value")) / F.sum("wt")).alias("m"))
+        )
+
+    case(
+        "bootstrap_poisson_events",
+        bootstrap,
+        n_rows_fn=lambda one: scaled_events(spark, 1 if one else k_events).count(),
+    )
+
     # 20. Hub-skewed LPA round (r7, VERDICT r6 #6): one node on ~30% of
     # raw edges. The per-round neighbor-label join is node-keyed, so the
     # hub concentrates one join partition — exactly the stage the
