@@ -157,6 +157,11 @@ HEADLINE = [
     "w_seasonal_decompose_daily",
     "x_degree_assortativity",
     "x_quantile_norm_doclen",
+    # r7 session 3 (multimodal round trips): decode -> resample ->
+    # re-encode -> decode (PNG) and per-frame RMS (WAV) — the two
+    # heaviest Python legs after the codecs themselves
+    "x_multimodal_png_resize",
+    "x_multimodal_audio_frames",
 ]
 
 
@@ -278,7 +283,7 @@ def main() -> None:
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
-    r7_subset = round(sum(timings[n] for n in HEADLINE[:89] if n in timings), 3)
+    r7_subset = round(sum(timings[n] for n in HEADLINE[:91] if n in timings), 3)
     print(
         json.dumps(
             {

@@ -408,3 +408,155 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "media_id",
         F.explode(offsets).alias("frame_offset_ms"),
     )
+
+
+def encode_gray8_png(pixels, width: int, height: int) -> bytes:
+    """Encode a uint8 pixel stream (row-major, ``height`` filter-0
+    scanlines of ``width``) as a genuine grayscale-8 PNG with stdlib
+    ``struct``/``zlib`` — signature, CRC-correct IHDR/IDAT/IEND. The
+    inverse of ``decode_media('image')`` (round-trip asserted in
+    tests); also the encoder the resize leg re-emits through, so a
+    resized payload walks the full container format again."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pix = np.asarray(pixels, dtype=np.uint8).reshape(height, width)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + pix[r].tobytes() for r in range(height))
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int,
+    out_h: int = 1,
+    decoder=None,
+) -> DataFrame:
+    """Nearest-neighbor image resize — the feature-extraction
+    pre-processing step (thumbnail / fixed-input-size normalization)
+    run as a REAL decode → resample → re-encode round trip: each PNG
+    payload is decoded (``decode_media``), sampled at
+    ``src = floor(dst * in / out)`` per axis (the exactly-replayable
+    nearest-neighbor convention — pure integer index math, no
+    filtering kernel, so an oracle can recompute every output pixel),
+    and re-emitted as a genuine grayscale-8 PNG of (out_w, out_h) via
+    :func:`encode_gray8_png`, metadata updated to match.
+
+    Scale: one Arrow-batched ``mapInPandas`` — map-only, zero
+    shuffles; decode/resize parallelism IS the scan parallelism, and
+    output rows carry the (smaller) resized payload, so the stage
+    SHRINKS the data — exactly what you want before shipping features
+    to a shuffle. Works for down- and up-sampling (duplicate source
+    indices)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        dec = decoder or decode_media
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(content)
+                in_w, in_h, _, _ = png_info(payload)
+                vals = np.asarray(dec(payload, "image")).reshape(in_h, in_w)
+                rows = (np.arange(out_h) * in_h) // out_h
+                cols = (np.arange(out_w) * in_w) // out_w
+                resized = vals[np.ix_(rows, cols)]
+                ids.append(int(mid))
+                payloads.append(encode_gray8_png(resized, out_w, out_h))
+            yield pd.DataFrame(
+                {"media_id": ids, "modality": "image", "content": payloads}
+            )
+
+    raw = media.filter(F.col("modality") == "image").mapInPandas(
+        op, schema="media_id long, modality string, content binary"
+    )
+    return raw.withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(out_w).cast("int").alias("width"),
+            F.lit(out_h).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_frame_rms(
+    media: DataFrame, frame_samples: int = 100, decoder=None
+) -> DataFrame:
+    """Frame-level audio energy — the frame-sampling pattern for AUDIO
+    (the energy/VAD feature every audio pipeline computes first): each
+    payload is decoded (real RIFF/WAVE parse via ``decode_media``),
+    the sample stream is cut into non-overlapping ``frame_samples``
+    frames (trailing partial frame dropped — fixed-size frames keep
+    the feature matrix rectangular), and each frame emits its RMS.
+
+    Determinism: the per-frame sum of squares is computed in EXACT
+    int64 (bounded by frame_samples·255² « 2^53 for 8-bit PCM), so the
+    only float op is the final sqrt(sumsq/n) — bit-identical to a SQL
+    replay regardless of summation order (numpy's pairwise mean would
+    NOT be). Scale: one map-only Arrow-batched pass; the fan-out to
+    frames happens inside the batch, output rows are 4 scalars each."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        dec = decoder or decode_media
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                vals = np.asarray(dec(bytes(content), "audio")).ravel()
+                n_full = vals.size // frame_samples
+                if n_full == 0:
+                    continue
+                frames = (
+                    vals[: n_full * frame_samples]
+                    .astype(np.int64)
+                    .reshape(n_full, frame_samples)
+                )
+                sumsq = (frames * frames).sum(axis=1)  # exact int64
+                for f in range(n_full):
+                    out.append(
+                        (
+                            int(mid),
+                            f,
+                            frame_samples,
+                            math.sqrt(sumsq[f] / float(frame_samples)),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "n_samples", "rms"]
+            )
+
+    return media.filter(F.col("modality") == "audio").mapInPandas(
+        op, schema=AUDIO_FRAME_SCHEMA
+    )

@@ -727,3 +727,111 @@ def ml_prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("length", "pattern")
     )
+
+
+@register(
+    "x_multimodal_png_resize",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             ord(substr(d.text,
+                        CAST(floor(g.i * length(d.text) / 16) AS INT) + 1, 1)) AS p
+      FROM documents d,
+           (SELECT unnest(generate_series(0, 15)) AS i) g
+    ), f AS (
+      SELECT doc_id, p, CAST(count(*) AS BIGINT) AS n FROM px GROUP BY doc_id, p
+    ), agg AS (
+      SELECT doc_id,
+             sum(p * n) / 16.0 AS pmean,
+             -sum((n / 16.0) * log2(n / 16.0)) AS ent
+      FROM f GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(1 AS INTEGER) AS height,
+           CAST(8 AS INTEGER) AS bit_depth,
+           CAST(16 AS BIGINT) AS n_pixels,
+           floor(pmean * 1000000 + 0.5) / 1000000 AS pixel_mean,
+           floor(ent * 1000000 + 0.5) / 1000000   AS pixel_entropy
+    FROM agg
+    """,
+)
+def x_multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5's resize/feature-prep leg: synthesize a real grayscale-8 PNG
+    per document (pixel row = the document's bytes), nearest-neighbor
+    resize it to 16x1 through a FULL decode -> resample -> re-encode
+    round trip (multimodal.resize_images: chunk walk, inflate,
+    de-filter, integer index sampling src = floor(dst*in/out), then a
+    fresh CRC-correct PNG via encode_gray8_png), and decode the
+    RESIZED payload again for its stats — so the hash check pins
+    decoder, resampler, and encoder together: any slip in any of the
+    three shifts the sampled pixels and fails against the SQL replay
+    (pixel i of the resized image = the text byte at position
+    floor(i*len/16)).
+
+    Scale: two map-only Arrow-batched stages, zero shuffles; the
+    resize stage SHRINKS each payload to 16 bytes + container framing
+    before anything downstream touches it — the thumbnail/normalize
+    step of an image feature pipeline in its 100 TB-correct shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synth_png_from_documents(docs)
+    resized = MM.resize_images(media, out_w=16, out_h=1)
+    from ..operators.numeric import q6
+
+    out = MM.extract_image_stats(resized, decoder=MM.decode_media)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "bit_depth",
+        "n_pixels",
+        q6(F.col("pixel_mean")).alias("pixel_mean"),
+        q6(F.col("pixel_entropy")).alias("pixel_entropy"),
+    )
+
+
+@register(
+    "x_multimodal_audio_frames",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             CAST(floor((g.i - 1) / 100) AS BIGINT) AS frame_idx,
+             ord(substr(d.text, g.i, 1)) AS s
+      FROM documents d,
+           unnest(generate_series(1, length(d.text))) AS g(i)
+      WHERE g.i <= CAST(floor(length(d.text) / 100) AS INT) * 100
+    )
+    SELECT doc_id AS media_id,
+           frame_idx,
+           CAST(100 AS BIGINT) AS n_samples,
+           floor(sqrt(sum(s * s) / 100.0) * 1000000 + 0.5) / 1000000 AS rms
+    FROM px
+    GROUP BY doc_id, frame_idx
+    ORDER BY media_id, frame_idx
+    """,
+)
+def x_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5's audio frame-sampling leg: synthesize a real RIFF/WAVE per
+    document (8-bit PCM samples = the document's bytes), decode it
+    through the stdlib container parse, and emit per-100-sample-frame
+    RMS energy (multimodal.audio_frame_rms) — the first feature an
+    audio pipeline computes (energy/VAD), with the trailing partial
+    frame dropped for a rectangular feature matrix.
+
+    Oracle-checked end-to-end: frame f's RMS replays in SQL as
+    sqrt(Σ ord(char)² / 100) over text positions [f·100+1, (f+1)·100]
+    — exact because the engine accumulates the per-frame sum of
+    squares in int64 and takes ONE float sqrt, so summation order
+    cannot drift the hash. A header mis-parse, frame offset slip, or
+    partial-frame leak changes the row set and fails."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synth_wav_from_documents(docs, rate=8000)
+    from ..operators.numeric import q6
+
+    out = MM.audio_frame_rms(media, frame_samples=100, decoder=MM.decode_media)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "n_samples",
+        q6(F.col("rms")).alias("rms"),
+    ).orderBy("media_id", "frame_idx")

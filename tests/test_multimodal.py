@@ -230,3 +230,79 @@ def test_synth_png_documents_decode_to_text_bytes(spark):
         _, counts = np.unique(b, return_counts=True)
         p = counts / b.size
         assert math.isclose(r["pixel_entropy"], float(-(p * np.log2(p)).sum()))
+
+
+def test_encode_gray8_png_roundtrip_2d():
+    import numpy as np
+
+    from cse_datapipeline_and_mls_spark.operators.multimodal import (
+        decode_media,
+        encode_gray8_png,
+        png_info,
+    )
+
+    pix = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    payload = encode_gray8_png(pix, 6, 4)
+    assert png_info(payload) == (6, 4, 8, 0)
+    back = decode_media(payload, "image")
+    assert (back.reshape(4, 6) == pix).all()
+
+
+def test_resize_images_nearest_neighbor_2d(spark):
+    # 4x6 gradient image -> 2x3: src index = floor(dst * in / out)
+    import numpy as np
+
+    from cse_datapipeline_and_mls_spark.operators import multimodal as MM
+
+    pix = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    payload = MM.encode_gray8_png(pix, 6, 4)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload))], "media_id long, modality string, content binary"
+    )
+    out = MM.resize_images(media, out_w=3, out_h=2).collect()
+    assert len(out) == 1
+    resized = MM.decode_media(bytes(out[0].content), "image").reshape(2, 3)
+    rows = (np.arange(2) * 4) // 2   # [0, 2]
+    cols = (np.arange(3) * 6) // 3   # [0, 2, 4]
+    assert (resized == pix[np.ix_(rows, cols)]).all()
+    assert out[0].meta.width == 3 and out[0].meta.height == 2
+
+
+def test_resize_images_upsample(spark):
+    import numpy as np
+
+    from cse_datapipeline_and_mls_spark.operators import multimodal as MM
+
+    pix = np.array([[10, 200]], dtype=np.uint8)
+    payload = MM.encode_gray8_png(pix, 2, 1)
+    media = spark.createDataFrame(
+        [(7, "image", bytearray(payload))], "media_id long, modality string, content binary"
+    )
+    out = MM.resize_images(media, out_w=4, out_h=1).collect()
+    resized = MM.decode_media(bytes(out[0].content), "image")
+    # floor([0,1,2,3] * 2 / 4) = [0,0,1,1]
+    assert list(resized) == [10, 10, 200, 200]
+
+
+def test_audio_frame_rms_hand_computed(spark):
+    import io
+    import math
+    import wave as wavelib
+
+    from cse_datapipeline_and_mls_spark.operators import multimodal as MM
+
+    # 250 samples: frames of 100 -> 2 full frames, 50 trailing dropped
+    samples = bytes(range(100)) + bytes([200] * 100) + bytes([255] * 50)
+    buf = io.BytesIO()
+    w = wavelib.open(buf, "wb")
+    w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+    w.writeframes(samples); w.close()
+    media = spark.createDataFrame(
+        [(3, "audio", bytearray(buf.getvalue()))],
+        "media_id long, modality string, content binary",
+    )
+    rows = MM.audio_frame_rms(media, frame_samples=100).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 1]
+    rms0 = math.sqrt(sum(i * i for i in range(100)) / 100.0)
+    assert rows[0].rms == pytest.approx(rms0)
+    assert rows[1].rms == pytest.approx(200.0)
