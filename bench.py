@@ -162,6 +162,18 @@ HEADLINE = [
     # heaviest Python legs after the codecs themselves
     "x_multimodal_png_resize",
     "x_multimodal_audio_frames",
+    # r7 session 4 (TA indicators + rank stats + BFS): the indicator
+    # trio rides the tick scan / bar fold; MWU exercises the
+    # distributed prefix sum; BFS re-runs the basket edge build
+    "w_stochastic_oscillator",
+    "w_atr_14",
+    "w_obv_daily",
+    "w_autocorrelation",
+    "agg_mann_whitney_u",
+    "x_bfs_hops_copurchase",
+    "x_zipf_fit_words",
+    "agg_spearman_rank_corr",
+    "x_centroid_cosine_matrix",
 ]
 
 
@@ -283,7 +295,7 @@ def main() -> None:
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
-    r7_subset = round(sum(timings[n] for n in HEADLINE[:91] if n in timings), 3)
+    r7_subset = round(sum(timings[n] for n in HEADLINE[:100] if n in timings), 3)
     print(
         json.dumps(
             {

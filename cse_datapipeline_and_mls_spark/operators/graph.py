@@ -762,3 +762,71 @@ def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -
         F.col("m").cast("long").alias("n_edges"),
         (num / F.nullif(den, F.lit(0.0))).alias("assortativity"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Capped-round multi-source BFS over an undirected graph
+    (direction and duplicate edges in the input are ignored): hop
+    distance from the nearest seed, expanding the frontier for AT MOST
+    ``max_rounds`` rounds. ``seeds`` is a one-column (``node``) frame.
+    Returns (node, hops, converged) for every node reached within the
+    cap — hops 0 for the seeds themselves; ``converged`` (constant
+    across rows) is true iff the round-``max_rounds`` frontier is
+    empty, i.e. the cap covered the whole reachable set.
+
+    Like k_core/label_propagation, the capped-round DEFINITION makes
+    this a total deterministic function of (graph, seeds, max_rounds)
+    that an oracle replays by unrolling exactly ``max_rounds``
+    frontier expansions; a graph with a longer diameter yields the
+    same partial distance map on both engines with converged=false
+    instead of silently diverging. Early exit on an empty frontier is
+    result-identical to running the full cap (an empty frontier stays
+    empty).
+
+    Scale: per round, one node-keyed equi-join of the frontier against
+    the symmetrized edge list + one distinct + one anti-join against
+    the settled set — all exchanges keyed on node ids, frontier-sized
+    (not graph-sized) probe side, broadcastable while the frontier is
+    small. Lineage is truncated with an eager localCheckpoint per
+    round (the pagerank idiom); distances accumulate append-only, so
+    no per-round rewrite of the settled set.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
+    und = (
+        und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    converged = False
+    for r in range(1, max_rounds + 1):
+        new = (
+            und.join(frontier.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(r))
+            .localCheckpoint(eager=True)
+        )
+        if new.count() == 0:
+            converged = True
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("node")
+    return dist.withColumn("converged", F.lit(converged))

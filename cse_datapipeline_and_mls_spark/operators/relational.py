@@ -648,3 +648,71 @@ def mode_per_group(
             F.col("_n").alias(count_col),
         )
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    out_prefix: str = "cum_",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running totals of ``sum_cols`` in global ``order_cols``
+    order (each row gets the sum over all STRICTLY EARLIER rows, 0 for
+    the first) without the single-partition ``sum() OVER (ORDER BY …)``
+    funnel — the same two-phase shape as :func:`assign_dense_ids`:
+
+      1. range-repartition on the order keys (distributed sort);
+      2. per-partition totals -> per-partition starting offsets via the
+         tiny broadcast theta self-join (one row per partition);
+      3. running value = partition offset + in-partition exclusive
+         window sum.
+
+    Two distributed exchanges, zero single-partition stages. Results
+    are deterministic whenever ``order_cols`` totally order the rows
+    (for float sum columns the in-partition accumulation order is then
+    fixed too, but cross-partition grouping still differs run to run —
+    prefer integer sum columns when downstream hashes the output, the
+    engine-wide exactness posture). The standard uses: cumulative
+    distribution / midrank computation over a grouped-by-value frame,
+    watermark offsets for file stitching, Lorenz curves.
+    """
+    order_cols = list(order_cols)
+    sum_cols = list(sum_cols)
+    if not order_cols or not sum_cols:
+        raise ValueError("distributed_prefix_sum: order_cols and sum_cols required")
+    par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(par, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = ranged.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]
+    )
+    lower = totals.select(
+        F.col("_pid").alias("_pid2"),
+        *[F.col(f"_t_{c}").alias(f"_t2_{c}") for c in sum_cols],
+    )
+    offsets = (
+        totals.join(F.broadcast(lower), F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"_t2_{c}"), F.lit(0)).alias(f"_off_{c}")
+                for c in sum_cols
+            ]
+        )
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = ranged.join(F.broadcast(offsets), "_pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{out_prefix}{c}",
+            F.col(f"_off_{c}") + F.coalesce(F.sum(c).over(w_in), F.lit(0)),
+        )
+    return out.drop("_pid", *[f"_off_{c}" for c in sum_cols])

@@ -1220,3 +1220,178 @@ def w_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q6(F.col("seasonal")).alias("seasonal"),
         _q6(F.col("revenue") - F.col("trend") - F.col("seasonal")).alias("remainder"),
     ).orderBy("day")
+
+
+@register(
+    "agg_mann_whitney_u",
+    oracle="""
+    WITH g AS (
+      SELECT l_extendedprice AS v,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r
+      FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT v, n, n_r,
+             CAST(coalesce(sum(n) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_n
+      FROM g
+    ), s AS (
+      SELECT CAST(sum(n_r) AS BIGINT)                       AS n1,
+             CAST(sum(n) AS BIGINT)                         AS n_tot,
+             CAST(sum(n_r * (2 * cum_n + n + 1)) AS BIGINT) AS r1x2,
+             CAST(sum(n * n * n - n) AS BIGINT)             AS ties
+      FROM c
+    ), u AS (
+      SELECT n1, n_tot - n1 AS n2, n_tot, ties,
+             (r1x2 - n1 * (n1 + 1)) / 2.0 AS u1
+      FROM s
+    )
+    SELECT n1 AS n_r, n2 AS n_o, u1 AS u_stat,
+           floor((u1 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n_tot + 1) - ties / (n_tot * (n_tot - 1.0))))
+                 * 1000000 + 0.5) / 1000000 AS z_stat
+    FROM u
+    """,
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between the same two
+    cohorts as agg_welch_ttest (returned vs other lineitems, on
+    extended price) — the rank-based nonparametric twin that holds
+    when the t-test's normality assumption doesn't. Midranks handle
+    ties; the normal approximation carries the standard tie-corrected
+    variance n1·n2/12·((n+1) − Σ(t³−t)/(n(n−1))).
+
+    EXACT-INTEGER rank sums, no data-sized sort: group by value (one
+    shuffle; ties collapse to one row), then
+    relational.distributed_prefix_sum supplies each value's
+    strictly-less count via the range-partition + broadcast-offset
+    two-phase — never a single-task ``sum() OVER (ORDER BY …)``.
+    Doubled midranks (2·cum_less + t + 1) keep every accumulated
+    quantity int64 (bounded by 2n² < 2^63 up to ~10^9 rows — the cap
+    is documented, not silent: past it, promote r1x2 to the decimal
+    type), so U is an exact integer-valued double and only the final
+    z — one 1-row float expression — is q6'd. Compare: a naive
+    implementation ranks the whole fact table through one partition;
+    this one's biggest frame after the first agg is |distinct prices|."""
+    from ..operators.relational import distributed_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_r"),
+    )
+    c = distributed_prefix_sum(g, ["v"], ["n"])
+    s = c.agg(
+        F.sum("n_r").cast("long").alias("n1"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum(F.col("n_r") * (2 * F.col("cum_n") + F.col("n") + 1))
+        .cast("long")
+        .alias("r1x2"),
+        F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+        .cast("long")
+        .alias("ties"),
+    )
+    u = s.select(
+        "n1",
+        (F.col("n_tot") - F.col("n1")).alias("n2"),
+        "n_tot",
+        "ties",
+        ((F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)) / 2.0).alias("u1"),
+    )
+    return u.select(
+        F.col("n1").alias("n_r"),
+        F.col("n2").alias("n_o"),
+        F.col("u1").alias("u_stat"),
+        _q6(
+            (F.col("u1") - F.col("n1") * F.col("n2") / 2.0)
+            / F.sqrt(
+                F.col("n1")
+                * F.col("n2")
+                / 12.0
+                * (
+                    (F.col("n_tot") + 1)
+                    - F.col("ties") / (F.col("n_tot") * (F.col("n_tot") - 1.0))
+                )
+            )
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "agg_spearman_rank_corr",
+    oracle="""
+    WITH gx AS (
+      SELECT l_quantity AS v, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    ), cx AS (
+      SELECT v,
+             CAST(coalesce(sum(n) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               + (n + 1) / 2.0 AS r
+      FROM gx
+    ), gy AS (
+      SELECT l_extendedprice AS v, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    ), cy AS (
+      SELECT v,
+             CAST(coalesce(sum(n) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               + (n + 1) / 2.0 AS r
+      FROM gy
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           floor(corr(cx.r, cy.r) * 1000000 + 0.5) / 1000000 AS spearman_rho
+    FROM lineitem l
+    JOIN cx ON l.l_quantity = cx.v
+    JOIN cy ON l.l_extendedprice = cy.v
+    """,
+)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price —
+    the monotonic-association twin of agg_corr_covar's Pearson (robust
+    to the heavy price tails that distort the linear coefficient).
+    With ties, Spearman IS Pearson over midranks; midranks come from
+    the same skew-proof spine as agg_mann_whitney_u: group by value
+    (ties collapse), relational.distributed_prefix_sum for each
+    value's strictly-less count — never a fact-table-sized
+    ``row_number() OVER (ORDER BY …)`` through one task.
+
+    The rank maps join back value-keyed: the quantity map (50 distinct
+    values) broadcasts; the price map is a shuffle equi-join on the
+    price — the one fact-sized exchange, the irreducible cost of
+    pairing per-row ranks. Midranks are k or k+0.5 — exact doubles,
+    identical both engines; only the final corr (merged co-moments,
+    order-sensitive) is q6'd."""
+    from ..operators.relational import distributed_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+
+    def rank_map(col: str) -> DataFrame:
+        g = li.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        c = distributed_prefix_sum(g, ["v"], ["n"])
+        return c.select(
+            "v", (F.col("cum_n") + (F.col("n") + 1) / 2.0).alias("r")
+        )
+
+    rx = rank_map("l_quantity")
+    ry = rank_map("l_extendedprice")
+    paired = (
+        li.join(
+            F.broadcast(rx.withColumnRenamed("v", "l_quantity")), "l_quantity"
+        )
+        .withColumnRenamed("r", "rx")
+        .join(ry.withColumnRenamed("v", "l_extendedprice"), "l_extendedprice")
+        .withColumnRenamed("r", "ry")
+    )
+    return paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _q6(F.corr("rx", "ry")).alias("spearman_rho"),
+    )

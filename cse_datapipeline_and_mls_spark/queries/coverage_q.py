@@ -3023,3 +3023,158 @@ def x_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "n_edges", _q6(F.col("assortativity")).alias("assortativity")
     )
+
+
+def _bfs_oracle(rounds: int) -> str:
+    """Unrolled multi-source BFS twin for x_bfs_hops_copurchase:
+    ``rounds`` frontier-expansion blocks over the support>=2
+    co-purchase graph, seeds = the 5 smallest node ids. MATERIALIZED
+    CTEs keep DuckDB from re-inlining each round into the next."""
+    parts = [
+        """
+    WITH bk AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ed AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n
+        FROM bk x JOIN bk y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2) WHERE n >= 2),
+    und AS MATERIALIZED (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+    sd AS MATERIALIZED (SELECT DISTINCT a AS node FROM und ORDER BY node LIMIT 5),
+    d0 AS MATERIALIZED (SELECT node, 0 AS hops FROM sd),
+    f0 AS MATERIALIZED (SELECT node FROM sd)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    f{i} AS MATERIALIZED (
+      SELECT DISTINCT u.b AS node
+      FROM f{i - 1} f JOIN und u ON u.a = f.node
+      WHERE u.b NOT IN (SELECT node FROM d{i - 1})),
+    d{i} AS MATERIALIZED (
+      SELECT node, hops FROM d{i - 1}
+      UNION ALL SELECT node, {i} AS hops FROM f{i})""")
+    parts.append(f"""
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(hops AS BIGINT) AS hops,
+           (SELECT count(*) = 0 FROM f{rounds}) AS converged
+    FROM d{rounds} ORDER BY node""")
+    return "".join(parts)
+
+
+@register("x_bfs_hops_copurchase", oracle=_bfs_oracle(rounds=4))
+def x_bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance on the repeat co-purchase graph
+    (graph.bfs_hops, capped at 4 rounds): how many co-purchase hops
+    separate every part from the 5 lowest-id seed parts — the
+    neighborhood-radius / blast-radius primitive behind "related
+    products within k hops" and contagion-style reach analyses, and
+    the path-distance capability the graph family (pagerank/triangles/
+    k-core/LPA/HITS) did not yet cover. Capped-round contract as
+    everywhere in the family: the oracle unrolls exactly 4 frontier
+    expansions, converged rides along hash-checked (true iff the
+    4th-round frontier is empty), so a longer-diameter graph keeps
+    both engines on the same partial distance map instead of
+    diverging. Per round: one frontier-sized node-keyed join + one
+    anti-join against the settled set; the support>=2 pre-filter keeps
+    the graph the sparse signal-bearing layer, as in
+    x_kcore_copurchase."""
+    from ..operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bk = li.distinct()
+    a = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(5)
+    d = bfs_hops(edges, seeds, max_rounds=4)
+    return d.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("hops").cast("long").alias("hops"),
+        "converged",
+    ).orderBy("node")
+
+
+@register(
+    "x_centroid_cosine_matrix",
+    oracle="""
+    WITH c AS (
+      SELECT label, pos,
+             floor(avg(v) * 1000000 + 0.5) / 1000000 AS cv
+      FROM (
+        SELECT label,
+               unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      ) t
+      GROUP BY label, pos
+    )
+    SELECT CAST(a.label AS INTEGER) AS label_a,
+           CAST(b.label AS INTEGER) AS label_b,
+           floor(sum(a.cv * b.cv)
+                 / sqrt(sum(a.cv * a.cv) * sum(b.cv * b.cv))
+                 * 1000000 + 0.5) / 1000000 AS cosine
+    FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+    ORDER BY label_a, label_b
+    """,
+)
+def x_centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-class embedding
+    centroids — the class-redundancy / source-overlap diagnostic read
+    after clustering (two classes whose prototypes sit at cosine ≈ 1
+    are candidates for merging; SemDeDup runs within-cluster for
+    exactly this reason). Builds on x_embedding_centroids' zero-UDF
+    fold: posexplode → ONE (label, dim)-keyed partial-avg shuffle, the
+    only stage that sees the corpus; the pairwise stage runs on the
+    labels × dims centroid frame (tiny, broadcastable) with labels²/2
+    pairs — at 100 TB the matrix cost is independent of row count.
+
+    Numeric discipline: centroid components are q6-quantized BEFORE
+    the dot products (group-avg order differs between engines; both
+    sides must multiply identical doubles), and the cosine — an
+    order-sensitive sum over dims — is q6'd."""
+    from ..operators.numeric import q6
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", F.col("pos0").alias("pos"))
+        .agg(q6(F.avg("v")).alias("cv"))
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("cv").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("cv").alias("cb")
+    )
+    return (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            q6(
+                F.sum(F.col("ca") * F.col("cb"))
+                / F.sqrt(
+                    F.sum(F.col("ca") * F.col("ca"))
+                    * F.sum(F.col("cb") * F.col("cb"))
+                )
+            ).alias("cosine")
+        )
+        .withColumn("label_a", F.col("label_a").cast("int"))
+        .withColumn("label_b", F.col("label_b").cast("int"))
+        .orderBy("label_a", "label_b")
+    )

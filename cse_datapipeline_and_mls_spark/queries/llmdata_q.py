@@ -1915,3 +1915,70 @@ def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "x_zipf_fit_words",
+    oracle="""
+    WITH w AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r]+')) AS word
+            FROM documents) t
+      WHERE word <> ''
+      GROUP BY word
+    ), top AS (
+      SELECT word, n FROM w ORDER BY n DESC, word LIMIT 1000
+    ), r AS (
+      SELECT ln(row_number() OVER (ORDER BY n DESC, word)) AS x,
+             ln(n) AS y
+      FROM top
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_words,
+           floor(covar_pop(x, y) / var_pop(x) * 1000000 + 0.5) / 1000000
+             AS zipf_slope,
+           floor((avg(y) - covar_pop(x, y) / var_pop(x) * avg(x))
+                 * 1000000 + 0.5) / 1000000 AS intercept,
+           floor(corr(x, y) * corr(x, y) * 1000000 + 0.5) / 1000000 AS r2
+    FROM r
+    """,
+)
+def x_zipf_fit_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution — the
+    vocabulary health check a training-data pipeline reads before
+    trusting a tokenizer or a dedup pass (natural corpora fit
+    log(freq) ≈ a + s·log(rank) with s ≈ −1; template/boilerplate-
+    heavy or over-deduped corpora bend the tail). Least-squares slope/
+    intercept/r² of ln(freq) on ln(rank) over the top-1000 words.
+
+    Distributed shape: the word count is the x_word_topk plan (map-
+    side explode, one word-keyed shuffle); the head is
+    TakeOrderedAndProject (top-1000, (n desc, word) total order — the
+    deterministic-rank tiebreak); ranking INSIDE the constant-1000-row
+    frame uses relational.assign_dense_ids, so no stage anywhere sorts
+    a corpus-sized frame through one task. ln(count) and ln(rank) of
+    exact integers are bit-identical across engines; the fitted
+    moments (order-sensitive sums over 1000 rows) are q6'd."""
+    from ..operators.relational import assign_dense_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r]+")).alias("word")
+    ).filter(F.col("word") != "")
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(1000)
+        .withColumn("neg_n", -F.col("n"))
+    )
+    ranked = assign_dense_ids(top, ["neg_n", "word"], id_col="rk")
+    r = ranked.select(
+        F.log(F.col("rk") + 1).alias("x"), F.log("n").alias("y")
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        _q6(slope).alias("zipf_slope"),
+        _q6(F.avg("y") - slope * F.avg("x")).alias("intercept"),
+        _q6(F.corr("x", "y") * F.corr("x", "y")).alias("r2"),
+    )

@@ -1071,3 +1071,284 @@ def w_ohlc_daily_from_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bars = ohlc_bars(ev, "user_id", "ts", "value", bucket_seconds=21600)
     return merge_ohlc_bars(bars, "user_id", "bucket", coarse_seconds=86400)
+
+
+_Q6 = "* 1000000 + 0.5) / 1000000"
+
+
+@register(
+    "w_stochastic_oscillator",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, user_id, ts, value,
+             min(value) OVER w14 AS l14,
+             max(value) OVER w14 AS h14
+      FROM events
+      WINDOW w14 AS ({_W_ORACLE} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), k AS (
+      SELECT event_id, user_id, ts, value, l14, h14,
+             100.0 * (value - l14) / nullif(h14 - l14, 0) AS pct_k
+      FROM s
+    )
+    SELECT event_id, user_id, ts, value, pct_k,
+           floor(avg(pct_k) OVER ({_W_ORACLE}
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) {_Q6} AS pct_d
+    FROM k
+    """,
+)
+def w_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K/%D — the momentum indicator family the
+    reference's TA feature block sits in (alongside its RSI/MACD/
+    Bollinger, reference regression.py's rolling features): %K = 100 ×
+    (close − L14)/(H14 − L14) over the inclusive 14-row low/high
+    channel, %D = 3-row SMA of %K. A flat channel (H14 = L14) yields
+    NULL %K (nullif guard), which the %D average then skips — the same
+    convention in both engines.
+
+    Determinism: L14/H14 are exact picks (no float arithmetic), %K is
+    one row-wise IEEE division of exact operands — emitted RAW, per the
+    engine rounding policy; %D is an order-sensitive 3-term mean, so it
+    alone is q6'd. Physical plan: the min/max/avg frames all share one
+    (user_id; ts, event_id) sort → a single Exchange feeds two chained
+    WindowExec passes (%D must read the materialized %K column — a
+    window over a window output can't fuse into one pass anywhere)."""
+    from ..operators.numeric import q6
+
+    ev = _events_series(spark, sf_dir)
+    w14 = TS.series_window("user_id", ["ts", "event_id"]).rowsBetween(-13, 0)
+    w3 = TS.series_window("user_id", ["ts", "event_id"]).rowsBetween(-2, 0)
+    l14 = F.min("value").over(w14)
+    h14 = F.max("value").over(w14)
+    k = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (
+            100.0
+            * (F.col("value") - l14)
+            / F.when(h14 - l14 != 0, h14 - l14)
+        ).alias("pct_k"),
+    )
+    return k.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "pct_k",
+        q6(F.avg("pct_k").over(w3)).alias("pct_d"),
+    )
+
+
+_DAILY_BARS_ORACLE = """
+    r AS (
+      SELECT user_id,
+             CAST(to_timestamp(floor(epoch(ts) / 86400) * 86400) AS TIMESTAMP) AS day,
+             value, ts, event_id
+      FROM events
+    ), rb AS (
+      SELECT user_id, day, value,
+             row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM r
+    ), bars AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id, day,
+             max(value)                             AS high,
+             min(value)                             AS low,
+             max(CASE WHEN rn_d = 1 THEN value END) AS close,
+             CAST(count(*) AS BIGINT)               AS n_trades
+      FROM rb GROUP BY user_id, day
+    )"""
+
+
+@register(
+    "w_atr_14",
+    oracle=f"""
+    WITH {_DAILY_BARS_ORACLE}, t AS (
+      SELECT user_id, day, high, low, close,
+             lag(close) OVER (PARTITION BY user_id ORDER BY day) AS pc
+      FROM bars
+    ), tr_t AS (
+      SELECT user_id, day,
+             greatest(high - low,
+                      abs(high - coalesce(pc, close)),
+                      abs(low  - coalesce(pc, close))) AS tr
+      FROM t
+    )
+    SELECT user_id, day, tr,
+           floor(avg(tr) OVER (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) {_Q6} AS atr_14
+    FROM tr_t
+    """,
+)
+def w_atr_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range over daily OHLC bars: TR = max(high−low,
+    |high−prev close|, |low−prev close|) (first bar's missing prev
+    close coalesces to its own close, collapsing TR to high−low — the
+    standard seed), ATR = inclusive 14-bar SMA of TR. SMA parity
+    rather than Wilder's recursive smoothing, the same documented
+    choice as w_macd_sma (the true-EMA leg exists separately as w_ema;
+    the recursion is expressible with the identical block-rebased
+    closed form if a Wilder leg is ever needed).
+
+    The bar fold is tswindow.ohlc_bars (two series-keyed exchanges,
+    tick values pass through untouched); everything after runs on the
+    ~|series|×|days| bar frame — the pre-aggregation cascade posture:
+    at 100 TB the tick scan happens once, and the indicator costs
+    bar-frame prices. TR is row-wise exact (emitted raw); the 14-term
+    mean alone is q6'd."""
+    from ..operators.numeric import q6
+    from ..operators.tswindow import ohlc_bars
+
+    ev = _events_series(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "value", "event_id"
+    )
+    bars = ohlc_bars(ev, "user_id", "ts", "value", bucket_seconds=86400).select(
+        "user_id", F.col("bucket").alias("day"), "high", "low", "close"
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    pc = F.coalesce(F.lag("close").over(w), F.col("close"))
+    tr_t = bars.select(
+        "user_id",
+        "day",
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - pc),
+            F.abs(F.col("low") - pc),
+        ).alias("tr"),
+    )
+    w14 = Window.partitionBy("user_id").orderBy("day").rowsBetween(-13, 0)
+    return tr_t.select(
+        "user_id", "day", "tr", q6(F.avg("tr").over(w14)).alias("atr_14")
+    )
+
+
+@register(
+    "w_obv_daily",
+    oracle=f"""
+    WITH {_DAILY_BARS_ORACLE}, t AS (
+      SELECT user_id, day, close, n_trades,
+             lag(close) OVER (PARTITION BY user_id ORDER BY day) AS pc
+      FROM bars
+    ), d AS (
+      SELECT user_id, day, close, n_trades,
+             CASE WHEN pc IS NULL THEN 0
+                  WHEN close > pc THEN 1
+                  WHEN close < pc THEN -1
+                  ELSE 0 END AS dirn
+      FROM t
+    )
+    SELECT user_id, day, close,
+           CAST(sum(dirn * n_trades) OVER (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+    FROM d
+    """,
+)
+def w_obv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume over daily bars: each day contributes its
+    trade count (n_trades — the tick-volume proxy; the events table
+    carries no share-volume column, documented here) signed by the
+    close-to-close direction, accumulated per series. The direction
+    CASE is explicit three-way rather than sign() — DuckDB's and
+    Spark's signum differ in return type, and the comparison of two
+    exact close picks is bit-identical anyway.
+
+    Fully integer after the direction flag: dirn·n_trades and the
+    running total stay int64, so the output hashes exactly with NO
+    rounding — the same exactness posture as the OHLC family it
+    extends. One bar fold (ohlc_bars) + one series-keyed cumulative
+    window; the cumulative frame is bar-sized, not tick-sized."""
+    from ..operators.tswindow import ohlc_bars
+
+    ev = _events_series(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "value", "event_id"
+    )
+    bars = ohlc_bars(ev, "user_id", "ts", "value", bucket_seconds=86400).select(
+        "user_id", F.col("bucket").alias("day"), "close", "n_trades"
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    pc = F.lag("close").over(w)
+    d = bars.select(
+        "user_id",
+        "day",
+        "close",
+        "n_trades",
+        F.when(pc.isNull(), 0)
+        .when(F.col("close") > pc, 1)
+        .when(F.col("close") < pc, -1)
+        .otherwise(0)
+        .alias("dirn"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "user_id",
+        "day",
+        "close",
+        F.sum(F.col("dirn") * F.col("n_trades")).over(wc).cast("long").alias("obv"),
+    )
+
+
+@register(
+    "w_autocorrelation",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             floor(avg(value) {_Q6} AS v
+      FROM events GROUP BY 1, 2
+    ), l AS (
+      SELECT user_id, v,
+             lag(v, 1) OVER (PARTITION BY user_id ORDER BY day) AS v1,
+             lag(v, 2) OVER (PARTITION BY user_id ORDER BY day) AS v2,
+             lag(v, 3) OVER (PARTITION BY user_id ORDER BY day) AS v3
+      FROM d
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           floor(corr(v, v1) {_Q6} AS ac1,
+           floor(corr(v, v2) {_Q6} AS ac2,
+           floor(corr(v, v3) {_Q6} AS ac3
+    FROM l GROUP BY user_id ORDER BY user_id
+    """,
+)
+def w_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1–3 of each series' daily-mean
+    value — the stationarity/seasonality diagnostic read before
+    fitting any forecaster (the reference fits lag-feature regressors;
+    ACF is what says which lags carry signal). Lag-k autocorrelation
+    here is the Pearson correlation between the daily series and its
+    k-shifted self over the overlapping days (corr skips the NULL
+    warmup rows identically in both engines).
+
+    Numeric discipline: the daily mean is q6-quantized BEFORE the
+    correlations (group-sum order differs between engines; both sides
+    must correlate identical doubles), and the corr outputs — merged
+    co-moments, order-sensitive — are q6'd. Plan: one (user, day)
+    aggregation, one series-keyed window pass for all three lags, one
+    user-keyed agg — day frames are tiny relative to ticks."""
+    from ..operators.numeric import q6
+
+    ev = _events_series(spark, sf_dir)
+    d = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        ).agg(q6(F.avg("value")).alias("v"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = d.select(
+        "user_id",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 3).over(w).alias("v3"),
+    )
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            q6(F.corr("v", "v1")).alias("ac1"),
+            q6(F.corr("v", "v2")).alias("ac2"),
+            q6(F.corr("v", "v3")).alias("ac3"),
+        )
+        .withColumn("user_id", F.col("user_id").cast("long"))
+        .orderBy("user_id")
+    )

@@ -361,3 +361,47 @@ def test_hits_two_iteration_closed_form(spark):
     assert math.isclose(got[-2]["hub"], 5 / 13)
     # no in-edges -> authority 0; no out-edges -> hub 0
     assert got[-1]["authority"] == 0.0 and got[10]["hub"] == 0.0
+
+
+def test_bfs_hops_path_graph(spark):
+    """Path 0-1-2-3-4-5 from seed {0}: hops are exact distances;
+    node 5 is 5 hops out, beyond the 4-round cap -> absent,
+    converged=False (round-4 frontier {4} is non-empty... it IS
+    reached at round 4; the non-empty 4th frontier flags that a 5th
+    round COULD still discover more)."""
+    from cse_datapipeline_and_mls_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    rows = {r["node"]: (r["hops"], r["converged"]) for r in bfs_hops(edges, seeds, max_rounds=4).collect()}
+    assert rows == {0: (0, False), 1: (1, False), 2: (2, False), 3: (3, False), 4: (4, False)}
+
+
+def test_bfs_hops_multi_source_and_convergence(spark):
+    """Two seeds on a small graph: each node takes the hop count of
+    the NEAREST seed; disconnected node never appears; frontier
+    empties within the cap -> converged=True."""
+    from cse_datapipeline_and_mls_spark.operators.graph import bfs_hops
+
+    #  0-1-2-3   and isolated edge 8-9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (8, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (3,)], "node long")
+    rows = {r["node"]: (r["hops"], r["converged"]) for r in bfs_hops(edges, seeds, max_rounds=4).collect()}
+    assert rows == {0: (0, True), 1: (1, True), 2: (1, True), 3: (0, True)}
+
+
+def test_bfs_hops_undirected_and_duplicate_edges(spark):
+    """Direction and duplicates are ignored: a reversed edge reaches
+    backwards; self-loops never extend the frontier."""
+    from cse_datapipeline_and_mls_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 1), (1, 1), (3, 2)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    rows = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_rounds=3).collect()}
+    assert rows == {1: 0, 2: 1, 3: 2}

@@ -110,3 +110,63 @@ def test_weighted_sample_docs_is_exact_es_topk(spark):
     assert [r["doc_id"] for r in got] == expected
     for r in got:
         assert abs(r["sample_key"] - keys[r["doc_id"]]) < 1e-9
+
+
+def test_zipf_fit_matches_numpy(spark, sf_dir):
+    """Independent numpy replay of x_zipf_fit_words at sf0.001:
+    Counter-based word counts, (count desc, word) rank order,
+    polyfit-free closed-form least squares on (ln rank, ln count)."""
+    import re as _re
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cse_datapipeline_and_mls_spark.queries.llmdata_q import x_zipf_fit_words
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    counts = Counter()
+    for t in texts:
+        counts.update(w for w in _re.split(r"[ \t\n\r]+", t.strip().lower()) if w)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    x = np.log(np.arange(1, len(top) + 1))
+    y = np.log(np.array([n for _, n in top], dtype=float))
+    slope = ((x * y).mean() - x.mean() * y.mean()) / ((x * x).mean() - x.mean() ** 2)
+    intercept = y.mean() - slope * x.mean()
+    r2 = float(np.corrcoef(x, y)[0, 1]) ** 2
+
+    row = x_zipf_fit_words(spark, sf_dir).collect()[0]
+    assert row["n_words"] == len(top)
+    assert abs(row["zipf_slope"] - slope) < 1e-6
+    assert abs(row["intercept"] - intercept) < 1e-6
+    assert abs(row["r2"] - r2) < 1e-6
+    assert row["zipf_slope"] < 0  # frequency falls with rank
+
+
+def test_centroid_cosine_matrix_matches_numpy(spark, sf_dir):
+    """Independent numpy replay of x_centroid_cosine_matrix at
+    sf0.001: per-label mean vectors quantized at 6 decimals (the
+    engine contract), then plain cosine per label pair."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cse_datapipeline_and_mls_spark.queries.coverage_q import (
+        x_centroid_cosine_matrix,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    labels = np.asarray(t["label"])
+    emb = np.array(t["embedding"].to_pylist(), dtype=float)
+    cents = {}
+    for lb in np.unique(labels):
+        c = emb[labels == lb].mean(axis=0)
+        cents[int(lb)] = np.floor(c * 1e6 + 0.5) / 1e6
+    rows = x_centroid_cosine_matrix(spark, sf_dir).collect()
+    ks = sorted(cents)
+    assert len(rows) == len(ks) * (len(ks) - 1) // 2
+    for r in rows:
+        a, b = cents[r["label_a"]], cents[r["label_b"]]
+        want = float(a @ b / np.sqrt((a @ a) * (b @ b)))
+        assert abs(r["cosine"] - want) < 1e-6

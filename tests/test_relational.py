@@ -380,3 +380,109 @@ def test_topn_per_group_uses_window_group_limit(spark):
     for g, prices in by_grp.items():
         want = sorted((float((i * 37) % 100) for i in range(50)), reverse=True)[:3]
         assert sorted(prices, reverse=True) == want
+
+
+def test_distributed_prefix_sum_matches_serial_cumsum(spark):
+    """Exclusive running totals over a shuffled input equal the serial
+    exclusive cumsum in key order, for two sum columns at once, and
+    the first row's prefix is 0 (not NULL)."""
+    import random
+
+    from cse_datapipeline_and_mls_spark.operators.relational import (
+        distributed_prefix_sum,
+    )
+
+    vals = [(k, (k * 7) % 13 + 1, (k * 3) % 5) for k in range(200)]
+    shuffled = vals[:]
+    random.Random(42).shuffle(shuffled)
+    df = spark.createDataFrame(shuffled, "k long, n long, m long")
+    out = {
+        r["k"]: (r["cum_n"], r["cum_m"])
+        for r in distributed_prefix_sum(df, ["k"], ["n", "m"], num_partitions=7).collect()
+    }
+    run_n = run_m = 0
+    for k, n, m in vals:
+        assert out[k] == (run_n, run_m)
+        run_n += n
+        run_m += m
+
+
+def test_distributed_prefix_sum_requires_cols(spark):
+    import pytest as _pytest
+
+    from cse_datapipeline_and_mls_spark.operators.relational import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "k long, n long")
+    with _pytest.raises(ValueError):
+        distributed_prefix_sum(df, [], ["n"])
+    with _pytest.raises(ValueError):
+        distributed_prefix_sum(df, ["k"], [])
+
+
+def test_mann_whitney_query_matches_numpy_midranks(spark, sf_dir):
+    """Independent replay of agg_mann_whitney_u at sf0.001: numpy
+    midranks over the raw parquet (argsort-free: strictly-less count +
+    half the tie count), textbook U / tie-corrected z — no shared code
+    with the engine's grouped prefix-sum formulation."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cse_datapipeline_and_mls_spark.queries.analytics_q import (
+        agg_mann_whitney_u,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice", "l_returnflag"]
+    )
+    v = np.asarray(t["l_extendedprice"], dtype=float)
+    is_r = np.asarray([f == "R" for f in t["l_returnflag"].to_pylist()])
+    order = np.sort(v)
+    less = np.searchsorted(order, v, side="left")
+    upto = np.searchsorted(order, v, side="right")
+    midrank = less + (upto - less + 1) / 2.0
+    n1, n2 = int(is_r.sum()), int((~is_r).sum())
+    n = n1 + n2
+    r1 = float(midrank[is_r].sum())
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    _, counts = np.unique(v, return_counts=True)
+    ties = float((counts.astype(np.int64) ** 3 - counts).sum())
+    var = n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1.0)))
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(var)
+
+    row = agg_mann_whitney_u(spark, sf_dir).collect()[0]
+    assert (row["n_r"], row["n_o"]) == (n1, n2)
+    assert row["u_stat"] == u1
+    assert abs(row["z_stat"] - z) < 1e-6
+
+
+def test_spearman_query_matches_numpy(spark, sf_dir):
+    """Independent numpy replay of agg_spearman_rank_corr at sf0.001:
+    searchsorted midranks for both columns, plain Pearson over them."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cse_datapipeline_and_mls_spark.queries.analytics_q import (
+        agg_spearman_rank_corr,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+
+    def midranks(v):
+        order = np.sort(v)
+        less = np.searchsorted(order, v, side="left")
+        upto = np.searchsorted(order, v, side="right")
+        return less + (upto - less + 1) / 2.0
+
+    rx = midranks(np.asarray(t["l_quantity"], dtype=float))
+    ry = midranks(np.asarray(t["l_extendedprice"], dtype=float))
+    want = float(np.corrcoef(rx, ry)[0, 1])
+
+    row = agg_spearman_rank_corr(spark, sf_dir).collect()[0]
+    assert row["n"] == len(rx)
+    assert abs(row["spearman_rho"] - want) < 1e-6

@@ -280,3 +280,109 @@ def test_kaplan_meier_matches_hand_product(spark):
     assert got[1][:2] == (7, 2) and math.isclose(got[1][2], s1)
     assert got[3][:2] == (4, 1) and math.isclose(got[3][2], s3)
     assert got[6][:2] == (2, 1) and math.isclose(got[6][2], s6)
+
+
+def _events_pdf(sf_dir):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).to_pandas()
+    # mirror sources/loader: nanos -> timestamp
+    if t["ts"].dtype.kind in "iu":
+        t["ts"] = pd.to_datetime(t["ts"], unit="ns")
+    return t.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+
+
+def test_stochastic_oscillator_matches_pandas(spark, sf_dir):
+    """Independent pandas replay of w_stochastic_oscillator: rolling
+    14-row min/max channel (min_periods=1), %K with the flat-channel
+    NULL guard, %D = 3-row null-skipping SMA."""
+    import numpy as np
+
+    from cse_datapipeline_and_mls_spark.queries.windows_q import (
+        w_stochastic_oscillator,
+    )
+
+    pdf = _events_pdf(sf_dir)
+    g = pdf.groupby("user_id")["value"]
+    l14 = g.transform(lambda s: s.rolling(14, min_periods=1).min())
+    h14 = g.transform(lambda s: s.rolling(14, min_periods=1).max())
+    rng = h14 - l14
+    pct_k = 100.0 * (pdf["value"] - l14) / rng.where(rng != 0)
+    pdf = pdf.assign(pct_k=pct_k)
+    pct_d = pdf.groupby("user_id")["pct_k"].transform(
+        lambda s: s.rolling(3, min_periods=1).mean()
+    )
+    want_k = dict(zip(pdf["event_id"], pdf["pct_k"]))
+    want_d = dict(zip(pdf["event_id"], pct_d))
+
+    rows = w_stochastic_oscillator(spark, sf_dir).collect()
+    assert len(rows) == len(pdf)
+    for r in rows:
+        wk = want_k[r["event_id"]]
+        if np.isnan(wk):
+            assert r["pct_k"] is None
+        else:
+            assert abs(r["pct_k"] - wk) < 1e-9
+        wd = want_d[r["event_id"]]
+        if np.isnan(wd):
+            assert r["pct_d"] is None
+        else:
+            assert abs(r["pct_d"] - wd) < 1e-6
+
+
+def test_atr_and_obv_match_pandas(spark, sf_dir):
+    """Independent pandas replay of the daily-bar indicators: bars by
+    calendar day (first/last by (ts, event_id), max/min), then
+    ATR-14's coalesced true range + inclusive SMA and OBV's signed
+    cumulative trade count."""
+    import numpy as np
+
+    from cse_datapipeline_and_mls_spark.queries.windows_q import (
+        w_atr_14,
+        w_obv_daily,
+    )
+
+    pdf = _events_pdf(sf_dir)
+    pdf["day"] = pdf["ts"].dt.floor("D")
+    bars = (
+        pdf.groupby(["user_id", "day"])
+        .agg(
+            high=("value", "max"),
+            low=("value", "min"),
+            close=("value", "last"),
+            n_trades=("value", "size"),
+        )
+        .reset_index()
+        .sort_values(["user_id", "day"])
+    )
+    pc = bars.groupby("user_id")["close"].shift(1)
+    pcf = pc.fillna(bars["close"])
+    tr = np.maximum.reduce(
+        [bars["high"] - bars["low"], (bars["high"] - pcf).abs(), (bars["low"] - pcf).abs()]
+    )
+    bars = bars.assign(tr=tr)
+    atr = bars.groupby("user_id")["tr"].transform(
+        lambda s: s.rolling(14, min_periods=1).mean()
+    )
+    dirn = np.sign(bars["close"] - pc).fillna(0).astype(int)
+    obv = (dirn * bars["n_trades"]).groupby(bars["user_id"]).cumsum()
+
+    key = list(zip(bars["user_id"], bars["day"]))
+    want_tr = dict(zip(key, bars["tr"]))
+    want_atr = dict(zip(key, atr))
+    want_obv = dict(zip(key, obv))
+
+    atr_rows = w_atr_14(spark, sf_dir).collect()
+    assert len(atr_rows) == len(bars)
+    for r in atr_rows:
+        k = (r["user_id"], r["day"])
+        assert abs(r["tr"] - want_tr[k]) < 1e-9
+        assert abs(r["atr_14"] - want_atr[k]) < 1e-6
+
+    obv_rows = w_obv_daily(spark, sf_dir).collect()
+    assert len(obv_rows) == len(bars)
+    for r in obv_rows:
+        assert r["obv"] == want_obv[(r["user_id"], r["day"])]

@@ -64,6 +64,11 @@ EXPECTED_CROSS = {
     "x_hits_suppliers",       # two 1-row sum-normalizer broadcasts at output (graph.hits)
     "x_graph_modularity",     # two 1-row broadcasts (edge count, Σd_c²) onto the 1-row intra frame (graph.modularity)
     "x_quantile_norm_doclen", # 1-row corpus-count broadcast onto the dense-id frame (global centile denominator)
+    # distributed_prefix_sum's offsets are the same theta self-join on
+    # the per-partition totals frame (rows = #partitions)
+    "agg_mann_whitney_u",
+    "agg_spearman_rank_corr",   # two prefix-sum rank maps (x and y)
+    "x_zipf_fit_words",         # assign_dense_ids over the top-1000 frame
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -90,6 +95,7 @@ EXPECTED_MANY_EXCHANGES = {
     "x_graph_modularity",     # past the checkpointed edge build: 2 label joins + degree agg + per-community sums + 3 1-row aggs
     "x_degree_assortativity", # past the checkpointed edge build: degree agg + 2 node-keyed degree joins + 1-row integer agg
     "x_quantile_norm_doclen", # assign_dense_ids' range+pid stages + 100-row cutoff agg + per-source window; corpus joins broadcast-only
+    "agg_spearman_rank_corr", # TWO prefix-sum rank maps (group + range + pid window + totals each) + the one fact-sized price-map join; every frame past the first aggs is distinct-value-sized
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented

@@ -661,6 +661,71 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
         )
         out[case_name] = res
 
+    # 18b. Multi-source BFS (r7): per-round frontier join + anti-join.
+    # Disjoint copies multiply components; seeds are replicated per
+    # copy (base graph's 5 smallest node ids, matched by residue), so
+    # every copy explores the same radius — per-edge cost must stay
+    # ~flat, proving the frontier work scales with |reached|, not with
+    # rounds x |V|.
+    from cse_datapipeline_and_mls_spark.operators.graph import bfs_hops
+
+    base_nodes = sparse_edges(1)
+    base5 = [
+        r["node"]
+        for r in base_nodes.select(F.col("src").alias("node"))
+        .unionByName(base_nodes.select(F.col("dst").alias("node")))
+        .distinct()
+        .orderBy("node")
+        .limit(5)
+        .collect()
+    ]
+    res = {}
+    for label, kk in (("1x", 1), (f"{k_graph}x", k_graph)):
+        e = sparse_edges(kk)
+        n_edges = e.count()
+        seeds = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .filter((F.col("node") % 10_000_000).isin(base5))
+        )
+        t0 = time.time()
+        bfs_hops(e, seeds, max_rounds=4).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        sec = time.time() - t0
+        res[label] = {
+            "rows": n_edges,
+            "sec": round(sec, 2),
+            "us_per_row": round(sec / n_edges * 1e6, 3),
+        }
+    res["per_row_ratio"] = round(
+        res[f"{k_graph}x"]["us_per_row"] / res["1x"]["us_per_row"], 2
+    )
+    out["bfs_hops_edges"] = res
+
+    # 18c. Distributed prefix sum over the grouped-by-value frame (the
+    # Mann-Whitney midrank spine): input copies multiply the first
+    # groupBy's rows but the distinct-value frame saturates, so
+    # per-INPUT-row cost must fall or stay flat — the evidence that the
+    # range-partition + broadcast-offset pass never becomes the
+    # bottleneck as the fact table grows.
+    from cse_datapipeline_and_mls_spark.operators.relational import (
+        distributed_prefix_sum,
+    )
+
+    def prefix_sum_ranks(one):
+        ev = scaled_events(spark, 1 if one else k_events)
+        g = ev.groupBy(F.col("value").alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        return distributed_prefix_sum(g, ["v"], ["n"])
+
+    def prefix_sum_input_rows(one):
+        return scaled_events(spark, 1 if one else k_events).count()
+
+    case("prefix_sum_value_ranks", prefix_sum_ranks, n_rows_fn=prefix_sum_input_rows)
+
     # 19. Cross-source contamination matrix (r6): one gram shuffle into
     # per-gram source sets, O(sources^2) matrix out. Doc copies multiply
     # gram rows; source count is FIXED, so per-input-doc cost must stay
