@@ -174,6 +174,12 @@ HEADLINE = [
     "x_zipf_fit_words",
     "agg_spearman_rank_corr",
     "x_centroid_cosine_matrix",
+    # r7 session 4: the closed-form recurrence pair — Wilder-alpha ATR
+    # through the shared EMA rebase, Holt level/trend/forecast through
+    # the eigen-split double rebase (the heaviest window plan new this
+    # round)
+    "w_atr_wilder",
+    "w_holt_forecast",
 ]
 
 
@@ -295,7 +301,7 @@ def main() -> None:
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
-    r7_subset = round(sum(timings[n] for n in HEADLINE[:100] if n in timings), 3)
+    r7_subset = round(sum(timings[n] for n in HEADLINE[:102] if n in timings), 3)
     print(
         json.dumps(
             {

@@ -526,3 +526,178 @@ def kaplan_meier(
         "n_events",
         F.when(absorbed == 1, F.lit(0.0)).otherwise(F.exp(logsum)).alias("survival"),
     )
+
+
+def holt_constants(alpha: float, beta: float) -> dict:
+    """Eigen-decomposition constants for the Holt linear (double
+    exponential smoothing) closed form. The state recurrence
+
+        l_t = α x_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β (l_t − l_{t−1}) + (1−β) b_{t−1}
+
+    is s_t = A s_{t−1} + c x_t with A = [[1−α, 1−α], [−αβ, 1−αβ]] and
+    c = [α, αβ]ᵀ. When A has real distinct eigenvalues λ₁, λ₂ — i.e.
+    α(1+β)² > 4β — the spectral split A = λ₁P₁ + λ₂P₂ turns the state
+    into a LINEAR COMBINATION OF TWO GEOMETRIC CUMULATIVE SUMS
+    (one per eigenvalue) plus decaying init terms:
+
+        l_t = x₁·Σⱼ λⱼ^g (kⱼˡ − wⱼˡ)  +  Σⱼ wⱼˡ Sⱼ,t
+        b_t = x₁·Σⱼ λⱼ^g (kⱼᵇ − wⱼᵇ)  +  Σⱼ wⱼᵇ Sⱼ,t
+
+    with g the 0-based row index, Sⱼ,t = Σ_{i≤t} λⱼ^{t−i} x_i,
+    kⱼ = column-1 entries of Pⱼ (the init l₁=x₁, b₁=0 pinned here) and
+    wⱼ = entries of Pⱼc. Every constant is a plain Python float baked
+    into both the Spark expressions and the oracle SQL, so the two
+    engines run bit-identical arithmetic. Raises ValueError on the
+    complex-eigenvalue region (where the closed form would need
+    damped-oscillation trigonometry instead).
+    """
+    import math
+
+    disc = alpha * (alpha * (1.0 + beta) ** 2 - 4.0 * beta)
+    if disc <= 0:
+        raise ValueError(
+            "holt_constants: need alpha*(1+beta)^2 > 4*beta for real "
+            f"distinct eigenvalues (alpha={alpha}, beta={beta})"
+        )
+    a11 = 1.0 - alpha
+    a12 = 1.0 - alpha
+    a21 = -alpha * beta
+    a22 = 1.0 - alpha * beta
+    tr = a11 + a22
+    sq = math.sqrt(disc)
+    lam1 = (tr + sq) / 2.0
+    lam2 = (tr - sq) / 2.0
+    d = lam1 - lam2
+    p1 = ((a11 - lam2) / d, a12 / d, a21 / d, (a22 - lam2) / d)
+    p2 = ((lam1 - a11) / d, -a12 / d, -a21 / d, (lam1 - a22) / d)
+    c1, c2 = alpha, alpha * beta
+    return {
+        "lam1": lam1,
+        "lam2": lam2,
+        "k1l": p1[0],
+        "k2l": p2[0],
+        "k1b": p1[2],
+        "k2b": p2[2],
+        "w1l": p1[0] * c1 + p1[1] * c2,
+        "w2l": p2[0] * c1 + p2[1] * c2,
+        "w1b": p1[2] * c1 + p1[3] * c2,
+        "w2b": p2[2] * c1 + p2[3] * c2,
+    }
+
+
+def with_geometric_cumsum(
+    df: DataFrame,
+    col: str,
+    out: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    base: float,
+    L: int,
+    g_col: str = "_g",
+) -> DataFrame:
+    """S_t = Σ_{i≤t} base^{t−i} x_i per key in order — the geometric
+    cumulative sum underlying every one-pole recurrence (EMA, Holt,
+    leaky integrators) — in the block-rebased exact form of
+    :func:`with_ema`: exponents bounded by L·|ln base| at any series
+    length, one previous-block splice, trailing truncation of relative
+    weight base^L (pick L so base^L is below the caller's output
+    rounding). Requires an existing 0-based per-key row index
+    ``g_col`` (shared across multiple sums so their block geometry
+    lines up). All arithmetic is window expressions — ANSI-mirrorable.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    sfx = out
+    d = (
+        df.withColumn(f"_pos_{sfx}", F.col(g_col) % L)
+        .withColumn(f"_blk_{sfx}", F.floor(F.col(g_col) / F.lit(L)).cast("long"))
+        .withColumn(
+            f"_v_{sfx}", F.col(col) * F.pow(F.lit(base), -F.col(f"_pos_{sfx}"))
+        )
+    )
+    wb = Window.partitionBy(*key_cols, f"_blk_{sfx}").orderBy(*order_cols)
+    d = d.withColumn(
+        f"_vrun_{sfx}",
+        F.sum(f"_v_{sfx}").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn(
+        f"_vtot_{sfx}",
+        F.last(f"_vrun_{sfx}").over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    prev = F.coalesce(
+        F.lag(f"_vtot_{sfx}", L).over(w) - F.lag(f"_vrun_{sfx}", L).over(w),
+        F.lit(0.0),
+    )
+    s = F.pow(F.lit(base), F.col(f"_pos_{sfx}")) * (
+        F.col(f"_vrun_{sfx}") + F.pow(F.lit(base), F.lit(float(L))) * prev
+    )
+    return d.withColumn(out, s).drop(
+        f"_pos_{sfx}", f"_blk_{sfx}", f"_v_{sfx}", f"_vrun_{sfx}", f"_vtot_{sfx}"
+    )
+
+
+def with_holt_linear(
+    df: DataFrame,
+    col: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    alpha: float,
+    beta: float,
+    L: int = 96,
+    level_col: str = "level",
+    trend_col: str = "trend",
+    forecast_col: str = "forecast_1",
+) -> DataFrame:
+    """Holt double exponential smoothing (level + trend + one-step
+    forecast l_t + b_t) as an EXACT closed form — no recursion, no
+    Python, no iteration: the spectral split of the 2×2 state matrix
+    (see :func:`holt_constants`) expresses both state components as
+    linear combinations of two block-rebased geometric cumulative
+    sums over the SAME (key; order) sort, so the whole operator is
+    one series-keyed exchange + window expressions. Init convention
+    pinned: l₁ = x₁, b₁ = 0.
+
+    Truncation: each geometric sum drops history older than ~L rows
+    with relative weight λⱼ^L (λ₁ is the slower pole — size L by it);
+    both engines and the oracle compute the identical truncated form,
+    so cross-engine hashes are exact regardless, and fidelity to the
+    infinite-history recursion is λ₁^L — e.g. α=0.8, β=0.2, L=96 →
+    λ₁^96 ≈ 8e−11, far below a 6-decimal output quantizer."""
+    k = holt_constants(alpha, beta)
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    d = df.withColumn("_g", F.row_number().over(w) - 1).withColumn(
+        "_x1", F.first(col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    d = with_geometric_cumsum(
+        d, col, "_s1", key_cols, order_cols, k["lam1"], L, g_col="_g"
+    )
+    d = with_geometric_cumsum(
+        d, col, "_s2", key_cols, order_cols, k["lam2"], L, g_col="_g"
+    )
+    pow1 = F.pow(F.lit(k["lam1"]), F.col("_g"))
+    pow2 = F.pow(F.lit(k["lam2"]), F.col("_g"))
+    level = (
+        F.col("_x1")
+        * (
+            pow1 * F.lit(k["k1l"] - k["w1l"])
+            + pow2 * F.lit(k["k2l"] - k["w2l"])
+        )
+        + F.lit(k["w1l"]) * F.col("_s1")
+        + F.lit(k["w2l"]) * F.col("_s2")
+    )
+    trend = (
+        F.col("_x1")
+        * (
+            pow1 * F.lit(k["k1b"] - k["w1b"])
+            + pow2 * F.lit(k["k2b"] - k["w2b"])
+        )
+        + F.lit(k["w1b"]) * F.col("_s1")
+        + F.lit(k["w2b"]) * F.col("_s2")
+    )
+    return (
+        d.withColumn(level_col, level)
+        .withColumn(trend_col, trend)
+        .withColumn(forecast_col, F.col(level_col) + F.col(trend_col))
+        .drop("_g", "_x1", "_s1", "_s2")
+    )

@@ -1352,3 +1352,215 @@ def w_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("user_id", F.col("user_id").cast("long"))
         .orderBy("user_id")
     )
+
+
+# Wilder's smoothing constant 1/14 expressed through the shared EMA
+# machinery: alpha = 2/(span+1) = 1/14 at span 27 EXACTLY (2/28). One
+# block spans the whole realistic bar history; exponents stay bounded.
+_WILDER_SPAN = 27
+_WILDER_BLOCK_FACTOR = 5
+_WILDER_A = 1.0 - 2.0 / (_WILDER_SPAN + 1.0)
+_WILDER_L = _WILDER_BLOCK_FACTOR * (_WILDER_SPAN + 1)
+_W_BAR = "PARTITION BY user_id ORDER BY day"
+
+
+@register(
+    "w_atr_wilder",
+    oracle=f"""
+    WITH {_DAILY_BARS_ORACLE}, t AS (
+      SELECT user_id, day, high, low, close,
+             lag(close) OVER ({_W_BAR}) AS pc
+      FROM bars
+    ), tr_t AS (
+      SELECT user_id, day,
+             greatest(high - low,
+                      abs(high - coalesce(pc, close)),
+                      abs(low  - coalesce(pc, close))) AS tr
+      FROM t
+    ), base AS (
+      SELECT user_id, day, tr,
+             row_number() OVER ({_W_BAR}) - 1 AS g
+      FROM tr_t
+    ), reb AS (
+      SELECT *, g % {_WILDER_L} AS pos, g // {_WILDER_L} AS blk,
+             tr * power({_WILDER_A!r}, -(g % {_WILDER_L})) AS v
+      FROM base
+    ), sums AS (
+      SELECT *,
+             sum(v) OVER (PARTITION BY user_id, blk ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vrun
+      FROM reb
+    ), tots AS (
+      SELECT *,
+             last_value(vrun) OVER (PARTITION BY user_id, blk ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS vtot
+      FROM sums
+    ), spliced AS (
+      SELECT *,
+             coalesce(lag(vtot, {_WILDER_L}) OVER ({_W_BAR})
+                    - lag(vrun, {_WILDER_L}) OVER ({_W_BAR}), 0.0) AS prev
+      FROM tots
+    )
+    SELECT user_id, day, tr,
+           floor(power({_WILDER_A!r}, pos)
+                 * (vrun + power({_WILDER_A!r}, {float(_WILDER_L)!r}) * prev)
+               / ((1.0 - power({_WILDER_A!r}, least(g + 1, {_WILDER_L})))
+                  / {1.0 - _WILDER_A!r})
+                 * 1000000 + 0.5) / 1000000 AS atr_wilder
+    FROM spliced
+    """,
+)
+def w_atr_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATR under Wilder's smoothing constant α = 1/14 — the exponential
+    companion to w_atr_14's SMA parity, closing the docstring's "if a
+    Wilder leg is ever needed" with the SAME block-rebased exact EMA
+    closed form as w_ema (tswindow.with_ema; α = 2/(span+1) = 1/14 at
+    span 27, exactly). Convention: the adjusted (weighted-average) EMA
+    form — pandas ewm(adjust=True) — whose warmup weighting differs
+    from the classic SMA-seeded recursion but converges to it
+    geometrically; the choice is pinned here and mirrored step-by-step
+    in the oracle (including the cross-block splice).
+
+    Plan: one tick fold to daily bars (ohlc_bars), TR row-wise on the
+    bar frame, then the EMA's single series-keyed exchange — every
+    recurrence term is a window expression, no Python anywhere."""
+    from ..operators.numeric import q6
+    from ..operators.tswindow import ohlc_bars, with_ema
+
+    ev = _events_series(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "value", "event_id"
+    )
+    bars = ohlc_bars(ev, "user_id", "ts", "value", bucket_seconds=86400).select(
+        "user_id", F.col("bucket").alias("day"), "high", "low", "close"
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    pc = F.coalesce(F.lag("close").over(w), F.col("close"))
+    tr_t = bars.select(
+        "user_id",
+        "day",
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - pc),
+            F.abs(F.col("low") - pc),
+        ).alias("tr"),
+    )
+    out = with_ema(
+        tr_t,
+        "tr",
+        "atr_wilder",
+        ["user_id"],
+        ["day"],
+        span=_WILDER_SPAN,
+        block_factor=_WILDER_BLOCK_FACTOR,
+    )
+    return out.select("user_id", "day", "tr", q6(F.col("atr_wilder")).alias("atr_wilder"))
+
+
+from ..operators.tswindow import holt_constants as _holt_constants  # noqa: E402
+
+_HOLT_ALPHA, _HOLT_BETA, _HOLT_L = 0.8, 0.2, 96
+_HK = _holt_constants(_HOLT_ALPHA, _HOLT_BETA)
+
+
+@register(
+    "w_holt_forecast",
+    oracle=f"""
+    WITH {_DAILY_BARS_ORACLE}, base AS (
+      SELECT user_id, day, close AS x,
+             row_number() OVER ({_W_BAR}) - 1 AS g,
+             first_value(close) OVER ({_W_BAR}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x1
+      FROM bars
+    ), reb AS (
+      SELECT *, g % {_HOLT_L} AS pos, g // {_HOLT_L} AS blk,
+             x * power({_HK['lam1']!r}, -(g % {_HOLT_L})) AS v1,
+             x * power({_HK['lam2']!r}, -(g % {_HOLT_L})) AS v2
+      FROM base
+    ), sums AS (
+      SELECT *,
+             sum(v1) OVER (PARTITION BY user_id, blk ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vrun1,
+             sum(v2) OVER (PARTITION BY user_id, blk ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vrun2
+      FROM reb
+    ), tots AS (
+      SELECT *,
+             last_value(vrun1) OVER (PARTITION BY user_id, blk ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS vtot1,
+             last_value(vrun2) OVER (PARTITION BY user_id, blk ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS vtot2
+      FROM sums
+    ), spl AS (
+      SELECT *,
+             coalesce(lag(vtot1, {_HOLT_L}) OVER ({_W_BAR})
+                    - lag(vrun1, {_HOLT_L}) OVER ({_W_BAR}), 0.0) AS prev1,
+             coalesce(lag(vtot2, {_HOLT_L}) OVER ({_W_BAR})
+                    - lag(vrun2, {_HOLT_L}) OVER ({_W_BAR}), 0.0) AS prev2
+      FROM tots
+    ), st AS (
+      SELECT user_id, day, g, x1,
+             power({_HK['lam1']!r}, pos)
+               * (vrun1 + power({_HK['lam1']!r}, {float(_HOLT_L)!r}) * prev1) AS s1,
+             power({_HK['lam2']!r}, pos)
+               * (vrun2 + power({_HK['lam2']!r}, {float(_HOLT_L)!r}) * prev2) AS s2
+      FROM spl
+    ), lt AS (
+      SELECT user_id, day,
+             x1 * (power({_HK['lam1']!r}, g) * {_HK['k1l'] - _HK['w1l']!r}
+                 + power({_HK['lam2']!r}, g) * {_HK['k2l'] - _HK['w2l']!r})
+               + {_HK['w1l']!r} * s1 + {_HK['w2l']!r} * s2 AS lvl,
+             x1 * (power({_HK['lam1']!r}, g) * {_HK['k1b'] - _HK['w1b']!r}
+                 + power({_HK['lam2']!r}, g) * {_HK['k2b'] - _HK['w2b']!r})
+               + {_HK['w1b']!r} * s1 + {_HK['w2b']!r} * s2 AS trd
+      FROM st
+    )
+    SELECT user_id, day,
+           floor(lvl {_Q6} AS level,
+           floor(trd {_Q6} AS trend,
+           floor((lvl + trd) {_Q6} AS forecast_1
+    FROM lt
+    """,
+)
+def w_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing over each series' daily close
+    — level, trend, and the one-step forecast l+b (the forecasting
+    step the reference delegates to its fitted regressors, here as a
+    pure closed-form operator). NOT a recursion anywhere: the 2x2
+    state recurrence is eigen-split into TWO block-rebased geometric
+    cumulative sums (tswindow.with_holt_linear / holt_constants;
+    alpha=0.8, beta=0.2, L=96 — real distinct poles 0.785/0.255,
+    truncation weight lam1^96 ~ 8e-11, far under the q6 quantizer).
+    Measured against the literal Python recursion: 7e-14 max error on
+    a short series, 2.1e-9 across the L=96 splice on a 300-row series
+    (tests/test_tswindow.py).
+
+    Plan: ohlc_bars' two series-keyed exchanges, then ONE more
+    exchange drives every window in the closed form (row index, both
+    rebased sums, the splice lags all share the (user; day) sort).
+    The oracle mirrors each arithmetic step with the same baked float
+    constants, so the hash check pins the whole derivation."""
+    from ..operators.numeric import q6
+    from ..operators.tswindow import ohlc_bars, with_holt_linear
+
+    ev = _events_series(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "value", "event_id"
+    )
+    bars = ohlc_bars(ev, "user_id", "ts", "value", bucket_seconds=86400).select(
+        "user_id", F.col("bucket").alias("day"), "close"
+    )
+    out = with_holt_linear(
+        bars,
+        "close",
+        ["user_id"],
+        ["day"],
+        alpha=_HOLT_ALPHA,
+        beta=_HOLT_BETA,
+        L=_HOLT_L,
+    )
+    return out.select(
+        "user_id",
+        "day",
+        q6(F.col("level")).alias("level"),
+        q6(F.col("trend")).alias("trend"),
+        q6(F.col("forecast_1")).alias("forecast_1"),
+    )

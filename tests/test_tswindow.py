@@ -386,3 +386,99 @@ def test_atr_and_obv_match_pandas(spark, sf_dir):
     assert len(obv_rows) == len(bars)
     for r in obv_rows:
         assert r["obv"] == want_obv[(r["user_id"], r["day"])]
+
+
+def test_holt_closed_form_matches_recursion_short(spark):
+    """Closed form == the literal Holt recursion (l1=x1, b1=0) to
+    float precision on a series shorter than L (no truncation)."""
+    import random
+
+    from cse_datapipeline_and_mls_spark.operators.tswindow import with_holt_linear
+
+    random.seed(1)
+    xs = [100 + random.random() * 10 - 5 + 0.3 * i for i in range(40)]
+    df = spark.createDataFrame(
+        [(1, i, float(x)) for i, x in enumerate(xs)], "k long, t long, x double"
+    )
+    out = {
+        r["t"]: (r["level"], r["trend"], r["forecast_1"])
+        for r in with_holt_linear(df, "x", ["k"], ["t"], alpha=0.8, beta=0.2, L=96).collect()
+    }
+    a, b = 0.8, 0.2
+    l, tr = xs[0], 0.0
+    for i, x in enumerate(xs):
+        if i > 0:
+            lp = l
+            l = a * x + (1 - a) * (l + tr)
+            tr = b * (l - lp) + (1 - b) * tr
+        assert abs(out[i][0] - l) < 1e-10
+        assert abs(out[i][1] - tr) < 1e-10
+        assert abs(out[i][2] - (l + tr)) < 1e-10
+
+
+def test_holt_closed_form_splice_and_truncation(spark):
+    """Across the L-row block splice (300 rows, L=96) the closed form
+    tracks the recursion within the documented lam1^L truncation
+    envelope — far below the q6 output quantizer."""
+    import random
+
+    from cse_datapipeline_and_mls_spark.operators.tswindow import with_holt_linear
+
+    random.seed(7)
+    xs = [50 + random.random() * 20 + 0.1 * i for i in range(300)]
+    df = spark.createDataFrame(
+        [(1, i, float(x)) for i, x in enumerate(xs)], "k long, t long, x double"
+    )
+    out = {
+        r["t"]: (r["level"], r["trend"])
+        for r in with_holt_linear(df, "x", ["k"], ["t"], alpha=0.8, beta=0.2, L=96).collect()
+    }
+    a, b = 0.8, 0.2
+    l, tr = xs[0], 0.0
+    for i, x in enumerate(xs):
+        if i > 0:
+            lp = l
+            l = a * x + (1 - a) * (l + tr)
+            tr = b * (l - lp) + (1 - b) * tr
+        assert abs(out[i][0] - l) < 1e-7
+        assert abs(out[i][1] - tr) < 1e-7
+
+
+def test_holt_constants_rejects_complex_poles():
+    import pytest as _pytest
+
+    from cse_datapipeline_and_mls_spark.operators.tswindow import holt_constants
+
+    with _pytest.raises(ValueError):
+        holt_constants(alpha=0.5, beta=0.5)  # alpha*(1+beta)^2 < 4*beta region
+
+
+def test_atr_wilder_matches_pandas_ewm(spark, sf_dir):
+    """w_atr_wilder == pandas ewm(alpha=1/14, adjust=True) over the
+    same daily true-range series (the pinned adjusted-form convention),
+    within the block-rebase truncation envelope."""
+    import numpy as np
+
+    from cse_datapipeline_and_mls_spark.queries.windows_q import w_atr_wilder
+
+    pdf = _events_pdf(sf_dir)
+    pdf["day"] = pdf["ts"].dt.floor("D")
+    bars = (
+        pdf.groupby(["user_id", "day"])
+        .agg(high=("value", "max"), low=("value", "min"), close=("value", "last"))
+        .reset_index()
+        .sort_values(["user_id", "day"])
+    )
+    pc = bars.groupby("user_id")["close"].shift(1)
+    pcf = pc.fillna(bars["close"])
+    bars["tr"] = np.maximum.reduce(
+        [bars["high"] - bars["low"], (bars["high"] - pcf).abs(), (bars["low"] - pcf).abs()]
+    )
+    want = bars.groupby("user_id")["tr"].transform(
+        lambda s: s.ewm(alpha=1.0 / 14.0, adjust=True).mean()
+    )
+    key = dict(zip(zip(bars["user_id"], bars["day"]), want))
+    rows = w_atr_wilder(spark, sf_dir).collect()
+    assert len(rows) == len(bars)
+    for r in rows:
+        assert abs(r["atr_wilder"] - key[(r["user_id"], r["day"])]) < 1e-6
