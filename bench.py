@@ -180,6 +180,8 @@ HEADLINE = [
     # round)
     "w_atr_wilder",
     "w_holt_forecast",
+    # r7 session 4: single-scan exact-integer-moment multiple regression
+    "agg_ols_price_model",
 ]
 
 
@@ -301,7 +303,7 @@ def main() -> None:
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
-    r7_subset = round(sum(timings[n] for n in HEADLINE[:102] if n in timings), 3)
+    r7_subset = round(sum(timings[n] for n in HEADLINE[:103] if n in timings), 3)
     print(
         json.dumps(
             {

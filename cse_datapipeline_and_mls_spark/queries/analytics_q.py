@@ -1395,3 +1395,131 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         _q6(F.corr("rx", "ry")).alias("spearman_rho"),
     )
+
+
+@register(
+    "agg_ols_price_model",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT)                              AS n,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS s2,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                    * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s11,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS s12,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS s22,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s1y,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s2y,
+             sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+               * CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)) AS syy
+      FROM lineitem
+    ), d AS (
+      SELECT *,
+             n  * (s11 * 1.0 * s22 - s12 * 1.0 * s12)
+           - s1 * (s1  * 1.0 * s22 - s12 * 1.0 * s2)
+           + s2 * (s1  * 1.0 * s12 - s11 * 1.0 * s2)  AS det
+      FROM m
+    ), b AS (
+      SELECT *,
+             (sy * (s11 * 1.0 * s22 - s12 * 1.0 * s12)
+            - s1 * (s1y * 1.0 * s22 - s12 * 1.0 * s2y)
+            + s2 * (s1y * 1.0 * s12 - s11 * 1.0 * s2y)) / det AS b0,
+             (n  * (s1y * 1.0 * s22 - s12 * 1.0 * s2y)
+            - sy * (s1  * 1.0 * s22 - s12 * 1.0 * s2)
+            + s2 * (s1  * 1.0 * s2y - s1y * 1.0 * s2)) / det  AS b1,
+             (n  * (s11 * 1.0 * s2y - s1y * 1.0 * s12)
+            - s1 * (s1  * 1.0 * s2y - s1y * 1.0 * s2)
+            + sy * (s1  * 1.0 * s12 - s11 * 1.0 * s2)) / det  AS b2
+      FROM d
+    )
+    SELECT n,
+           floor(b0 / 100.0 * 1000000 + 0.5) / 1000000 AS intercept,
+           floor(b1 / 100.0 * 1000000 + 0.5) / 1000000 AS slope_qty,
+           floor(b2 / 100.0 * 1000000 + 0.5) / 1000000 AS slope_disc_pct,
+           floor((1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y))
+                      / (syy - sy * 1.0 * sy / n))
+                 * 1000000 + 0.5) / 1000000            AS r2
+    FROM b
+    """,
+)
+def agg_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-factor OLS in ONE scan and zero MLlib: extended price
+    regressed on (quantity, discount) via the normal equations, solved
+    with Cramer's rule on the 3×3 moment matrix. The multiple-
+    regression extension of agg_linear_trend — the closed-form model a
+    100 TB engine fits without an iterative solver: map-side partial
+    sums, a 1-row combine, then pure expressions.
+
+    EXACT-INTEGER moments: quantity is integral and price/discount are
+    2-decimal, so every first/second moment except Σy² is accumulated
+    in int64 CENTS — bit-identical across engines regardless of
+    summation order (Σy² in cents overflows int64 at ~10⁶ rows, so it
+    alone runs in double; it only feeds r², where its ~1e-13 relative
+    wobble is 7 orders under the q6 quantizer). The determinant
+    expressions are written with identical association on both
+    engines. Coefficients are rescaled from the cents model
+    (intercept/100, qty slope/100; all three
+    coefficients divide by 100 to land in dollars — the discount
+    regressor is in percentage points on both sides)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity")).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).cast("long").alias("s1"),
+        F.sum(dc).cast("long").alias("s2"),
+        F.sum(q * q).cast("long").alias("s11"),
+        F.sum(q * dc).cast("long").alias("s12"),
+        F.sum(dc * dc).cast("long").alias("s22"),
+        F.sum(yc).cast("long").alias("sy"),
+        F.sum(q * yc).cast("long").alias("s1y"),
+        F.sum(dc * yc).cast("long").alias("s2y"),
+        F.sum(yc.cast("double") * yc.cast("double")).alias("syy"),
+    )
+    c = {k: F.col(k) for k in ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")}
+    det = (
+        c["n"] * (c["s11"] * 1.0 * c["s22"] - c["s12"] * 1.0 * c["s12"])
+        - c["s1"] * (c["s1"] * 1.0 * c["s22"] - c["s12"] * 1.0 * c["s2"])
+        + c["s2"] * (c["s1"] * 1.0 * c["s12"] - c["s11"] * 1.0 * c["s2"])
+    )
+    d = m.withColumn("det", det)
+    b0 = (
+        F.col("sy") * (c["s11"] * 1.0 * c["s22"] - c["s12"] * 1.0 * c["s12"])
+        - c["s1"] * (c["s1y"] * 1.0 * c["s22"] - c["s12"] * 1.0 * c["s2y"])
+        + c["s2"] * (c["s1y"] * 1.0 * c["s12"] - c["s11"] * 1.0 * c["s2y"])
+    ) / F.col("det")
+    b1 = (
+        c["n"] * (c["s1y"] * 1.0 * c["s22"] - c["s12"] * 1.0 * c["s2y"])
+        - c["sy"] * (c["s1"] * 1.0 * c["s22"] - c["s12"] * 1.0 * c["s2"])
+        + c["s2"] * (c["s1"] * 1.0 * c["s2y"] - c["s1y"] * 1.0 * c["s2"])
+    ) / F.col("det")
+    b2 = (
+        c["n"] * (c["s11"] * 1.0 * c["s2y"] - c["s1y"] * 1.0 * c["s12"])
+        - c["s1"] * (c["s1"] * 1.0 * c["s2y"] - c["s1y"] * 1.0 * c["s2"])
+        + c["sy"] * (c["s1"] * 1.0 * c["s12"] - c["s11"] * 1.0 * c["s2"])
+    ) / F.col("det")
+    bb = d.withColumn("b0", b0).withColumn("b1", b1).withColumn("b2", b2)
+    return bb.select(
+        "n",
+        _q6(F.col("b0") / 100.0).alias("intercept"),
+        _q6(F.col("b1") / 100.0).alias("slope_qty"),
+        _q6(F.col("b2") / 100.0).alias("slope_disc_pct"),
+        _q6(
+            1.0
+            - (
+                F.col("syy")
+                - (
+                    F.col("b0") * F.col("sy")
+                    + F.col("b1") * F.col("s1y")
+                    + F.col("b2") * F.col("s2y")
+                )
+            )
+            / (F.col("syy") - F.col("sy") * 1.0 * F.col("sy") / F.col("n"))
+        ).alias("r2"),
+    )

@@ -15,7 +15,11 @@ from .pipeline import (
     ohlc_aggregate,
     windowed_aggregate,
 )
-from .stateful import cusum_alerts_stream, running_zscore_anomalies
+from .stateful import (
+    cusum_alerts_stream,
+    holt_forecast_stream,
+    running_zscore_anomalies,
+)
 from .tws import running_distinct_types
 
 __all__ = [
@@ -35,4 +39,5 @@ __all__ = [
     "expectations_on_stream",
     "running_zscore_anomalies",
     "cusum_alerts_stream",
+    "holt_forecast_stream",
 ]

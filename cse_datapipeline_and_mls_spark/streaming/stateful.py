@@ -178,3 +178,90 @@ def cusum_alerts_stream(
             timeoutConf="NoTimeout",
         )
     )
+
+
+HOLT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast_1", DoubleType()),
+    ]
+)
+
+# Holt state: level, trend, and an init flag (0 until the first
+# observation seeds l=x1, b=0). O(1) per key, ever.
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("l", DoubleType()),
+        StructField("b", DoubleType()),
+        StructField("seen", LongType()),
+    ]
+)
+
+
+def _holt_batches(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: "GroupState",
+    alpha: float,
+    beta: float,
+) -> Iterator[pd.DataFrame]:
+    l, b, seen = state.get if state.exists else (0.0, 0.0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        levels, trends = [], []
+        for v in pdf["value"].astype(float):
+            if seen == 0:
+                l, b = v, 0.0
+            else:
+                lp = l
+                l = alpha * v + (1.0 - alpha) * (l + b)
+                b = beta * (l - lp) + (1.0 - beta) * b
+            seen += 1
+            levels.append(l)
+            trends.append(b)
+        out = pdf[["user_id", "event_id", "ts", "value"]].copy()
+        out["level"] = levels
+        out["trend"] = trends
+        out["forecast_1"] = [lv + tr for lv, tr in zip(levels, trends)]
+        yield out
+    state.update((l, b, seen))
+
+
+def holt_forecast_stream(
+    stream: DataFrame,
+    alpha: float = 0.8,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Streaming Holt double exponential smoothing: the literal
+    two-equation recurrence carried across micro-batches as THREE
+    scalars per key (level, trend, init flag) — the live counterpart
+    of the batch closed form (tswindow.with_holt_linear, query
+    w_holt_forecast), with the same pinned init l1=x1, b1=0, so the
+    two paths agree to float precision on identical input order
+    (asserted in tests/test_streaming.py). The batch form exists
+    because history REPLAYS need no state store; this form exists
+    because a live forecaster must not re-derive a century of ticks —
+    state is #keys x 3 doubles regardless of stream length, the
+    100 TB-safe shape. Within a micro-batch rows are scored in
+    event-time order; cross-batch ordering is the source's contract,
+    as with running_zscore_anomalies."""
+
+    def fn(key, pdfs, state):
+        return _holt_batches(key, pdfs, state, alpha, beta)
+
+    return (
+        stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=HOLT_OUTPUT_SCHEMA,
+            stateStructType=HOLT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

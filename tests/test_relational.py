@@ -486,3 +486,34 @@ def test_spearman_query_matches_numpy(spark, sf_dir):
     row = agg_spearman_rank_corr(spark, sf_dir).collect()[0]
     assert row["n"] == len(rx)
     assert abs(row["spearman_rho"] - want) < 1e-6
+
+
+def test_ols_price_model_matches_numpy_lstsq(spark, sf_dir):
+    """Independent numpy replay of agg_ols_price_model at sf0.001:
+    raw least squares via numpy.linalg.lstsq on the dollar-scale
+    design matrix — no shared moment/Cramer code with the engine."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cse_datapipeline_and_mls_spark.queries.analytics_q import (
+        agg_ols_price_model,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    q = np.asarray(t["l_quantity"], dtype=float)
+    y = np.asarray(t["l_extendedprice"], dtype=float)
+    d = np.asarray(t["l_discount"], dtype=float) * 100.0  # pct points
+    X = np.column_stack([np.ones_like(q), q, d])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    yhat = X @ beta
+    r2 = 1.0 - ((y - yhat) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+
+    row = agg_ols_price_model(spark, sf_dir).collect()[0]
+    assert row["n"] == len(y)
+    assert abs(row["intercept"] - beta[0]) < 1e-5
+    assert abs(row["slope_qty"] - beta[1]) < 1e-6
+    assert abs(row["slope_disc_pct"] - beta[2]) < 1e-5
+    assert abs(row["r2"] - r2) < 5.1e-7  # q6 half-step

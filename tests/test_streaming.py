@@ -655,3 +655,32 @@ def test_stateful_cusum_matches_batch_closed_form(spark, events_dir):
         if abs(got_map[k][0] - want_map[k][0]) > 1e-6 or got_map[k][1] != want_map[k][1]
     }
     assert not mismatches, f"{len(mismatches)} mismatches, e.g. {list(mismatches.items())[:3]}"
+
+
+def test_stateful_holt_matches_batch_closed_form(spark, events_dir):
+    """Streaming Holt (literal recurrence, O(1) state) == the batch
+    eigen-split closed form (tswindow.with_holt_linear) on the same
+    per-key (ts, event_id)-ordered series, to float precision."""
+    from cse_datapipeline_and_mls_spark.operators.tswindow import with_holt_linear
+
+    stream = ST.ingest_file_stream(spark, events_dir).dropDuplicates(["event_id"])
+    got = ST.run_to_memory_sink(
+        ST.holt_forecast_stream(stream, alpha=0.8, beta=0.2), "holt_stream_test"
+    )
+    batch = spark.read.parquet(events_dir).dropDuplicates(["event_id"])
+    want = with_holt_linear(
+        batch, "value", ["user_id"], ["ts", "event_id"], alpha=0.8, beta=0.2, L=96
+    ).select("event_id", "level", "trend", "forecast_1")
+    got_map = {
+        r["event_id"]: (r["level"], r["trend"], r["forecast_1"]) for r in got.collect()
+    }
+    want_map = {
+        r["event_id"]: (r["level"], r["trend"], r["forecast_1"]) for r in want.collect()
+    }
+    assert len(got_map) == 200
+    mismatches = {
+        k: (got_map[k], want_map[k])
+        for k in want_map
+        if any(abs(a - b) > 1e-7 for a, b in zip(got_map[k], want_map[k]))
+    }
+    assert not mismatches, f"{len(mismatches)} mismatches, e.g. {list(mismatches.items())[:3]}"
