@@ -182,6 +182,13 @@ HEADLINE = [
     "w_holt_forecast",
     # r7 session 4: single-scan exact-integer-moment multiple regression
     "agg_ols_price_model",
+    # r7 session 4: robust/tail/distribution diagnostics — Theil-Sen is
+    # the only pairwise-fan-out row (span-capped), JSD carries the
+    # corpus word shuffle
+    "w_theilsen_daily_trend",
+    "agg_hill_tail_index",
+    "x_js_divergence_sources",
+    "x_source_entropy",
 ]
 
 
@@ -303,7 +310,7 @@ def main() -> None:
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
-    r7_subset = round(sum(timings[n] for n in HEADLINE[:103] if n in timings), 3)
+    r7_subset = round(sum(timings[n] for n in HEADLINE[:107] if n in timings), 3)
     print(
         json.dumps(
             {

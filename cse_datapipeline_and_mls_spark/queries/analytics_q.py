@@ -1523,3 +1523,66 @@ def agg_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("syy") - F.col("sy") * 1.0 * F.col("sy") / F.col("n"))
         ).alias("r2"),
     )
+
+
+@register(
+    "agg_hill_tail_index",
+    oracle="""
+    WITH r AS (
+      SELECT l_extendedprice AS x,
+             row_number() OVER (ORDER BY l_extendedprice DESC,
+                                l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 501
+    ), ref AS (
+      SELECT max(CASE WHEN rn = 501 THEN x END) AS x_ref FROM r
+    )
+    SELECT CAST(500 AS BIGINT) AS k,
+           floor((SELECT x_ref FROM ref) * 1000000 + 0.5) / 1000000 AS x_ref,
+           floor(500.0 / sum(ln(x / (SELECT x_ref FROM ref)))
+                 * 1000000 + 0.5) / 1000000 AS hill_alpha
+    FROM r WHERE rn <= 500
+    """,
+)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the price distribution's upper-tail index —
+    the heavy-tail diagnostic behind every "does a Pareto fit the top
+    orders" question (and the parametric companion to
+    agg_gini_revenue_concentration / x_zipf_fit_words: Gini summarizes
+    inequality, Zipf fits ranks, Hill estimates the tail exponent
+    alpha from the top-k order statistics: alpha = k / Σ ln(x_i/x_ref)
+    with x_ref the (k+1)-th largest, k=500 pinned).
+
+    Plan: TakeOrderedAndProject(501) on (price desc, orderkey,
+    linenumber) — the deterministic total order; every map task
+    forwards its local top-501, the driver-side heap never sees the
+    corpus. The 1-row reference then broadcasts into a 500-row agg:
+    ln of identical doubles is exact, the 500-term sum alone is q6'd.
+    At 100 TB the cost is the scan; k is constant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    top = (
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber")
+        .orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .limit(501)
+    )
+    w = Window.orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    r = top.withColumn("rn", F.row_number().over(w))
+    ref = r.filter(F.col("rn") == 501).select(
+        F.col("l_extendedprice").alias("x_ref")
+    )
+    return (
+        r.filter(F.col("rn") <= 500)
+        .crossJoin(F.broadcast(ref))
+        .agg(
+            F.lit(500).cast("long").alias("k"),
+            _q6(F.first("x_ref")).alias("x_ref"),
+            _q6(
+                500.0 / F.sum(F.log(F.col("l_extendedprice") / F.col("x_ref")))
+            ).alias("hill_alpha"),
+        )
+    )

@@ -1982,3 +1982,199 @@ def x_zipf_fit_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q6(F.avg("y") - slope * F.avg("x")).alias("intercept"),
         _q6(F.corr("x", "y") * F.corr("x", "y")).alias("r2"),
     )
+
+
+@register(
+    "x_js_divergence_sources",
+    oracle="""
+    WITH w AS (
+      SELECT source, word FROM (
+        SELECT source,
+               unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r]+')) AS word
+        FROM documents) t
+      WHERE word <> ''
+    ), vocab AS (
+      SELECT word FROM (
+        SELECT word, count(*) AS n FROM w GROUP BY word
+        ORDER BY n DESC, word LIMIT 200)
+    ), c AS (
+      SELECT w.source, w.word, CAST(count(*) AS BIGINT) AS c
+      FROM w JOIN vocab v ON w.word = v.word
+      GROUP BY w.source, w.word
+    ), srcs AS (
+      SELECT DISTINCT source FROM documents
+    ), grid AS (
+      SELECT s.source, v.word, coalesce(c.c, 0) AS c
+      FROM srcs s CROSS JOIN vocab v
+      LEFT JOIN c ON c.source = s.source AND c.word = v.word
+    ), tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM grid GROUP BY source
+    ), p AS (
+      SELECT g.source, g.word,
+             (g.c + 0.5) / (t.n + 100.0) AS p
+      FROM grid g JOIN tot t ON g.source = t.source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           floor(sum(0.5 * a.p * ln(a.p / ((a.p + b.p) / 2))
+                   + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2)))
+                 * 1000000 + 0.5) / 1000000 AS jsd
+    FROM p a JOIN p b ON a.word = b.word AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+)
+def x_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between every source pair's unigram
+    distributions over the global top-200 vocabulary — the
+    distribution-level corpus-drift/mixture diagnostic that
+    complements x_source_contamination_matrix (verbatim n-gram
+    overlap) and x_centroid_cosine_matrix (embedding prototypes):
+    JSD ≈ 0 means two sources SPEAK the same token mix even with zero
+    verbatim overlap. Conventions pinned on both engines:
+    restricted-support distributions over the top-200 vocab
+    ((n desc, word) tie-broken), add-half smoothing
+    (c + 0.5)/(N + 100), natural-log JSD.
+
+    Plan: ONE (source, word)-keyed count shuffle sees the corpus, and
+    its output is materialized ONCE (eager localCheckpoint) to feed
+    vocab selection, the count restriction, the source list, and the
+    totals — unmaterialized, the corpus explode would re-execute four
+    times (the engine-wide re-derivation trap). Everything downstream
+    runs on |sources|x200 grid rows with the small sides broadcast
+    (vocab head, restricted counts, totals, one pair side).
+    Probabilities are single divisions of exact int64 counts —
+    identical doubles both sides; the 200-term JSD sum alone is q6'd.
+    At 100 TB: scan + one shuffle, matrix cost independent of corpus
+    size."""
+    from ..operators.numeric import q6
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r]+")).alias(
+            "word"
+        ),
+    ).filter(F.col("word") != "")
+    cw = (
+        w.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        cw.groupBy("word")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(200)
+        .select("word")
+    )
+    cv = cw.join(F.broadcast(vocab), "word").select("source", "word", "c")
+    srcs = cw.select("source").distinct()
+    grid = (
+        srcs.crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(cv), ["source", "word"], "left")
+        .select("source", "word", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    tot = grid.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    p = grid.join(F.broadcast(tot), "source").select(
+        "source", "word", ((F.col("c") + 0.5) / (F.col("n") + 100.0)).alias("p")
+    )
+    p = p.localCheckpoint(eager=True)
+    a = p.select(
+        F.col("source").alias("source_a"), "word", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("source_b"), "word", F.col("p").alias("pb")
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    return (
+        a.join(F.broadcast(b), "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            q6(
+                F.sum(
+                    0.5 * F.col("pa") * F.log(F.col("pa") / m)
+                    + 0.5 * F.col("pb") * F.log(F.col("pb") / m)
+                )
+            ).alias("jsd")
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "x_source_entropy",
+    oracle="""
+    WITH w AS (
+      SELECT source, word FROM (
+        SELECT source,
+               unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r]+')) AS word
+        FROM documents) t
+      WHERE word <> ''
+    ), c AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      FROM w GROUP BY source, word
+    ), t2 AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT)   AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             sum(c * ln(c))           AS clogc,
+             sum(c * 1.0 * (c - 1))   AS cc1
+      FROM c GROUP BY source
+    )
+    SELECT source, n_tokens, n_types,
+           floor(n_types * 1.0 / n_tokens * 1000000 + 0.5) / 1000000 AS ttr,
+           floor((ln(n_tokens * 1.0) - clogc / n_tokens)
+                 * 1000000 + 0.5) / 1000000 AS shannon_nats,
+           floor(cc1 / (n_tokens * 1.0 * (n_tokens - 1))
+                 * 1000000 + 0.5) / 1000000 AS simpson
+    FROM t2 ORDER BY source
+    """,
+)
+def x_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source: token count, type count,
+    type-token ratio, Shannon entropy (nats) and Simpson concentration
+    of the unigram distribution — the corpus-health scalars read next
+    to x_zipf_fit_words (a source whose entropy collapses is
+    template/boilerplate-heavy; one whose TTR explodes is
+    noise/garbage) and the per-source marginals of
+    x_js_divergence_sources' pairwise view.
+
+    Conventions pinned: full-vocabulary distributions (no top-k cut —
+    these are marginal stats, not a pairwise grid), natural-log
+    entropy, bias-corrected Simpson Σc(c−1)/(N(N−1)). Plan: ONE
+    (source, word) count shuffle sees the corpus; the per-source fold
+    is a second exchange of |vocab| COUNTED rows (the Spark side folds
+    entropy from the counts with a window-free two-level agg — sums of
+    c, c·ln c, and c(c−1) are enough: H = ln N − Σ c·ln c / N — so no
+    per-source window at all). Entropy/Simpson sums are
+    order-sensitive floats → q6; counts and TTR's single division are
+    exact."""
+    from ..operators.numeric import q6
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r]+")).alias(
+            "word"
+        ),
+    ).filter(F.col("word") != "")
+    c = w.groupBy("source", "word").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    s = c.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("_clogc"),
+        F.sum(F.col("c") * 1.0 * (F.col("c") - 1)).alias("_cc1"),
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        q6(F.col("n_types") * 1.0 / F.col("n_tokens")).alias("ttr"),
+        q6(
+            F.log(F.col("n_tokens") * 1.0) - F.col("_clogc") / F.col("n_tokens")
+        ).alias("shannon_nats"),
+        q6(
+            F.col("_cc1") / (F.col("n_tokens") * 1.0 * (F.col("n_tokens") - 1))
+        ).alias("simpson"),
+    ).orderBy("source")

@@ -1564,3 +1564,75 @@ def w_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.col("trend")).alias("trend"),
         q6(F.col("forecast_1")).alias("forecast_1"),
     )
+
+
+@register(
+    "w_theilsen_daily_trend",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id,
+             datediff('day', DATE '2024-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS x,
+             floor(avg(value) {_Q6} AS v
+      FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT a.user_id,
+             (b.v - a.v) / (b.x - a.x) AS slope
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id
+       AND b.x > a.x AND b.x - a.x <= 90
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(quantile_cont(slope, 0.5) {_Q6} AS theilsen_slope
+    FROM p GROUP BY user_id ORDER BY user_id
+    """,
+)
+def w_theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per series: the median of pairwise
+    day-to-day slopes of the daily-mean value — the estimator that
+    shrugs off the outlier days that wreck agg_linear_trend's
+    least-squares slope (and the robust twin w_rolling_mad_anomaly's
+    philosophy applied to trend). SPAN-CAPPED at 90 days: classic
+    Theil–Sen is quadratic in the day spine, which is calendar-bounded
+    but still grows as years accumulate; capping the pair span bounds
+    per-day fan-out at 90 — the standard windowed variant — making the
+    pair build LINEAR in the spine while keeping the breakdown
+    robustness local trends need. Pinned conventions: pairs on the
+    (user, day)-mean frame (q6-quantized so both engines divide
+    identical doubles; the slope division itself is row-wise exact),
+    median = the interpolating quantile (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, averaging the two middle slopes on even counts).
+
+    Plan: one (user, day) agg on the fact scan, a user-keyed
+    self-join on the tiny day frame, one user-keyed agg. The exact
+    percentile is per-user over ≤ 90·|days| slopes — bounded state,
+    not a corpus-wide sort."""
+    from ..operators.numeric import q6
+
+    ev = _events_series(spark, sf_dir)
+    d = ev.groupBy(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("x"),
+    ).agg(q6(F.avg("value")).alias("v"))
+    a = d.select(F.col("user_id"), F.col("x").alias("xa"), F.col("v").alias("va"))
+    b = d.select(F.col("user_id"), F.col("x").alias("xb"), F.col("v").alias("vb"))
+    p = (
+        a.join(b, "user_id")
+        .filter((F.col("xb") > F.col("xa")) & (F.col("xb") - F.col("xa") <= 90))
+        .select(
+            "user_id",
+            ((F.col("vb") - F.col("va")) / (F.col("xb") - F.col("xa"))).alias("slope"),
+        )
+    )
+    return (
+        p.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            q6(F.expr("percentile(slope, 0.5)")).alias("theilsen_slope"),
+        )
+        .withColumn("user_id", F.col("user_id").cast("long"))
+        .orderBy("user_id")
+    )

@@ -170,3 +170,71 @@ def test_centroid_cosine_matrix_matches_numpy(spark, sf_dir):
         a, b = cents[r["label_a"]], cents[r["label_b"]]
         want = float(a @ b / np.sqrt((a @ a) * (b @ b)))
         assert abs(r["cosine"] - want) < 1e-6
+
+
+def test_js_divergence_matches_numpy(spark, sf_dir):
+    """Independent numpy replay of x_js_divergence_sources at
+    sf0.001: Counter vocab, add-half smoothed distributions, direct
+    JSD formula."""
+    import re as _re
+    from collections import Counter, defaultdict
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cse_datapipeline_and_mls_spark.queries.llmdata_q import (
+        x_js_divergence_sources,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    per_src = defaultdict(Counter)
+    glob = Counter()
+    for s, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        ws = [w for w in _re.split(r"[ \t\n\r]+", txt.strip().lower()) if w]
+        per_src[s].update(ws)
+        glob.update(ws)
+    vocab = [w for w, _ in sorted(glob.items(), key=lambda kv: (-kv[1], kv[0]))[:200]]
+    dists = {}
+    for s, cnt in per_src.items():
+        c = np.array([cnt.get(w, 0) for w in vocab], dtype=float)
+        dists[s] = (c + 0.5) / (c.sum() + 100.0)
+    rows = x_js_divergence_sources(spark, sf_dir).collect()
+    srcs = sorted(dists)
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    for r in rows:
+        p, q = dists[r["source_a"]], dists[r["source_b"]]
+        m = (p + q) / 2
+        want = float(0.5 * (p * np.log(p / m)).sum() + 0.5 * (q * np.log(q / m)).sum())
+        assert abs(r["jsd"] - want) < 1e-6
+
+
+def test_source_entropy_matches_numpy(spark, sf_dir):
+    """Independent numpy replay of x_source_entropy at sf0.001:
+    Counter-based per-source distributions, direct Shannon/Simpson."""
+    import re as _re
+    from collections import Counter, defaultdict
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cse_datapipeline_and_mls_spark.queries.llmdata_q import x_source_entropy
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    per_src = defaultdict(Counter)
+    for s, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        per_src[s].update(
+            w for w in _re.split(r"[ \t\n\r]+", txt.strip().lower()) if w
+        )
+    rows = x_source_entropy(spark, sf_dir).collect()
+    assert len(rows) == len(per_src)
+    for r in rows:
+        c = np.array(list(per_src[r["source"]].values()), dtype=float)
+        n = c.sum()
+        p = c / n
+        shannon = float(-(p * np.log(p)).sum())
+        simpson = float((c * (c - 1)).sum() / (n * (n - 1)))
+        assert r["n_tokens"] == int(n)
+        assert r["n_types"] == len(c)
+        assert abs(r["ttr"] - len(c) / n) < 1e-6
+        assert abs(r["shannon_nats"] - shannon) < 1e-6
+        assert abs(r["simpson"] - simpson) < 1e-6

@@ -517,3 +517,68 @@ def test_ols_price_model_matches_numpy_lstsq(spark, sf_dir):
     assert abs(row["slope_qty"] - beta[1]) < 1e-6
     assert abs(row["slope_disc_pct"] - beta[2]) < 1e-5
     assert abs(row["r2"] - r2) < 5.1e-7  # q6 half-step
+
+
+def test_hill_tail_index_matches_numpy(spark, sf_dir):
+    """Independent numpy replay of agg_hill_tail_index at sf0.001:
+    sort prices, take the 500 largest over the 501st as reference."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cse_datapipeline_and_mls_spark.queries.analytics_q import (
+        agg_hill_tail_index,
+    )
+
+    x = np.sort(
+        np.asarray(
+            pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])[
+                "l_extendedprice"
+            ],
+            dtype=float,
+        )
+    )[::-1]
+    top, ref = x[:500], x[500]
+    want = 500.0 / np.log(top / ref).sum()
+    row = agg_hill_tail_index(spark, sf_dir).collect()[0]
+    assert row["k"] == 500
+    assert abs(row["x_ref"] - ref) < 1e-6
+    assert abs(row["hill_alpha"] - want) < 1e-6
+
+
+def test_theilsen_matches_numpy(spark, sf_dir):
+    """Independent numpy replay of w_theilsen_daily_trend at sf0.001:
+    q6 daily means, all span<=90 pairwise slopes, interpolating
+    median."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from cse_datapipeline_and_mls_spark.queries.windows_q import (
+        w_theilsen_daily_trend,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    ).to_pandas()
+    if t["ts"].dtype.kind in "iu":
+        t["ts"] = pd.to_datetime(t["ts"], unit="ns")
+    t["x"] = (t["ts"].dt.floor("D") - pd.Timestamp("2024-01-01")).dt.days
+    d = t.groupby(["user_id", "x"])["value"].mean().reset_index()
+    d["v"] = np.floor(d["value"] * 1e6 + 0.5) / 1e6
+    want = {}
+    for uid, g in d.groupby("user_id"):
+        xs = g["x"].to_numpy()
+        vs = g["v"].to_numpy()
+        slopes = [
+            (vs[j] - vs[i]) / (xs[j] - xs[i])
+            for i in range(len(xs))
+            for j in range(i + 1, len(xs))
+            if 0 < xs[j] - xs[i] <= 90
+        ]
+        want[uid] = (len(slopes), float(np.median(slopes)))
+    rows = w_theilsen_daily_trend(spark, sf_dir).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        n, med = want[r["user_id"]]
+        assert r["n_pairs"] == n
+        assert abs(r["theilsen_slope"] - med) < 1e-6

@@ -69,6 +69,7 @@ EXPECTED_CROSS = {
     "agg_mann_whitney_u",
     "agg_spearman_rank_corr",   # two prefix-sum rank maps (x and y)
     "x_zipf_fit_words",         # assign_dense_ids over the top-1000 frame
+    "agg_hill_tail_index",      # 1-row x_ref broadcast onto the 500-row head
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
