@@ -189,6 +189,7 @@ HEADLINE = [
     "agg_hill_tail_index",
     "x_js_divergence_sources",
     "x_source_entropy",
+    "agg_burstiness_hourly",
 ]
 
 
@@ -310,7 +311,7 @@ def main() -> None:
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
-    r7_subset = round(sum(timings[n] for n in HEADLINE[:107] if n in timings), 3)
+    r7_subset = round(sum(timings[n] for n in HEADLINE[:108] if n in timings), 3)
     print(
         json.dumps(
             {

@@ -1586,3 +1586,100 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hill_alpha"),
         )
     )
+
+
+@register(
+    "agg_burstiness_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(to_timestamp(floor(epoch(min(ts)) / 3600) * 3600) AS TIMESTAMP) AS lo,
+             CAST(to_timestamp(floor(epoch(max(ts)) / 3600) * 3600) AS TIMESTAMP) AS hi
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), cnt AS (
+      SELECT event_type,
+             CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS hour,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, h.hour, coalesce(c.c, 0) AS c
+      FROM types t CROSS JOIN hours h
+      LEFT JOIN cnt c ON c.event_type = t.event_type AND c.hour = h.hour
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(c) AS BIGINT)   AS n_events,
+             avg(c)                   AS mu,
+             var_pop(c)               AS v
+      FROM grid GROUP BY event_type
+    )
+    SELECT event_type, n_hours, n_events,
+           floor(mu * 1000000 + 0.5) / 1000000 AS mean_per_hour,
+           floor(v / mu * 1000000 + 0.5) / 1000000 AS fano,
+           floor((sqrt(v) - mu) / (sqrt(v) + mu) * 1000000 + 0.5) / 1000000
+             AS burstiness
+    FROM s ORDER BY event_type
+    """,
+)
+def agg_burstiness_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival burstiness per event type over the COMPLETE global hour
+    spine: Fano factor (variance-to-mean of hourly counts — 1 for a
+    Poisson process, >1 for bursty arrivals) and the Goh–Barabási
+    burstiness coefficient (σ−μ)/(σ+μ). The spine matters: hours with
+    ZERO events are real observations, and a counts-only groupBy would
+    silently drop them and understate the variance — so the spine is
+    generated from the global [min, max] hour (one 1-row agg,
+    broadcast) and cross-joined with the type list before the counts
+    left-join back, zeros included by construction.
+
+    Plan: one (type, hour) count shuffle on the fact scan; the grid is
+    |types| × |hours| rows (calendar-bounded, independent of event
+    volume) with the count frame joined back hour-keyed; moments are
+    int-valued count aggregates (var_pop flavor pinned), final ratios
+    q6'd. At 100 TB the cost is the scan + one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+    b = ev.agg(
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.min("ts")) / 3600) * 3600
+        ).alias("lo"),
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.max("ts")) / 3600) * 3600
+        ).alias("hi"),
+    )
+    hours = b.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    cnt = ev.groupBy(
+        "event_type", hour.alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grid = (
+        types.crossJoin(F.broadcast(hours))
+        .join(cnt, ["event_type", "hour"], "left")
+        .select(
+            "event_type", "hour", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    s = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.avg("c").alias("mu"),
+        F.var_pop("c").alias("v"),
+    )
+    return s.select(
+        "event_type",
+        "n_hours",
+        "n_events",
+        _q6(F.col("mu")).alias("mean_per_hour"),
+        _q6(F.col("v") / F.col("mu")).alias("fano"),
+        _q6(
+            (F.sqrt(F.col("v")) - F.col("mu"))
+            / (F.sqrt(F.col("v")) + F.col("mu"))
+        ).alias("burstiness"),
+    ).orderBy("event_type")

@@ -582,3 +582,38 @@ def test_theilsen_matches_numpy(spark, sf_dir):
         n, med = want[r["user_id"]]
         assert r["n_pairs"] == n
         assert abs(r["theilsen_slope"] - med) < 1e-6
+
+
+def test_burstiness_matches_numpy(spark, sf_dir):
+    """Independent numpy replay of agg_burstiness_hourly at sf0.001:
+    full hour spine with zeros, population moments, Fano + (σ−μ)/(σ+μ)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from cse_datapipeline_and_mls_spark.queries.analytics_q import (
+        agg_burstiness_hourly,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    ).to_pandas()
+    if t["ts"].dtype.kind in "iu":
+        t["ts"] = pd.to_datetime(t["ts"], unit="ns")
+    t["hour"] = t["ts"].dt.floor("h")
+    spine = pd.date_range(t["hour"].min(), t["hour"].max(), freq="h")
+    rows = agg_burstiness_hourly(spark, sf_dir).collect()
+    assert len(rows) == t["event_type"].nunique()
+    for r in rows:
+        c = (
+            t[t["event_type"] == r["event_type"]]
+            .groupby("hour")
+            .size()
+            .reindex(spine, fill_value=0)
+            .to_numpy(dtype=float)
+        )
+        mu, v = c.mean(), c.var()
+        assert r["n_hours"] == len(spine)
+        assert r["n_events"] == int(c.sum())
+        assert abs(r["fano"] - v / mu) < 1e-6
+        assert abs(r["burstiness"] - (np.sqrt(v) - mu) / (np.sqrt(v) + mu)) < 1e-6

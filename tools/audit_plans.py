@@ -70,6 +70,7 @@ EXPECTED_CROSS = {
     "agg_spearman_rank_corr",   # two prefix-sum rank maps (x and y)
     "x_zipf_fit_words",         # assign_dense_ids over the top-1000 frame
     "agg_hill_tail_index",      # 1-row x_ref broadcast onto the 500-row head
+    "agg_burstiness_hourly",    # types x hour-spine grid: cross of two tiny broadcast frames
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
