@@ -830,3 +830,63 @@ def bfs_hops(
         dist = dist.unionByName(new).localCheckpoint(eager=True)
         frontier = new.select("node")
     return dist.withColumn("converged", F.lit(converged))
+
+
+def wl_refinement(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Weisfeiler–Leman label refinement over an undirected graph
+    (direction/duplicates ignored): nodes start as their degree, and
+    each round every node's label becomes
+    ``md5(own_label | ',' -joined SORTED neighbor labels)`` — after r
+    rounds two nodes share a label only if their r-hop neighborhood
+    trees are isomorphic. The per-node labels are the classic WL
+    features behind graph kernels and structural dedup of
+    graph-shaped records (two product neighborhoods that refine to
+    the same label histogram are structurally interchangeable).
+
+    Fixed-round TOTAL definition like k_core/label_propagation: the
+    oracle unrolls exactly ``rounds`` refinements, and every step is
+    engine-portable by construction — md5 of a canonical string, with
+    the neighbor multiset ordered lexicographically (Spark
+    ``array_sort + concat_ws`` ≡ SQL ``string_agg(... ORDER BY ...)``)
+    so no collect order can leak in. Per round: one |2E| neighbor-label
+    join + one node-keyed string fold — node-co-partitioned exchanges,
+    label state 2 columns × |V|, lineage cut per round
+    (localCheckpoint). Collision caveat: labels are 128-bit md5 —
+    collisions are cryptographically negligible and identical on both
+    engines anyway."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    und = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select("node", F.col("d").cast("string").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        nbr = und.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "lbl")
+        folded = nbr.groupBy("node").agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("lbl"))).alias("_ns")
+        )
+        labels = (
+            labels.join(folded, "node")
+            .select(
+                "node",
+                F.md5(F.concat_ws("|", F.col("lbl"), F.col("_ns"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

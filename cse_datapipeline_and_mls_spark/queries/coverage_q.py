@@ -3178,3 +3178,76 @@ def x_centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label_b", F.col("label_b").cast("int"))
         .orderBy("label_a", "label_b")
     )
+
+
+def _wl_oracle(rounds: int) -> str:
+    """Unrolled Weisfeiler–Leman twin for x_wl_refinement_copurchase:
+    degree init + ``rounds`` md5-canonical refinement blocks over the
+    support>=2 co-purchase graph."""
+    parts = [
+        """
+    WITH bk AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ed AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n
+        FROM bk x JOIN bk y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2) WHERE n >= 2),
+    und AS MATERIALIZED (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+    l0 AS MATERIALIZED (
+      SELECT a AS node, CAST(count(*) AS VARCHAR) AS lbl
+      FROM und GROUP BY a)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    n{i} AS (
+      SELECT u.a AS node, string_agg(l.lbl, ',' ORDER BY l.lbl) AS ns
+      FROM und u JOIN l{i - 1} l ON l.node = u.b
+      GROUP BY u.a),
+    l{i} AS MATERIALIZED (
+      SELECT l.node, md5(l.lbl || '|' || n.ns) AS lbl
+      FROM l{i - 1} l JOIN n{i} n ON n.node = l.node)""")
+    parts.append(f"""
+    SELECT CAST(node AS BIGINT) AS node, lbl AS wl_label,
+           CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS class_size
+    FROM l{rounds} ORDER BY node""")
+    return "".join(parts)
+
+
+@register("x_wl_refinement_copurchase", oracle=_wl_oracle(rounds=2))
+def x_wl_refinement_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round Weisfeiler–Leman refinement of the repeat co-purchase
+    graph (graph.wl_refinement): each part's label encodes its 2-hop
+    neighborhood structure, and class_size counts its structural
+    equivalence class — the graph-kernel feature / structural-dedup
+    primitive next to the role the embedding fingerprints play for
+    text. Same capped-round, oracle-unrolled contract as
+    k-core/LPA/BFS; md5-canonical strings with lexicographically
+    sorted neighbor multisets make every step bit-portable across
+    engines. Per round: one |2E| node-keyed join + one string fold —
+    co-partitioned at scale; the support>=2 pre-filter keeps the
+    graph the sparse signal-bearing layer."""
+    from ..operators.graph import wl_refinement
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bk = li.distinct()
+    a = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    labels = wl_refinement(edges, rounds=2)
+    w = Window.partitionBy("wl_label")
+    return (
+        labels.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("lbl").alias("wl_label"),
+        )
+        .withColumn("class_size", F.count(F.lit(1)).over(w).cast("long"))
+        .orderBy("node")
+    )

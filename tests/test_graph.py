@@ -405,3 +405,48 @@ def test_bfs_hops_undirected_and_duplicate_edges(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     rows = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_rounds=3).collect()}
     assert rows == {1: 0, 2: 1, 3: 2}
+
+
+def test_wl_refinement_symmetry_and_distinction(spark):
+    """Path 1-2-3: the two endpoints are structurally equivalent at
+    every round (same label), the center differs; a triangle's nodes
+    all refine identically; and the md5-canonical label is replayable
+    by hand."""
+    import hashlib
+
+    from cse_datapipeline_and_mls_spark.operators.graph import wl_refinement
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r["node"]: r["lbl"] for r in wl_refinement(path, rounds=1).collect()}
+    assert got[1] == got[3] != got[2]
+    # hand replay: endpoint = md5("1|2"), center = md5("2|1,1")
+    assert got[1] == hashlib.md5(b"1|2").hexdigest()
+    assert got[2] == hashlib.md5(b"2|1,1").hexdigest()
+
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    lbls = {r["lbl"] for r in wl_refinement(tri, rounds=2).collect()}
+    assert len(lbls) == 1
+
+
+def test_wl_refinement_separates_nonisomorphic_neighborhoods(spark):
+    """Star(4) vs path(4): every star leaf sees a degree-3 hub, a path
+    inner node sees mixed degrees — after one round no star label
+    coincides with a path label except where neighborhoods genuinely
+    match."""
+    from cse_datapipeline_and_mls_spark.operators.graph import wl_refinement
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 4)], "src long, dst long"
+    )
+    path = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13)], "src long, dst long"
+    )
+    s_lbls = {r["node"]: r["lbl"] for r in wl_refinement(star, rounds=1).collect()}
+    p_lbls = {r["node"]: r["lbl"] for r in wl_refinement(path, rounds=1).collect()}
+    # star leaves identical; hub unique
+    assert s_lbls[1] == s_lbls[2] == s_lbls[3] != s_lbls[0]
+    # path endpoints identical, inner pair identical, ends != inner
+    assert p_lbls[10] == p_lbls[13] and p_lbls[11] == p_lbls[12]
+    assert p_lbls[10] != p_lbls[11]
+    # no structural class is shared between the two graphs at round 1
+    assert not set(s_lbls.values()) & set(p_lbls.values())
