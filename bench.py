@@ -192,6 +192,7 @@ HEADLINE = [
     "agg_burstiness_hourly",
     # r7 session 4: WL refinement — the round's last iterative graph op
     "x_wl_refinement_copurchase",
+    "w_holt_forecast_eval",
 ]
 
 
@@ -313,7 +314,7 @@ def main() -> None:
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
-    r7_subset = round(sum(timings[n] for n in HEADLINE[:109] if n in timings), 3)
+    r7_subset = round(sum(timings[n] for n in HEADLINE[:110] if n in timings), 3)
     print(
         json.dumps(
             {

@@ -1636,3 +1636,106 @@ def w_theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("user_id", F.col("user_id").cast("long"))
         .orderBy("user_id")
     )
+
+
+from . import ORACLE as _ORACLE  # noqa: E402
+
+# Reuse w_holt_forecast's entire CTE chain (bars -> ... -> lt) verbatim,
+# swapping only the final SELECT — the two oracles stay in lockstep by
+# construction if the Holt constants ever change.
+_HOLT_CTES = _ORACLE["w_holt_forecast"].rsplit("SELECT user_id, day,", 1)[0]
+
+
+@register(
+    "w_holt_forecast_eval",
+    oracle=f"""{_HOLT_CTES}, fe AS (
+      SELECT user_id, day, lvl + trd AS f1 FROM lt
+    ), j AS (
+      SELECT b.user_id, b.close,
+             lag(f.f1)    OVER (PARTITION BY b.user_id ORDER BY b.day) AS f_prev,
+             lag(b.close) OVER (PARTITION BY b.user_id ORDER BY b.day) AS c_prev
+      FROM bars b JOIN fe f ON f.user_id = b.user_id AND f.day = b.day
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_evals,
+           floor(avg(abs(close - f_prev)) {_Q6} AS mae,
+           floor(sqrt(avg((close - f_prev) * (close - f_prev))) {_Q6} AS rmse,
+           floor(avg(abs(close - f_prev) / nullif(abs(close), 0)) * 100 {_Q6}
+             AS mape_pct,
+           floor(avg(abs(close - f_prev))
+                 / nullif(avg(abs(close - c_prev)), 0) {_Q6} AS mase
+    FROM j WHERE f_prev IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def w_holt_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward evaluation of the Holt one-step forecast — the
+    time-series counterpart of the ML block's directional-accuracy
+    metrics (M11/M12): yesterday's forecast_1 scored against today's
+    close, per series, as MAE / RMSE / MAPE / MASE (MASE denominator =
+    the naive persistence forecast's MAE over the SAME evaluation
+    rows, so MASE < 1 means Holt genuinely beats carry-forward). The
+    evaluation join is a lag — no leakage by construction: forecast
+    f1_{t-1} uses only data through t-1.
+
+    Zero closes exist in the synthetic series, so MAPE's per-row
+    division is nullif-guarded (both engines' avg skips the NULL rows
+    — the pinned convention) and MASE's denominator likewise.
+    Plan: the Holt closed form's one extra series-keyed exchange,
+    then lag + one user-keyed agg on the bar frame; the oracle reuses
+    w_holt_forecast's CTE chain verbatim and swaps the final SELECT.
+    Errors are row-wise exact (identical closed-form doubles both
+    sides); only the per-user averages are q6'd."""
+    from ..operators.numeric import q6
+    from ..operators.tswindow import ohlc_bars, with_holt_linear
+
+    ev = _events_series(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "value", "event_id"
+    )
+    bars = ohlc_bars(ev, "user_id", "ts", "value", bucket_seconds=86400).select(
+        "user_id", F.col("bucket").alias("day"), "close"
+    )
+    fc = with_holt_linear(
+        bars, "close", ["user_id"], ["day"],
+        alpha=_HOLT_ALPHA, beta=_HOLT_BETA, L=_HOLT_L,
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    j = fc.select(
+        "user_id",
+        "close",
+        F.lag("forecast_1").over(w).alias("f_prev"),
+        F.lag("close").over(w).alias("c_prev"),
+    ).filter(F.col("f_prev").isNotNull())
+    e = F.abs(F.col("close") - F.col("f_prev"))
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_evals"),
+            q6(F.avg(e)).alias("mae"),
+            q6(
+                F.sqrt(
+                    F.avg(
+                        (F.col("close") - F.col("f_prev"))
+                        * (F.col("close") - F.col("f_prev"))
+                    )
+                )
+            ).alias("rmse"),
+            q6(
+                F.avg(
+                    e
+                    / F.when(
+                        F.abs(F.col("close")) != 0, F.abs(F.col("close"))
+                    )
+                )
+                * 100
+            ).alias("mape_pct"),
+            q6(
+                F.avg(e)
+                / F.when(
+                    F.avg(F.abs(F.col("close") - F.col("c_prev"))) != 0,
+                    F.avg(F.abs(F.col("close") - F.col("c_prev"))),
+                )
+            ).alias("mase"),
+        )
+        .orderBy("user_id")
+    )
