@@ -193,6 +193,7 @@ HEADLINE = [
     # r7 session 4: WL refinement — the round's last iterative graph op
     "x_wl_refinement_copurchase",
     "w_holt_forecast_eval",
+    "w_ljung_box",
 ]
 
 
@@ -314,7 +315,7 @@ def main() -> None:
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
-    r7_subset = round(sum(timings[n] for n in HEADLINE[:110] if n in timings), 3)
+    r7_subset = round(sum(timings[n] for n in HEADLINE[:111] if n in timings), 3)
     print(
         json.dumps(
             {

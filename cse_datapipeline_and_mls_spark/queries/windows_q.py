@@ -1739,3 +1739,84 @@ def w_holt_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "w_ljung_box",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             floor(avg(value) {_Q6} AS v
+      FROM events GROUP BY 1, 2
+    ), l AS (
+      SELECT user_id, v,
+             lag(v, 1) OVER (PARTITION BY user_id ORDER BY day) AS v1,
+             lag(v, 2) OVER (PARTITION BY user_id ORDER BY day) AS v2,
+             lag(v, 3) OVER (PARTITION BY user_id ORDER BY day) AS v3
+      FROM l_src
+    ), a AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             floor(corr(v, v1) {_Q6} AS r1,
+             floor(corr(v, v2) {_Q6} AS r2,
+             floor(corr(v, v3) {_Q6} AS r3
+      FROM l GROUP BY user_id
+    )
+    SELECT user_id, n,
+           floor(n * (n + 2.0) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+                                + r3 * r3 / (n - 3)) {_Q6} AS lb_q,
+           CAST(3 AS BIGINT) AS df
+    FROM a ORDER BY user_id
+    """.replace("FROM l_src", "FROM d"),
+)
+def w_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau statistic at lags 1–3 of each series'
+    daily-mean value: Q = n(n+2)·Σ ρ_k²/(n−k) — the "is there ANY
+    autocorrelation" test read next to w_autocorrelation's per-lag
+    view (compare Q against chi²(df=3) quantiles offline; the engine
+    emits the exact statistic + df rather than a p-value, keeping the
+    output closed-form and engine-portable). Same pinned numeric
+    discipline as the ACF query: q6-quantized daily means BEFORE the
+    correlations, q6'd ρ values feeding an exact final expression.
+
+    Plan: identical to w_autocorrelation — one (user, day) agg, one
+    series-keyed window pass for the three lags, one user-keyed agg,
+    then a 1-row-per-user arithmetic select."""
+    from ..operators.numeric import q6
+
+    ev = _events_series(spark, sf_dir)
+    d = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(q6(F.avg("value")).alias("v"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = d.select(
+        "user_id",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 3).over(w).alias("v3"),
+    )
+    a = lagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        q6(F.corr("v", "v1")).alias("r1"),
+        q6(F.corr("v", "v2")).alias("r2"),
+        q6(F.corr("v", "v3")).alias("r3"),
+    )
+    n = F.col("n")
+    return (
+        a.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n",
+            q6(
+                n
+                * (n + 2.0)
+                * (
+                    F.col("r1") * F.col("r1") / (n - 1)
+                    + F.col("r2") * F.col("r2") / (n - 2)
+                    + F.col("r3") * F.col("r3") / (n - 3)
+                )
+            ).alias("lb_q"),
+            F.lit(3).cast("long").alias("df"),
+        )
+        .orderBy("user_id")
+    )

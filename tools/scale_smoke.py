@@ -640,9 +640,12 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
             (F.col("dst") + F.col("_k") * 10_000_000).alias("dst"),
         )
 
+    from cse_datapipeline_and_mls_spark.operators.graph import wl_refinement
+
     for case_name, op in (
         ("kcore_sparse_edges", lambda e: k_core(e, k=2, max_rounds=10)),
         ("label_propagation_edges", lambda e: label_propagation(e, rounds=4)),
+        ("wl_refinement_edges", lambda e: wl_refinement(e, rounds=2)),
     ):
         res = {}
         for label, kk in (("1x", 1), (f"{k_graph}x", k_graph)):
