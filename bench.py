@@ -194,6 +194,8 @@ HEADLINE = [
     "x_wl_refinement_copurchase",
     "w_holt_forecast_eval",
     "w_ljung_box",
+    "x_bigram_entropy_rate",
+    "agg_seasonal_strength",
 ]
 
 
@@ -315,7 +317,7 @@ def main() -> None:
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
-    r7_subset = round(sum(timings[n] for n in HEADLINE[:111] if n in timings), 3)
+    r7_subset = round(sum(timings[n] for n in HEADLINE[:113] if n in timings), 3)
     print(
         json.dumps(
             {

@@ -1683,3 +1683,86 @@ def agg_burstiness_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(F.col("v")) + F.col("mu"))
         ).alias("burstiness"),
     ).orderBy("event_type")
+
+
+from . import ORACLE as _ORACLE_REG  # noqa: E402
+
+# Reuse w_seasonal_decompose_daily's CTE chain (daily -> t -> s)
+# verbatim, swapping the final SELECT — the strength metric stays in
+# lockstep with the decomposition it summarizes.
+_DECOMP_CTES = _ORACLE_REG["w_seasonal_decompose_daily"].rsplit("SELECT t.day,", 1)[0]
+
+
+@register(
+    "agg_seasonal_strength",
+    oracle=f"""{_DECOMP_CTES}, j AS (
+      SELECT t.revenue, s.seasonal,
+             t.revenue - t.trend - s.seasonal AS rem
+      FROM t JOIN s ON s.dow = dayofweek(t.day)
+      WHERE t.trend IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           floor(greatest(0, 1 - var_pop(rem) / var_pop(seasonal + rem))
+                 * 1000000 + 0.5) / 1000000 AS f_seasonal,
+           floor(greatest(0, 1 - var_pop(rem) / var_pop(revenue - seasonal))
+                 * 1000000 + 0.5) / 1000000 AS f_trend
+    FROM j
+    """,
+)
+def agg_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman's seasonal/trend strength of the daily revenue series:
+    F_seasonal = max(0, 1 − var(remainder)/var(seasonal+remainder)) and
+    F_trend = max(0, 1 − var(remainder)/var(revenue−seasonal)) over the
+    full-window days of w_seasonal_decompose_daily's decomposition —
+    the two scalars that say whether the decomposition's components
+    carry signal (≈0: noise; →1: strongly seasonal/trending), i.e. the
+    summary an alerting job thresholds instead of eyeballing the
+    decomposition. The oracle reuses the decompose query's CTE chain
+    verbatim and swaps the final SELECT, so the two stay in lockstep.
+
+    Plan: the decompose plan (fact scan collapsed to the day spine
+    before any window) + one 1-row variance combine; var_pop flavor
+    pinned, ratios q6'd."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    win = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "revenue",
+        F.when(
+            F.count(F.lit(1)).over(win) == 7, F.avg("revenue").over(win)
+        ).alias("trend"),
+    )
+    s = (
+        t.filter(F.col("trend").isNotNull())
+        .groupBy((F.dayofweek("day") - 1).alias("dow"))
+        .agg(F.avg(F.col("revenue") - F.col("trend")).alias("seasonal"))
+    )
+    j = (
+        t.join(F.broadcast(s), (F.dayofweek(t["day"]) - 1) == s["dow"])
+        .filter(F.col("trend").isNotNull())
+        .select(
+            "revenue",
+            "seasonal",
+            (F.col("revenue") - F.col("trend") - F.col("seasonal")).alias("rem"),
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        _q6(
+            F.greatest(
+                F.lit(0.0),
+                1 - F.var_pop("rem") / F.var_pop(F.col("seasonal") + F.col("rem")),
+            )
+        ).alias("f_seasonal"),
+        _q6(
+            F.greatest(
+                F.lit(0.0),
+                1
+                - F.var_pop("rem")
+                / F.var_pop(F.col("revenue") - F.col("seasonal")),
+            )
+        ).alias("f_trend"),
+    )

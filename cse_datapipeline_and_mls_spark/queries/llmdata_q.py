@@ -2178,3 +2178,85 @@ def x_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_cc1") / (F.col("n_tokens") * 1.0 * (F.col("n_tokens") - 1))
         ).alias("simpson"),
     ).orderBy("source")
+
+
+@register(
+    "x_bigram_entropy_rate",
+    oracle="""
+    WITH w AS (
+      SELECT string_split_regex(lower(trim(text)), '[ \\t\\n\\r]+') AS words
+      FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i+1])) AS b
+      FROM w WHERE len(words) >= 2
+    ), cb AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1
+    ), cu AS (
+      SELECT string_split(b, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1,
+             sum(c2 * ln(c2)) AS c2logc2
+      FROM cb GROUP BY 1
+    ), s AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n,
+             sum(c1 * ln(c1)) AS c1logc1,
+             sum(c2logc2)     AS c2logc2
+      FROM cu
+    )
+    SELECT n AS n_bigrams,
+           floor((c1logc1 - c2logc2) / n * 1000000 + 0.5) / 1000000
+             AS entropy_rate_nats,
+           floor(exp((c1logc1 - c2logc2) / n) * 1000000 + 0.5) / 1000000
+             AS perplexity
+    FROM s
+    """,
+)
+def x_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus conditional entropy rate H(w₂|w₁) of the unsmoothed
+    bigram MLE — the information-theoretic "how predictable is the
+    next token" scalar (and its exp, the bigram perplexity) that
+    complements x_source_entropy's marginal view and the bigram LM's
+    per-document scores: a corpus whose entropy rate collapses after a
+    curation pass has been over-deduped into boilerplate. Computed by
+    the exact fold identity H = (Σc₁ln c₁ − Σc₂ln c₂)/N over bigram
+    counts c₂ and their prefix marginals c₁ — no per-row probability
+    materialization, no division until the final 1-row expression.
+
+    Plan: one bigram-keyed count shuffle (the same dominant exchange
+    as the bigram LM — prunable identically at 100 TB), one
+    prefix-keyed fold OF THE COUNTS (vocabulary-sized, not
+    corpus-sized), one 1-row combine. The prefix marginal is derived
+    from the bigram counts (c₁ = Σ_w₂ c₂) rather than re-counting
+    tokens, so the corpus is scanned ONCE and the last-token-per-doc
+    convention is consistent on both engines by construction."""
+    from ..operators.numeric import q6
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r]+")
+    w = docs.select(words.alias("words")).filter(F.size("words") >= 2)
+    bg = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("words"), i).alias("w1"),
+                    F.element_at(F.col("words"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    cu = cb.groupBy("w1").agg(
+        F.sum("c2").cast("long").alias("c1"),
+        F.sum(F.col("c2") * F.log("c2")).alias("c2logc2"),
+    )
+    s = cu.agg(
+        F.sum("c1").cast("long").alias("n"),
+        F.sum(F.col("c1") * F.log("c1")).alias("c1logc1"),
+        F.sum("c2logc2").alias("c2logc2"),
+    )
+    h = (F.col("c1logc1") - F.col("c2logc2")) / F.col("n")
+    return s.select(
+        F.col("n").alias("n_bigrams"),
+        q6(h).alias("entropy_rate_nats"),
+        q6(F.exp(h)).alias("perplexity"),
+    )

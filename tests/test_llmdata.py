@@ -238,3 +238,35 @@ def test_source_entropy_matches_numpy(spark, sf_dir):
         assert abs(r["ttr"] - len(c) / n) < 1e-6
         assert abs(r["shannon_nats"] - shannon) < 1e-6
         assert abs(r["simpson"] - simpson) < 1e-6
+
+
+def test_bigram_entropy_rate_matches_numpy(spark, sf_dir):
+    """Independent replay of x_bigram_entropy_rate at sf0.001:
+    Counter bigrams, direct H(w2|w1) = -sum p(w1,w2) ln p(w2|w1)."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from cse_datapipeline_and_mls_spark.queries.llmdata_q import (
+        x_bigram_entropy_rate,
+    )
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    bi, uni = Counter(), Counter()
+    for t in texts:
+        ws = [w for w in _re.split(r"[ \t\n\r]+", t.strip().lower()) if w]
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+            uni[a] += 1
+    n = sum(bi.values())
+    want = -sum(
+        (c / n) * math.log(c / uni[a]) for (a, _), c in bi.items()
+    )
+    row = x_bigram_entropy_rate(spark, sf_dir).collect()[0]
+    assert row["n_bigrams"] == n
+    assert abs(row["entropy_rate_nats"] - want) < 1e-6
+    assert abs(row["perplexity"] - math.exp(want)) < 1e-4
