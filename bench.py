@@ -196,6 +196,9 @@ HEADLINE = [
     "w_ljung_box",
     "x_bigram_entropy_rate",
     "agg_seasonal_strength",
+    # r7 session 4: CCNet perplexity bucketing (rides the bigram-LM
+    # model shuffles — the heaviest new corpus row)
+    "x_perplexity_buckets",
 ]
 
 
@@ -317,7 +320,7 @@ def main() -> None:
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
-    r7_subset = round(sum(timings[n] for n in HEADLINE[:113] if n in timings), 3)
+    r7_subset = round(sum(timings[n] for n in HEADLINE[:114] if n in timings), 3)
     print(
         json.dumps(
             {

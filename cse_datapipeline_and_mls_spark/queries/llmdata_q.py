@@ -2260,3 +2260,122 @@ def x_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(h).alias("entropy_rate_nats"),
         q6(F.exp(h)).alias("perplexity"),
     )
+
+
+@register(
+    "x_perplexity_buckets",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r]+') AS words
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(words)),
+                                           i -> words[i] || ' ' || words[i+1])) AS b
+      FROM w WHERE len(words) >= 2
+    ), toks AS (
+      SELECT unnest(words) AS word FROM w
+    ), cb AS (
+      SELECT b, count(*) AS n_b FROM bg GROUP BY 1
+    ), cu AS (
+      SELECT word, count(*) AS n_u FROM toks GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT word) AS vsz FROM toks
+    ), score AS (
+      SELECT g.doc_id,
+             floor(avg(ln((cb.n_b + 0.5) / (cu.n_u + 0.5 * v.vsz)))
+                   * 1000000 + 0.5) / 1000000 AS lp
+      FROM bg g
+      JOIN cb ON cb.b = g.b
+      JOIN cu ON cu.word = string_split(g.b, ' ')[1]
+      CROSS JOIN v
+      GROUP BY g.doc_id
+    ), cuts AS (
+      SELECT quantile_cont(lp, [1.0/3, 2.0/3]) AS q FROM score
+    ), b2 AS (
+      SELECT s.doc_id, s.lp,
+             CASE WHEN s.lp >= c.q[2] THEN 'head'
+                  WHEN s.lp >= c.q[1] THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM score s CROSS JOIN cuts c
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor(avg(lp) * 1000000 + 0.5) / 1000000 AS avg_logp
+    FROM b2 GROUP BY bucket ORDER BY bucket
+    """,
+)
+def x_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing: score every document with the
+    corpus bigram LM (x_bigram_lm_score's model — add-half smoothing,
+    unigram contexts) and cut the corpus into head/middle/tail at the
+    tercile boundaries of the per-doc mean log-probability — the
+    quality-stratification step CCNet runs before sampling
+    disproportionately from the head. Conventions pinned: per-doc
+    scores q6-quantized BEFORE the cut (both engines bucket identical
+    doubles), interpolating terciles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`), boundaries inclusive upward (lp ≥ q⅔ → head).
+
+    Plan: the bigram LM's two model shuffles + per-doc agg (the
+    dominant exchanges, prunable at 100 TB exactly as documented on
+    x_bigram_lm_score), then a 1-row tercile broadcast and a 3-group
+    fold. The doc-score frame is |docs| rows — the percentile is a
+    single-pass exact aggregate over doubles, not a corpus sort."""
+    from ..operators.numeric import q6
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r]+")
+    w = docs.select("doc_id", words.alias("words")).filter(F.size("words") >= 2)
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("words"), i).alias("w1"),
+                    F.element_at(F.col("words"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    toks = docs.select(F.explode(words).alias("word"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_b"))
+    cu = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_u"))
+    v = toks.agg(F.countDistinct("word").alias("vsz"))
+    score = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cu, F.col("w1") == F.col("word"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            q6(
+                F.avg(
+                    F.log(
+                        (F.col("n_b") + 0.5)
+                        / (F.col("n_u") + 0.5 * F.col("vsz"))
+                    )
+                )
+            ).alias("lp")
+        )
+        # materialize ONCE: the score frame feeds BOTH the tercile agg
+        # and the bucket pass — unmaterialized, the whole bigram-LM
+        # pipeline re-executes twice (the engine-wide re-derivation trap)
+        .localCheckpoint(eager=True)
+    )
+    cuts = score.agg(
+        F.expr("percentile(lp, array(1.0D/3, 2.0D/3))").alias("q")
+    )
+    b2 = score.crossJoin(F.broadcast(cuts)).select(
+        "lp",
+        F.when(F.col("lp") >= F.element_at("q", 2), "head")
+        .when(F.col("lp") >= F.element_at("q", 1), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return (
+        b2.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            q6(F.avg("lp")).alias("avg_logp"),
+        )
+        .orderBy("bucket")
+    )

@@ -71,6 +71,7 @@ EXPECTED_CROSS = {
     "x_zipf_fit_words",         # assign_dense_ids over the top-1000 frame
     "agg_hill_tail_index",      # 1-row x_ref broadcast onto the 500-row head
     "agg_burstiness_hourly",    # types x hour-spine grid: cross of two tiny broadcast frames
+    "x_perplexity_buckets",     # 1-row vocab-size + 1-row tercile broadcasts (bigram-LM pattern)
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
