@@ -199,6 +199,7 @@ HEADLINE = [
     # r7 session 4: CCNet perplexity bucketing (rides the bigram-LM
     # model shuffles — the heaviest new corpus row)
     "x_perplexity_buckets",
+    "agg_cramers_v",
 ]
 
 
@@ -320,7 +321,7 @@ def main() -> None:
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
-    r7_subset = round(sum(timings[n] for n in HEADLINE[:114] if n in timings), 3)
+    r7_subset = round(sum(timings[n] for n in HEADLINE[:115] if n in timings), 3)
     print(
         json.dumps(
             {

@@ -1766,3 +1766,79 @@ def agg_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("f_trend"),
     )
+
+
+# The same cells -> tot CTE chain as agg_chi2_independence
+# (coverage_q.py — loaded AFTER this module, so the text is inlined
+# rather than reused via the ORACLE registry like the decompose
+# strength was); the effect size stays in lockstep by convention.
+_CHI2_CTES = """
+    WITH cells AS (
+      SELECT event_type, user_id % 2 AS grp, CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, grp, n,
+             sum(n) OVER (PARTITION BY event_type) AS row_tot,
+             sum(n) OVER (PARTITION BY grp) AS col_tot,
+             sum(n) OVER () AS grand
+      FROM cells
+    )
+    """
+
+
+@register(
+    "agg_cramers_v",
+    oracle=f"""{_CHI2_CTES}SELECT
+           CAST(sum(n) AS BIGINT) AS n_obs,
+           floor(sqrt(sum((n - row_tot * col_tot / grand)
+                          * (n - row_tot * col_tot / grand)
+                          / (row_tot * col_tot / grand))
+                      / (sum(n) * (least(count(DISTINCT event_type),
+                                         count(DISTINCT grp)) - 1)))
+                 * 1000000 + 0.5) / 1000000 AS cramers_v
+    FROM tot
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the event_type × user-parity
+    contingency table: V = sqrt(χ² / (n·(min(r,c) − 1))) — the
+    [0, 1]-scaled companion to agg_chi2_independence's raw statistic
+    (χ² grows with n even for a fixed association strength; V is what
+    two tables of different sizes can be compared on). The oracle
+    reuses the chi² query's CTE chain verbatim and swaps the final
+    SELECT.
+
+    Plan: identical to the chi² query — one map-side-combined
+    contingency count, expected-value windows over the |types|×2 CELL
+    frame, a 1-row combine. V is q6'd; n_obs is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("grp")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("grp")
+    wg = Window.partitionBy()
+    t = (
+        cells.withColumn("row_tot", F.sum("n").over(wr))
+        .withColumn("col_tot", F.sum("n").over(wc))
+        .withColumn("grand", F.sum("n").over(wg))
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("grand")
+    return t.agg(
+        F.sum("n").cast("long").alias("n_obs"),
+        _q6(
+            F.sqrt(
+                F.sum((F.col("n") - e) * (F.col("n") - e) / e)
+                / (
+                    F.sum("n")
+                    * (
+                        F.least(
+                            F.countDistinct("event_type"),
+                            F.countDistinct("grp"),
+                        )
+                        - 1
+                    )
+                )
+            )
+        ).alias("cramers_v"),
+    )
