@@ -1842,3 +1842,89 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "agg_lorenz_curve",
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rc
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT rc, row_number() OVER (ORDER BY rc, o_custkey) - 1 AS id
+      FROM cr
+    ), t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rc) AS BIGINT) AS tot
+      FROM cr
+    ), p AS (
+      SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS pct
+    )
+    SELECT CAST(p.pct AS BIGINT) AS pct,
+           CAST(floor(t.n * p.pct / 100.0) AS BIGINT) AS k_customers,
+           CAST(sum(CASE WHEN r.id < floor(t.n * p.pct / 100.0)
+                         THEN r.rc ELSE 0 END) AS BIGINT) * 1.0 / t.tot
+             AS cum_revenue_share
+    FROM r CROSS JOIN p CROSS JOIN t
+    GROUP BY p.pct, t.n, t.tot
+    ORDER BY pct
+    """,
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue concentration at the 10%…90%
+    deciles: L(p) = revenue share of the poorest p% of customers — the
+    curve whose area complement IS agg_gini_revenue_concentration's
+    coefficient, emitted pointwise so a dashboard can draw it and an
+    analyst can read "the bottom 80% hold L(80) of revenue" (the 80/20
+    diagnostic) directly.
+
+    EXACT arithmetic end-to-end: per-customer revenue accumulates in
+    int64 cents, ranks come from relational.assign_dense_ids (the
+    range-partition + broadcast-offset two-phase — no customer-count
+    single-task sort), decile cutoffs are floor(n·p/100) of exact
+    counts, and each share is ONE division of exact int64s — emitted
+    RAW per the engine rounding policy, bit-identical across engines.
+    Plan: one custkey agg on the fact scan, the dense-id phases, a
+    9-row broadcast fan-out + 9-group fold, a 1-row totals broadcast."""
+    from ..operators.relational import assign_dense_ids
+
+    orders = load_table(spark, sf_dir, "orders")
+    cr = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rc")
+    # materialize ONCE: cr feeds both the rank phases and the totals agg
+    ).localCheckpoint(eager=True)
+    ranked = assign_dense_ids(cr, ["rc", "o_custkey"], id_col="id")
+    t = cr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rc").cast("long").alias("tot"),
+    )
+    pcts = ranked.sparkSession.createDataFrame(
+        [(p,) for p in range(10, 100, 10)], "pct long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(pcts))
+        .groupBy("pct", "n", "tot")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("id") < F.floor(F.col("n") * F.col("pct") / 100.0),
+                    F.col("rc"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("cum_cents")
+        )
+        .select(
+            "pct",
+            F.floor(F.col("n") * F.col("pct") / 100.0)
+            .cast("long")
+            .alias("k_customers"),
+            (F.col("cum_cents") * 1.0 / F.col("tot")).alias(
+                "cum_revenue_share"
+            ),
+        )
+        .orderBy("pct")
+    )

@@ -617,3 +617,31 @@ def test_burstiness_matches_numpy(spark, sf_dir):
         assert r["n_events"] == int(c.sum())
         assert abs(r["fano"] - v / mu) < 1e-6
         assert abs(r["burstiness"] - (np.sqrt(v) - mu) / (np.sqrt(v) + mu)) < 1e-6
+
+
+def test_lorenz_curve_matches_numpy(spark, sf_dir):
+    """Independent numpy replay of agg_lorenz_curve at sf0.001: sort
+    customer cent-revenues ascending, prefix-share at each decile."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cse_datapipeline_and_mls_spark.queries.analytics_q import agg_lorenz_curve
+
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).to_pandas()
+    t["rc"] = np.round(t["o_totalprice"] * 100).astype("int64")
+    cr = t.groupby("o_custkey")["rc"].sum().sort_values(kind="stable")
+    # tiebreak on custkey: sort by (rc, custkey)
+    cr = cr.reset_index().sort_values(["rc", "o_custkey"])["rc"].to_numpy()
+    n, tot = len(cr), cr.sum()
+    cum = np.concatenate([[0], np.cumsum(cr)])
+    rows = agg_lorenz_curve(spark, sf_dir).collect()
+    assert [r["pct"] for r in rows] == list(range(10, 100, 10))
+    for r in rows:
+        k = int(np.floor(n * r["pct"] / 100.0))
+        assert r["k_customers"] == k
+        assert abs(r["cum_revenue_share"] - cum[k] / tot) < 1e-12
+    shares = [r["cum_revenue_share"] for r in rows]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))  # monotone
+    assert shares[-1] <= 1.0

@@ -72,6 +72,7 @@ EXPECTED_CROSS = {
     "agg_hill_tail_index",      # 1-row x_ref broadcast onto the 500-row head
     "agg_burstiness_hourly",    # types x hour-spine grid: cross of two tiny broadcast frames
     "x_perplexity_buckets",     # 1-row vocab-size + 1-row tercile broadcasts (bigram-LM pattern)
+    "agg_lorenz_curve",         # 9-row decile + 1-row totals broadcasts onto the ranked frame
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -98,6 +99,7 @@ EXPECTED_MANY_EXCHANGES = {
     "x_graph_modularity",     # past the checkpointed edge build: 2 label joins + degree agg + per-community sums + 3 1-row aggs
     "x_degree_assortativity", # past the checkpointed edge build: degree agg + 2 node-keyed degree joins + 1-row integer agg
     "x_quantile_norm_doclen", # assign_dense_ids' range+pid stages + 100-row cutoff agg + per-source window; corpus joins broadcast-only
+    "agg_lorenz_curve",       # checkpointed customer agg + assign_dense_ids' range/pid stages + totals + 9-group fold; every frame past the first agg is customer-sized
     "agg_spearman_rank_corr", # TWO prefix-sum rank maps (group + range + pid window + totals each) + the one fact-sized price-map join; every frame past the first aggs is distinct-value-sized
 }
 EXPECTED_GLOBAL_WINDOW = {
