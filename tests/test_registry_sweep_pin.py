@@ -55,3 +55,18 @@ def test_sweep_is_green():
         or (name in ORACLE and rec.get("hash_match") is not True)
     }
     assert not bad, f"committed sweep contains non-green rows: {sorted(bad)}"
+
+
+def test_every_registered_query_has_an_oracle():
+    """The '0 rows-only' property is a claim COVERAGE.md makes every
+    round — pin it: a query registered with oracle=None silently
+    downgrades the driver's hash gate to a rows-only check, which is
+    exactly the evidence-weakening this file exists to prevent. If a
+    genuinely non-SQL-expressible op ever needs rows-only status, list
+    it here explicitly instead of letting the set drift."""
+    rows_only_allowed: set[str] = set()
+    missing = sorted(set(QUERIES) - set(ORACLE) - rows_only_allowed)
+    assert not missing, (
+        f"{len(missing)} registered queries have no DuckDB oracle twin: "
+        f"{missing}"
+    )
