@@ -201,6 +201,8 @@ HEADLINE = [
     "x_perplexity_buckets",
     "agg_cramers_v",
     "agg_lorenz_curve",
+    "agg_interarrival_stats",
+    "agg_source_mixture_entropy",
 ]
 
 
@@ -322,7 +324,7 @@ def main() -> None:
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
-    r7_subset = round(sum(timings[n] for n in HEADLINE[:116] if n in timings), 3)
+    r7_subset = round(sum(timings[n] for n in HEADLINE[:118] if n in timings), 3)
     print(
         json.dumps(
             {

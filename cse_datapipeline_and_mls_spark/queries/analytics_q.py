@@ -1928,3 +1928,104 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+@register(
+    "agg_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           avg(gap_us / 1000000.0) AS mean_gap_s,
+           quantile_cont(gap_us / 1000000.0, 0.5)  AS median_gap_s,
+           quantile_cont(gap_us / 1000000.0, 0.95) AS p95_gap_s,
+           floor(stddev_samp(gap_us / 1000000.0)
+                 / avg(gap_us / 1000000.0) * 1000000 + 0.5) / 1000000
+             AS cv
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time profile per event type: count, mean, median,
+    p95 gap (seconds) and the coefficient of variation — the
+    renewal-process view of arrival burstiness (CV = 1 for Poisson,
+    > 1 bursty) that complements agg_burstiness_hourly's binned Fano
+    factor with bin-free gap statistics a capacity planner reads
+    directly (p95 gap = staleness budget).
+
+    Determinism: gaps are EXACT int64 microsecond differences
+    (unix_micros ≡ epoch_us, the engine-wide integer-micros pairing —
+    no bare epoch()), /1e6 is one identical IEEE division, and the
+    interpolating percentiles (Spark `percentile` ≡ quantile_cont)
+    operate on identical doubles — so only the CV, whose stddev
+    accumulates in engine-specific order, needs q6. One series-keyed
+    window pass + one per-type agg."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    gap_s = F.col("gap_us") / 1000000.0
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.avg(gap_s).alias("mean_gap_s"),
+            F.expr("percentile(gap_us / 1000000.0, 0.5D)").alias("median_gap_s"),
+            F.expr("percentile(gap_us / 1000000.0, 0.95D)").alias("p95_gap_s"),
+            _q6(F.stddev_samp(gap_s) / F.avg(gap_s)).alias("cv"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_source_mixture_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(sum(n) AS BIGINT)   AS n_docs,
+             sum(n * ln(n))           AS nlogn
+      FROM c
+    )
+    SELECT n_sources, n_docs,
+           floor((ln(n_docs * 1.0) - nlogn / n_docs) * 1000000 + 0.5) / 1000000
+             AS entropy_nats,
+           floor((ln(n_docs * 1.0) - nlogn / n_docs) / ln(n_sources * 1.0)
+                 * 1000000 + 0.5) / 1000000 AS entropy_normalized
+    FROM s
+    """,
+)
+def agg_source_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the corpus SOURCE MIXTURE (document-share
+    distribution over sources) plus its ln(k)-normalized form — the
+    one-scalar diversity read of a training mix: 1.0 means perfectly
+    balanced sources, a collapse toward 0 means one source dominates
+    (what x_domain_cap_documents exists to prevent; this is the metric
+    that says whether the cap is needed). Same window-free fold
+    identity as x_source_entropy — H = ln N − Σ n·ln n / N over exact
+    int64 counts, one tiny per-source agg + a 1-row combine; the two
+    order-sensitive sums are q6'd at output."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.col("n") * F.log("n")).alias("nlogn"),
+    )
+    h = F.log(F.col("n_docs") * 1.0) - F.col("nlogn") / F.col("n_docs")
+    return s.select(
+        "n_sources",
+        "n_docs",
+        _q6(h).alias("entropy_nats"),
+        _q6(h / F.log(F.col("n_sources") * 1.0)).alias("entropy_normalized"),
+    )
