@@ -203,6 +203,7 @@ HEADLINE = [
     "agg_lorenz_curve",
     "agg_interarrival_stats",
     "agg_source_mixture_entropy",
+    "w_pacf",
 ]
 
 
@@ -324,7 +325,7 @@ def main() -> None:
     r4_subset = round(sum(timings[n] for n in HEADLINE[:43] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
-    r7_subset = round(sum(timings[n] for n in HEADLINE[:118] if n in timings), 3)
+    r7_subset = round(sum(timings[n] for n in HEADLINE[:119] if n in timings), 3)
     print(
         json.dumps(
             {

@@ -1820,3 +1820,98 @@ def w_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "w_pacf",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             floor(avg(value) {_Q6} AS v
+      FROM events GROUP BY 1, 2
+    ), l AS (
+      SELECT user_id, v,
+             lag(v, 1) OVER (PARTITION BY user_id ORDER BY day) AS v1,
+             lag(v, 2) OVER (PARTITION BY user_id ORDER BY day) AS v2,
+             lag(v, 3) OVER (PARTITION BY user_id ORDER BY day) AS v3
+      FROM d
+    ), a AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(count(*) AS BIGINT) AS n_days,
+             floor(corr(v, v1) {_Q6} AS r1,
+             floor(corr(v, v2) {_Q6} AS r2,
+             floor(corr(v, v3) {_Q6} AS r3
+      FROM l GROUP BY user_id
+    ), p2 AS (
+      SELECT *, (r2 - r1 * r1) / (1 - r1 * r1) AS phi22 FROM a
+    ), p3 AS (
+      SELECT *, r1 * (1 - phi22) AS phi21 FROM p2
+    )
+    SELECT user_id, n_days,
+           floor(r1 {_Q6} AS pacf1,
+           floor(phi22 {_Q6} AS pacf2,
+           floor((r3 - phi21 * r2 - phi22 * r1)
+                 / (1 - phi21 * r1 - phi22 * r2) {_Q6} AS pacf3
+    FROM p3 ORDER BY user_id
+    """,
+)
+def w_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelations at lags 1–3 of each series' daily-mean
+    value via the Durbin–Levinson closed form (φ₁₁ = ρ₁;
+    φ₂₂ = (ρ₂−ρ₁²)/(1−ρ₁²); φ₃₃ from the order-2 coefficients) —
+    completing the Box–Jenkins identification trio with
+    w_autocorrelation (ACF) and w_ljung_box: ACF tails off + PACF cuts
+    at p ⇒ AR(p), the read that picks the lag features the reference's
+    regressors consume. No matrix solve, no iteration — the recursion
+    is unrolled into three 1-row-per-user float expressions over the
+    q6'd autocorrelations, mirrored exactly in SQL.
+
+    Plan: identical to the ACF query — one (user, day) agg, one
+    series-keyed window pass, one user-keyed corr fold, then pure
+    arithmetic."""
+    from ..operators.numeric import q6
+
+    ev = _events_series(spark, sf_dir)
+    d = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(q6(F.avg("value")).alias("v"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = d.select(
+        "user_id",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 3).over(w).alias("v3"),
+    )
+    a = lagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        q6(F.corr("v", "v1")).alias("r1"),
+        q6(F.corr("v", "v2")).alias("r2"),
+        q6(F.corr("v", "v3")).alias("r3"),
+    )
+    phi22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        1 - F.col("r1") * F.col("r1")
+    )
+    p2 = a.withColumn("phi22", phi22)
+    p3 = p2.withColumn("phi21", F.col("r1") * (1 - F.col("phi22")))
+    return (
+        p3.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n_days",
+            q6(F.col("r1")).alias("pacf1"),
+            q6(F.col("phi22")).alias("pacf2"),
+            q6(
+                (
+                    F.col("r3")
+                    - F.col("phi21") * F.col("r2")
+                    - F.col("phi22") * F.col("r1")
+                )
+                / (
+                    1
+                    - F.col("phi21") * F.col("r1")
+                    - F.col("phi22") * F.col("r2")
+                )
+            ).alias("pacf3"),
+        )
+        .orderBy("user_id")
+    )

@@ -482,3 +482,35 @@ def test_atr_wilder_matches_pandas_ewm(spark, sf_dir):
     assert len(rows) == len(bars)
     for r in rows:
         assert abs(r["atr_wilder"] - key[(r["user_id"], r["day"])]) < 1e-6
+
+
+def test_pacf_matches_statsmodels_free_recursion(spark, sf_dir):
+    """Independent replay of w_pacf at sf0.001: numpy ACF on the q6
+    daily means, then the Durbin-Levinson recursion implemented
+    directly (no shared closed-form code with the engine)."""
+    import numpy as np
+
+    from cse_datapipeline_and_mls_spark.queries.windows_q import w_pacf
+
+    pdf = _events_pdf(sf_dir)
+    pdf["day"] = pdf["ts"].dt.floor("D")
+    d = pdf.groupby(["user_id", "day"])["value"].mean().reset_index()
+    d["v"] = np.floor(d["value"] * 1e6 + 0.5) / 1e6
+    rows = {r["user_id"]: r for r in w_pacf(spark, sf_dir).collect()}
+    for uid, g in d.groupby("user_id"):
+        v = g.sort_values("day")["v"].to_numpy()
+        rho = [
+            np.floor(np.corrcoef(v[:-k], v[k:])[0, 1] * 1e6 + 0.5) / 1e6
+            for k in (1, 2, 3)
+        ]
+        # Durbin-Levinson
+        phi = {(1, 1): rho[0]}
+        phi[(2, 2)] = (rho[1] - rho[0] ** 2) / (1 - rho[0] ** 2)
+        phi[(2, 1)] = phi[(1, 1)] - phi[(2, 2)] * phi[(1, 1)]
+        num = rho[2] - phi[(2, 1)] * rho[1] - phi[(2, 2)] * rho[0]
+        den = 1 - phi[(2, 1)] * rho[0] - phi[(2, 2)] * rho[1]
+        want = (rho[0], phi[(2, 2)], num / den)
+        r = rows[uid]
+        assert abs(r["pacf1"] - want[0]) < 1e-6
+        assert abs(r["pacf2"] - want[1]) < 1e-6
+        assert abs(r["pacf3"] - want[2]) < 1e-6
