@@ -626,6 +626,8 @@ def hits(
     src (hub update), both hash-partitioned on node ids — the pagerank
     exchange discipline, with edge materialization and
     per-``checkpoint_every`` lineage truncation inherited verbatim."""
+    if iters < 1:
+        raise ValueError(f"hits: iters must be >= 1 (got {iters})")
     pre = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     par = max(edges.sparkSession.sparkContext.defaultParallelism, 1)
     e = pre.repartition(par, "src").localCheckpoint(eager=True)

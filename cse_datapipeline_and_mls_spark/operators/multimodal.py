@@ -474,6 +474,13 @@ def resize_images(
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 payload = bytes(content)
                 in_w, in_h, _, _ = png_info(payload)
+                if in_w < 1 or in_h < 1:
+                    # a decoder must reject, not guess: a zero-pixel
+                    # axis has no nearest neighbor to sample
+                    raise ValueError(
+                        f"resize_images: media_id={int(mid)} has empty "
+                        f"pixel axis (width={in_w}, height={in_h})"
+                    )
                 vals = np.asarray(dec(payload, "image")).reshape(in_h, in_w)
                 rows = (np.arange(out_h) * in_h) // out_h
                 cols = (np.arange(out_w) * in_w) // out_w

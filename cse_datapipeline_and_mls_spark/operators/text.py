@@ -650,7 +650,10 @@ def segment_dedup_audit(
     absorbs the boilerplate-segment hot keys a web corpus always has,
     where a window would sort the hottest segment's every occurrence
     in one task. The final per-doc rollup re-shuffles on the id.
-    ``pos_key = id*1e6 + seg_idx`` assumes <1e6 segments per doc."""
+    ``pos_key`` is a ``struct(id, seg_idx)`` — struct MIN orders
+    lexicographically by field, so it works for ANY orderable id type
+    (string urls, longs) with no packing-arithmetic overflow, and
+    still partial-aggregates map-side like a scalar min."""
     from .dedup import _ensure_min_parallelism
 
     words = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"[ \t\n\r]+", " "), " ")
@@ -673,7 +676,9 @@ def segment_dedup_audit(
                 " ", F.slice("_w", F.col("seg_idx") * seg_words + 1, seg_words)
             ).cast("binary")
         ).alias("h"),
-        (F.col(id_col) * 1000000 + F.col("seg_idx")).alias("pos_key"),
+        F.struct(
+            F.col(id_col).alias("i"), F.col("seg_idx").alias("s")
+        ).alias("pos_key"),
     )
     firsts = segs.groupBy("h").agg(F.min("pos_key").alias("first_key"))
     return (

@@ -89,18 +89,17 @@ def x_domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM words
     ), hashed AS (
       SELECT doc_id, seg_idx,
-             md5(array_to_string(list_slice(w, seg_idx * 8 + 1, seg_idx * 8 + 8), ' ')) AS h,
-             doc_id * 1000000 + seg_idx AS pos_key
+             md5(array_to_string(list_slice(w, seg_idx * 8 + 1, seg_idx * 8 + 8), ' ')) AS h
       FROM segs
     ), marked AS (
-      SELECT doc_id, seg_idx, pos_key,
-             min(pos_key) OVER (PARTITION BY h) AS first_key
+      SELECT doc_id, seg_idx,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
       FROM hashed
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT)                                          AS n_segs,
-           CAST(sum(CASE WHEN pos_key = first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           CAST(sum(CASE WHEN pos_key <> first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)           AS n_kept,
+           CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT)          AS n_dropped
     FROM marked
     GROUP BY doc_id
     ORDER BY doc_id

@@ -323,7 +323,10 @@ def run_audited_to_memory_sink(
     any run past ~100 micro-batches would silently undercount drops.
     The listener sees every progress event exactly once; after stop()
     the (async) listener bus is drained until the query's final batchId
-    has arrived, so the audit is exact regardless of batch count."""
+    has arrived, so the audit is exact regardless of batch count. A
+    ``drained`` flag records whether that final event actually arrived
+    within the 30 s drain window: ``drained=False`` marks the counts as
+    a partial lower bound (slow listener bus), never silently exact."""
     import json as _json
     import time as _time
 
@@ -361,11 +364,13 @@ def run_audited_to_memory_sink(
         # this on a local session; on timeout we sum what arrived).
         want = last.get("batchId") if last else None
         deadline = _time.monotonic() + 30.0
-        while want is not None and _time.monotonic() < deadline:
+        drained = want is None
+        while not drained and _time.monotonic() < deadline:
             if any(
                 p.get("id") == qid and p.get("batchId") == want
                 for p in collector.progress
             ):
+                drained = True
                 break
             _time.sleep(0.05)
     finally:
@@ -386,6 +391,10 @@ def run_audited_to_memory_sink(
     return result, {
         "rows_dropped_by_watermark": dropped,
         "observed": observed_batches,
+        # False = the final batch's progress event never arrived within
+        # the drain window, so the counts above are a lower bound, not
+        # an exact audit — callers can distinguish and retry/flag.
+        "drained": drained,
     }
 
 

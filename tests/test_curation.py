@@ -107,6 +107,20 @@ class TestCurationQueries:
         assert rows[1].n_segs == 2 and rows[1].n_kept == 2 and rows[1].n_dropped == 0
         assert rows[2].n_segs == 1 and rows[2].n_kept == 0 and rows[2].n_dropped == 1
 
+    def test_segment_dedup_string_ids(self, spark):
+        # The struct-min pos key works for non-numeric doc ids (ADVICE
+        # r7: the old id*1e6 packing yielded NULL for strings): first
+        # occurrence is the lexicographically smallest (id, seg_idx).
+        from cse_datapipeline_and_mls_spark.operators.text import segment_dedup_audit
+
+        seg = "s1 s2 s3 s4 s5 s6 s7 s8"
+        df = spark.createDataFrame(
+            [("url/a", seg), ("url/b", seg)], "doc string, text string"
+        )
+        rows = {r.doc: r for r in segment_dedup_audit(df, "text", "doc").collect()}
+        assert rows["url/a"].n_kept == 1 and rows["url/a"].n_dropped == 0
+        assert rows["url/b"].n_kept == 0 and rows["url/b"].n_dropped == 1
+
     def test_domain_cap_caps_at_20(self, spark, sf_dir):
         from cse_datapipeline_and_mls_spark.queries.curation_q import (
             x_domain_cap_documents,

@@ -363,6 +363,16 @@ def test_hits_two_iteration_closed_form(spark):
     assert got[-1]["authority"] == 0.0 and got[10]["hub"] == 0.0
 
 
+def test_hits_rejects_zero_iterations(spark):
+    import pytest
+
+    from cse_datapipeline_and_mls_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iters must be >= 1"):
+        hits(edges, iters=0)
+
+
 def test_bfs_hops_path_graph(spark):
     """Path 0-1-2-3-4-5 from seed {0}: hops are exact distances;
     node 5 is 5 hops out, beyond the 4-round cap -> absent,

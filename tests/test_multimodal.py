@@ -284,6 +284,22 @@ def test_resize_images_upsample(spark):
     assert list(resized) == [10, 10, 200, 200]
 
 
+def test_resize_images_rejects_zero_width_png(spark):
+    """A zero-pixel axis must be rejected with a descriptive error, not
+    a numpy IndexError from sampling an empty axis (ADVICE r7)."""
+    import numpy as np
+    import pytest
+
+    from cse_datapipeline_and_mls_spark.operators import multimodal as MM
+
+    payload = MM.encode_gray8_png(np.zeros((1, 0), dtype=np.uint8), 0, 1)
+    media = spark.createDataFrame(
+        [(3, "image", bytearray(payload))], "media_id long, modality string, content binary"
+    )
+    with pytest.raises(Exception, match="empty pixel axis"):
+        MM.resize_images(media, out_w=2, out_h=1).collect()
+
+
 def test_audio_frame_rms_hand_computed(spark):
     import io
     import math

@@ -583,6 +583,9 @@ def test_windowed_aggregate_drops_late_rows_and_counts_them(spark, tmp_path_fact
     # observed() saw all 4 arrivals across the micro-batches
     arrived = sum(b[metric_name]["n_rows"] for b in audit["observed"])
     assert arrived == 4
+    # the final batch's progress event arrived -> the audit is exact,
+    # not a timed-out partial sum (ADVICE r7)
+    assert audit["drained"] is True
 
 
 def test_content_dedup_stream_drops_late_rows_and_counts_them(spark, tmp_path_factory):
