@@ -835,3 +835,111 @@ def x_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         q6(F.col("rms")).alias("rms"),
     ).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "x_multimodal_video_decode",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(floor(length(text) / 16) AS BIGINT) AS n_frames,
+             substr(text, 1, CAST(floor(length(text) / 16) AS INT) * 16) AS kept
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, unnest(string_split(kept, '')) AS c
+      FROM base WHERE n_frames > 0
+    ), f AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY doc_id, c
+    ), s AS (
+      SELECT doc_id, c, n, sum(n) OVER (PARTITION BY doc_id) AS tot FROM f
+    ), agg AS (
+      SELECT doc_id,
+             CAST(any_value(tot) AS BIGINT) AS n_pixels,
+             sum(ord(c) * n) * 1.0 / any_value(tot) AS pmean,
+             -sum((n * 1.0 / tot) * log2(n * 1.0 / tot)) AS ent
+      FROM s GROUP BY doc_id
+    )
+    SELECT b.doc_id AS media_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(2 AS INTEGER) AS height,
+           b.n_frames,
+           b.n_frames * 40 AS duration_ms,
+           coalesce(agg.n_pixels, 0) AS n_pixels,
+           coalesce(floor(pmean * 1000000 + 0.5) / 1000000, 0.0) AS pixel_mean,
+           coalesce(floor(ent * 1000000 + 0.5) / 1000000, 0.0)   AS pixel_entropy
+    FROM base b LEFT JOIN agg ON agg.doc_id = b.doc_id
+    """,
+)
+def x_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5's third real codec leg (VERDICT r7 #2, the video twin of
+    x_multimodal_wav_decode / x_multimodal_png_decode): every document
+    is synthesized into a genuine uncompressed YUV4MPEG2 stream
+    (stdlib only — ASCII stream header, per-picture FRAME markers,
+    Cmono luma planes) whose 8x2 frames ARE the document's bytes cut
+    into 16-byte pictures (trailing partial dropped);
+    extract_video_stats then walks the real container — header parse
+    for geometry/fps AND the full frame-marker walk + plane slice for
+    the pixel stats — inside one Arrow-batched mapInPandas.
+
+    Oracle-checked end-to-end: decoded luma is exactly the first
+    floor(n/16)*16 text bytes, so frame count, fps-derived duration
+    (40 ms/frame at F25:1), pixel count, mean, and entropy replay
+    exactly in SQL over the text column. A header mis-parse, a FRAME
+    walk slip, or a partial-frame leak shifts the rows and fails the
+    hash. See operators/multimodal.synth_y4m_from_documents /
+    y4m_info / decode_media."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synth_y4m_from_documents(docs, frame_w=8, frame_h=2, fps=25)
+    from ..operators.numeric import q6
+
+    out = MM.extract_video_stats(media, decoder=MM.decode_media)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        "duration_ms",
+        "n_pixels",
+        q6(F.col("pixel_mean")).alias("pixel_mean"),
+        q6(F.col("pixel_entropy")).alias("pixel_entropy"),
+    )
+
+
+@register(
+    "x_multimodal_video_frames",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             CAST(floor((g.i - 1) / 16) AS BIGINT) AS frame_idx,
+             ord(substr(d.text, g.i, 1)) AS v
+      FROM documents d,
+           unnest(generate_series(1, length(d.text))) AS g(i)
+      WHERE g.i <= CAST(floor(length(d.text) / 16) AS INT) * 16
+    )
+    SELECT doc_id AS media_id,
+           frame_idx,
+           CAST(16 AS BIGINT) AS n_pixels,
+           sum(v) / 16.0 AS frame_mean
+    FROM px
+    GROUP BY doc_id, frame_idx
+    ORDER BY media_id, frame_idx
+    """,
+)
+def x_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5's video frame-sampling leg (the per-frame twin of
+    x_multimodal_audio_frames): synthesize a real Y4M per document,
+    decode it through the stdlib container walk, and emit each frame's
+    mean luma (multimodal.video_frame_means) — the brightness curve a
+    shot-boundary detector thresholds.
+
+    Oracle-checked end-to-end AND bit-exact without rounding: frame
+    f's mean replays in SQL as Σ ord(char) / 16.0 over text positions
+    [f*16+1, (f+1)*16] — the engine accumulates the per-frame pixel
+    sum in exact int64 and performs ONE float division by 16 (a power
+    of two, so even that is exact), and integer SUM order cannot drift
+    either engine. A FRAME-offset slip or partial-frame leak changes
+    the row set and fails."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synth_y4m_from_documents(docs, frame_w=8, frame_h=2, fps=25)
+    out = MM.video_frame_means(media, decoder=MM.decode_media)
+    return out.orderBy("media_id", "frame_idx")

@@ -58,13 +58,16 @@ def test_frame_sampling_fanout(spark):
     assert 2 not in frames  # images don't sample
 
 
-def test_decode_media_is_an_explicit_stub():
-    # video is the remaining honest stub; image raises ValueError on
-    # garbage (a real decoder rejects, it doesn't fall through to fake)
-    with pytest.raises(NotImplementedError):
+def test_decode_media_rejects_garbage():
+    # every modality raises ValueError on garbage (a real decoder
+    # rejects, it doesn't fall through to fake), as does an unknown
+    # modality name
+    with pytest.raises(ValueError):
         MM.decode_media(b"bytes", "video")
     with pytest.raises(ValueError):
         MM.decode_media(b"bytes", "image")
+    with pytest.raises(ValueError):
+        MM.decode_media(b"bytes", "3d-pointcloud")
 
 
 def test_codec_swap_point_composes(media, monkeypatch):
@@ -113,7 +116,7 @@ def test_codec_swap_point_composes(media, monkeypatch):
 def test_decode_media_real_wav_roundtrip():
     """The audio leg is a REAL decode: stdlib wave writer -> decode_media
     recovers exactly the sample bytes; 16-bit payloads come back int16;
-    non-RIFF bytes are rejected, and video stays an explicit stub."""
+    non-RIFF bytes are rejected."""
     import io
     import struct
     import wave as wavelib
@@ -143,8 +146,6 @@ def test_decode_media_real_wav_roundtrip():
 
     with pytest.raises(ValueError):
         MM.decode_media(b"not a riff payload at all........", "audio")
-    with pytest.raises(NotImplementedError):
-        MM.decode_media(b"bytes", "video")
 
 
 def test_synth_wav_documents_decode_to_text_bytes(spark):
@@ -322,3 +323,69 @@ def test_audio_frame_rms_hand_computed(spark):
     rms0 = math.sqrt(sum(i * i for i in range(100)) / 100.0)
     assert rows[0].rms == pytest.approx(rms0)
     assert rows[1].rms == pytest.approx(200.0)
+
+
+def test_decode_media_real_y4m_roundtrip():
+    """The video leg is a REAL decode: a hand-built YUV4MPEG2 stream
+    (Cmono) comes back as exact (n_frames, w*h) luma planes; malformed
+    headers, non-mono colorspaces, and truncated frames are rejected."""
+    import numpy as np
+
+    header = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 Cmono\n"
+    f0, f1 = bytes(range(8)), bytes(range(100, 108))
+    payload = header + b"FRAME\n" + f0 + b"FRAME\n" + f1
+    assert MM.y4m_info(payload) == (4, 2, 25, 1, 2)
+    got = MM.decode_media(payload, "video")
+    assert got.dtype == np.uint8 and got.shape == (2, 8)
+    assert bytes(got[0]) == f0 and bytes(got[1]) == f1
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        MM.decode_media(b"RIFF....WAVE", "video")
+    with pytest.raises(ValueError, match="only Cmono"):
+        MM.y4m_info(b"YUV4MPEG2 W4 H2 F25:1 C420jpeg\n")
+    with pytest.raises(ValueError, match="only Cmono"):
+        # C absent -> the Y4M default 420jpeg, still rejected
+        MM.y4m_info(b"YUV4MPEG2 W4 H2 F25:1\n")
+    with pytest.raises(ValueError, match="truncated frame"):
+        MM.y4m_info(header + b"FRAME\n" + f0[:5])
+    with pytest.raises(ValueError, match="expected FRAME"):
+        MM.y4m_info(header + b"GARBAGE\n" + f0)
+    with pytest.raises(ValueError, match="missing W/H/F"):
+        MM.y4m_info(b"YUV4MPEG2 W4 H2 Cmono\n")
+
+
+def test_synth_y4m_documents_decode_to_text_bytes(spark):
+    """synth -> decode round trip over Spark: frames are exactly the
+    doc's first floor(n/16)*16 bytes; duration metadata matches the
+    fps math; the partial trailing frame is dropped."""
+    docs = spark.createDataFrame(
+        [(1, "a" * 16 + "b" * 16 + "cut"), (2, "short")], "doc_id long, text string"
+    )
+    media = MM.synth_y4m_from_documents(docs, frame_w=8, frame_h=2, fps=25)
+    rows = {r.media_id: r for r in media.collect()}
+    got = MM.decode_media(bytes(rows[1].content), "video")
+    assert got.shape == (2, 16)
+    assert bytes(got[0]) == b"a" * 16 and bytes(got[1]) == b"b" * 16
+    assert rows[1].meta.duration_ms == 80  # 2 frames @ 25 fps
+    assert rows[1].meta.width == 8 and rows[1].meta.height == 2
+    # 5 bytes < one 16-byte frame -> a valid zero-frame stream
+    assert MM.decode_media(bytes(rows[2].content), "video").shape == (0, 16)
+    assert rows[2].meta.duration_ms == 0
+
+
+def test_extract_video_stats_and_frame_means(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(7, "\x01\x03" * 8 + "\x05" * 16 + "xx")], "doc_id long, text string"
+    )
+    media = MM.synth_y4m_from_documents(docs, frame_w=4, frame_h=4, fps=10)
+    stats = MM.extract_video_stats(media).collect()
+    assert len(stats) == 1
+    s = stats[0]
+    assert (s.width, s.height, s.n_frames, s.duration_ms) == (4, 4, 2, 200)
+    assert s.n_pixels == 32 and math.isclose(s.pixel_mean, (8 * 1 + 8 * 3 + 16 * 5) / 32)
+    # three symbols at p = 1/4, 1/4, 1/2
+    assert math.isclose(s.pixel_entropy, 0.25 * 2 + 0.25 * 2 + 0.5 * 1)
+    means = {r.frame_idx: r.frame_mean for r in MM.video_frame_means(media).collect()}
+    assert means == {0: 2.0, 1: 5.0}
