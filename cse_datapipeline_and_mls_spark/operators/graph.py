@@ -33,6 +33,22 @@ _LAST_EDGE_PARTITIONS: int | None = None
 # >=1 on the repartition path, 0 when a src-bucketed table feeds
 # pre_partitioned=True (the test observable for the bucketed layout).
 _LAST_EDGE_EXCHANGES: int | None = None
+# hits() twins of the two observables above (separate names so a test
+# interleaving pagerank and hits reads the right one).
+_LAST_HITS_EDGE_EXCHANGES: int | None = None
+_LAST_HITS_ITER_EXCHANGES: int | None = None
+
+
+def _ensure_exchange_ids(df: DataFrame) -> set[str]:
+    """Unique plan_ids of ENSURE_REQUIREMENTS exchanges in a frame's
+    physical plan. Dedup matters: an InMemoryRelation reprints its
+    cached build plan (initial + final) at every reference, so a plain
+    substring count over a plan that scans cached tables counts the
+    build's exchanges several times over."""
+    import re
+
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return set(re.findall(r"ENSURE_REQUIREMENTS, \[plan_id=(\d+)\]", s))
 # Runtime (ENSURE_REQUIREMENTS) exchange count of the first iteration's
 # contribution plan — 2 with the cached hash-partitioned edge table
 # (state-side + dst aggregation), 3 if the edge side ever loses its
@@ -594,6 +610,8 @@ def hits(
     dst: str = "dst",
     iters: int = 4,
     checkpoint_every: int = 2,
+    pre_partitioned: bool = False,
+    edge_storage: str | None = None,
 ) -> DataFrame:
     """HITS (Kleinberg 1999) hubs-and-authorities over a directed edge
     list, run for EXACTLY ``iters`` synchronized iterations and
@@ -625,42 +643,96 @@ def hits(
     (authority update) + one |E|-row authority-score join grouped on
     src (hub update), both hash-partitioned on node ids — the pagerank
     exchange discipline, with edge materialization and
-    per-``checkpoint_every`` lineage truncation inherited verbatim."""
+    per-``checkpoint_every`` lineage truncation inherited verbatim.
+
+    ``edge_storage`` / ``pre_partitioned`` follow pagerank's bucketed
+    discipline (VERDICT r7 #3), with a HITS-specific twist: the two
+    per-iteration joins key on DIFFERENT columns (src for the
+    authority update, dst for the hub update), so "persist" caches TWO
+    hash-partitioned copies of the edge list — e_src and e_dst — each
+    co-partitioned with its join. A src-bucketed table
+    (``pre_partitioned=True``) feeds e_src with ZERO setup exchanges
+    (``distinct`` on (src,dst) is satisfied by HashPartitioning(src) —
+    the bucket hash clusters a superset-keyed aggregation, so no
+    exchange is inserted); e_dst always costs one |E| shuffle at setup,
+    paid ONCE from the already-cached e_src and amortized over every
+    iteration. "checkpoint" (the local-mode default, same measured
+    trade as pagerank) stores one copy and lets each iteration
+    re-shuffle the edge side as spilled-disk exchanges."""
     if iters < 1:
         raise ValueError(f"hits: iters must be >= 1 (got {iters})")
     pre = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     par = max(edges.sparkSession.sparkContext.defaultParallelism, 1)
-    e = pre.repartition(par, "src").localCheckpoint(eager=True)
+    if edge_storage is None:
+        edge_storage = "persist" if pre_partitioned else "checkpoint"
+    global _LAST_HITS_EDGE_EXCHANGES, _LAST_HITS_ITER_EXCHANGES
+    if edge_storage == "persist":
+        built = pre if pre_partitioned else pre.repartition(par, "src")
+        _LAST_HITS_EDGE_EXCHANGES = (
+            built._jdf.queryExecution().executedPlan().toString().count("Exchange")
+        )
+        e_src = built.persist()
+        e_src.count()
+        # dst-partitioned twin, built once FROM the cached copy (no
+        # upstream re-derivation), so the hub-update join is edge-side
+        # exchange-free too
+        e_dst = e_src.repartition(par, "dst").persist()
+        e_dst.count()
+    else:
+        e_src = pre.repartition(par, "src").localCheckpoint(eager=True)
+        _LAST_HITS_EDGE_EXCHANGES = 1
+        e_dst = e_src
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e_src.select(F.col("src").alias("node"))
+        .unionByName(e_src.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
     if nodes.count() == 0:
+        if edge_storage == "persist":
+            e_src.unpersist()
+            e_dst.unpersist()
         return nodes.withColumn("authority", F.lit(0.0)).withColumn("hub", F.lit(0.0))
     hub = nodes.withColumn("s", F.lit(1.0))
 
     auth = None
     for i in range(iters):
         auth = (
-            e.join(hub.withColumnRenamed("node", "src"), "src")
+            e_src.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum("s").alias("s"))
             .withColumnRenamed("dst", "node")
         )
         hub = (
-            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            e_dst.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
             .agg(F.sum("s").alias("s"))
             .withColumnRenamed("src", "node")
         )
+        if i == 0:
+            # runtime-exchange observable (pagerank's ENSURE_REQUIREMENTS
+            # convention, plan_id-deduped): the persist path must show
+            # strictly fewer — both |E|-row edge sides arrive
+            # pre-partitioned from cache. The cached builds' own
+            # exchanges (the distinct + the dst repartition) are
+            # subtracted: they are one-time setup, reprinted into every
+            # referencing plan by the InMemoryRelation dump.
+            noise: set[str] = set()
+            if edge_storage == "persist":
+                noise = _ensure_exchange_ids(e_src) | _ensure_exchange_ids(e_dst)
+            _LAST_HITS_ITER_EXCHANGES = len(_ensure_exchange_ids(hub) - noise)
         if (i + 1) % checkpoint_every == 0 and i != iters - 1:
             auth = auth.localCheckpoint(eager=True)
             hub = hub.localCheckpoint(eager=True)
-    # final frames are each read twice (normalizer agg + output join)
+    # final frames are each read twice (normalizer agg + output join);
+    # the checkpoint also severs lineage from the cached edge tables so
+    # the persist path can release them (CacheManager entries are not
+    # GC-reclaimed — pagerank's recurring-job discipline)
     auth = auth.localCheckpoint(eager=True)
     hub = hub.localCheckpoint(eager=True)
+    if edge_storage == "persist":
+        e_src.unpersist()
+        e_dst.unpersist()
 
     def _normalized(scored: DataFrame, out: str) -> DataFrame:
         total = scored.agg(F.sum("s").alias("_t"))

@@ -280,8 +280,13 @@ def rolling_distinct_estimate(
     so the ordered window runs over a DAY SPINE (365 rows/year), never
     over events; the single-partition window is bounded by the
     calendar, not the data. Union is lossless, so the estimate equals
-    sketching each window's raw union directly."""
-    w = Window.orderBy(day_col).rowsBetween(-(window_rows - 1), 0)
+    sketching each window's raw union directly. The spine contract is
+    GUARDED via spine_window (VERDICT r7 #5): a data-sized frame
+    sneaking in fails loudly instead of funneling one task."""
+    from .tswindow import spine_window
+
+    daily, base = spine_window(daily, [day_col], max_rows=65536, label="hll-day-spine")
+    w = base.rowsBetween(-(window_rows - 1), 0)
     lst = F.collect_list("hll").over(w)
     folded = F.reduce(
         F.slice(lst, 2, 2_000_000_000),

@@ -504,13 +504,18 @@ def kaplan_meier(
         F.count(F.lit(1)).cast("long").alias("n_total"),
         F.sum(ev).cast("long").alias("n_events"),
     )
+    # guarded bounded-spine contract (spine_window, VERDICT r7 #5): the
+    # distinct-duration frame must stay calendar-scale, never subjects
+    grouped, wk_base = spine_window(
+        grouped, [duration_col], max_rows=65536, label="km-duration-spine"
+    )
     w_desc = Window.orderBy(dur.desc()).rowsBetween(Window.unboundedPreceding, 0)
     risk = grouped.select(
         dur,
         "n_events",
         F.sum("n_total").over(w_desc).alias("n_at_risk"),
     ).filter(F.col("n_events") > 0)
-    wk = Window.orderBy(duration_col).rowsBetween(Window.unboundedPreceding, 0)
+    wk = wk_base.rowsBetween(Window.unboundedPreceding, 0)
     absorbed = F.max(
         F.when(F.col("n_events") == F.col("n_at_risk"), 1).otherwise(0)
     ).over(wk)
@@ -701,3 +706,98 @@ def with_holt_linear(
         .withColumn(forecast_col, F.col(level_col) + F.col(trend_col))
         .drop("_g", "_x1", "_s1", "_s2")
     )
+
+
+def spine_window(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    max_rows: int = 65536,
+    label: str = "spine",
+) -> tuple[DataFrame, WindowSpec]:
+    """Single-partition window over a BOUNDED spine, made explicit and
+    guarded (VERDICT r7 #5).
+
+    An ORDER BY window with no PARTITION BY funnels every row through
+    one task. That is fine — optimal, even — when the frame is bounded
+    BY CONSTRUCTION (a calendar day/hour spine, a duration-grouped
+    survival curve, a top-k slice, a percentile grid), and lethal when
+    data-sized input sneaks into the same shape. This helper is the
+    shared contract for the first case: the caller NAMES the bound,
+    and a row-count assertion rides the same sorted single partition
+    (``count(*)`` over the unbounded frame — no extra exchange or
+    sort), so a spine that outgrows its declared bound fails the job
+    loudly with ``label`` in the message instead of silently becoming
+    the bottleneck task. Data-sized cumulative/rank work must route
+    through ``relational.distributed_prefix_sum`` /
+    ``assign_dense_ids`` instead (two distributed exchanges, zero
+    single-partition stages); :func:`spine_cumsum` automates that
+    choice for running totals.
+
+    Returns ``(guarded_df, window_spec)``; apply row/range frames to
+    the spec as usual. The guard is a filter on an ``assert_true``
+    column (NULL on success, so the filter passes every row) — values
+    and hashes are untouched."""
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = Window.orderBy(*order)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    n = F.count(F.lit(1)).over(full)
+    guard = F.assert_true(
+        n <= F.lit(int(max_rows)),
+        F.concat(
+            F.lit(
+                f"spine_window[{label}]: spine exceeded the declared "
+                f"{int(max_rows)}-row bound ("
+            ),
+            n.cast("string"),
+            F.lit(
+                " rows) — this frame is not calendar/construction-bounded; "
+                "route it through distributed_prefix_sum/assign_dense_ids"
+            ),
+        ),
+    )
+    guarded = (
+        df.withColumn("_spine_guard", guard)
+        .filter(F.col("_spine_guard").isNull())
+        .drop("_spine_guard")
+    )
+    return guarded, w
+
+
+def spine_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    threshold: int = 65536,
+) -> DataFrame:
+    """INCLUSIVE running totals of ``sum_cols`` in global ``order_cols``
+    order, routed by MEASURED spine size (VERDICT r7 #5): at or under
+    ``threshold`` rows the plan is the single-partition ordered window
+    (cheapest for a calendar-bounded spine — one tiny sort, no extra
+    exchanges); above it the same totals come from
+    ``relational.distributed_prefix_sum`` (exclusive prefix + the row's
+    own value), two distributed exchanges and zero single-partition
+    stages. Integer sum columns produce IDENTICAL values on both routes
+    (exact arithmetic, order-independent), so the routing can never
+    flip a hash; float columns inherit dps's summation-order caveat —
+    prefer counting frames.
+
+    The count that decides the route executes ``df`` once — pass a
+    materialized (localCheckpointed / cached) frame when the upstream
+    is expensive, the same multi-reference discipline every iterative
+    op in this package follows."""
+    order_cols = list(order_cols)
+    sum_cols = list(sum_cols)
+    if df.count() <= threshold:
+        w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+        out = df
+        for c in sum_cols:
+            out = out.withColumn(f"cum_{c}", F.sum(c).over(w))
+        return out
+    from .relational import distributed_prefix_sum
+
+    out = distributed_prefix_sum(df, order_cols, sum_cols, out_prefix="_excl_")
+    for c in sum_cols:
+        out = out.withColumn(f"cum_{c}", F.col(f"_excl_{c}") + F.col(c)).drop(
+            f"_excl_{c}"
+        )
+    return out

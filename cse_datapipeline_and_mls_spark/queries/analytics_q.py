@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.numeric import q6 as _q6
 from ..operators.relational import assign_dense_ids
-from ..operators.tswindow import kaplan_meier
+from ..operators.tswindow import kaplan_meier, spine_cumsum, spine_window
 from ..sources import load_table
 from . import register
 
@@ -514,8 +514,13 @@ def agg_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the running ECDFs walk one row per distinct value (ties across the
     two samples handled by construction); integer cumulative counts
     divide by integer totals, so both engines trace identical doubles
-    up to the single q6'd max. The global ECDF window runs over the
-    distinct-price frame, not raw rows."""
+    up to the single q6'd max. The running totals go through
+    spine_cumsum (VERDICT r7 #5): the distinct-price frame is measured
+    — at or under 64k distinct values the cheap single-partition
+    ordered window runs; above that the SAME integer totals come from
+    distributed_prefix_sum, so a high-cardinality price domain at
+    100 TB cannot funnel the ECDF through one task (identical values
+    either route — exact integer sums)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
     a = o.filter(F.year("o_orderdate") == 1995).select(F.col("o_totalprice").alias("p"))
     b = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_totalprice").alias("p"))
@@ -529,10 +534,12 @@ def agg_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("side") == "b", 1)).alias("cb"),
         )
     )
-    we = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
-    e = u.select(
-        (F.sum("ca").over(we) * 1.0 / F.lit(na)).alias("fa"),
-        (F.sum("cb").over(we) * 1.0 / F.lit(nb)).alias("fb"),
+    # materialize the (distinct-price-sized) grouped frame once: the
+    # routing count and the cumulative pass both read it
+    u = u.localCheckpoint(eager=True)
+    e = spine_cumsum(u, ["p"], ["ca", "cb"], threshold=65536).select(
+        (F.col("cum_ca") * 1.0 / F.lit(na)).alias("fa"),
+        (F.col("cum_cb") * 1.0 / F.lit(nb)).alias("fb"),
     )
     return e.agg(
         F.lit(na).cast("long").alias("n_ref"),
@@ -1196,7 +1203,10 @@ def w_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
         .agg(F.sum("o_totalprice").alias("revenue"))
     )
-    win = Window.orderBy("day").rowsBetween(-3, 3)
+    # ~179 years of days before the declared bound trips — the guarded
+    # single-partition spine contract (VERDICT r7 #5)
+    daily, base = spine_window(daily, ["day"], max_rows=65536, label="day-spine")
+    win = base.rowsBetween(-3, 3)
     t = daily.select(
         "day",
         "revenue",
@@ -1568,10 +1578,15 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(501)
     )
-    w = Window.orderBy(
-        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    # limit(501) bounds the frame by construction; the guard makes the
+    # single-partition rank contract explicit (spine_window, r7 #5)
+    top, base = spine_window(
+        top,
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        max_rows=501,
+        label="hill-top-k",
     )
-    r = top.withColumn("rn", F.row_number().over(w))
+    r = top.withColumn("rn", F.row_number().over(base))
     ref = r.filter(F.col("rn") == 501).select(
         F.col("l_extendedprice").alias("x_ref")
     )
@@ -1727,7 +1742,8 @@ def agg_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(
         F.date_trunc("day", "o_orderdate").cast("date").alias("day")
     ).agg(F.sum("o_totalprice").alias("revenue"))
-    win = Window.orderBy("day").rowsBetween(-3, 3)
+    daily, base = spine_window(daily, ["day"], max_rows=65536, label="day-spine")
+    win = base.rowsBetween(-3, 3)
     t = daily.select(
         "day",
         "revenue",

@@ -460,3 +460,58 @@ def test_wl_refinement_separates_nonisomorphic_neighborhoods(spark):
     assert p_lbls[10] != p_lbls[11]
     # no structural class is shared between the two graphs at round 1
     assert not set(s_lbls.values()) & set(p_lbls.values())
+
+
+def test_hits_from_bucketed_edges_skips_the_edge_shuffle(spark):
+    """hits(pre_partitioned=True) from a src-bucketed table: zero
+    setup exchanges on the src copy (distinct on (src,dst) is clustered
+    by the bucket hash), strictly fewer runtime exchanges per iteration
+    than the checkpoint path (both |E| edge sides arrive from cache),
+    identical scores either way (VERDICT r7 #3)."""
+    from cse_datapipeline_and_mls_spark.operators import graph as G
+    from cse_datapipeline_and_mls_spark.sources.sinks import write_bucketed
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(40) for b in range(40) if (a * 7 + b) % 5 == 0 and a != b],
+        "src long, dst long",
+    )
+    # |E| never broadcasts at production scale: with broadcast on, the
+    # tiny test edge list rides a BroadcastHashJoin and the edge-side
+    # exchange difference this test pins would be invisible (same
+    # forcing the LPA hub-skew smoke applies)
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = {r["node"]: r for r in G.hits(edges, iters=4).collect()}
+        assert G._LAST_HITS_EDGE_EXCHANGES >= 1
+        ckpt_iter_exchanges = G._LAST_HITS_ITER_EXCHANGES
+
+        persisted = {
+            r["node"]: r
+            for r in G.hits(edges, iters=4, edge_storage="persist").collect()
+        }
+        persist_iter_exchanges = G._LAST_HITS_ITER_EXCHANGES
+        assert persist_iter_exchanges < ckpt_iter_exchanges
+
+        spark.sql("DROP TABLE IF EXISTS t_hits_edges_b")
+        try:
+            write_bucketed(edges, "t_hits_edges_b", "src", 8)
+            bucketed = {
+                r["node"]: r
+                for r in G.hits(
+                    spark.table("t_hits_edges_b"), iters=4, pre_partitioned=True
+                ).collect()
+            }
+            # no ingest-side shuffle: the bucket hash satisfies both the
+            # (src,dst) distinct and the src-copy partitioning
+            assert G._LAST_HITS_EDGE_EXCHANGES == 0
+            assert G._LAST_HITS_ITER_EXCHANGES <= persist_iter_exchanges
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_hits_edges_b")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+    assert set(plain) == set(persisted) == set(bucketed)
+    for k in plain:
+        for col in ("authority", "hub"):
+            assert abs(plain[k][col] - persisted[k][col]) < 1e-12
+            assert abs(plain[k][col] - bucketed[k][col]) < 1e-12

@@ -967,6 +967,211 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
             spark.conf.set(k, v)
     out["lpa_round_hub_skew"] = res
 
+    # 21. Hub-skewed HITS iteration (r8, VERDICT r7 #3): the same
+    # 30%-hub graph and variant methodology as case 20, round body =
+    # one full HITS iteration (src-keyed score join + dst agg, then
+    # dst-keyed join + src agg). Structurally the score "dim" is
+    # |V|-sized like LPA's label frame, so dim-replication salting is
+    # expected to LOSE for the same reason; AQE skew split is the
+    # mitigation of record. Inputs rebuilt per variant (AQE conf is
+    # captured at localCheckpoint time).
+    def build_hits_inputs():
+        E, n_nodes = 2_000_000, 1_000_000
+        base = spark.range(E)
+        raw = (
+            base.select(
+                F.when(F.col("id") % 10 < 3, F.lit(0))
+                .otherwise(F.pmod(F.col("id") * 2654435761, F.lit(n_nodes)) + 1)
+                .alias("src"),
+                (F.pmod(F.col("id") * 40503 + 7, F.lit(n_nodes)) + 1).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        scores = (
+            raw.select(F.col("src").alias("node"))
+            .unionByName(raw.select(F.col("dst").alias("node")))
+            .distinct()
+            .select("node", F.lit(1.0).alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        return raw, scores
+
+    def hits_iter(e, scores, mode: str):
+        if mode == "salted":
+            j1 = salted_equi_join(
+                e,
+                scores.withColumnRenamed("node", "src"),
+                "src",
+                "src",
+                discriminator=F.col("dst"),
+                salt_buckets=32,
+            )
+        else:
+            j1 = e.join(scores.withColumnRenamed("node", "src"), "src")
+        auth = (
+            j1.groupBy("dst").agg(F.sum("s").alias("s")).withColumnRenamed("dst", "node")
+        )
+        if mode == "salted":
+            j2 = salted_equi_join(
+                e,
+                auth.withColumnRenamed("node", "dst"),
+                "dst",
+                "dst",
+                discriminator=F.col("src"),
+                salt_buckets=32,
+            )
+        else:
+            j2 = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        return j2.groupBy("src").agg(F.sum("s").alias("s"))
+
+    res_h = {"hub_raw_edge_share": 0.3}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m"
+        )
+
+        def run_hits_variant(mode: str, skew_enabled: bool):
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.enabled",
+                "true" if skew_enabled else "false",
+            )
+            e, scores = build_hits_inputs()
+            res_h.setdefault("edges", e.count())
+            best, triggered = float("inf"), False
+            for _ in range(2):
+                j = hits_iter(e, scores, mode)
+                qe = j._jdf.queryExecution()
+                t0 = time.time()
+                qe.toRdd().count()
+                best = min(best, time.time() - t0)
+                triggered = triggered or ("skew=true" in qe.executedPlan().toString())
+            return round(best, 2), triggered
+
+        res_h["plain_noaqe_sec"], _ = run_hits_variant("plain", False)
+        res_h["plain_aqe_sec"], res_h["aqe_skew_split_triggered"] = run_hits_variant(
+            "plain", True
+        )
+        res_h["salted_sec"], _ = run_hits_variant("salted", False)
+        res_h["aqe_speedup_vs_plain"] = (
+            round(res_h["plain_noaqe_sec"] / res_h["plain_aqe_sec"], 2)
+            if res_h["plain_aqe_sec"]
+            else None
+        )
+        res_h["salted_speedup_vs_plain"] = (
+            round(res_h["plain_noaqe_sec"] / res_h["salted_sec"], 2)
+            if res_h["salted_sec"]
+            else None
+        )
+    finally:
+        for k, v in conf_prev.items():
+            spark.conf.set(k, v)
+    out["hits_iter_hub_skew"] = res_h
+
+    # 22. Hub-skewed BFS round (r8, VERDICT r7 #3): the frontier
+    # CONTAINS the hub (the worst round — its adjacency is 30% of raw
+    # edges), round body = frontier-keyed equi-join + distinct + anti-
+    # join vs settled. BFS differs from LPA/HITS in both directions:
+    # (a) the production default is a BROADCAST frontier (frontier-
+    # sized, not |V|-sized), which sidesteps the hot key entirely — no
+    # edge shuffle exists to skew; (b) if the frontier ever outgrows
+    # broadcast, dim-replication salting IS viable here (the dim is
+    # the frontier, 32x a small set is cheap), unlike the |V|-sized
+    # label/score dims of cases 20/21.
+    def build_bfs_inputs():
+        E, n_nodes = 2_000_000, 1_000_000
+        base = spark.range(E)
+        raw = base.select(
+            F.when(F.col("id") % 10 < 3, F.lit(0))
+            .otherwise(F.pmod(F.col("id") * 2654435761, F.lit(n_nodes)) + 1)
+            .alias("src"),
+            (F.pmod(F.col("id") * 40503 + 7, F.lit(n_nodes)) + 1).alias("dst"),
+        )
+        und = (
+            raw.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        und = (
+            und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .localCheckpoint(eager=True)
+        )
+        # hub + 999 ordinary nodes: a realistic mid-expansion frontier
+        frontier = (
+            spark.range(1000)
+            .select(F.when(F.col("id") == 0, F.lit(0)).otherwise(F.col("id") * 997).alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        settled = frontier.select(F.col("a").alias("node")).localCheckpoint(eager=True)
+        return und, frontier, settled
+
+    def bfs_round(und, frontier, settled, mode: str):
+        if mode == "salted":
+            j = salted_equi_join(
+                und, frontier, "a", "a", discriminator=F.col("b"), salt_buckets=32
+            )
+        else:
+            j = und.join(frontier, "a")
+        return (
+            j.select(F.col("b").alias("node"))
+            .distinct()
+            .join(settled, "node", "left_anti")
+        )
+
+    res_b = {"hub_raw_edge_share": 0.3, "frontier_rows": 1000}
+    try:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m"
+        )
+
+        def run_bfs_variant(mode: str, skew_enabled: bool, broadcast: bool):
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.enabled",
+                "true" if skew_enabled else "false",
+            )
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold",
+                "10485760" if broadcast else "-1",
+            )
+            und, frontier, settled = build_bfs_inputs()
+            res_b.setdefault("edges", und.count())
+            best, triggered = float("inf"), False
+            for _ in range(2):
+                j = bfs_round(und, frontier, settled, mode)
+                qe = j._jdf.queryExecution()
+                t0 = time.time()
+                qe.toRdd().count()
+                best = min(best, time.time() - t0)
+                triggered = triggered or ("skew=true" in qe.executedPlan().toString())
+            return round(best, 2), triggered
+
+        res_b["broadcast_sec"], _ = run_bfs_variant("plain", False, True)
+        res_b["plain_noaqe_sec"], _ = run_bfs_variant("plain", False, False)
+        res_b["plain_aqe_sec"], res_b["aqe_skew_split_triggered"] = run_bfs_variant(
+            "plain", True, False
+        )
+        res_b["salted_sec"], _ = run_bfs_variant("salted", False, False)
+        res_b["aqe_speedup_vs_plain"] = (
+            round(res_b["plain_noaqe_sec"] / res_b["plain_aqe_sec"], 2)
+            if res_b["plain_aqe_sec"]
+            else None
+        )
+        res_b["salted_speedup_vs_plain"] = (
+            round(res_b["plain_noaqe_sec"] / res_b["salted_sec"], 2)
+            if res_b["salted_sec"]
+            else None
+        )
+    finally:
+        for k, v in conf_prev.items():
+            spark.conf.set(k, v)
+    out["bfs_round_hub_skew"] = res_b
+
     return out
 
 
