@@ -265,3 +265,142 @@ def holt_forecast_stream(
             timeoutConf="NoTimeout",
         )
     )
+
+
+ATTRIBUTION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("touch_type", StringType()),
+    ]
+)
+
+# Last-touch state: the most recent touch's event_type. One string per
+# key, ever — O(1) regardless of stream length, like the CUSUM walk.
+ATTRIBUTION_STATE_SCHEMA = StructType([StructField("touch", StringType())])
+
+
+def _attribution_batches(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: "GroupState",
+    touch_types: tuple,
+    convert_type: str,
+) -> Iterator[pd.DataFrame]:
+    (touch,) = state.get if state.exists else (None,)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        rows = []
+        for eid, ts, et, v in zip(
+            pdf["event_id"], pdf["ts"], pdf["event_type"], pdf["value"]
+        ):
+            if et in touch_types:
+                touch = et
+            elif et == convert_type:
+                rows.append(
+                    (
+                        int(key[0]),
+                        int(eid),
+                        ts,
+                        float(v),
+                        touch if touch is not None else "none",
+                    )
+                )
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "event_id", "ts", "value", "touch_type"]
+            )
+    state.update((touch,))
+
+
+def attribution_stream(
+    stream: DataFrame,
+    touch_types: tuple = ("view", "click"),
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """Streaming last-touch attribution (VERDICT r7 #6, the stateful
+    twin of the batch t_attribution_last_touch query): per user, keep
+    the most recent preceding touch's type and emit one credited row
+    per conversion — (user, event, ts, value, touch_type), 'none' when
+    no touch precedes the purchase.
+
+    The batch query needs a running-count window + a self-join to name
+    the last touch; the stream needs neither — the state IS the last
+    touch. One string per key, carried across micro-batches; within a
+    micro-batch rows apply in event-time order (same source-ordering
+    contract as the z-score/CUSUM operators). Output is append-mode
+    conversion credits, ready for the same groupBy(touch_type) rollup
+    the batch query ends with — run downstream or on the sink table."""
+
+    def fn(key, pdfs, state):
+        return _attribution_batches(key, pdfs, state, tuple(touch_types), convert_type)
+
+    return (
+        stream.select("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ATTRIBUTION_OUTPUT_SCHEMA,
+            stateStructType=ATTRIBUTION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+MARKOV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("cur", StringType()),
+        StructField("nxt", StringType()),
+    ]
+)
+
+# Markov state: the previous event's type. One string per key, ever.
+MARKOV_STATE_SCHEMA = StructType([StructField("prev", StringType())])
+
+
+def _markov_batches(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: "GroupState",
+) -> Iterator[pd.DataFrame]:
+    (prev,) = state.get if state.exists else (None,)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        rows = []
+        for eid, ts, et in zip(pdf["event_id"], pdf["ts"], pdf["event_type"]):
+            if prev is not None:
+                rows.append((int(key[0]), int(eid), ts, prev, et))
+            prev = et
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "event_id", "ts", "cur", "nxt"]
+            )
+    state.update((prev,))
+
+
+def markov_transitions_stream(stream: DataFrame) -> DataFrame:
+    """Streaming first-order transition events (VERDICT r7 #6, the
+    stateful twin of t_markov_transitions' lead-window pair build): per
+    user, emit (cur=previous type, nxt=this type) for every event after
+    the first, keyed by the ARRIVING event's id — exactly the pair set
+    the batch lead() window produces, but with one string of state per
+    user instead of a sort. Aggregate downstream with the batch query's
+    groupBy(cur, nxt) + per-cur normalization (counts are mergeable, so
+    the rollup can run per-micro-batch or on the sink table)."""
+    return (
+        stream.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _markov_batches,
+            outputStructType=MARKOV_OUTPUT_SCHEMA,
+            stateStructType=MARKOV_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
