@@ -204,7 +204,25 @@ HEADLINE = [
     "agg_interarrival_stats",
     "agg_source_mixture_entropy",
     "w_pacf",
+    # r8: the real-codec video legs (Y4M synth + decode in Arrow-batched
+    # mapInPandas — Python-heavy headline rows by the same rationale as
+    # the WAV/PNG pair)
+    "x_multimodal_video_decode",
+    "x_multimodal_video_frames",
 ]
+
+
+def bench_plan():
+    """The registry-pinned bench plan (VERDICT r7 #1): every registered
+    query is timed every round — HEADLINE rows min-of-3 (the curated
+    scale-sensitive set, compared round-over-round), the rest min-of-2
+    in a COVERAGE pass computed live as registry − headline, so a newly
+    registered query cannot ship without a bench row (the structural
+    pin; tests/test_bench_registry_pin.py asserts the partition)."""
+    from cse_datapipeline_and_mls_spark.queries import QUERIES
+
+    coverage = sorted(set(QUERIES) - set(HEADLINE))
+    return list(HEADLINE), coverage
 
 
 def _production_legs():
@@ -299,6 +317,24 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # Coverage pass (VERDICT r7 #1): every registered query not in the
+    # curated headline gets a min-of-2 timing, so the bench artifact
+    # covers the registry the way the correctness sweep does — a plan
+    # regression in ANY registered query is visible round-over-round,
+    # and the set is computed live from the registry so it cannot lag.
+    coverage: dict[str, float] = {}
+    if "--r1-subset" not in sys.argv[1:]:
+        _, coverage_names = bench_plan()
+        for name in coverage_names:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            coverage[name] = round(best, 3)
+
     # Production-leg timings for the bracket-verdict rows: same
     # min-of-3 noop-sink protocol, approximate path only (no exact
     # oracle side, no verdict join). Compare these round-over-round for
@@ -326,6 +362,7 @@ def main() -> None:
     r5_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
     r7_subset = round(sum(timings[n] for n in HEADLINE[:119] if n in timings), 3)
+    r8_subset = round(sum(timings[n] for n in HEADLINE[:121] if n in timings), 3)
     print(
         json.dumps(
             {
@@ -340,7 +377,12 @@ def main() -> None:
                 "r5_subset_total_sec": r5_subset,
                 "r6_subset_total_sec": r6_subset,
                 "r7_subset_total_sec": r7_subset,
+                "r8_subset_total_sec": r8_subset,
                 "production_sec": production,
+                "coverage_queries": coverage,
+                "coverage_total_sec": round(sum(coverage.values()), 3),
+                "n_registry": len(QUERIES),
+                "n_benched": len(timings) + len(coverage),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

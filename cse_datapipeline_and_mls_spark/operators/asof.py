@@ -123,13 +123,20 @@ def asof_join_forward(
             d_tagged = d_tagged.withColumn(c, F.lit(None).cast(dict(f_tagged.dtypes)[c]))
     cols = [on, "_t", "_side", *[c for c in fact_cols if c != on], "_dimrow"]
     unioned = f_tagged.select(*cols).unionByName(d_tagged.select(*cols))
+    # first(ignorenulls) over [current, +∞) as a RUNNING last() over the
+    # fully REVERSED sort: Spark's unbounded-FOLLOWING frame recomputes
+    # from scratch per row (O(n²) per partition), while the unbounded-
+    # PRECEDING frame accumulates incrementally — and reversing BOTH
+    # sort keys preserves the tie discipline (dim rows at the same _t
+    # are still visible to fact rows, exactly the at-or-after
+    # contract). Same single hash exchange.
     w = (
         Window.partitionBy(on)
-        .orderBy("_t", "_side")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("_t"), F.desc("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = unioned.withColumn(
-        "_dimrow", F.first("_dimrow", ignorenulls=True).over(w)
+        "_dimrow", F.last("_dimrow", ignorenulls=True).over(w)
     ).filter(F.col("_side") == 0)
     for c in dim_cols:
         out = out.withColumn(c, F.col("_dimrow").getField(c))
@@ -217,8 +224,14 @@ def asof_join_nearest(
     back = F.last("_dimrow", ignorenulls=True).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
-    fwd = F.first("_dimrow", ignorenulls=True).over(
-        w.rowsBetween(0, Window.unboundedFollowing)
+    # reversed running frame instead of first() over [current, +∞) —
+    # the same O(n²)-per-partition fix as asof_join_forward; flipping
+    # both sort keys keeps the tie discipline (a dim row at the fact's
+    # exact _t stays on the BACKWARD side only, since in descending
+    # order the fact (_side=1) precedes the dim (_side=0) at equal _t)
+    w_desc = Window.partitionBy(on).orderBy(F.desc("_t"), F.desc("_side"))
+    fwd = F.last("_dimrow", ignorenulls=True).over(
+        w_desc.rowsBetween(Window.unboundedPreceding, 0)
     )
     out = (
         unioned.withColumn("_b", back)

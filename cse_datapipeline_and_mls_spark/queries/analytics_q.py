@@ -2045,3 +2045,76 @@ def agg_source_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q6(h).alias("entropy_nats"),
         _q6(h / F.log(F.col("n_sources") * 1.0)).alias("entropy_normalized"),
     )
+
+
+@register(
+    "agg_cvm_price_drift",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS y, o_totalprice AS p FROM orders
+    ), u AS (
+      SELECT p,
+             CAST(count(CASE WHEN y = 1995 THEN 1 END) AS BIGINT) AS ca,
+             CAST(count(CASE WHEN y = 1996 THEN 1 END) AS BIGINT) AS cb
+      FROM o WHERE y IN (1995, 1996) GROUP BY p
+    ), e AS (
+      SELECT ca, cb,
+             sum(ca) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_a,
+             sum(cb) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_b
+      FROM u
+    ), tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM u
+    )
+    SELECT t.na AS n_ref, t.nb AS n_cur,
+           floor(
+             (t.na * t.nb * 1.0 / ((t.na + t.nb) * (t.na + t.nb)))
+             * sum((e.ca + e.cb)
+                   * (e.cum_a * 1.0 / t.na - e.cum_b * 1.0 / t.nb)
+                   * (e.cum_a * 1.0 / t.na - e.cum_b * 1.0 / t.nb))
+             * 1000000 + 0.5) / 1000000 AS cvm_stat
+    FROM e, tot t
+    GROUP BY t.na, t.nb
+    """,
+)
+def agg_cvm_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic on the order-price
+    distribution, 1995 vs 1996 — the INTEGRATED-squared companion to
+    agg_ks_price_drift's sup-norm view (KS sees only the single worst
+    ECDF gap; CvM accumulates every gap, so a broad mild shift that KS
+    under-weights still registers). Pinned computational form: the
+    pooled-ECDF sum T = n·m/(n+m)² · Σ_x c_x (F_a(x) − F_b(x))², with
+    c_x the pooled multiplicity at each distinct value — ties handled
+    by construction, no ranking step to disagree on.
+
+    Plan and determinism inherit the KS query wholesale: distinct
+    prices aggregate first, the running counts are EXACT integers
+    through spine_cumsum (measured routing — ordered window at/under
+    64k distinct values, distributed_prefix_sum above, identical sums
+    either way), each ECDF value is one integer division, and only the
+    final weighted sum is q6'd."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    a = o.filter(F.year("o_orderdate") == 1995).select(F.col("o_totalprice").alias("p"))
+    b = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_totalprice").alias("p"))
+    na, nb = a.count(), b.count()
+    u = (
+        a.withColumn("side", F.lit("a"))
+        .unionByName(b.withColumn("side", F.lit("b")))
+        .groupBy("p")
+        .agg(
+            F.count(F.when(F.col("side") == "a", 1)).alias("ca"),
+            F.count(F.when(F.col("side") == "b", 1)).alias("cb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e = spine_cumsum(u, ["p"], ["ca", "cb"], threshold=65536)
+    gap = F.col("cum_ca") * 1.0 / F.lit(na) - F.col("cum_cb") * 1.0 / F.lit(nb)
+    return e.agg(
+        F.lit(na).cast("long").alias("n_ref"),
+        F.lit(nb).cast("long").alias("n_cur"),
+        _q6(
+            F.lit(na * nb * 1.0 / ((na + nb) * (na + nb)))
+            * F.sum((F.col("ca") + F.col("cb")) * gap * gap)
+        ).alias("cvm_stat"),
+    )

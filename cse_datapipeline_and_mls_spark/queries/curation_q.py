@@ -364,3 +364,84 @@ def x_quantile_norm_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x_temperature_sampling_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_chars) AS BIGINT) AS t FROM s
+    ), p AS (
+      SELECT source, n_docs, n_chars,
+             n_chars * 1.0 / t.t AS p_nat,
+             pow(n_chars * 1.0 / t.t, 0.3) AS p_alpha
+      FROM s, tot t
+    ), z AS (
+      SELECT sum(p_alpha) AS z FROM p
+    )
+    SELECT p.source, p.n_docs, p.n_chars,
+           floor(p.p_nat * 1000000 + 0.5) / 1000000 AS p_natural,
+           floor(p.p_alpha / z.z * 1000000 + 0.5) / 1000000 AS w_temperature,
+           floor((p.p_alpha / z.z) / p.p_nat * 1000000 + 0.5) / 1000000
+             AS epochs_at_natural_budget
+    FROM p, z
+    ORDER BY p.source
+    """,
+)
+def x_temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights — the α-sampling step
+    every multilingual/multi-source LLM data pipeline runs between
+    curation and training (mT5/XLM-R convention, α = 0.3): natural
+    token share p_s per source, up/down-weighted to p_s^α and
+    renormalized, so low-resource sources are oversampled without
+    letting any one source dominate. ``epochs_at_natural_budget`` =
+    w_s / p_s is the effective epoch count each source's data sees
+    when the training budget equals one natural epoch — the
+    repetition-risk number reviewed against the dedup stats before a
+    run (UniMax's bounded-repeat motivation).
+
+    Plan: one groupBy(source) size rollup on the corpus scan, then a
+    |sources|-row frame crossed with two 1-row broadcast aggregates —
+    at 100 TB the cost is the scan. pow(x, 0.3) is one correctly-
+    rounded libm call on identical doubles; the |sources|-term
+    normalizer and the final ratios are q6'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    # |sources|-row rollup is referenced by three downstream frames
+    # (total, weights, normalizer) — checkpoint it once so the corpus
+    # scan doesn't re-derive per reference (the multi-reference trap)
+    s = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = s.agg(F.sum("n_chars").alias("t"))
+    p = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        (F.col("n_chars") * 1.0 / F.col("t")).alias("p_nat"),
+        F.pow(F.col("n_chars") * 1.0 / F.col("t"), F.lit(0.3)).alias("p_alpha"),
+    )
+    z = p.agg(F.sum("p_alpha").alias("z"))
+    return (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            _q6(F.col("p_nat")).alias("p_natural"),
+            _q6(F.col("p_alpha") / F.col("z")).alias("w_temperature"),
+            _q6((F.col("p_alpha") / F.col("z")) / F.col("p_nat")).alias(
+                "epochs_at_natural_budget"
+            ),
+        )
+        .orderBy("source")
+    )

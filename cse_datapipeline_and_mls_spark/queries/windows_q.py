@@ -547,12 +547,23 @@ def w_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("user_id").orderBy("hr")
     past = w.rowsBetween(Window.unboundedPreceding, 0)
-    future = w.rowsBetween(0, Window.unboundedFollowing)
+    # "next anchor" as a RUNNING frame over the DESCENDING sort, not
+    # first() over (0, unboundedFollowing): Spark's unbounded-FOLLOWING
+    # frame recomputes from scratch per row (O(n²) per partition —
+    # measured 54.9 s -> 2.5 s at sf0.1 on the hourly grid), while the
+    # unbounded-PRECEDING frame accumulates incrementally; the reversed
+    # running last(ignorenulls) is value-identical. Same hash exchange,
+    # one extra in-partition sort.
+    past_desc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("hr"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     v_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
     pv = F.last("v", ignorenulls=True).over(past)
     p_hr = F.last(v_hr, ignorenulls=True).over(past)
-    nv = F.first("v", ignorenulls=True).over(future)
-    n_hr = F.first(v_hr, ignorenulls=True).over(future)
+    nv = F.last("v", ignorenulls=True).over(past_desc)
+    n_hr = F.last(v_hr, ignorenulls=True).over(past_desc)
     hours = lambda a, b: (F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600  # noqa: E731
     lerp = pv + (nv - pv) * (hours(p_hr, F.col("hr")) * 1.0 / hours(p_hr, n_hr))
     return (
@@ -1914,4 +1925,291 @@ def w_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pacf3"),
         )
         .orderBy("user_id")
+    )
+
+
+@register(
+    "w_donchian_channels",
+    oracle=f"""
+    WITH {_DAILY_BARS_ORACLE}
+    SELECT user_id, day, close,
+           max(high) OVER (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS upper_ch,
+           min(low)  OVER (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lower_ch,
+           (max(high) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+            + min(low) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) / 2 AS mid_ch
+    FROM bars
+    """,
+)
+def w_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channels over daily OHLC bars: trailing-20-bar rolling
+    max(high) / min(low) and their midpoint — the breakout-system
+    envelope (Turtle rules) and the simplest of the channel indicator
+    family. Rolling MAX/MIN are ORDER-FREE aggregates: unlike rolling
+    sums there is no accumulation order to drift between engines, so
+    every output is raw-value exact and nothing needs quantizing (the
+    midpoint is one add + one halving — both exact single IEEE ops on
+    identical inputs).
+
+    Plan: the tswindow.ohlc_bars fold (two series-keyed exchanges, the
+    pre-aggregation cascade posture), then ONE WindowExec evaluates
+    all three frames — at 100 TB the tick scan dominates and the
+    indicator costs bar-frame rows."""
+    from ..operators.tswindow import ohlc_bars
+
+    ev = _events_series(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "value", "event_id"
+    )
+    bars = ohlc_bars(ev, "user_id", "ts", "value", bucket_seconds=86400).select(
+        "user_id", F.col("bucket").alias("day"), "high", "low", "close"
+    )
+    w20 = Window.partitionBy("user_id").orderBy("day").rowsBetween(-19, 0)
+    upper = F.max("high").over(w20)
+    lower = F.min("low").over(w20)
+    return bars.select(
+        "user_id",
+        "day",
+        "close",
+        upper.alias("upper_ch"),
+        lower.alias("lower_ch"),
+        ((upper + lower) / 2).alias("mid_ch"),
+    )
+
+
+@register(
+    "w_mfi_14",
+    oracle=f"""
+    WITH {_DAILY_BARS_ORACLE}, tp AS (
+      SELECT user_id, day, n_trades,
+             (high + low + close) / 3 AS typical
+      FROM bars
+    ), fl AS (
+      SELECT user_id, day, typical, n_trades,
+             typical * n_trades AS raw_mf,
+             lag(typical) OVER (PARTITION BY user_id ORDER BY day) AS pt
+      FROM tp
+    ), dirs AS (
+      SELECT user_id, day,
+             CASE WHEN pt IS NOT NULL AND typical > pt THEN raw_mf ELSE 0 END AS pos_mf,
+             CASE WHEN pt IS NOT NULL AND typical < pt THEN raw_mf ELSE 0 END AS neg_mf
+      FROM fl
+    ), s AS (
+      SELECT user_id, day,
+             sum(pos_mf) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS p14,
+             sum(neg_mf) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS n14
+      FROM dirs
+    )
+    SELECT user_id, day,
+           floor(p14 {_Q6} AS pos_mf_14,
+           floor(n14 {_Q6} AS neg_mf_14,
+           CASE WHEN p14 + n14 > 0
+                THEN floor(100.0 * p14 / (p14 + n14) {_Q6}
+                ELSE NULL END AS mfi_14
+    FROM s
+    """,
+)
+def w_mfi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money Flow Index over daily bars — the volume-weighted RSI:
+    typical price = (H+L+C)/3, raw money flow = typical × volume
+    (n_trades plays volume, the FIXTURES.md mapping), classified
+    positive/negative by typical-price direction vs the prior bar (the
+    first bar and unchanged bars contribute to neither side — the
+    standard convention), then MFI = 100·pos/(pos+neg) over a trailing
+    14-bar frame. NULL when both 14-bar flows are zero (flat series) —
+    an explicit no-signal, not a guessed 50.
+
+    Determinism: typical and raw_mf are row-wise single-op exact; the
+    two 14-term windowed float sums are the only order-sensitive
+    aggregates, so the sums and the final ratio are q6'd (DuckDB's
+    segment-tree windowed aggregation does not fix an accumulation
+    order the way Spark's running fold does)."""
+    from ..operators.numeric import q6
+    from ..operators.tswindow import ohlc_bars
+
+    ev = _events_series(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "value", "event_id"
+    )
+    bars = ohlc_bars(ev, "user_id", "ts", "value", bucket_seconds=86400).select(
+        "user_id", F.col("bucket").alias("day"), "high", "low", "close", "n_trades"
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    typical = (F.col("high") + F.col("low") + F.col("close")) / 3
+    tp = bars.select("user_id", "day", "n_trades", typical.alias("typical"))
+    fl = tp.select(
+        "user_id",
+        "day",
+        "typical",
+        (F.col("typical") * F.col("n_trades")).alias("raw_mf"),
+        F.lag("typical").over(w).alias("pt"),
+    )
+    dirs = fl.select(
+        "user_id",
+        "day",
+        F.when(
+            F.col("pt").isNotNull() & (F.col("typical") > F.col("pt")),
+            F.col("raw_mf"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pos_mf"),
+        F.when(
+            F.col("pt").isNotNull() & (F.col("typical") < F.col("pt")),
+            F.col("raw_mf"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("neg_mf"),
+    )
+    w14 = Window.partitionBy("user_id").orderBy("day").rowsBetween(-13, 0)
+    p14 = F.sum("pos_mf").over(w14)
+    n14 = F.sum("neg_mf").over(w14)
+    return dirs.select(
+        "user_id",
+        "day",
+        q6(p14).alias("pos_mf_14"),
+        q6(n14).alias("neg_mf_14"),
+        F.when(p14 + n14 > 0, q6(F.lit(100.0) * p14 / (p14 + n14))).alias("mfi_14"),
+    )
+
+
+@register(
+    "w_keltner_channels",
+    oracle=f"""
+    WITH {_DAILY_BARS_ORACLE}, t AS (
+      SELECT user_id, day, high, low, close,
+             (high + low + close) / 3 AS typical,
+             lag(close) OVER (PARTITION BY user_id ORDER BY day) AS pc
+      FROM bars
+    ), tr_t AS (
+      SELECT user_id, day, typical,
+             greatest(high - low,
+                      abs(high - coalesce(pc, close)),
+                      abs(low  - coalesce(pc, close))) AS tr
+      FROM t
+    ), s AS (
+      SELECT user_id, day,
+             avg(typical) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mid,
+             avg(tr) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS atr10
+      FROM tr_t
+    )
+    SELECT user_id, day,
+           floor(mid {_Q6}              AS mid_line,
+           floor((mid + 2 * atr10) {_Q6} AS upper_band,
+           floor((mid - 2 * atr10) {_Q6} AS lower_band
+    FROM s
+    """,
+)
+def w_keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channels over daily bars: middle line = trailing-20-bar
+    mean of the typical price, bands = middle ± 2 × ATR(10) — the
+    volatility-scaled channel (vs Donchian's raw extremes and
+    Bollinger's stddev bands, completing the channel family). SMA
+    parity for both leg averages — the same documented convention as
+    w_macd_sma and w_atr_14 (the true-EMA recurrence exists separately
+    as w_ema / w_atr_wilder and composes identically if an EMA flavor
+    is ever needed).
+
+    Plan: ONE bar fold, then a single WindowExec evaluates both frames
+    (20-bar typical mean, 10-bar TR mean) over the same (user, day)
+    sort. The windowed float means are q6'd; TR itself is row-wise
+    exact greatest/abs arithmetic."""
+    from ..operators.numeric import q6
+    from ..operators.tswindow import ohlc_bars
+
+    ev = _events_series(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "value", "event_id"
+    )
+    bars = ohlc_bars(ev, "user_id", "ts", "value", bucket_seconds=86400).select(
+        "user_id", F.col("bucket").alias("day"), "high", "low", "close"
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    pc = F.coalesce(F.lag("close").over(w), F.col("close"))
+    tr_t = bars.select(
+        "user_id",
+        "day",
+        ((F.col("high") + F.col("low") + F.col("close")) / 3).alias("typical"),
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - pc),
+            F.abs(F.col("low") - pc),
+        ).alias("tr"),
+    )
+    w20 = Window.partitionBy("user_id").orderBy("day").rowsBetween(-19, 0)
+    w10 = Window.partitionBy("user_id").orderBy("day").rowsBetween(-9, 0)
+    mid = F.avg("typical").over(w20)
+    atr10 = F.avg("tr").over(w10)
+    return tr_t.select(
+        "user_id",
+        "day",
+        q6(mid).alias("mid_line"),
+        q6(mid + 2 * atr10).alias("upper_band"),
+        q6(mid - 2 * atr10).alias("lower_band"),
+    )
+
+
+@register(
+    "w_mase_seasonal_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             sum(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    ), lagged AS (
+      SELECT day, revenue,
+             lag(revenue, 1) OVER (ORDER BY day) AS r1,
+             lag(revenue, 7) OVER (ORDER BY day) AS r7
+      FROM daily
+    ), scored AS (
+      SELECT abs(revenue - r1) AS ae_naive,
+             abs(revenue - r7) AS ae_snaive
+      FROM lagged WHERE r1 IS NOT NULL AND r7 IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           floor(avg(ae_naive) * 1000000 + 0.5) / 1000000  AS mae_naive,
+           floor(avg(ae_snaive) * 1000000 + 0.5) / 1000000 AS mae_snaive,
+           floor(avg(ae_snaive) / avg(ae_naive) * 1000000 + 0.5) / 1000000
+             AS mase_snaive
+    FROM scored
+    """,
+)
+def w_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE-style forecast-baseline evaluation on the daily revenue
+    series: mean absolute error of the SEASONAL-naive forecast
+    (revenue 7 days ago — the weekly-pattern baseline) scaled by the
+    MAE of the one-step naive forecast (yesterday's revenue — MASE's
+    canonical denominator, Hyndman & Koehler 2006). mase < 1 means the
+    weekly pattern beats persistence — the go/no-go gate every
+    forecasting job (w_holt_forecast_eval's Holt included) should
+    clear against before shipping. Scored only on days where BOTH
+    baselines exist, so the two MAEs average the same row set.
+
+    Plan: the fact scan collapses to the calendar day spine before any
+    window; the lags ride the GUARDED single-partition spine contract
+    (tswindow.spine_window, r7 #5), then one 1-row aggregate. The MAEs
+    and ratio are the only order-sensitive float sums — q6'd."""
+    from ..operators.numeric import q6
+    from ..operators.tswindow import spine_window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    daily, base = spine_window(daily, ["day"], max_rows=65536, label="day-spine")
+    lagged = daily.select(
+        "revenue",
+        F.lag("revenue", 1).over(base).alias("r1"),
+        F.lag("revenue", 7).over(base).alias("r7"),
+    ).filter(F.col("r1").isNotNull() & F.col("r7").isNotNull())
+    ae_n = F.abs(F.col("revenue") - F.col("r1"))
+    ae_s = F.abs(F.col("revenue") - F.col("r7"))
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        q6(F.avg(ae_n)).alias("mae_naive"),
+        q6(F.avg(ae_s)).alias("mae_snaive"),
+        q6(F.avg(ae_s) / F.avg(ae_n)).alias("mase_snaive"),
     )

@@ -73,6 +73,9 @@ EXPECTED_CROSS = {
     "agg_burstiness_hourly",    # types x hour-spine grid: cross of two tiny broadcast frames
     "x_perplexity_buckets",     # 1-row vocab-size + 1-row tercile broadcasts (bigram-LM pattern)
     "agg_lorenz_curve",         # 9-row decile + 1-row totals broadcasts onto the ranked frame
+    # r8: two 1-row scalar broadcasts (corpus total, temperature
+    # normalizer Z) onto the checkpointed |sources|-row frame
+    "x_temperature_sampling_weights",
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
