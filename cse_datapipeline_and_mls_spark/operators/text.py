@@ -694,3 +694,76 @@ def segment_dedup_audit(
             .alias("n_dropped"),
         )
     )
+
+
+def source_boilerplate_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    seg_words: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """WITHIN-SOURCE boilerplate detection — the navigation/footer pass
+    web pipelines (CCNet, RefinedWeb) run per domain: a fixed word-
+    window segment that recurs across ``min_docs``+ DISTINCT documents
+    of the SAME source is boilerplate (site chrome repeats on every
+    page of a domain; cross-corpus repetition is a different signal —
+    that's segment_dedup_audit). Returns the per-source audit:
+    (source, n_segs_distinct, n_boilerplate_segs, n_docs_affected).
+
+    Scale: segmenting is map-side (split → explode → slice, same as
+    segment_dedup_audit); (source, h, id) is deduplicated by a
+    groupBy whose map-side partial aggregation absorbs within-doc
+    repeats, then two cheap rollups on (source, h) and (source). The
+    affected-docs count re-joins the boilerplate flag back on
+    (source, h) — hash join, no window over the hot segment keys."""
+    words = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"[ \t\n\r]+", " "), " ")
+    d = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("source"),
+        words.alias("_w"),
+        ((F.size(words) - 1) / seg_words).cast("int").alias("_mx"),
+    )
+    segs = d.select(
+        "_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.col("_mx"))).alias("seg_idx"),
+        "_w",
+    ).select(
+        "_id",
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("_w", F.col("seg_idx") * seg_words + 1, seg_words)
+            ).cast("binary")
+        ).alias("h"),
+    )
+    # one row per (source, segment, doc) — map-side partial agg absorbs
+    # a segment repeating inside one document
+    seg_docs = segs.groupBy("source", "h", "_id").agg(F.count(F.lit(1)).alias("_n"))
+    per_seg = seg_docs.groupBy("source", "h").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    audit = per_seg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs_distinct"),
+        F.sum(F.when(F.col("n_docs") >= min_docs, 1).otherwise(0))
+        .cast("long")
+        .alias("n_boilerplate_segs"),
+    )
+    affected = (
+        seg_docs.join(
+            per_seg.filter(F.col("n_docs") >= min_docs).select("source", "h"),
+            ["source", "h"],
+        )
+        .select("source", "_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_affected"))
+    )
+    return audit.join(affected, "source", "left").select(
+        "source",
+        "n_segs_distinct",
+        "n_boilerplate_segs",
+        F.coalesce("n_docs_affected", F.lit(0)).cast("long").alias("n_docs_affected"),
+    )

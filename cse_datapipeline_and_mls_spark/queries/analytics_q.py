@@ -2118,3 +2118,83 @@ def agg_cvm_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sum((F.col("ca") + F.col("cb")) * gap * gap)
         ).alias("cvm_stat"),
     )
+
+
+@register(
+    "agg_tukey_fences",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY o_orderpriority
+    ), f AS (
+      SELECT o_orderpriority,
+             floor((q1 - 1.5 * (q3 - q1)) * 1000000 + 0.5) / 1000000 AS lo,
+             floor((q3 + 1.5 * (q3 - q1)) * 1000000 + 0.5) / 1000000 AS hi,
+             floor(q1 * 1000000 + 0.5) / 1000000 AS q1,
+             floor(q3 * 1000000 + 0.5) / 1000000 AS q3
+      FROM q
+    )
+    SELECT o.o_orderpriority, f.q1, f.q3, f.lo AS lower_fence, f.hi AS upper_fence,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o.o_totalprice < f.lo OR o.o_totalprice > f.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM orders o JOIN f ON f.o_orderpriority = o.o_orderpriority
+    GROUP BY o.o_orderpriority, f.q1, f.q3, f.lo, f.hi
+    ORDER BY o.o_orderpriority
+    """,
+)
+def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot fences per order priority: Q1/Q3 (interpolating
+    quantiles — Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the
+    w_theilsen_daily_trend pinning), fences at 1.5×IQR, and the
+    per-group outlier census — the IQR flavor of robust screening
+    (agg_robust_outliers is the MAD flavor; Tukey's is what every
+    boxplot and data-profiling report draws). Fences are quantized to
+    6 dp BEFORE the census on BOTH engines, the registry's standard
+    threshold discipline, so a raw value sits on the same side of the
+    fence everywhere.
+
+    Plan: one grouped exact-percentile aggregation (per-group sorted
+    state bounded by group size), the tiny |groups|-row fence frame
+    broadcast back onto the fact scan, one grouped count — two shuffles
+    on the group key, scan-dominated at 100 TB."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    q = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    f = q.select(
+        F.col("o_orderpriority").alias("p"),
+        _q6(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        _q6(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+        _q6(F.col("q1")).alias("q1"),
+        _q6(F.col("q3")).alias("q3"),
+    )
+    return (
+        o.join(F.broadcast(f), o["o_orderpriority"] == f["p"])
+        .groupBy("o_orderpriority", "q1", "q3", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") < F.col("lo"))
+                    | (F.col("o_totalprice") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "o_orderpriority",
+            "q1",
+            "q3",
+            F.col("lo").alias("lower_fence"),
+            F.col("hi").alias("upper_fence"),
+            "n_rows",
+            "n_outliers",
+        )
+        .orderBy("o_orderpriority")
+    )

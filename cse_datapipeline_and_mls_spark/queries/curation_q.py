@@ -445,3 +445,63 @@ def x_temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+@register(
+    "x_boilerplate_segments",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, source,
+             string_split(regexp_replace(trim(text), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), segs AS (
+      SELECT doc_id, source,
+             unnest(generate_series(0, CAST(floor((len(w) - 1) / 8) AS INT))) AS seg_idx,
+             w
+      FROM words
+    ), hashed AS (
+      SELECT DISTINCT doc_id, source,
+             md5(array_to_string(list_slice(w, seg_idx * 8 + 1, seg_idx * 8 + 8), ' ')) AS h
+      FROM segs
+    ), per_seg AS (
+      SELECT source, h, CAST(count(*) AS BIGINT) AS n_docs
+      FROM hashed GROUP BY source, h
+    ), audit AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_segs_distinct,
+             CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate_segs
+      FROM per_seg GROUP BY source
+    ), affected AS (
+      SELECT hd.source, CAST(count(DISTINCT hd.doc_id) AS BIGINT) AS n_docs_affected
+      FROM hashed hd JOIN per_seg p ON p.source = hd.source AND p.h = hd.h
+      WHERE p.n_docs >= 2
+      GROUP BY hd.source
+    )
+    SELECT a.source, a.n_segs_distinct, a.n_boilerplate_segs,
+           CAST(coalesce(f.n_docs_affected, 0) AS BIGINT) AS n_docs_affected
+    FROM audit a LEFT JOIN affected f ON f.source = a.source
+    ORDER BY a.source
+    """,
+)
+def x_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source boilerplate census — the site-chrome pass web
+    pipelines run per domain before any cross-corpus dedup: an 8-word
+    segment recurring in ≥2 distinct documents of the SAME source is
+    flagged (navigation, footers, legal lines repeat on every page of
+    a domain), and the per-source audit reports distinct segments,
+    boilerplate segments, and documents touched. Complements
+    x_segment_dedup_corpus (corpus-wide first-occurrence dedup) and
+    x_duplicate_spans: the grouping key here is (source, segment),
+    which is what makes it a boilerplate detector rather than a
+    duplicate detector. See operators/text.source_boilerplate_audit.
+
+    Scale: map-side segmenting; the (source, h, id) dedup's map-side
+    partial aggregation absorbs within-doc repeats; every shuffle keys
+    on (source, h) or source. md5 keys for oracle parity."""
+    from ..operators.text import source_boilerplate_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_boilerplate_audit(
+        docs, "text", "doc_id", "source", seg_words=8, min_docs=2
+    ).orderBy("source")

@@ -2213,3 +2213,106 @@ def w_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.avg(ae_s)).alias("mae_snaive"),
         q6(F.avg(ae_s) / F.avg(ae_n)).alias("mase_snaive"),
     )
+
+
+@register(
+    "w_ewma_control_chart",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, user_id, ts, value,
+             row_number() OVER ({_W_ORACLE}) - 1 AS g
+      FROM events
+    ), reb AS (
+      SELECT *, g % {_EMA_L} AS pos, g // {_EMA_L} AS blk,
+             value * power({_EMA_A!r}, -(g % {_EMA_L})) AS v
+      FROM base
+    ), sums AS (
+      SELECT *,
+             sum(v) OVER (PARTITION BY user_id, blk ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vrun
+      FROM reb
+    ), tots AS (
+      SELECT *,
+             last_value(vrun) OVER (PARTITION BY user_id, blk ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS vtot
+      FROM sums
+    ), spliced AS (
+      SELECT *,
+             coalesce(lag(vtot, {_EMA_L}) OVER ({_W_ORACLE})
+                    - lag(vrun, {_EMA_L}) OVER ({_W_ORACLE}), 0.0) AS prev
+      FROM tots
+    ), ema AS (
+      SELECT event_id, user_id, ts, value,
+             power({_EMA_A!r}, pos)
+               * (vrun + power({_EMA_A!r}, {float(_EMA_L)!r}) * prev)
+               / ((1.0 - power({_EMA_A!r}, least(g + 1, {_EMA_L})))
+                  / {1.0 - _EMA_A!r}) AS z
+      FROM spliced
+    ), st AS (
+      SELECT event_id, user_id, ts,
+             floor(z * 1000000 + 0.5) / 1000000 AS ewma,
+             floor((avg(value) OVER (PARTITION BY user_id)
+                    + 3 * stddev_pop(value) OVER (PARTITION BY user_id)
+                        * sqrt(0.2)) * 1000000 + 0.5) / 1000000 AS ucl,
+             floor((avg(value) OVER (PARTITION BY user_id)
+                    - 3 * stddev_pop(value) OVER (PARTITION BY user_id)
+                        * sqrt(0.2)) * 1000000 + 0.5) / 1000000 AS lcl
+      FROM ema
+    )
+    SELECT event_id, user_id, ts, ewma, ucl, lcl,
+           CAST(CASE WHEN ewma > ucl OR ewma < lcl THEN 1 ELSE 0 END AS BIGINT)
+             AS out_of_control
+    FROM st
+    """,
+)
+def w_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959) — the SPC companion to
+    w_cusum_drift_alerts: the chart line is the TRUE exponential
+    moving average (the same block-rebased exact closed form as w_ema,
+    span 5 → λ = 1/3), control limits are the self-baselined
+    steady-state pair μ₀ ± 3σ₀·√(λ/(2−λ)) (λ/(2−λ) = 0.2 exactly at
+    this span; the asymptotic width practical charts run at), with
+    μ₀/σ₀ the series' own mean and population stddev — the same
+    derive-the-target-from-the-key convention the CUSUM query uses.
+    CUSUM reacts fastest to sustained small shifts; the EWMA chart
+    adds a graded line + band view of the same drift.
+
+    Plan: ONE hash exchange on user_id serves every window (the EMA
+    block windows cluster on a superset of the key, and the per-key
+    stats windows reuse the same partitioning). Determinism: the EMA
+    arithmetic is the w_ema oracle mirrored step-for-step; the
+    unordered per-key mean/stddev sums and the chart line are q6'd,
+    and the out-of-control flag compares the QUANTIZED line to the
+    QUANTIZED limits on both engines."""
+    from ..operators.numeric import q6
+
+    ev = _events_series(spark, sf_dir)
+    df = TS.with_ema(
+        ev,
+        "value",
+        "z",
+        ["user_id"],
+        ["ts", "event_id"],
+        span=_EMA_SPAN,
+        block_factor=_EMA_BLOCK_FACTOR,
+    )
+    wu = Window.partitionBy("user_id")
+    mu = F.avg("value").over(wu)
+    sig = F.stddev_pop("value").over(wu)
+    half = F.lit(3.0) * sig * F.sqrt(F.lit(0.2))
+    out = df.select(
+        "event_id",
+        "user_id",
+        "ts",
+        q6(F.col("z")).alias("ewma"),
+        q6(mu + half).alias("ucl"),
+        q6(mu - half).alias("lcl"),
+    )
+    return out.withColumn(
+        "out_of_control",
+        F.when(
+            (F.col("ewma") > F.col("ucl")) | (F.col("ewma") < F.col("lcl")), 1
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
