@@ -740,8 +740,14 @@ def source_boilerplate_audit(
         ).alias("h"),
     )
     # one row per (source, segment, doc) — map-side partial agg absorbs
-    # a segment repeating inside one document
-    seg_docs = segs.groupBy("source", "h", "_id").agg(F.count(F.lit(1)).alias("_n"))
+    # a segment repeating inside one document. Checkpointed: both the
+    # per-segment rollup and the affected-docs join read it, and the
+    # upstream segmenting scan must not re-derive per reference.
+    seg_docs = (
+        segs.groupBy("source", "h", "_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
+    )
     per_seg = seg_docs.groupBy("source", "h").agg(
         F.count(F.lit(1)).alias("n_docs")
     )

@@ -10,7 +10,7 @@ hash-checks every one.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import multimodal as MM
@@ -943,3 +943,141 @@ def x_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.synth_y4m_from_documents(docs, frame_w=8, frame_h=2, fps=25)
     out = MM.video_frame_means(media, decoder=MM.decode_media)
     return out.orderBy("media_id", "frame_idx")
+
+
+@register(
+    "x_multimodal_shot_boundaries",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             CAST(floor((g.i - 1) / 16) AS BIGINT) AS frame_idx,
+             ord(substr(d.text, g.i, 1)) AS v
+      FROM documents d,
+           unnest(generate_series(1, length(d.text))) AS g(i)
+      WHERE g.i <= CAST(floor(length(d.text) / 16) AS INT) * 16
+    ), fm AS (
+      SELECT doc_id, frame_idx, sum(v) / 16.0 AS m
+      FROM px GROUP BY doc_id, frame_idx
+    ), d2 AS (
+      SELECT doc_id, frame_idx, m,
+             lag(m) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pm
+      FROM fm
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN pm IS NOT NULL AND abs(m - pm) > 16.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+    FROM d2 GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def x_multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection on the REAL video decode path — the
+    first consumer of the Y4M codec's brightness curve: decode every
+    document's Y4M stream (stdlib container walk), take each frame's
+    mean luma (exact int64 sum / 16, multimodal.video_frame_means),
+    and flag a cut wherever consecutive frames' means jump by more
+    than 16 luma levels — the threshold-on-Δbrightness detector every
+    video pipeline runs before smarter models. Output is the per-video
+    audit (frame count, cut count).
+
+    Bit-exact without rounding end to end: frame means are exact
+    (power-of-two division of an exact integer sum), their difference
+    and the |Δ| > 16 comparison are single IEEE ops on identical
+    doubles, and the counts are integers. A FRAME-walk slip changes
+    the cut set and fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synth_y4m_from_documents(docs, frame_w=8, frame_h=2, fps=25)
+    fm = MM.video_frame_means(media, decoder=MM.decode_media)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    d2 = fm.withColumn("pm", F.lag("frame_mean").over(w))
+    return (
+        d2.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(
+                F.when(
+                    F.col("pm").isNotNull()
+                    & (F.abs(F.col("frame_mean") - F.col("pm")) > 16.0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_cuts"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@register(
+    "x_multimodal_silence_segments",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             CAST(floor((g.i - 1) / 100) AS BIGINT) AS frame_idx,
+             ord(substr(d.text, g.i, 1)) AS s
+      FROM documents d,
+           unnest(generate_series(1, length(d.text))) AS g(i)
+      WHERE g.i <= CAST(floor(length(d.text) / 100) AS INT) * 100
+    ), fr AS (
+      SELECT doc_id, frame_idx, sqrt(sum(s * s) / 100.0) AS rms
+      FROM px GROUP BY doc_id, frame_idx
+    ), quiet AS (
+      SELECT doc_id, frame_idx,
+             frame_idx - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx) AS grp
+      FROM fr WHERE rms < 100.0
+    ), seg AS (
+      SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS seg_len
+      FROM quiet GROUP BY doc_id, grp
+    )
+    SELECT f.doc_id AS media_id,
+           CAST(count(DISTINCT f.frame_idx) AS BIGINT) AS n_frames,
+           CAST(coalesce(count(DISTINCT s.grp), 0) AS BIGINT)
+             AS n_quiet_segments,
+           CAST(coalesce(max(s.seg_len), 0) AS BIGINT) AS longest_quiet
+    FROM fr f LEFT JOIN seg s ON s.doc_id = f.doc_id
+    GROUP BY f.doc_id ORDER BY media_id
+    """,
+)
+def x_multimodal_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style silence segmentation on the REAL audio
+    decode path: decode each document's RIFF/WAVE payload, cut it into
+    100-sample frames with exact-int64 RMS (multimodal.audio_frame_rms
+    — the VAD energy feature), mark frames under the 100.0 energy
+    threshold as quiet, and collapse CONSECUTIVE quiet frames into
+    segments with the gaps-and-islands trick (frame_idx − row_number
+    per media). Output per media: frame count, quiet-segment count,
+    longest quiet run — the trim/split decision audio curation makes
+    before feature extraction.
+
+    Determinism: RMS is one float sqrt of an exact rational (identical
+    on both engines), the threshold compare is a single-op decision on
+    identical doubles, and everything after is integer islands logic.
+    The islands trick re-shuffles only the quiet subset, keyed by
+    media — at 100 TB the decode scan dominates."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synth_wav_from_documents(docs, rate=8000)
+    fr = MM.audio_frame_rms(media, frame_samples=100, decoder=MM.decode_media)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    quiet = (
+        fr.filter(F.col("rms") < 100.0)
+        .withColumn("grp", F.col("frame_idx") - F.row_number().over(w))
+    )
+    seg = quiet.groupBy("media_id", "grp").agg(F.count(F.lit(1)).alias("seg_len"))
+    frames = fr.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    segstats = seg.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_quiet_segments"),
+        F.max("seg_len").cast("long").alias("longest_quiet"),
+    )
+    return (
+        frames.join(segstats, "media_id", "left")
+        .select(
+            "media_id",
+            "n_frames",
+            F.coalesce("n_quiet_segments", F.lit(0)).cast("long").alias(
+                "n_quiet_segments"
+            ),
+            F.coalesce("longest_quiet", F.lit(0)).cast("long").alias("longest_quiet"),
+        )
+        .orderBy("media_id")
+    )

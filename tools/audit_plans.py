@@ -104,6 +104,7 @@ EXPECTED_MANY_EXCHANGES = {
     "x_quantile_norm_doclen", # assign_dense_ids' range+pid stages + 100-row cutoff agg + per-source window; corpus joins broadcast-only
     "agg_lorenz_curve",       # checkpointed customer agg + assign_dense_ids' range/pid stages + totals + 9-group fold; every frame past the first agg is customer-sized
     "agg_spearman_rank_corr", # TWO prefix-sum rank maps (group + range + pid window + totals each) + the one fact-sized price-map join; every frame past the first aggs is distinct-value-sized
+    "x_boilerplate_segments", # past the checkpointed (source,h,id) dedup: per-seg + per-source rollups, the affected-docs flag join + distinct + rollup, and the small audit join — each a distinct aggregation the census semantics require
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
