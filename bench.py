@@ -209,6 +209,10 @@ HEADLINE = [
     # the WAV/PNG pair)
     "x_multimodal_video_decode",
     "x_multimodal_video_frames",
+    # r8: HITS from the shared src-bucketed edge layout (run 1 builds
+    # or reuses the table; min-of-3 measures the amortized re-run path,
+    # mirroring x_pagerank_bucketed_edges)
+    "x_hits_bucketed_edges",
 ]
 
 

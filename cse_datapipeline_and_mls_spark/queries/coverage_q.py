@@ -1268,40 +1268,22 @@ def x_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_pagerank_bucketed_edges", oracle=_pagerank_oracle(iters=6))
-def x_pagerank_bucketed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same supplier PageRank served from a SRC-BUCKETED edge
-    table — the pay-at-ingest layout for iterative graph analytics at
-    100 TB. The first call per scale factor builds the edge list
-    (orders ⋈ lineitem, distinct) and writes it bucketed by src; every
-    later call scans the bucketed table with ZERO exchanges in the edge
-    materialization (graph._LAST_EDGE_EXCHANGES == 0: the bucket hash
-    IS the shuffle hash) and runs pagerank(pre_partitioned=True), whose
-    persisted edge cache keeps the bucket partitioning so no iteration
-    re-shuffles the edge table (graph._LAST_ITER_EXCHANGES == 2,
-    asserted in tests/test_graph.py). Identical ranks to
-    x_pagerank_suppliers — same unrolled-SQL oracle. The amortized-run
-    path is what the bench's min-of-3 measures; run 1 pays the one-time
-    layout write, exactly like production ingest.
+def _bucketed_purchase_edges(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently build (once per data root) the src-bucketed
+    customer→supplier purchase-edge table the iterative graph queries
+    share — ONE pay-at-ingest layout serving PageRank AND HITS, the
+    production shape where a recurring layout amortizes across every
+    consumer. Returns the table name.
 
-    Bench-reading note: locally this row runs ~1–2 s SLOWER than
-    x_pagerank_suppliers (measured interleaved 7.8 vs 5.6 s at sf0.1)
-    because the persisted edge cache pays columnar decode per iteration
-    while a local-mode shuffle is only a disk spill — the documented
-    local/cluster inversion (SCALE.md §Graph). On a real cluster the
-    balance flips: the layout deletes an |E|-sized NETWORK exchange
-    from materialization and every iteration."""
+    Keyed by the FULL data root, not just its leaf: two roots sharing
+    a basename must not silently reuse each other's edges (ADVICE r5).
+    The leaf stays in the name for readability; the digest
+    disambiguates."""
     import hashlib
     import re
 
-    from ..operators.graph import pagerank
     from ..sources.sinks import write_bucketed
 
-    # Key the cached layout by the FULL data root, not just its leaf:
-    # two different roots sharing a basename (e.g. .../a/sf0.01 and
-    # .../b/sf0.01) must not silently reuse each other's edges
-    # (ADVICE r5). The leaf stays in the name for readability; the
-    # digest disambiguates.
     root = sf_dir.rstrip("/")
     table = (
         "pr_edges_b_"
@@ -1332,6 +1314,35 @@ def x_pagerank_bucketed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_buckets = max(spark.sparkContext.defaultParallelism, 1)
         write_bucketed(edges, table, "src", n_buckets)
+    return table
+
+
+@register("x_pagerank_bucketed_edges", oracle=_pagerank_oracle(iters=6))
+def x_pagerank_bucketed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same supplier PageRank served from a SRC-BUCKETED edge
+    table — the pay-at-ingest layout for iterative graph analytics at
+    100 TB. The first call per scale factor builds the edge list
+    (orders ⋈ lineitem, distinct) and writes it bucketed by src; every
+    later call scans the bucketed table with ZERO exchanges in the edge
+    materialization (graph._LAST_EDGE_EXCHANGES == 0: the bucket hash
+    IS the shuffle hash) and runs pagerank(pre_partitioned=True), whose
+    persisted edge cache keeps the bucket partitioning so no iteration
+    re-shuffles the edge table (graph._LAST_ITER_EXCHANGES == 2,
+    asserted in tests/test_graph.py). Identical ranks to
+    x_pagerank_suppliers — same unrolled-SQL oracle. The amortized-run
+    path is what the bench's min-of-3 measures; run 1 pays the one-time
+    layout write, exactly like production ingest.
+
+    Bench-reading note: locally this row runs ~1–2 s SLOWER than
+    x_pagerank_suppliers (measured interleaved 7.8 vs 5.6 s at sf0.1)
+    because the persisted edge cache pays columnar decode per iteration
+    while a local-mode shuffle is only a disk spill — the documented
+    local/cluster inversion (SCALE.md §Graph). On a real cluster the
+    balance flips: the layout deletes an |E|-sized NETWORK exchange
+    from materialization and every iteration."""
+    from ..operators.graph import pagerank
+
+    table = _bucketed_purchase_edges(spark, sf_dir)
     pr = pagerank(spark.table(table), iters=6, pre_partitioned=True)
     return (
         pr.filter(F.col("node") > 0)
@@ -2948,6 +2959,38 @@ def x_hits_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hs = hits(edges, iters=4)
+    return (
+        hs.filter(F.col("node") > 0)
+        .select(
+            F.col("node").cast("long").alias("suppkey"),
+            F.round("authority", 8).alias("authority"),
+        )
+        .orderBy(F.desc("authority"), "suppkey")
+        .limit(20)
+    )
+
+
+@register("x_hits_bucketed_edges", oracle=_hits_oracle(iters=4))
+def x_hits_bucketed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same supplier HITS served from the SHARED src-bucketed edge
+    table (VERDICT r7 #3 — the x_pagerank_bucketed_edges layout,
+    amortized across BOTH iterative consumers, which is the point of
+    pay-at-ingest): the bucketed scan feeds
+    hits(pre_partitioned=True), so the src edge copy materializes with
+    ZERO exchanges (the bucket hash clusters the (src,dst) distinct
+    too) and "persist" keeps both per-iteration edge sides exchange-
+    free (the dst twin is built once from the cached src copy;
+    runtime exchanges 5 → 3 per iteration, asserted via the
+    plan_id-deduped observables in tests/test_graph.py). Identical
+    scores to x_hits_suppliers — same unrolled-SQL oracle. The same
+    local/cluster inversion note as the pagerank twin applies: locally
+    the cached columnar decode costs more than spilled-disk shuffles;
+    on a cluster each saved exchange is |E| over the network per
+    iteration."""
+    from ..operators.graph import hits
+
+    table = _bucketed_purchase_edges(spark, sf_dir)
+    hs = hits(spark.table(table), iters=4, pre_partitioned=True)
     return (
         hs.filter(F.col("node") > 0)
         .select(

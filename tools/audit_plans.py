@@ -62,6 +62,7 @@ EXPECTED_CROSS = {
     "agg_rfm_segmentation",   # 1-row (r/f/m quantile cutoffs) broadcast onto the customer frame
     "t_kaplan_meier_conversion",  # 1-row censoring-reference-day broadcast
     "x_hits_suppliers",       # two 1-row sum-normalizer broadcasts at output (graph.hits)
+    "x_hits_bucketed_edges",  # same two 1-row normalizer broadcasts, bucketed-layout flavor
     "x_graph_modularity",     # two 1-row broadcasts (edge count, Σd_c²) onto the 1-row intra frame (graph.modularity)
     "x_quantile_norm_doclen", # 1-row corpus-count broadcast onto the dense-id frame (global centile denominator)
     # distributed_prefix_sum's offsets are the same theta self-join on
@@ -99,6 +100,7 @@ EXPECTED_MANY_EXCHANGES = {
     "x_association_rules",    # basket dedup + item/pair/meta aggs + 2 rule-stat joins; every frame past the pair count is ≤ |rules| rows
     "x_pagerank_personalized",  # power iteration over the undirected graph: 2-3 exchanges x 6 iterations is the algorithm
     "x_hits_suppliers",       # 2 node-keyed joins x 4 iterations past the checkpoints is the algorithm
+    "x_hits_bucketed_edges",  # same iteration exchanges from the persisted bucketed layout (fewer per iteration; dst-twin build adds one)
     "x_graph_modularity",     # past the checkpointed edge build: 2 label joins + degree agg + per-community sums + 3 1-row aggs
     "x_degree_assortativity", # past the checkpointed edge build: degree agg + 2 node-keyed degree joins + 1-row integer agg
     "x_quantile_norm_doclen", # assign_dense_ids' range+pid stages + 100-row cutoff agg + per-source window; corpus joins broadcast-only
