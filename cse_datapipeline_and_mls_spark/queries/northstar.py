@@ -1044,3 +1044,230 @@ def x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "tfidf", "rn")
     )
+
+
+@register(
+    "x_embedding_norm_stats",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(any_value(len(v)) AS BIGINT) AS n_dims,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+           floor(min(nrm) * 1000000 + 0.5) / 1000000 AS min_norm,
+           floor(avg(nrm) * 1000000 + 0.5) / 1000000 AS mean_norm,
+           floor(max(nrm) * 1000000 + 0.5) / 1000000 AS max_norm
+    FROM n
+    """,
+)
+def x_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store health check — the first audit run before any
+    similarity work at 100 TB: vector count, dimensionality, zero-norm
+    vectors (cosine is undefined on them; every downstream query
+    nullif-guards, this query COUNTS them), and the L2-norm envelope
+    (min/mean/max — a collapsed or exploding norm distribution is the
+    classic symptom of a bad embedding export).
+
+    Plan: one map-side fold per row (the same left-to-right IEEE
+    aggregate sequence as similarity.l2_norm, so per-row norms are
+    bit-identical to the oracle's list_dot_product) + ONE global
+    aggregate. Scan-dominated; zero joins, zero windows."""
+    from ..operators.numeric import q6
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    n = emb.select(
+        F.size("embedding").alias("d"),
+        S.l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    return n.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.any_value(F.col("d")).cast("long").alias("n_dims"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).cast("long").alias(
+            "n_zero_norm"
+        ),
+        q6(F.min("nrm")).alias("min_norm"),
+        q6(F.avg("nrm")).alias("mean_norm"),
+        q6(F.max("nrm")).alias("max_norm"),
+    )
+
+
+@register(
+    "x_embedding_dim_truncation_recall",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < 3
+    ), full_k AS (
+      SELECT q.query_id, e.vec_id
+      FROM embeddings e, q
+      QUALIFY row_number() OVER (
+        PARTITION BY q.query_id
+        ORDER BY floor((list_dot_product(e.embedding::DOUBLE[], q.qv)
+          / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(q.qv, q.qv)), 0)) * 1000000 + 0.5) DESC,
+          e.vec_id) <= 10
+    ), trunc_k AS (
+      SELECT q.query_id, e.vec_id
+      FROM embeddings e, q
+      QUALIFY row_number() OVER (
+        PARTITION BY q.query_id
+        ORDER BY floor((list_dot_product(list_slice(e.embedding::DOUBLE[], 1, 16),
+                                         list_slice(q.qv, 1, 16))
+          / nullif(sqrt(list_dot_product(list_slice(e.embedding::DOUBLE[], 1, 16),
+                                         list_slice(e.embedding::DOUBLE[], 1, 16)))
+                 * sqrt(list_dot_product(list_slice(q.qv, 1, 16),
+                                         list_slice(q.qv, 1, 16))), 0))
+          * 1000000 + 0.5) DESC,
+          e.vec_id) <= 10
+    )
+    SELECT f.query_id,
+           CAST(count(t.vec_id) AS BIGINT) AS n_overlap_top10,
+           count(t.vec_id) / 10.0 AS recall_at_10
+    FROM full_k f LEFT JOIN trunc_k t
+      ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+    GROUP BY f.query_id
+    ORDER BY f.query_id
+    """,
+)
+def x_embedding_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall probe — the Matryoshka/MRL question
+    every embedding store answers before shrinking its footprint 4×:
+    if retrieval ran on only the FIRST 16 of 64 dimensions, how much
+    of the exact full-dimension top-10 survives? Both sides are exact
+    brute force (this is an offline evaluation, not an ANN query), so
+    the per-query overlap count is a hash-exact INTEGER — no bracket
+    needed — and recall@10 is one exact division.
+
+    Plan: the 3-query set broadcasts twice (full and truncated scans —
+    the corpus never shuffles for scoring; slicing is a map-side array
+    op that at production scale becomes a narrower column read);
+    rank windows quantize scores to 6 dp with vec_id tiebreak before
+    the cut, the x_cosine_topk determinism convention."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full_k = S.brute_force_topk(emb, queries, k=10, id_col="vec_id").select(
+        "query_id", "vec_id"
+    )
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = queries.select("query_id", F.slice("embedding", 1, 16).alias("embedding"))
+    trunc_k = S.brute_force_topk(emb16, q16, k=10, id_col="vec_id").select(
+        F.col("query_id").alias("t_qid"), F.col("vec_id").alias("t_vid")
+    )
+    return (
+        full_k.join(
+            trunc_k,
+            (full_k["query_id"] == trunc_k["t_qid"])
+            & (full_k["vec_id"] == trunc_k["t_vid"]),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("t_vid").cast("long").alias("n_overlap_top10"),
+            (F.count("t_vid") / F.lit(10.0)).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "x_leakage_safe_split",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g')) AS ckey
+      FROM documents
+    ), reps AS (
+      SELECT ckey, min(doc_id) AS rep FROM d GROUP BY ckey
+    ), assigned AS (
+      SELECT d.doc_id, d.ckey,
+             ('0x' || substr(md5(CAST(r.rep AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+               AS in_train_cluster,
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+               AS in_train_naive
+      FROM d JOIN reps r ON r.ckey = d.ckey
+    ), per_cluster AS (
+      SELECT ckey,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN in_train_cluster THEN 1 ELSE 0 END) AS BIGINT) AS tr_c,
+             CAST(sum(CASE WHEN in_train_naive THEN 1 ELSE 0 END) AS BIGINT)   AS tr_n
+      FROM assigned GROUP BY ckey
+    )
+    SELECT CAST(sum(n_docs) AS BIGINT)                               AS n_docs,
+           CAST(count(*) AS BIGINT)                                  AS n_clusters,
+           CAST(sum(tr_c) AS BIGINT)                                 AS n_train_docs,
+           CAST(sum(n_docs - tr_c) AS BIGINT)                        AS n_val_docs,
+           CAST(sum(CASE WHEN tr_c > 0 AND tr_c < n_docs
+                         THEN 1 ELSE 0 END) AS BIGINT)               AS n_leaky_clusters,
+           CAST(sum(CASE WHEN tr_n > 0 AND tr_n < n_docs
+                         THEN 1 ELSE 0 END) AS BIGINT)               AS n_leaky_naive
+    FROM per_cluster
+    """,
+)
+def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split — the eval-hygiene rule every
+    training-data pipeline enforces: duplicate (here: exact-content)
+    documents must land on the SAME side of the split, or the val set
+    scores memorization. Each content cluster (md5 of normalized text
+    — md5, not xxhash64, for oracle parity) is assigned WHOLE by
+    hashing its representative's id (min doc_id) into the md5-mod
+    80/20 buckets the ml_quality_classifier split uses; the audit also
+    runs the NAIVE per-doc split on the same data and reports how many
+    clusters IT would straddle. Output: doc/cluster/side counts,
+    n_leaky_clusters (structurally 0 — the proof the split is safe)
+    and n_leaky_naive (> 0 whenever duplicates exist — the reason the
+    cluster-aware split is needed).
+
+    Plan: one content-key groupBy for representatives, a hash join
+    back, one per-cluster rollup, one 1-row fold — all keyed on the
+    content hash; scan-dominated at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    ckey = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[ \t\n\r]+", " ").cast(
+            "binary"
+        )
+    )
+    d = docs.select("doc_id", ckey.alias("ckey"))
+    reps = d.groupBy("ckey").agg(F.min("doc_id").alias("rep"))
+
+    def _train(col):
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+            % 10
+            < 8
+        )
+
+    assigned = d.join(reps, "ckey").select(
+        "ckey",
+        _train(F.col("rep")).alias("in_train_cluster"),
+        _train(F.col("doc_id")).alias("in_train_naive"),
+    )
+    per_cluster = assigned.groupBy("ckey").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("in_train_cluster"), 1).otherwise(0)).alias("tr_c"),
+        F.sum(F.when(F.col("in_train_naive"), 1).otherwise(0)).alias("tr_n"),
+    )
+    return per_cluster.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("tr_c").cast("long").alias("n_train_docs"),
+        F.sum(F.col("n_docs") - F.col("tr_c")).cast("long").alias("n_val_docs"),
+        F.sum(
+            F.when((F.col("tr_c") > 0) & (F.col("tr_c") < F.col("n_docs")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_leaky_clusters"),
+        F.sum(
+            F.when((F.col("tr_n") > 0) & (F.col("tr_n") < F.col("n_docs")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_leaky_naive"),
+    )

@@ -77,6 +77,9 @@ EXPECTED_CROSS = {
     # r8: two 1-row scalar broadcasts (corpus total, temperature
     # normalizer Z) onto the checkpointed |sources|-row frame
     "x_temperature_sampling_weights",
+    # r8: the 3-query set broadcasts twice (full + truncated brute-force
+    # scans — offline eval, both sides exact by design)
+    "x_embedding_dim_truncation_recall",
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -107,6 +110,7 @@ EXPECTED_MANY_EXCHANGES = {
     "agg_lorenz_curve",       # checkpointed customer agg + assign_dense_ids' range/pid stages + totals + 9-group fold; every frame past the first agg is customer-sized
     "agg_spearman_rank_corr", # TWO prefix-sum rank maps (group + range + pid window + totals each) + the one fact-sized price-map join; every frame past the first aggs is distinct-value-sized
     "x_boilerplate_segments", # past the checkpointed (source,h,id) dedup: per-seg + per-source rollups, the affected-docs flag join + distinct + rollup, and the small audit join — each a distinct aggregation the census semantics require
+    "x_embedding_dim_truncation_recall",  # two independent rank windows (full + truncated top-10) + the overlap join + rollup — the eval's irreducible shape; every post-rank frame is 30 rows
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
