@@ -514,3 +514,41 @@ def test_pacf_matches_statsmodels_free_recursion(spark, sf_dir):
         assert abs(r["pacf1"] - want[0]) < 1e-6
         assert abs(r["pacf2"] - want[1]) < 1e-6
         assert abs(r["pacf3"] - want[2]) < 1e-6
+
+
+def test_spine_window_guard_passes_and_trips(spark):
+    """The bounded-spine contract (VERDICT r7 #5): under the declared
+    bound the guard is invisible (every row passes, values untouched);
+    over it the job fails loudly with the call site's label."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from cse_datapipeline_and_mls_spark.operators.tswindow import spine_window
+
+    df = spark.range(50).select(F.col("id").alias("day"), (F.col("id") % 7).alias("v"))
+    g, w = spine_window(df, ["day"], max_rows=50, label="ok-spine")
+    out = g.select("day", F.avg("v").over(w.rowsBetween(-3, 3)).alias("m"))
+    assert out.count() == 50
+
+    g2, w2 = spine_window(df, ["day"], max_rows=10, label="data-sized")
+    with pytest.raises(Exception, match="data-sized"):
+        g2.select("day", F.sum("v").over(w2.rowsBetween(-1, 0)).alias("s")).count()
+
+
+def test_spine_cumsum_routes_agree(spark):
+    """spine_cumsum's two routes (ordered window at/under threshold,
+    distributed_prefix_sum above) produce IDENTICAL integer running
+    totals — the property that makes the measured routing hash-safe."""
+    from pyspark.sql import functions as F
+
+    from cse_datapipeline_and_mls_spark.operators.tswindow import spine_cumsum
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), ((F.col("id") * 7) % 13).alias("v")
+    ).localCheckpoint(eager=True)
+    small = spine_cumsum(df, ["k"], ["v"], threshold=1000).orderBy("k").collect()
+    big = spine_cumsum(df, ["k"], ["v"], threshold=10).orderBy("k").collect()
+    assert [r.cum_v for r in small] == [r.cum_v for r in big]
+    # inclusive semantics: first row's cumsum equals its own value
+    assert small[0].cum_v == small[0].v
