@@ -3294,3 +3294,115 @@ def x_wl_refinement_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("class_size", F.count(F.lit(1)).over(w).cast("long"))
         .orderBy("node")
     )
+
+
+@register(
+    "x_jaccard_links",
+    oracle="""
+    WITH bk AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n
+        FROM bk x JOIN bk y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2) WHERE n >= 2),
+    adj AS MATERIALIZED (
+      SELECT a AS z, b AS x FROM e UNION ALL SELECT b, a FROM e),
+    deg AS MATERIALIZED (
+      SELECT z, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY z),
+    ctr AS (SELECT z FROM deg WHERE d >= 2 AND d <= 64),
+    wadj AS (SELECT adj.z, adj.x FROM adj JOIN ctr USING (z)),
+    pairs AS (
+      SELECT l.x AS a, r.x AS b, CAST(count(*) AS BIGINT) AS cn
+      FROM wadj l JOIN wadj r ON l.z = r.z AND l.x < r.x
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT p.a, p.b, p.cn, da.d AS dda, db.d AS ddb
+      FROM pairs p JOIN deg da ON da.z = p.a JOIN deg db ON db.z = p.b
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.a AND e.b = p.b))
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           cn AS common_neighbors,
+           cn * 1.0 / (dda + ddb - cn) AS score
+    FROM cand
+    ORDER BY score DESC, a, b LIMIT 50
+    """,
+)
+def x_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction on the repeat co-purchase
+    graph — the normalized-overlap companion to x_adamic_adar_links
+    (Jaccard divides the common-neighbor count by the neighborhood
+    UNION, so two low-degree parts with one shared neighbor can outrank
+    a hub pair Adamic–Adar favors). Same capped-wedge machinery
+    (graph.jaccard_links, center cap 64 is definitional on both
+    engines); endpoint degrees are uncapped truth. The score is ONE
+    exact integer division, so — unlike the log-weight sum — it is
+    hash-exact UNQUANTIZED, and the top-50 cut orders identical
+    doubles."""
+    from ..operators.graph import jaccard_links
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bk = li.distinct()
+    a = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    jl = jaccard_links(edges, center_deg_cap=64)
+    return (
+        jl.select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            "common_neighbors",
+            "score",
+        )
+        .orderBy(F.desc("score"), "a", "b")
+        .limit(50)
+    )
+
+
+@register(
+    "x_degree_distribution",
+    oracle="""
+    WITH bk AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a, b FROM (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n
+        FROM bk x JOIN bk y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2) WHERE n >= 2),
+    adj AS (SELECT a AS z FROM e UNION ALL SELECT b FROM e),
+    deg AS (SELECT z, count(*) AS degree FROM adj GROUP BY z)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    ORDER BY degree
+    """,
+)
+def x_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the repeat co-purchase graph — the first
+    diagnostic run on any production graph, and the number that decides
+    whether the hub-skew mitigations the smoke suite measures (AQE
+    split for |V|-sized dims, broadcast for frontier-sized ones) are
+    needed at all: a heavy tail here is the trigger. Exact integers
+    end to end; two node-keyed aggregations past the edge build
+    (graph.degree_distribution)."""
+    from ..operators.graph import degree_distribution
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bk = li.distinct()
+    a = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = bk.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return degree_distribution(edges).orderBy("degree")

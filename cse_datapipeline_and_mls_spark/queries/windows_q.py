@@ -2316,3 +2316,69 @@ def w_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("long"),
     )
+
+
+@register(
+    "w_zscore_seasonal_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             sum(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    ), basel AS (
+      SELECT dayofweek(day) AS dow,
+             avg(revenue) AS mu,
+             stddev_samp(revenue) AS sd
+      FROM daily GROUP BY 1
+    ), scored AS (
+      SELECT d.day, d.revenue, b.dow,
+             floor((d.revenue - b.mu) / nullif(b.sd, 0) * 1000000 + 0.5)
+               / 1000000 AS z_dow
+      FROM daily d JOIN basel b ON b.dow = dayofweek(d.day)
+    )
+    SELECT day, revenue, CAST(dow AS BIGINT) AS dow, z_dow,
+           CAST(CASE WHEN abs(z_dow) > 2.0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_anomaly
+    FROM scored ORDER BY day
+    """,
+)
+def w_zscore_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each day's revenue scored
+    against ITS DAY-OF-WEEK's own mean/stddev — the 'is this Monday
+    weird FOR A MONDAY' detector, which catches what a global z-score
+    (w_pct_change_zscore_anomaly) structurally cannot: on a weekly-
+    seasonal series every weekend looks anomalous globally and every
+    anomalous weekend looks normal. Day-of-week parity pinned to
+    DuckDB's 0=Sunday..6 (Spark dayofweek() − 1, the
+    w_seasonal_decompose_daily convention); stddev flavor samp,
+    explicit.
+
+    Plan: the fact scan collapses to the day spine, the 7-row baseline
+    broadcast-joins back — scan-dominated at 100 TB, no window at all
+    (the baseline is a groupBy, deliberately: nothing here needs an
+    ordered frame). z is q6'd (unordered float sums); the flag
+    compares the QUANTIZED z to 2.0 on both engines."""
+    from ..operators.numeric import q6
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    basel = daily.groupBy((F.dayofweek("day") - 1).alias("dow")).agg(
+        F.avg("revenue").alias("mu"),
+        F.stddev_samp("revenue").alias("sd"),
+    )
+    scored = daily.join(
+        F.broadcast(basel), (F.dayofweek(daily["day"]) - 1) == basel["dow"]
+    ).select(
+        "day",
+        "revenue",
+        F.col("dow").cast("long").alias("dow"),
+        q6((F.col("revenue") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0))).alias(
+            "z_dow"
+        ),
+    )
+    return scored.withColumn(
+        "is_anomaly",
+        F.when(F.abs(F.col("z_dow")) > 2.0, 1).otherwise(0).cast("long"),
+    ).orderBy("day")

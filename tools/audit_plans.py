@@ -111,6 +111,8 @@ EXPECTED_MANY_EXCHANGES = {
     "agg_spearman_rank_corr", # TWO prefix-sum rank maps (group + range + pid window + totals each) + the one fact-sized price-map join; every frame past the first aggs is distinct-value-sized
     "x_boilerplate_segments", # past the checkpointed (source,h,id) dedup: per-seg + per-source rollups, the affected-docs flag join + distinct + rollup, and the small audit join — each a distinct aggregation the census semantics require
     "x_embedding_dim_truncation_recall",  # two independent rank windows (full + truncated top-10) + the overlap join + rollup — the eval's irreducible shape; every post-rank frame is 30 rows
+    "x_jaccard_links",        # checkpointed edge/deg/wadj builds + the wedge self-join, pair agg, anti-join, and two endpoint-degree joins — the link-prediction shape's irreducible set
+    "x_degree_distribution",  # the co-purchase edge build (self-join + count filter) + the two histogram aggs past the checkpointed edge list
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
