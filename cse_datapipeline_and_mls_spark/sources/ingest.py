@@ -158,3 +158,43 @@ def read_resilient(spark: SparkSession, path: str, schema: T.StructType | None =
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(path)
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingest with a corrupt-record QUARANTINE — the
+    dead-letter pattern a 100 TB feed needs: FAILFAST kills a whole
+    ingest for one bad line, silent DROPMALFORMED destroys the
+    evidence, so this reads PERMISSIVE with an explicit
+    ``_corrupt_record`` column and splits the result into
+    ``(good, quarantined)``:
+
+    * ``good`` — rows that parsed clean, in the caller's schema;
+    * ``quarantined`` — the raw text of every malformed line (plus any
+      parse-null row whose raw text the engine preserved), ready for a
+      dead-letter sink and replay after a parser fix.
+
+    Both frames come from ONE pass over the data (the split is two
+    filters on the same scan — Catalyst reuses it), and the quarantine
+    keeps the ORIGINAL bytes, not a best-effort parse. Spark requires
+    the corrupt column to be part of the declared schema and the
+    filter to run on a materialization boundary — we cache the parsed
+    frame, the documented contract for corrupt-record queries."""
+    corrupt = "_corrupt_record"
+    full = T.StructType(list(schema.fields) + [T.StructField(corrupt, T.StringType())])
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path)
+    )
+    # Spark's documented caveat: referencing only the corrupt column of
+    # a JSON scan raises/loses rows unless the frame is materialized
+    # first — cache() is the supported pattern.
+    parsed = parsed.cache()
+    good = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
+    quarantined = parsed.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_line")
+    )
+    return good, quarantined

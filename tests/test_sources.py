@@ -241,3 +241,33 @@ def test_example_tours_importable():
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         assert callable(getattr(mod, "main", None)), name
+
+
+def test_read_jsonl_with_quarantine_splits_bad_lines(spark, tmp_path_factory):
+    """One pass, two frames: clean rows parse into the declared schema,
+    malformed lines land in the quarantine with their ORIGINAL bytes
+    (the dead-letter contract — evidence preserved, replayable)."""
+    from pyspark.sql import types as T
+
+    from cse_datapipeline_and_mls_spark.sources.ingest import (
+        read_jsonl_with_quarantine,
+    )
+
+    p = tmp_path_factory.mktemp("jsonl") / "feed.jsonl"
+    lines = [
+        '{"id": 1, "v": 10.5}',
+        'this is not json at all',
+        '{"id": 2, "v": 20.25}',
+        '{"id": 3, "v": }',          # truncated value
+        '{"id": 4, "v": 4.0}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    good, quarantined = read_jsonl_with_quarantine(spark, str(p), schema)
+    assert {(r.id, r.v) for r in good.collect()} == {(1, 10.5), (2, 20.25), (4, 4.0)}
+    bad = sorted(r.raw_line for r in quarantined.collect())
+    assert bad == sorted(['this is not json at all', '{"id": 3, "v": }'])
+    # schema contract: the corrupt column never leaks into good rows
+    assert good.columns == ["id", "v"]
