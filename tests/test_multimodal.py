@@ -389,3 +389,33 @@ def test_extract_video_stats_and_frame_means(spark):
     assert math.isclose(s.pixel_entropy, 0.25 * 2 + 0.25 * 2 + 0.5 * 1)
     means = {r.frame_idx: r.frame_mean for r in MM.video_frame_means(media).collect()}
     assert means == {0: 2.0, 1: 5.0}
+
+
+def test_y4m_roundtrip_property(spark):
+    """Property-style sweep: for random byte payloads and frame
+    geometries, synth -> decode recovers exactly the first
+    floor(n/(w*h)) frames of the payload and y4m_info agrees."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(42)
+    cases = []
+    for _ in range(12):
+        w, h = rng.randint(1, 9), rng.randint(1, 5)
+        n = rng.randint(0, 6 * w * h + 3)
+        payload_text = "".join(chr(rng.randint(32, 126)) for _ in range(n))
+        cases.append((w, h, payload_text))
+    for i, (w, h, text) in enumerate(cases):
+        docs = spark.createDataFrame([(i, text)], "doc_id long, text string")
+        media = MM.synth_y4m_from_documents(docs, frame_w=w, frame_h=h, fps=10)
+        payload = bytes(media.collect()[0].content)
+        fsz = w * h
+        expect_frames = len(text.encode()) // fsz
+        got_w, got_h, fn, fd, n_frames = MM.y4m_info(payload)
+        assert (got_w, got_h, fn, fd, n_frames) == (w, h, 10, 1, expect_frames)
+        decoded = MM.decode_media(payload, "video")
+        assert decoded.shape == (expect_frames, fsz)
+        if expect_frames:
+            flat = np.asarray(decoded).ravel().tobytes()
+            assert flat == text.encode()[: expect_frames * fsz]

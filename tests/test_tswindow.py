@@ -552,3 +552,42 @@ def test_spine_cumsum_routes_agree(spark):
     assert [r.cum_v for r in small] == [r.cum_v for r in big]
     # inclusive semantics: first row's cumsum equals its own value
     assert small[0].cum_v == small[0].v
+
+
+def test_new_indicator_invariants(spark, sf_dir):
+    """Structural invariants of the r8 indicator family on real data:
+    Donchian channels bracket the close, MFI stays in [0, 100], and
+    Keltner bands bracket the mid line symmetrically."""
+    from cse_datapipeline_and_mls_spark.queries import QUERIES
+
+    don = QUERIES["w_donchian_channels"](spark, sf_dir).collect()
+    assert don
+    for r in don:
+        assert r.lower_ch <= r.close <= r.upper_ch
+        assert abs(r.mid_ch - (r.upper_ch + r.lower_ch) / 2) < 1e-9
+
+    mfi = QUERIES["w_mfi_14"](spark, sf_dir).collect()
+    assert any(r.mfi_14 is not None for r in mfi)
+    for r in mfi:
+        assert r.pos_mf_14 >= 0 and r.neg_mf_14 >= 0
+        if r.mfi_14 is not None:
+            assert 0.0 <= r.mfi_14 <= 100.0
+
+    kel = QUERIES["w_keltner_channels"](spark, sf_dir).collect()
+    for r in kel:
+        assert r.lower_band <= r.mid_line <= r.upper_band
+        # bands are symmetric about the mid line (2xATR each side)
+        assert abs((r.upper_band - r.mid_line) - (r.mid_line - r.lower_band)) < 2e-6
+
+
+def test_ewma_control_chart_invariants(spark, sf_dir):
+    """EWMA chart: band is symmetric, positive-width for non-constant
+    series, and the flag agrees with the quantized band test."""
+    from cse_datapipeline_and_mls_spark.queries import QUERIES
+
+    rows = QUERIES["w_ewma_control_chart"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.lcl <= r.ucl
+        flag = 1 if (r.ewma > r.ucl or r.ewma < r.lcl) else 0
+        assert r.out_of_control == flag
