@@ -345,3 +345,49 @@ def test_with_cusum_empty_series(spark):
     w = Window.partitionBy("k").orderBy("i")
     out = with_cusum(df, "x", w, target=F.lit(0.0), slack=F.lit(0.0))
     assert "cusum" in out.columns and out.count() == 0
+
+
+def test_r8_graph_ops_on_empty_edges(spark):
+    from cse_datapipeline_and_mls_spark.operators.graph import (
+        degree_distribution,
+        hits,
+        jaccard_links,
+    )
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert jaccard_links(empty_edges).count() == 0
+    dd = degree_distribution(empty_edges)
+    assert dd.count() == 0 and dd.columns == ["degree", "n_nodes"]
+    h = hits(empty_edges, iters=2)
+    assert h.count() == 0 and h.columns == ["node", "authority", "hub"]
+    # persist mode must release its caches on the empty path too
+    assert hits(empty_edges, iters=2, edge_storage="persist").count() == 0
+
+
+def test_r8_multimodal_ops_on_empty_corpus(spark, empty_docs):
+    from cse_datapipeline_and_mls_spark.operators import multimodal as MM
+
+    media = MM.synth_y4m_from_documents(empty_docs.select("doc_id", "text"))
+    assert media.count() == 0
+    assert MM.extract_video_stats(media).count() == 0
+    assert MM.video_frame_means(media).count() == 0
+
+
+def test_r8_text_and_spine_ops_on_empty(spark, empty_docs):
+    from cse_datapipeline_and_mls_spark.operators.text import (
+        source_boilerplate_audit,
+    )
+    from cse_datapipeline_and_mls_spark.operators.tswindow import (
+        spine_cumsum,
+        spine_window,
+    )
+
+    audit = source_boilerplate_audit(empty_docs, "text", "doc_id", "source")
+    assert audit.count() == 0
+    assert audit.columns == [
+        "source", "n_segs_distinct", "n_boilerplate_segs", "n_docs_affected",
+    ]
+    empty_kv = spark.createDataFrame([], "k long, v long").localCheckpoint(eager=True)
+    assert spine_cumsum(empty_kv, ["k"], ["v"]).count() == 0
+    g, w = spine_window(empty_kv, ["k"], max_rows=10, label="empty")
+    assert g.select("k", F.sum("v").over(w.rowsBetween(-1, 0)).alias("s")).count() == 0
