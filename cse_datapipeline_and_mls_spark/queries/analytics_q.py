@@ -2198,3 +2198,85 @@ def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_cohort_ltv",
+    oracle="""
+    WITH first_ev AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+      FROM first_ev GROUP BY cohort
+    ), rev AS (
+      SELECT f.cohort,
+             CAST(date_diff('day', f.cohort,
+                            CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT)
+               AS age_weeks,
+             floor(sum(e.value) * 1000000 + 0.5) / 1000000 AS rev
+      FROM events e JOIN first_ev f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort, r.age_weeks, s.n_users,
+           floor(sum(r.rev) OVER (PARTITION BY r.cohort ORDER BY r.age_weeks)
+                 / s.n_users * 1000000 + 0.5) / 1000000 AS cum_ltv_per_user
+    FROM rev r JOIN sizes s ON s.cohort = r.cohort
+    ORDER BY r.cohort, r.age_weeks
+    """,
+)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue companion to
+    agg_cohort_retention: users cohorted by their first-activity WEEK
+    (ISO-Monday truncation, identical in both engines; the synthetic
+    feed spans one month, so weekly cohorts give a real multi-cohort
+    multi-age grid where monthly would collapse to one row), purchase
+    revenue bucketed by cohort age in weeks, and the running
+    CUMULATIVE revenue per cohort member — the LTV-by-age curve
+    payback analyses are read from. Week age = day difference of
+    week-truncated dates / 7 — exact integers.
+
+    Determinism: the per-(cohort, age) revenue sum is q6'd FIRST (it
+    is the only unordered float sum), then the cumulative window adds
+    identical quantized values in identical order and one exact
+    integer division by cohort size follows — quantized once more at
+    the output boundary. Plan: one first-touch agg, one hash join back
+    to the fact scan, one (cohort, age) agg, and a cumulative window
+    over the per-cohort AGE SPINE (months — calendar-bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    # users-sized first-touch frame is read by both the cohort-size agg
+    # and the revenue join — checkpoint once (the multi-reference trap)
+    first_ev = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = first_ev.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_ev, "user_id")
+        .groupBy(
+            "cohort",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("age_weeks"),
+        )
+        .agg(_q6(F.sum("value")).alias("rev"))
+    )
+    w = Window.partitionBy("cohort").orderBy("age_weeks")
+    return (
+        rev.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "age_weeks",
+            "n_users",
+            _q6(F.sum("rev").over(w) / F.col("n_users")).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort", "age_weeks")
+    )

@@ -2382,3 +2382,103 @@ def w_zscore_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_anomaly",
         F.when(F.abs(F.col("z_dow")) > 2.0, 1).otherwise(0).cast("long"),
     ).orderBy("day")
+
+
+@register(
+    "w_page_hinkley_drift",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vi
+      FROM events
+    ), b AS (
+      SELECT event_id, user_id, ts, vi,
+             row_number() OVER ({_W_ORACLE}) AS i,
+             sum(vi) OVER ({_W_ORACLE}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM v
+    ), t AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor((vi - s * 1.0 / i - 500000.0) + 0.5) AS BIGINT) AS ti
+      FROM b
+    ), m AS (
+      SELECT event_id, user_id, ts,
+             sum(ti) OVER ({_W_ORACLE}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+      FROM t
+    ), mm AS (
+      SELECT event_id, user_id, ts, mt,
+             min(mt) OVER ({_W_ORACLE}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_min
+      FROM m
+    )
+    SELECT event_id, user_id, ts,
+           (mt - m_min) / 1000000.0 AS ph,
+           CAST(CASE WHEN (mt - m_min) / 1000000.0 > 50.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS alert
+    FROM mm
+    """,
+)
+def w_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley drift detector per series — the third sequential
+    change detector beside the Lindley-form CUSUM and the EWMA chart
+    (PH is the streaming-ML literature's standard drift test): per
+    row, term_t = x_t − x̄_t − δ with x̄_t the RUNNING mean (running
+    sum / running count — no stored history), m_T = Σ term_t, and the
+    statistic PH_T = m_T − min_{t≤T} m_t, alerting when it exceeds λ
+    (δ = 0.5, λ = 50 — self-baselined like the CUSUM query). An
+    upward shift makes terms positive and m_T climb away from its
+    running minimum.
+
+    Determinism — the exact-integer-innovation discipline: a DOUBLE
+    chain of cumulative-over-cumulative sums drifts between engines
+    (DuckDB's segment-tree window sums reorder float adds; measured: a
+    q6 boundary flip at sf0.01), so the stream is quantized ONCE into
+    int64 micro-units — values exactly, the innovation after its one
+    float division (the running mean, identical doubles both sides) —
+    and everything cumulative runs in EXACT int64, order-independent
+    by construction. PH and the alert are exact divisions/compares of
+    identical integers; no output rounding needed at all. One exchange
+    on the series key; the window passes share the same sort."""
+    ev = _events_series(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    v = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("vi"),
+    )
+    b = v.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(
+            (
+                F.col("vi")
+                - F.sum("vi").over(cum) * 1.0 / F.row_number().over(w)
+                - F.lit(500000.0)
+            )
+            + 0.5
+        )
+        .cast("long")
+        .alias("ti"),
+    )
+    m = b.select(
+        "event_id", "user_id", "ts", F.sum("ti").over(cum).alias("mt")
+    )
+    mm = m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "mt",
+        F.min("mt").over(cum).alias("m_min"),
+    )
+    ph = (F.col("mt") - F.col("m_min")) / F.lit(1000000.0)
+    return mm.select(
+        "event_id",
+        "user_id",
+        "ts",
+        ph.alias("ph"),
+        F.when(ph > 50.0, 1).otherwise(0).cast("long").alias("alert"),
+    )
