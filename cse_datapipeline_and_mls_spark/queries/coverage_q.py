@@ -3406,3 +3406,60 @@ def x_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return degree_distribution(edges).orderBy("degree")
+
+
+@register(
+    "x_incremental_rollup_refresh",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(max(CAST(o_orderdate AS DATE)) - INTERVAL 30 DAY AS DATE)
+        AS cutoff
+      FROM orders
+    ), full_r AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             floor(sum(o_totalprice) * 1000000 + 0.5) / 1000000 AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT f.day, f.n_orders, f.revenue,
+           CASE WHEN f.day > (SELECT cutoff FROM c)
+                THEN 'inserted' ELSE 'kept' END AS merge_action
+    FROM full_r f ORDER BY f.day
+    """,
+)
+def x_incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup refresh — the lakehouse pattern
+    that makes a 100 TB daily rollup affordable: the existing rollup
+    (here: the per-day aggregate over days at or before a watermark 30
+    days behind the max) is NOT recomputed; only days PAST the
+    watermark aggregate from the fact scan (in production a
+    date-partitioned layout makes that a partition-pruned read of just
+    the new days) and MERGE into the rollup
+    (relational.merge_upsert, with_action=True). The hash-checked
+    contract is the one that matters for trusting incremental views:
+    the merged table equals the FULL recompute row-for-row — which is
+    exactly what the oracle computes — and the merge_action column
+    proves only watermark-new days were written ('inserted'; every
+    older day is 'kept', i.e. untouched).
+
+    Determinism: a calendar day lies entirely on one side of the
+    watermark, so each side's per-day sum sees the full day's rows and
+    the q6'd revenue matches the full recompute exactly; counts are
+    integers; the watermark is one scalar aggregate."""
+    from ..operators.relational import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"), "o_totalprice"
+    )
+    cutoff = o.agg(F.date_sub(F.max("day"), 30).alias("c")).collect()[0]["c"]
+
+    def rollup(df):
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            _q6(F.sum("o_totalprice")).alias("revenue"),
+        )
+
+    target = rollup(o.filter(F.col("day") <= F.lit(cutoff)))
+    updates = rollup(o.filter(F.col("day") > F.lit(cutoff)))
+    merged = merge_upsert(target, updates, keys=["day"], with_action=True)
+    return merged.select("day", "n_orders", "revenue", "merge_action").orderBy("day")

@@ -2482,3 +2482,98 @@ def w_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ph.alias("ph"),
         F.when(ph > 50.0, 1).otherwise(0).cast("long").alias("alert"),
     )
+
+
+@register(
+    "w_holt_forecast_interval",
+    oracle=f"""{_HOLT_CTES}, fe AS (
+      SELECT user_id, day, lvl + trd AS f1 FROM lt
+    ), j AS (
+      SELECT b.user_id, b.close,
+             lag(f.f1) OVER (PARTITION BY b.user_id ORDER BY b.day) AS f_prev
+      FROM bars b JOIN fe f ON f.user_id = b.user_id AND f.day = b.day
+    ), resid AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_evals,
+             stddev_samp(close - f_prev) AS sd
+      FROM j WHERE f_prev IS NOT NULL GROUP BY user_id
+    ), last_f AS (
+      SELECT user_id, f1 FROM (
+        SELECT user_id, f1,
+               row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+        FROM fe) WHERE rn = 1
+    )
+    SELECT r.user_id, r.n_evals,
+           floor(l.f1 {_Q6} AS forecast_next,
+           floor(r.sd {_Q6} AS resid_sd,
+           floor((l.f1 - 1.96 * r.sd) {_Q6} AS lo_95,
+           floor((l.f1 + 1.96 * r.sd) {_Q6} AS hi_95
+    FROM resid r JOIN last_f l ON l.user_id = r.user_id
+    ORDER BY r.user_id
+    """,
+)
+def w_holt_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prediction intervals for the Holt next-step forecast — a point
+    forecast without a band is half an answer, and this is the
+    standard empirical-residual band (Hyndman's h=1 case, where it is
+    exact up to normality: ±1.96 × the one-step-ahead residual
+    stddev): residuals come from the SAME closed-form forecasts
+    w_holt_forecast_eval scores, their sample stddev per series is the
+    interval half-width, and the band brackets the last row's
+    next-step forecast. Multi-step bands need the model's h-step
+    variance recursion — out of scope by design; h=1 keeps every
+    number SQL-replayable.
+
+    Determinism: forecasts and residuals are row-wise identical
+    (eigen-split closed form both sides); only stddev_samp's unordered
+    sum and the derived band edges are q6'd."""
+    from ..operators.numeric import q6
+    from ..operators.tswindow import ohlc_bars, with_holt_linear
+
+    ev = _events_series(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "value", "event_id"
+    )
+    bars = ohlc_bars(ev, "user_id", "ts", "value", bucket_seconds=86400).select(
+        "user_id", F.col("bucket").alias("day"), "close"
+    )
+    fc = with_holt_linear(
+        bars, "close", ["user_id"], ["day"],
+        alpha=_HOLT_ALPHA, beta=_HOLT_BETA, L=_HOLT_L,
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    # the residual agg AND the last-forecast pick both read this
+    # bar-frame-sized projection — checkpoint once so the whole Holt
+    # closed-form chain doesn't re-derive per reference
+    j = fc.select(
+        "user_id",
+        "day",
+        "close",
+        "forecast_1",
+        F.lag("forecast_1").over(w).alias("f_prev"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.desc("day")))
+        .alias("_rn_desc"),
+    ).localCheckpoint(eager=True)
+    resid = (
+        j.filter(F.col("f_prev").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_evals"),
+            F.stddev_samp(F.col("close") - F.col("f_prev")).alias("sd"),
+        )
+    )
+    last_f = j.filter(F.col("_rn_desc") == 1).select(
+        F.col("user_id").alias("_u"), F.col("forecast_1").alias("f1")
+    )
+    return (
+        resid.join(last_f, resid["user_id"] == last_f["_u"])
+        .select(
+            "user_id",
+            "n_evals",
+            q6(F.col("f1")).alias("forecast_next"),
+            q6(F.col("sd")).alias("resid_sd"),
+            q6(F.col("f1") - 1.96 * F.col("sd")).alias("lo_95"),
+            q6(F.col("f1") + 1.96 * F.col("sd")).alias("hi_95"),
+        )
+        .orderBy("user_id")
+    )
