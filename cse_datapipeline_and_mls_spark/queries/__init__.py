@@ -46,6 +46,7 @@ def _load_all() -> None:
         functions_q,
         llmdata_q,
         ml_q,
+        mleval_q,
         northstar,
         relational_q,
         streaming_q,
