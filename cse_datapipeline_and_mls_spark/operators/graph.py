@@ -1050,3 +1050,85 @@ def degree_distribution(
     adj = und.select(F.col("a").alias("z")).unionByName(und.select(F.col("b").alias("z")))
     deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+def katz_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    alpha_inv: int = 20,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Truncated Katz centrality over a DIRECTED edge list:
+    c(v) = Σ_{k=1..iters} α^k · walks_k(v), with walks_k(v) the number
+    of length-k walks ENDING at v and α = 1/alpha_inv (symmetrize the
+    edges first for the undirected reading). Returns (node, katz) plus
+    the per-length walk counts (w1..w{iters}).
+
+    The exact-integer-iteration discipline (the modularity/Mann-Whitney
+    posture applied to an iterative kernel): the walk recurrence
+    walks_k(v) = Σ_{(u,v)∈E} walks_{k-1}(u) is pure int64 arithmetic —
+    order-independent by construction, so the iterated state carries
+    ZERO float jitter, unlike PageRank/HITS whose per-iteration float
+    sums force tolerance-based comparison. Float enters only in the
+    final per-node combine Σ w_k/alpha_inv^k — a fixed-length chain of
+    correctly-rounded IEEE ops on exact integers, bit-identical across
+    engines, which is what lets the query layer hash-check an
+    ITERATIVE centrality exactly. α as 1/alpha_inv (integer) rather
+    than a float keeps the divisors exact powers (20² = 400.0 exactly;
+    a float alpha**k accumulates power-evaluation error and breaks
+    oracle parity).
+
+    Bounds: walks_k ≤ Δ^k (Δ = max in-degree); with the default 4
+    iterations int64 overflows only past Δ ≈ 55 000 — beyond any graph
+    this engine's hub-skew smokes model; past that, cap hub degrees
+    first (the documented posture for all the quadratic-adjacent
+    paths). Truncation at ``iters`` is the same capped-round contract
+    as k_core/bfs_hops: a total deterministic function an oracle
+    replays by unrolling.
+
+    Scale: per iteration, ONE |E|-row join keyed on src against the
+    |V|-row walk state + ONE dst-keyed integer aggregation — pagerank's
+    exchange shape exactly, with the edge table repartitioned on the
+    join key once and localCheckpoint-ed (every ``checkpoint_every``
+    rounds for the state, bounding re-derivation like pagerank's
+    measured every-2 choice)."""
+    if iters < 1:
+        raise ValueError(f"katz_centrality: iters must be >= 1, got {iters}")
+    if alpha_inv < 2:
+        raise ValueError(f"katz_centrality: alpha_inv must be >= 2, got {alpha_inv}")
+    spark = edges.sparkSession
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # walks_1 = in-degree (walks_0 ≡ 1 everywhere).
+    w = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    walks = []
+    for k in range(1, iters + 1):
+        if k > 1:
+            w = e.join(w, e["src"] == w["node"]).groupBy(
+                F.col("dst").alias("node")
+            ).agg(F.sum("w").cast("long").alias("w"))
+        if k % checkpoint_every == 0 or k == iters:
+            w = w.localCheckpoint(eager=True)
+        walks.append(w.withColumnRenamed("w", f"w{k}"))
+    out = nodes
+    for k, wk in enumerate(walks, start=1):
+        out = out.join(wk, "node", "left").na.fill({f"w{k}": 0})
+    katz = None
+    for k in range(1, iters + 1):
+        term = F.col(f"w{k}") / float(alpha_inv**k)
+        katz = term if katz is None else katz + term
+    return out.withColumn("katz", katz)

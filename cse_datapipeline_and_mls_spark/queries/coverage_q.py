@@ -3463,3 +3463,85 @@ def x_incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = rollup(o.filter(F.col("day") > F.lit(cutoff)))
     merged = merge_upsert(target, updates, keys=["day"], with_action=True)
     return merged.select("day", "n_orders", "revenue", "merge_action").orderBy("day")
+
+
+def _katz_oracle(iters: int = 4, alpha_inv: int = 20) -> str:
+    """Unrolled truncated-Katz twin of operators/graph.katz_centrality
+    on the symmetrized part co-purchase graph. Walk counts are pure
+    int64 per round (order-independent — no MATERIALIZED float state to
+    jitter); the final α-weighted combine is a fixed chain of exact-
+    integer divisions, so an 8-decimal quantize is cosmetic, not
+    load-bearing."""
+    sql = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e0
+      UNION ALL
+      SELECT b AS src, a AS dst FROM e0
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM e
+    ), w1 AS MATERIALIZED (
+      SELECT dst AS node, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY 1
+    )"""
+    for k in range(2, iters + 1):
+        sql += f""", w{k} AS MATERIALIZED (
+      SELECT e.dst AS node, CAST(sum(s.w) AS BIGINT) AS w
+      FROM e JOIN w{k - 1} s ON e.src = s.node GROUP BY 1
+    )"""
+    terms = " + ".join(
+        f"coalesce(w{k}.w, 0) / {float(alpha_inv ** k)!r}" for k in range(1, iters + 1)
+    )
+    joins = "".join(f" LEFT JOIN w{k} USING (node)" for k in range(1, iters + 1))
+    sql += f"""
+    SELECT CAST(node AS BIGINT) AS partkey,
+           floor(({terms}) * 100000000 + 0.5) / 100000000 AS katz
+    FROM nodes{joins}
+    ORDER BY katz DESC, partkey LIMIT 25
+    """
+    return sql
+
+
+@register("x_katz_copurchase", oracle=_katz_oracle(iters=4, alpha_inv=20))
+def x_katz_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality (α = 1/20, 4 walk lengths) on the
+    symmetrized part co-purchase graph — the path-weighted influence
+    score between degree (k=1 only) and PageRank (infinite-walk
+    stationary): a part matters more when reachable through MANY short
+    co-purchase chains. Completes the centrality family (degree /
+    PageRank / HITS / Katz).
+
+    The one iterative centrality the driver can hash-check EXACTLY:
+    graph.katz_centrality iterates integer walk counts (no float state
+    between rounds — see the operator's exact-integer-iteration
+    docstring), so both engines agree to the bit before the final
+    fixed-chain α-combine. Top-25 cut on the 8-decimal-quantized score
+    with partkey tiebreak, the pagerank convention. Per-iteration cost
+    is pagerank's exchange shape (|E| join + dst-keyed agg, int64
+    payloads); the per-order pair explode is bounded by TPC-H's ≤7
+    lines per order, same guard note as x_triangle_copurchase."""
+    from ..operators.graph import katz_centrality
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    half = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    kz = katz_centrality(edges, iters=4, alpha_inv=20)
+    return (
+        kz.select(
+            F.col("node").cast("long").alias("partkey"),
+            (F.floor(F.col("katz") * 100000000 + F.lit(0.5)) / 100000000).alias("katz"),
+        )
+        .orderBy(F.desc("katz"), "partkey")
+        .limit(25)
+    )

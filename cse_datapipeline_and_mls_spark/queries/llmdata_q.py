@@ -2379,3 +2379,105 @@ def x_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "x_pmi_collocations",
+    oracle="""
+    WITH w AS (
+      SELECT string_split_regex(lower(trim(text)), '[ \\t\\n\\r]+') AS words
+      FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i+1])) AS b
+      FROM w WHERE len(words) >= 2
+    ), toks AS (
+      SELECT unnest(words) AS word FROM w
+    ), cb AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1
+    ), cu AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY 1
+    ), nb AS (
+      SELECT CAST(sum(c2) AS BIGINT) AS n2 FROM cb
+    ), nu AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1 FROM cu
+    ), p AS (
+      SELECT string_split(cb.b, ' ')[1] AS w1, string_split(cb.b, ' ')[2] AS w2,
+             cb.c2, ua.c1 AS c_w1, ub.c1 AS c_w2,
+             floor(cb.c2 * 1.0 * nu.n1 * nu.n1 / (nb.n2 * 1.0 * ua.c1 * ub.c1)
+                   * 1000000 + 0.5) / 1000000 AS pmi_ratio
+      FROM cb
+      JOIN cu ua ON ua.word = string_split(cb.b, ' ')[1]
+      JOIN cu ub ON ub.word = string_split(cb.b, ' ')[2]
+      CROSS JOIN nb CROSS JOIN nu
+      WHERE cb.c2 >= 5
+    )
+    SELECT w1, w2, c2 AS n_pair, c_w1, c_w2, pmi_ratio
+    FROM p ORDER BY pmi_ratio DESC, w1, w2 LIMIT 25
+    """,
+)
+def x_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: adjacent
+    word pairs whose co-occurrence beats the independence baseline —
+    the standard phrase detector (word2vec-phrases, NLTK collocations)
+    a corpus pipeline runs before tokenizer training so multiword
+    units ("new york") become single vocab entries. min-support
+    n_pair ≥ 5 is the conventional rare-pair guard (PMI's known bias
+    toward hapax pairs).
+
+    Scored as the RAW PMI RATIO p(ab)/(p(a)p(b)) = c₂·N₁²/(N₂·c_a·c_b)
+    rather than its log: the log is monotone, so top-k and ordering
+    are identical, and the ratio form is a fixed chain of
+    correctly-rounded IEEE mul/div on exact int64 counts —
+    bit-identical across engines where ln() would drag in the
+    transcendental-parity class the lint header bans. Same
+    scan-once/shuffle-on-token-keys shape as x_bigram_entropy_rate:
+    one bigram-keyed count, one token-keyed count, two
+    vocabulary-sized joins of the COUNT frames (never per-occurrence
+    rows), 1-row totals broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r]+")
+    w = docs.select(words.alias("words"))
+    bg = (
+        w.filter(F.size("words") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("words"), i).alias("w1"),
+                        F.element_at(F.col("words"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    toks = w.select(F.explode("words").alias("word"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    cu = toks.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    nb = cb.agg(F.sum("c2").cast("long").alias("n2"))
+    nu = cu.agg(F.sum("c1").cast("long").alias("n1"))
+    p = (
+        cb.filter(F.col("c2") >= 5)
+        .join(cu.select(F.col("word").alias("w1"), F.col("c1").alias("c_w1")), "w1")
+        .join(cu.select(F.col("word").alias("w2"), F.col("c1").alias("c_w2")), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+    )
+    ratio = (
+        F.col("c2") * 1.0 * F.col("n1") * F.col("n1")
+        / (F.col("n2") * 1.0 * F.col("c_w1") * F.col("c_w2"))
+    )
+    return (
+        p.select(
+            "w1",
+            "w2",
+            F.col("c2").alias("n_pair"),
+            "c_w1",
+            "c_w2",
+            (F.floor(ratio * 1000000 + F.lit(0.5)) / 1000000).alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), "w1", "w2")
+        .limit(25)
+    )

@@ -391,3 +391,12 @@ def test_r8_text_and_spine_ops_on_empty(spark, empty_docs):
     assert spine_cumsum(empty_kv, ["k"], ["v"]).count() == 0
     g, w = spine_window(empty_kv, ["k"], max_rows=10, label="empty")
     assert g.select("k", F.sum("v").over(w.rowsBetween(-1, 0)).alias("s")).count() == 0
+
+
+def test_katz_on_empty_edges(spark):
+    from cse_datapipeline_and_mls_spark.operators.graph import katz_centrality
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = katz_centrality(empty, iters=4)
+    assert out.count() == 0
+    assert set(out.columns) == {"node", "w1", "w2", "w3", "w4", "katz"}

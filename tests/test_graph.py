@@ -515,3 +515,57 @@ def test_hits_from_bucketed_edges_skips_the_edge_shuffle(spark):
         for col in ("authority", "hub"):
             assert abs(plain[k][col] - persisted[k][col]) < 1e-12
             assert abs(plain[k][col] - bucketed[k][col]) < 1e-12
+
+
+# --- katz_centrality: exact integer walk counts, closed-form graphs ---
+
+
+def _katz(spark, edges, **kw):
+    from cse_datapipeline_and_mls_spark.operators.graph import katz_centrality
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r for r in katz_centrality(df, **kw).collect()}
+
+
+def test_katz_path_graph_walk_counts_exact(spark):
+    # directed path 1->2->3: walks ending at 3 are (2,3) len1 and
+    # (1,2,3) len2; at 2 just (1,2); node 1 receives nothing.
+    k = _katz(spark, [(1, 2), (2, 3)], iters=4, alpha_inv=20)
+    assert (k[1]["w1"], k[1]["w2"]) == (0, 0)
+    assert (k[2]["w1"], k[2]["w2"]) == (1, 0)
+    assert (k[3]["w1"], k[3]["w2"], k[3]["w3"], k[3]["w4"]) == (1, 1, 0, 0)
+    assert k[3]["katz"] == 1 / 20.0 + 1 / 400.0
+
+
+def test_katz_two_cycle_closed_form(spark):
+    # symmetric 2-cycle: exactly one walk of each length ends at each
+    # node, so katz = sum alpha^k for k=1..4.
+    k = _katz(spark, [(1, 2), (2, 1)], iters=4, alpha_inv=20)
+    expect = 1 / 20.0 + 1 / 400.0 + 1 / 8000.0 + 1 / 160000.0
+    assert k[1]["katz"] == expect
+    assert k[2]["katz"] == expect
+
+
+def test_katz_star_hub_beats_leaves(spark):
+    # undirected star, hub 0 with 4 leaves: hub collects 4 length-1
+    # walks, each leaf only 1 — path-weighted influence orders them.
+    half = [(0, i) for i in range(1, 5)]
+    edges = half + [(b, a) for a, b in half]
+    k = _katz(spark, edges, iters=4, alpha_inv=20)
+    assert k[0]["w1"] == 4
+    assert all(k[i]["w1"] == 1 for i in range(1, 5))
+    # length-2 walks into a leaf come through the hub from all leaves
+    assert all(k[i]["w2"] == 4 for i in range(1, 5))
+    assert k[0]["katz"] > k[1]["katz"] > 0
+
+
+def test_katz_iters_guard(spark):
+    import pytest
+
+    from cse_datapipeline_and_mls_spark.operators.graph import katz_centrality
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        katz_centrality(df, iters=0)
+    with pytest.raises(ValueError):
+        katz_centrality(df, alpha_inv=1)
