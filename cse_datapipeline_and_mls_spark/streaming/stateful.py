@@ -404,3 +404,96 @@ def markov_transitions_stream(stream: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+PH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("ph", DoubleType()),
+        StructField("alert", LongType()),
+    ]
+)
+
+# Page-Hinkley state: count, exact-integer micro-unit running sum, the
+# cumulative test statistic m_t, and its running minimum. Four int64s
+# per key, ever — O(1) like the CUSUM walk, and EXACT: the quantities
+# the batch query keeps in order-independent int64 are precisely what
+# crosses micro-batch boundaries here, so stream == batch to the bit.
+PH_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+        StructField("mt", LongType()),
+        StructField("m_min", LongType()),
+    ]
+)
+
+
+def _page_hinkley_batches(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: "GroupState",
+    delta_micro: float,
+    threshold: float,
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    n, s, mt, m_min = state.get if state.exists else (0, 0, 0, None)
+    if state.exists and n == 0:
+        m_min = None  # sentinel round-trips as 0-count ⇒ min not yet seeded
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        phs, alerts = [], []
+        for v in pdf["value"].astype(float):
+            vi = int(math.floor(v * 1000000 + 0.5))
+            n += 1
+            s += vi
+            ti = int(math.floor((vi - s / n - delta_micro) + 0.5))
+            mt += ti
+            m_min = mt if m_min is None else min(m_min, mt)
+            ph = (mt - m_min) / 1000000.0
+            phs.append(ph)
+            alerts.append(1 if ph > threshold else 0)
+        out = pdf[["user_id", "event_id", "ts", "value"]].copy()
+        out["ph"] = phs
+        out["alert"] = alerts
+        yield out
+    state.update((n, s, mt, 0 if m_min is None else m_min))
+
+
+def page_hinkley_stream(
+    stream: DataFrame,
+    delta: float = 0.5,
+    threshold: float = 50.0,
+) -> DataFrame:
+    """Streaming Page–Hinkley drift detector — the stateful twin of the
+    batch w_page_hinkley_drift query, completing the detector family's
+    streaming coverage (CUSUM, Holt, and now PH). Per key it carries
+    the batch query's EXACT invariants across micro-batches: the int64
+    micro-unit running sum (the running mean's numerator), the int64
+    cumulative statistic m_t, and its running minimum — so the stream
+    reproduces the batch output bit-for-bit (ph is a division of
+    identical integers), asserted in tests/test_streaming.py. Unlike
+    the CUSUM twin (whose batch query self-baselines non-causally, so
+    the stream takes target/slack as knowns), PH's running mean IS
+    causal — the streaming twin needs no externally supplied baseline
+    at all. State: 4 int64s per key regardless of stream length."""
+    delta_micro = delta * 1000000.0
+
+    def fn(key, pdfs, state):
+        return _page_hinkley_batches(key, pdfs, state, delta_micro, threshold)
+
+    return (
+        stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=PH_OUTPUT_SCHEMA,
+            stateStructType=PH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

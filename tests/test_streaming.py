@@ -772,3 +772,39 @@ def test_stateful_markov_matches_batch_lead_form(spark, events_dir):
     ).filter(F.col("nxt").isNotNull())
     want_pairs = sorted((r["cur"], r["nxt"]) for r in seq.collect())
     assert want_pairs and got_pairs == want_pairs
+
+
+def test_stateful_page_hinkley_matches_batch_exactly(spark, events_dir):
+    """Streaming Page-Hinkley (4 int64s of state per key) reproduces the
+    batch w_page_hinkley_drift query BIT-FOR-BIT: both sides iterate the
+    same exact-integer micro-unit invariants (running sum, m_t, running
+    min), so ph and the alert agree with zero tolerance — the strongest
+    stream/batch parity in the detector family."""
+    from cse_datapipeline_and_mls_spark.queries import QUERIES
+
+    stream = ST.ingest_file_stream(spark, events_dir).dropDuplicates(["event_id"])
+    got = ST.run_to_memory_sink(
+        ST.page_hinkley_stream(stream, delta=0.5, threshold=50.0),
+        "ph_test",
+    )
+    # batch twin on the SAME rows: the registered query reads a
+    # sf-root-shaped dir, so write a DEDUPED copy there (the fixture
+    # carries 20 duplicate event_ids the stream's ingest dedup drops)
+    import os
+
+    sf_like = os.path.join(os.path.dirname(events_dir), "ph_sf_root")
+    tgt = os.path.join(sf_like, "events.parquet")
+    if not os.path.exists(tgt):
+        spark.read.parquet(events_dir).dropDuplicates(["event_id"]).coalesce(
+            1
+        ).write.parquet(tgt)
+    want = QUERIES["w_page_hinkley_drift"](spark, sf_like)
+    got_map = {r["event_id"]: (r["ph"], r["alert"]) for r in got.collect()}
+    want_map = {r["event_id"]: (r["ph"], r["alert"]) for r in want.collect()}
+    assert len(got_map) == 200
+    mismatches = {
+        k: (got_map[k], want_map[k])
+        for k in want_map
+        if got_map[k][0] != want_map[k][0] or got_map[k][1] != want_map[k][1]
+    }
+    assert not mismatches, f"{len(mismatches)} mismatches, e.g. {list(mismatches.items())[:3]}"
