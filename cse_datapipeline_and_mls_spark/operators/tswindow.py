@@ -533,6 +533,55 @@ def kaplan_meier(
     )
 
 
+def nelson_aalen(
+    subjects: DataFrame,
+    duration_col: str = "dur",
+    event_col: str = "ev",
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over the same subject
+    frame as :func:`kaplan_meier` (one row per subject; duration +
+    event/censor flag). Returns one row per EVENT duration:
+    ``(duration_days, n_at_risk, n_events, cum_hazard)`` with
+    H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ — KM's additive sibling, preferred when the
+    hazard itself (not survival) is the readout, and the standard
+    input to hazard-ratio eyeballing.
+
+    Same scale posture as kaplan_meier: subjects collapse to the
+    distinct-duration spine first, at-risk counts are the reverse
+    cumulative over that spine, and the spine_window guard names the
+    bound. Determinism is STRONGER than KM's ln/exp chain: each hazard
+    increment is quantized ONCE to an int64 nano-unit (floor of
+    dᵢ·1e9/nᵢ + .5 — one correctly-rounded division of exact integers)
+    and the cumulative sum runs in EXACT int64, order-independent, so
+    the output is a division of identical integers on any engine — the
+    w_page_hinkley_drift integer-innovation discipline applied to
+    survival analysis."""
+    dur, ev = F.col(duration_col), F.col(event_col)
+    grouped = subjects.groupBy(duration_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(ev).cast("long").alias("n_events"),
+    )
+    grouped, wk_base = spine_window(
+        grouped, [duration_col], max_rows=65536, label="na-duration-spine"
+    )
+    w_desc = Window.orderBy(dur.desc()).rowsBetween(Window.unboundedPreceding, 0)
+    risk = grouped.select(
+        dur,
+        "n_events",
+        F.sum("n_total").over(w_desc).alias("n_at_risk"),
+    ).filter(F.col("n_events") > 0)
+    hz9 = F.floor(
+        F.col("n_events") * 1000000000.0 / F.col("n_at_risk") + 0.5
+    ).cast("long")
+    wk = wk_base.rowsBetween(Window.unboundedPreceding, 0)
+    return risk.select(
+        dur.cast("long").alias("duration_days"),
+        "n_at_risk",
+        "n_events",
+        (F.sum(hz9).over(wk) / 1000000000.0).alias("cum_hazard"),
+    )
+
+
 def holt_constants(alpha: float, beta: float) -> dict:
     """Eigen-decomposition constants for the Holt linear (double
     exponential smoothing) closed form. The state recurrence

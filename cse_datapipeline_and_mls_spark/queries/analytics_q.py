@@ -721,6 +721,116 @@ def t_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cur", "nxt")
 
 
+def _survival_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared signup→purchase survival cohort: one row per signed-up
+    user with duration (days from first signup to first subsequent
+    purchase) and the event flag, right-censored at the corpus's last
+    event day — the subject frame both t_kaplan_meier_conversion and
+    t_nelson_aalen_hazard estimate over. Data-sized work is the two
+    user-keyed aggregations + one user-keyed join; the 1-row censor
+    reference broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    ref_day = ev.agg(F.date_trunc("day", F.max("ts")).cast("date").alias("ref_day"))
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    conv = (
+        signup.join(
+            purch,
+            (signup["user_id"] == purch["p_user"]) & (purch["pts"] > signup["t0"]),
+            "left",
+        )
+        .groupBy("user_id", "t0")
+        .agg(F.min("pts").alias("t1"))
+    )
+    return conv.crossJoin(F.broadcast(ref_day)).select(
+        F.when(
+            F.col("t1").isNotNull(),
+            F.datediff(
+                F.date_trunc("day", "t1").cast("date"),
+                F.date_trunc("day", "t0").cast("date"),
+            ),
+        )
+        .otherwise(
+            F.datediff(F.col("ref_day"), F.date_trunc("day", "t0").cast("date"))
+        )
+        .alias("dur"),
+        F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+
+
+# The signup→purchase survival cohort as oracle CTEs — the SQL twin of
+# _survival_subjects, shared verbatim by the KM and Nelson-Aalen oracles.
+_SURV_CTES = """
+    WITH ref AS (
+      SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS ref_day FROM events
+    ), signup AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+      SELECT s.user_id, s.t0, min(e.ts) AS t1
+      FROM signup s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts > s.t0
+      GROUP BY s.user_id, s.t0
+    ), subj AS (
+      SELECT user_id,
+             CASE WHEN t1 IS NOT NULL
+                  THEN date_diff('day', CAST(date_trunc('day', t0) AS DATE),
+                                        CAST(date_trunc('day', t1) AS DATE))
+                  ELSE date_diff('day', CAST(date_trunc('day', t0) AS DATE),
+                                        (SELECT ref_day FROM ref)) END AS dur,
+             CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM conv
+    ), grouped AS (
+      SELECT dur, CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(ev) AS BIGINT) AS n_events
+      FROM subj GROUP BY dur
+    ), risk AS (
+      SELECT dur, n_events,
+             CAST(sum(n_total) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_at_risk
+      FROM grouped
+    )"""
+
+
+@register(
+    "t_nelson_aalen_hazard",
+    oracle=f"""{_SURV_CTES}, hz AS (
+      SELECT dur, n_events, n_at_risk,
+             CAST(floor(n_events * 1000000000.0 / n_at_risk + 0.5) AS BIGINT)
+               AS hz9
+      FROM risk WHERE n_events > 0
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_days, n_at_risk, n_events,
+           CAST(sum(hz9) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) / 1000000000.0
+             AS cum_hazard
+    FROM hz ORDER BY duration_days
+    """,
+)
+def t_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard for the same signup→purchase
+    cohort as t_kaplan_meier_conversion — KM's additive sibling
+    (H(t) = Σ dᵢ/nᵢ), the estimator of choice when the hazard rate is
+    the readout. Stronger determinism than KM's ln/exp chain: each
+    increment quantizes once to an int64 nano-unit and the cumulative
+    sum is exact integer arithmetic (operators/tswindow.nelson_aalen),
+    so the output is a division of identical integers — no
+    transcendental parity surface at all. Same scale shape: user-keyed
+    aggregations, then everything windows over the duration spine."""
+    from ..operators.tswindow import nelson_aalen
+
+    subj = _survival_subjects(spark, sf_dir)
+    na = nelson_aalen(subj, "dur", "ev")
+    return na.orderBy("duration_days")
+
+
 @register(
     "t_kaplan_meier_conversion",
     oracle="""
@@ -781,39 +891,7 @@ def t_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-risk counts live in :func:`operators.tswindow.kaplan_meier`; the
     data-sized work here is the signup/purchase aggregations keyed on
     user_id — everything after the duration group-by is spine-sized."""
-    ev = load_table(spark, sf_dir, "events")
-    ref_day = ev.agg(F.date_trunc("day", F.max("ts")).cast("date").alias("ref_day"))
-    signup = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
-    )
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
-    )
-    conv = (
-        signup.join(
-            purch,
-            (signup["user_id"] == purch["p_user"]) & (purch["pts"] > signup["t0"]),
-            "left",
-        )
-        .groupBy("user_id", "t0")
-        .agg(F.min("pts").alias("t1"))
-    )
-    subj = conv.crossJoin(F.broadcast(ref_day)).select(
-        F.when(
-            F.col("t1").isNotNull(),
-            F.datediff(
-                F.date_trunc("day", "t1").cast("date"),
-                F.date_trunc("day", "t0").cast("date"),
-            ),
-        )
-        .otherwise(
-            F.datediff(F.col("ref_day"), F.date_trunc("day", "t0").cast("date"))
-        )
-        .alias("dur"),
-        F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("ev"),
-    )
+    subj = _survival_subjects(spark, sf_dir)
     km = kaplan_meier(subj, "dur", "ev")
     return km.select(
         "duration_days",

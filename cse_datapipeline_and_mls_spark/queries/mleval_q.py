@@ -693,3 +693,84 @@ def ml_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "ml_average_precision",
+    oracle=f"""{_SCORED_CTE}, g AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS np
+      FROM scored GROUP BY 1
+    ), c AS (
+      SELECT s, n, np,
+             CAST(coalesce(sum(n) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_n,
+             CAST(coalesce(sum(np) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_np
+      FROM g
+    ), t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS ntot, CAST(sum(np) AS BIGINT) AS n1
+      FROM g
+    ), ap AS (
+      SELECT sum((c.np * 1.0 / t.n1)
+                 * ((c.cum_np + c.np) * 1.0 / (c.cum_n + c.n))) AS ap
+      FROM c CROSS JOIN t
+    )
+    SELECT t.n1 AS n_pos, t.ntot - t.n1 AS n_neg,
+           floor(ap.ap * 1000000 + 0.5) / 1000000 AS avg_prec,
+           floor(ap.ap / (t.n1 * 1.0 / t.ntot) * 1000000 + 0.5) / 1000000
+             AS ap_lift
+    FROM ap CROSS JOIN t
+    """,
+)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, the
+    step-interpolation sklearn uses): AP = Σ_thresholds ΔR·P, one term
+    per DISTINCT score descending — the ranking metric that, unlike
+    AUC, weights the head of the ranking, which is what matters for
+    retrieval-style tasks with rare positives. Completes the ranking
+    family (exact AUC + lift/gain + AP). Ties are handled by treating
+    each distinct score as one threshold block (deterministic, unlike
+    per-row formulations that depend on tie order).
+
+    Same distributed spine as ml_auc_rank_exact: group by score,
+    distributed_prefix_sum for the descending cumulative (n, np) —
+    never a data-sized ordered window. Each term is a product of two
+    exact-integer ratios; only the cross-term SUM (float, summation
+    order) needs the q6, with ap_lift = AP over the random baseline
+    n_pos/N."""
+    sc = _scored(spark, sf_dir)
+    g = sc.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("np"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("ntot"),
+        F.sum("np").cast("long").alias("n1"),
+    )
+    c = distributed_prefix_sum(
+        g.withColumn("neg_s", -F.col("s")), ["neg_s"], ["n", "np"]
+    )
+    ap = (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.sum(
+                (F.col("np") * 1.0 / F.col("n1"))
+                * (
+                    (F.col("cum_np") + F.col("np"))
+                    * 1.0
+                    / (F.col("cum_n") + F.col("n"))
+                )
+            ).alias("ap")
+        )
+    )
+    return (
+        ap.crossJoin(F.broadcast(t))
+        .select(
+            F.col("n1").alias("n_pos"),
+            (F.col("ntot") - F.col("n1")).alias("n_neg"),
+            _q6(F.col("ap")).alias("avg_prec"),
+            _q6(F.col("ap") / (F.col("n1") * 1.0 / F.col("ntot"))).alias("ap_lift"),
+        )
+    )

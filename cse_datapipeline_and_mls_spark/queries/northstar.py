@@ -1271,3 +1271,89 @@ def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_leaky_naive"),
     )
+
+
+@register(
+    "x_embedding_int8_quantize",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), mm AS (
+      SELECT vec_id, ev,
+             list_min(ev) AS lo,
+             (list_max(ev) - list_min(ev)) / 255.0 AS scale
+      FROM b
+    ), q AS (
+      SELECT vec_id, lo, scale,
+             list_max(list_transform(ev, x ->
+               abs(lo
+                   + least(255, greatest(0,
+                       CAST(floor(coalesce((x - lo) / nullif(scale, 0.0), 0.0)
+                                  + 0.5) AS BIGINT)))
+                     * scale
+                   - x))) AS max_abs_err
+      FROM mm
+    )
+    SELECT vec_id,
+           floor(scale * 1000000 + 0.5) / 1000000 AS qscale,
+           floor(max_abs_err * 1000000 + 0.5) / 1000000 AS max_abs_err,
+           CAST(max_abs_err <= scale * 0.5000001 AS BOOLEAN) AS within_half_step
+    FROM q
+    """,
+)
+def x_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 affine quantization audit — the vector-store
+    prep step (4× smaller embeddings for the ANN index) with its
+    reconstruction error MEASURED per vector, not assumed: codes are
+    round((x−lo)/scale) into [0,255], and the output reports the
+    quantization step and the max absolute dequantization error, plus
+    the within-half-step verdict the affine scheme guarantees.
+
+    Pure map-side per-vector lambda work — zero shuffles, the ideal
+    100 TB shape (fuses into the scan; at cluster scale the codes
+    themselves would be written back as a byte array column). Every op
+    is a correctly-rounded IEEE primitive on doubles cast from the
+    same floats, so both engines agree to the bit; constant vectors
+    (scale 0) fall back to code 0 via nullif/coalesce rather than
+    dividing by zero."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    b = emb.select("vec_id", ev.alias("ev"))
+    mm = b.select(
+        "vec_id",
+        "ev",
+        F.array_min("ev").alias("lo"),
+        ((F.array_max("ev") - F.array_min("ev")) / 255.0).alias("scale"),
+    )
+    code = lambda x: F.least(  # noqa: E731
+        F.lit(255),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                F.coalesce(
+                    (x - F.col("lo")) / F.nullif(F.col("scale"), F.lit(0.0)),
+                    F.lit(0.0),
+                )
+                + 0.5
+            ).cast("long"),
+        ),
+    )
+    q = mm.select(
+        "vec_id",
+        "lo",
+        "scale",
+        F.array_max(
+            F.transform(
+                F.col("ev"),
+                lambda x: F.abs(F.col("lo") + code(x) * F.col("scale") - x),
+            )
+        ).alias("max_abs_err"),
+    )
+    return q.select(
+        "vec_id",
+        (F.floor(F.col("scale") * 1000000 + F.lit(0.5)) / 1000000).alias("qscale"),
+        (F.floor(F.col("max_abs_err") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "max_abs_err"
+        ),
+        (F.col("max_abs_err") <= F.col("scale") * 0.5000001).alias("within_half_step"),
+    )

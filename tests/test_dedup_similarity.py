@@ -480,3 +480,14 @@ def test_bracket_verdicts_flip_on_regressions(spark, sf_dir):
     ok = _ann_recall_verdict(exact, exact.select("query_id", "vec_id"), 0.7,
                              "recall_ok").collect()
     assert ok and all(r["recall_ok"] is True for r in ok)
+
+
+def test_int8_quantize_error_within_half_step(spark):
+    """Affine int8 quantization guarantee |x' - x| <= scale/2 holds for
+    every vector in the fixture corpus, and scale is (max-min)/255."""
+    from cse_datapipeline_and_mls_spark.queries import QUERIES
+
+    rows = QUERIES["x_embedding_int8_quantize"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    assert all(r["within_half_step"] for r in rows)
+    assert all(r["max_abs_err"] <= r["qscale"] * 0.51 for r in rows)

@@ -591,3 +591,36 @@ def test_ewma_control_chart_invariants(spark, sf_dir):
         assert r.lcl <= r.ucl
         flag = 1 if (r.ewma > r.ucl or r.ewma < r.lcl) else 0
         assert r.out_of_control == flag
+
+
+def test_nelson_aalen_closed_form(spark):
+    """Hand-computed NA curve: subjects (dur, ev) = 2 events at day 1,
+    1 censored at day 2, 1 event at day 3. H(1) = 2/4, H(3) = 2/4 + 1/1."""
+    from cse_datapipeline_and_mls_spark.operators.tswindow import nelson_aalen
+
+    subj = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 0), (3, 1)], "dur int, ev int"
+    )
+    rows = {r["duration_days"]: r for r in nelson_aalen(subj).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_at_risk"] == 4 and rows[1]["n_events"] == 2
+    assert abs(rows[1]["cum_hazard"] - 0.5) < 1e-9
+    assert rows[3]["n_at_risk"] == 1 and rows[3]["n_events"] == 1
+    assert abs(rows[3]["cum_hazard"] - 1.5) < 1e-9
+
+
+def test_nelson_aalen_dominates_km_log_survival(spark):
+    """H_NA(t) <= -ln(S_KM(t)) pointwise (from 1-x <= e^-x, so
+    S_KM <= exp(-H_NA)) on the shared real cohort — the textbook
+    relationship between the estimators."""
+    import math
+
+    from cse_datapipeline_and_mls_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    na = {r["duration_days"]: r["cum_hazard"] for r in QUERIES["t_nelson_aalen_hazard"](spark, sf).collect()}
+    km = {r["duration_days"]: r["survival"] for r in QUERIES["t_kaplan_meier_conversion"](spark, sf).collect()}
+    assert set(na) == set(km)
+    for d, h in na.items():
+        if km[d] > 0:
+            assert h <= -math.log(km[d]) + 1e-6, (d, h, km[d])

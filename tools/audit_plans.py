@@ -90,6 +90,8 @@ EXPECTED_CROSS = {
     "ml_target_encoding_loo", # 1-row global-rate fallback broadcast onto the fact scan
     "ml_conformal_interval",  # 1-row n_cal / q-hat broadcasts; prefix-sum theta join for the residual rank
     "x_pmi_collocations",     # two 1-row totals (N1, N2) broadcast onto the vocabulary-sized pair frame
+    "t_nelson_aalen_hazard",  # 1-row censoring-reference-day broadcast (same cohort build as t_kaplan_meier_conversion)
+    "ml_average_precision",   # 1-row totals broadcast + prefix-sum's partition-count theta self-join
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -119,13 +121,14 @@ EXPECTED_MANY_EXCHANGES = {
     "x_quantile_norm_doclen", # assign_dense_ids' range+pid stages + 100-row cutoff agg + per-source window; corpus joins broadcast-only
     "agg_lorenz_curve",       # checkpointed customer agg + assign_dense_ids' range/pid stages + totals + 9-group fold; every frame past the first agg is customer-sized
     "agg_spearman_rank_corr", # TWO prefix-sum rank maps (group + range + pid window + totals each) + the one fact-sized price-map join; every frame past the first aggs is distinct-value-sized
-    "x_boilerplate_segments",
+    "x_boilerplate_segments", # past the checkpointed (source,h,id) dedup: per-seg + per-source rollups, the affected-docs flag join + distinct + rollup, and the small audit join — each a distinct aggregation the census semantics require
     "ml_brier_decomposition", # 10-row bin agg + parts/rel/res 1-row folds + the global brier sum — each a distinct tiny aggregation of the SAME bin frame
+    "ml_average_precision",   # score-group agg + prefix-sum over TWO sum columns (range + pid stages) + 1-row AP fold; every frame past the first agg is distinct-score-sized
     "ml_lift_gain_deciles",   # score-group agg + prefix-sum (range + pid stages) + 10-row decile agg + 10-row cumulative; every frame past the first agg is distinct-score-sized
     "ml_threshold_sweep",     # 10-row bucket agg + totals + 9x10 broadcast sweep — frames past the bucket agg are <=10 rows
     "ml_conformal_interval",  # calib/test split aggs + per-type median ranks + residual prefix-sum + coverage fold; every frame past the group-by-value is distinct-value-sized
     "x_katz_copurchase",      # integer walk recurrence: 1 src-keyed join + 1 dst-keyed agg x 4 iterations past the checkpointed edge build is the algorithm (pagerank's shape)
-    "x_pmi_collocations",     # bigram-keyed count + token-keyed count + two vocabulary-sized unigram joins + top-k — the PMI definition's joins, all on count frames # past the checkpointed (source,h,id) dedup: per-seg + per-source rollups, the affected-docs flag join + distinct + rollup, and the small audit join — each a distinct aggregation the census semantics require
+    "x_pmi_collocations",     # bigram-keyed count + token-keyed count + two vocabulary-sized unigram joins + top-k — the PMI definition's joins, all on count frames
     "x_embedding_dim_truncation_recall",  # two independent rank windows (full + truncated top-10) + the overlap join + rollup — the eval's irreducible shape; every post-rank frame is 30 rows
     "x_jaccard_links",        # checkpointed edge/deg/wadj builds + the wedge self-join, pair agg, anti-join, and two endpoint-degree joins — the link-prediction shape's irreducible set
     "x_degree_distribution",  # the co-purchase edge build (self-join + count filter) + the two histogram aggs past the checkpointed edge list
