@@ -124,6 +124,7 @@ EXPECTED_MANY_EXCHANGES = {
     "x_boilerplate_segments", # past the checkpointed (source,h,id) dedup: per-seg + per-source rollups, the affected-docs flag join + distinct + rollup, and the small audit join — each a distinct aggregation the census semantics require
     "ml_brier_decomposition", # 10-row bin agg + parts/rel/res 1-row folds + the global brier sum — each a distinct tiny aggregation of the SAME bin frame
     "ml_average_precision",   # score-group agg + prefix-sum over TWO sum columns (range + pid stages) + 1-row AP fold; every frame past the first agg is distinct-score-sized
+    "ml_item_cooccurrence_recs",  # purchase dedup + bounded pair agg + per-item truncation window + candidate agg + ownership anti-join + per-customer top-3 — the item-kNN pipeline's stages, all part-/customer-keyed
     "ml_lift_gain_deciles",   # score-group agg + prefix-sum (range + pid stages) + 10-row decile agg + 10-row cumulative; every frame past the first agg is distinct-score-sized
     "ml_threshold_sweep",     # 10-row bucket agg + totals + 9x10 broadcast sweep — frames past the bucket agg are <=10 rows
     "ml_conformal_interval",  # calib/test split aggs + per-type median ranks + residual prefix-sum + coverage fold; every frame past the group-by-value is distinct-value-sized
