@@ -3545,3 +3545,210 @@ def x_katz_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("katz"), "partkey")
         .limit(25)
     )
+
+
+@register(
+    "j_bloom_prefilter_orders",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT c_custkey AS k FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ), js AS (
+      SELECT unnest(range(1, 4)) AS j
+    ), bits AS (
+      SELECT DISTINCT ('0x' || substring(md5(CAST(j AS VARCHAR) || ':'
+               || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 131072 AS bit
+      FROM dim CROSS JOIN js
+    ), keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+    ), probed AS (
+      SELECT keys.k,
+             CAST(sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits
+      FROM keys CROSS JOIN js
+      LEFT JOIN bits b
+        ON b.bit = ('0x' || substring(md5(CAST(js.j AS VARCHAR) || ':'
+                      || CAST(keys.k AS VARCHAR)), 1, 8))::BIGINT % 131072
+      GROUP BY 1
+    ), pass AS (
+      SELECT k FROM probed WHERE hits = 3
+    ), nums AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM dim) AS n_member_keys,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders o JOIN dim d ON d.k = o.o_custkey)
+          AS n_true_rows,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders o JOIN pass p ON p.k = o.o_custkey)
+          AS n_candidate_rows,
+        (SELECT CAST(count(*) AS BIGINT) FROM dim d LEFT JOIN pass p ON p.k = d.k
+         WHERE p.k IS NULL) AS n_false_negative_keys
+    )
+    SELECT n_member_keys, n_rows, n_true_rows, n_candidate_rows,
+           n_false_negative_keys,
+           (n_candidate_rows - n_true_rows) * 1.0
+             / nullif(n_rows - n_true_rows, 0) AS fp_row_rate
+    FROM nums
+    """,
+)
+def j_bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, fully replayed: a 2¹⁷-bit /
+    3-hash (md5-derived, engine-invariant) Bloom filter built from the
+    BUILDING-segment customer keys pre-filters the orders fact table
+    before any shuffle join — the map-side runtime-filter pattern that
+    at 100 TB deletes ~¾ of the fact-side shuffle for a ¼-selective
+    dim (Spark's own runtime bloom does this opaquely;
+    spark.sql.optimizer.runtime.bloomFilter — this query makes the
+    mechanics measurable). Output is the filter's measured contract:
+    ZERO false-negative keys (the Bloom guarantee — a hash-membership
+    identity, not luck) and the exact false-positive row rate
+    (load factor ≈ 3·|keys|/2¹⁷ keeps it ≈0 here; the m/k trade is the
+    knob). Probing runs on DISTINCT keys (dim-cardinality, not
+    fact-cardinality) against the broadcast bit set; every count is an
+    exact integer, so the whole audit hash-checks with no margins."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    three = F.array(F.lit(1), F.lit(2), F.lit(3))
+
+    def bloom_bit(j_col, k_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(j_col.cast("string"), F.lit(":"), k_col.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 131072
+        )
+
+    bits = (
+        dim.select(F.explode(three).alias("j"), "k")
+        .select(bloom_bit(F.col("j"), F.col("k")).alias("bit"))
+        .distinct()
+    )
+    keys = orders.select(F.col("o_custkey").alias("k")).distinct()
+    probed = (
+        keys.select("k", F.explode(three).alias("j"))
+        .withColumn("bit", bloom_bit(F.col("j"), F.col("k")))
+        .join(F.broadcast(bits.withColumnRenamed("bit", "hit_bit")),
+              F.col("bit") == F.col("hit_bit"), "left")
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("hit_bit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("hits")
+        )
+    )
+    pass_keys = probed.filter(F.col("hits") == 3).select("k")
+    n_member_keys = dim.count()
+    n_rows = orders.count()
+    n_true = orders.join(F.broadcast(dim), orders["o_custkey"] == dim["k"], "left_semi").count()
+    n_cand = orders.join(
+        F.broadcast(pass_keys), orders["o_custkey"] == pass_keys["k"], "left_semi"
+    ).count()
+    n_fn = dim.join(F.broadcast(pass_keys), "k", "left_anti").count()
+    row = [(n_member_keys, n_rows, n_true, n_cand, n_fn)]
+    out = spark.createDataFrame(
+        row,
+        "n_member_keys long, n_rows long, n_true_rows long, "
+        "n_candidate_rows long, n_false_negative_keys long",
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("n_candidate_rows") - F.col("n_true_rows"))
+            * 1.0
+            / F.nullif(F.col("n_rows") - F.col("n_true_rows"), F.lit(0))
+        ).alias("fp_row_rate"),
+    )
+
+
+@register(
+    "x_join_skew_diagnostics",
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ), cc AS (
+      SELECT cnt, CAST(count(*) AS BIGINT) AS freq FROM c GROUP BY 1
+    ), cs AS (
+      SELECT cnt, freq,
+             CAST(sum(freq) OVER (ORDER BY cnt ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS cum
+      FROM cc
+    ), t AS (
+      SELECT CAST(sum(freq) AS BIGINT) AS n_keys,
+             CAST(sum(cnt * freq) AS BIGINT) AS total,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM cc
+    ), p50 AS (
+      SELECT min(cnt) AS v FROM cs CROSS JOIN t
+      WHERE cum >= CAST(floor((t.n_keys + 1) / 2.0) AS BIGINT)
+    ), p99 AS (
+      SELECT min(cnt) AS v FROM cs CROSS JOIN t
+      WHERE cum >= CAST(floor((99 * t.n_keys + 99) / 100.0) AS BIGINT)
+    )
+    SELECT t.n_keys, t.total, t.max_cnt,
+           p50.v AS p50_cnt, p99.v AS p99_cnt,
+           t.max_cnt * 1.0 * t.n_keys / t.total AS skew_ratio,
+           t.max_cnt * 1.0 / t.total AS top1_share
+    FROM t CROSS JOIN p50 CROSS JOIN p99
+    """,
+)
+def x_join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report for a prospective shuffle key (lineitem's
+    partkey): key count, hottest-key multiplicity, p50/p99 per-key row
+    counts, max/mean skew ratio and the hottest key's share — the
+    numbers that DECIDE between a plain shuffle join, AQE skew
+    splitting, and salting before the job runs (the engine's salted
+    variants exist; this is the operator that tells you when to reach
+    for them). Percentiles are exact order statistics computed on the
+    count-of-counts frame (|distinct multiplicities| rows — hundreds,
+    not keys), so after the one key-count shuffle everything is
+    spine-sized; the spine window is the guarded bounded contract.
+    All outputs are exact integers or single divisions of them — no
+    rounding margins anywhere."""
+    from ..operators.tswindow import spine_window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cc = c.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    cc, w_base = spine_window(cc, ["cnt"], max_rows=65536, label="skew-count-spine")
+    w = w_base.rowsBetween(Window.unboundedPreceding, 0)
+    cs = cc.select("cnt", "freq", F.sum("freq").over(w).cast("long").alias("cum"))
+    t = cc.agg(
+        F.sum("freq").cast("long").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("freq")).cast("long").alias("total"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    cs_t = cs.crossJoin(F.broadcast(t))
+    p50 = cs_t.filter(
+        F.col("cum") >= F.floor((F.col("n_keys") + 1) / 2.0).cast("long")
+    ).agg(F.min("cnt").alias("v50"))
+    p99 = cs_t.filter(
+        F.col("cum") >= F.floor((99 * F.col("n_keys") + 99) / 100.0).cast("long")
+    ).agg(F.min("cnt").alias("v99"))
+    return (
+        t.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            "n_keys",
+            "total",
+            "max_cnt",
+            F.col("v50").alias("p50_cnt"),
+            F.col("v99").alias("p99_cnt"),
+            (F.col("max_cnt") * 1.0 * F.col("n_keys") / F.col("total")).alias(
+                "skew_ratio"
+            ),
+            (F.col("max_cnt") * 1.0 / F.col("total")).alias("top1_share"),
+        )
+    )

@@ -774,3 +774,55 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             _q6(F.col("ap") / (F.col("n1") * 1.0 / F.col("ntot"))).alias("ap_lift"),
         )
     )
+
+
+@register(
+    "ml_mrr_by_segment",
+    oracle=f"""{_SCORED_CTE}, best AS (
+      SELECT event_type, max(CASE WHEN y = 1 THEN s END) AS s_best
+      FROM scored GROUP BY 1
+    ), rnk AS (
+      SELECT s.event_type,
+             CAST(sum(CASE WHEN s.s > b.s_best THEN 1 ELSE 0 END) + 1 AS BIGINT)
+               AS first_pos_rank,
+             CAST(count(*) AS BIGINT) AS n_ranked
+      FROM scored s JOIN best b USING (event_type)
+      WHERE b.s_best IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT event_type, n_ranked, first_pos_rank,
+           1.0 / first_pos_rank AS reciprocal_rank
+    FROM rnk ORDER BY event_type
+    """,
+)
+def ml_mrr_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the first relevant result per segment (the
+    per-query half of MRR, with event_type as the query key): rank of
+    the best-scored positive = 1 + count of rows scored strictly
+    above it. Computed WITHOUT ranking anything — two aggregates and
+    a broadcast join (max positive score per segment, then one
+    conditional count against it), so no per-segment sort exists to
+    skew at 100 TB; the standard window formulation would funnel each
+    segment through one task. Exact integers + one exact division —
+    no rounding step. Segments with no positive drop (rank undefined),
+    mirrored by the oracle's IS NOT NULL guard."""
+    sc = _scored(spark, sf_dir)
+    best = sc.groupBy("event_type").agg(
+        F.max(F.when(F.col("y") == 1, F.col("s"))).alias("s_best")
+    )
+    rnk = (
+        sc.join(F.broadcast(best.filter(F.col("s_best").isNotNull())), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.sum(F.when(F.col("s") > F.col("s_best"), 1).otherwise(0)) + 1)
+            .cast("long")
+            .alias("first_pos_rank"),
+            F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        )
+    )
+    return rnk.select(
+        "event_type",
+        "n_ranked",
+        "first_pos_rank",
+        (F.lit(1.0) / F.col("first_pos_rank")).alias("reciprocal_rank"),
+    ).orderBy("event_type")

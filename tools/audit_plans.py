@@ -92,6 +92,7 @@ EXPECTED_CROSS = {
     "x_pmi_collocations",     # two 1-row totals (N1, N2) broadcast onto the vocabulary-sized pair frame
     "t_nelson_aalen_hazard",  # 1-row censoring-reference-day broadcast (same cohort build as t_kaplan_meier_conversion)
     "ml_average_precision",   # 1-row totals broadcast + prefix-sum's partition-count theta self-join
+    "x_join_skew_diagnostics",# 1-row totals + 1-row p50/p99 order-statistic frames broadcast onto the count-of-counts spine
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -125,6 +126,7 @@ EXPECTED_MANY_EXCHANGES = {
     "ml_brier_decomposition", # 10-row bin agg + parts/rel/res 1-row folds + the global brier sum — each a distinct tiny aggregation of the SAME bin frame
     "ml_average_precision",   # score-group agg + prefix-sum over TWO sum columns (range + pid stages) + 1-row AP fold; every frame past the first agg is distinct-score-sized
     "ml_item_cooccurrence_recs",  # purchase dedup + bounded pair agg + per-item truncation window + candidate agg + ownership anti-join + per-customer top-3 — the item-kNN pipeline's stages, all part-/customer-keyed
+    "x_join_skew_diagnostics",# key-count shuffle + count-of-counts agg + spine cumsum + totals + two order-statistic folds; every frame past the first agg is multiplicity-spine-sized
     "ml_lift_gain_deciles",   # score-group agg + prefix-sum (range + pid stages) + 10-row decile agg + 10-row cumulative; every frame past the first agg is distinct-score-sized
     "ml_threshold_sweep",     # 10-row bucket agg + totals + 9x10 broadcast sweep — frames past the bucket agg are <=10 rows
     "ml_conformal_interval",  # calib/test split aggs + per-type median ranks + residual prefix-sum + coverage fold; every frame past the group-by-value is distinct-value-sized
