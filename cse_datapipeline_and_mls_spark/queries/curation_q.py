@@ -505,3 +505,114 @@ def x_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_boilerplate_audit(
         docs, "text", "doc_id", "source", seg_words=8, min_docs=2
     ).orderBy("source")
+
+
+def _greedy_coverage_oracle(k: int = 5) -> str:
+    """Unrolled greedy max-coverage twin: k rounds, each one
+    MATERIALIZED (gains, argmax, covered-set) CTE triple. Gains are
+    exact integers and the argmax tiebreaks on doc_id, so the greedy
+    trajectory is a total deterministic function of the corpus."""
+    sql = """
+    WITH words AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)),
+               '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), tokens AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
+      FROM words
+    ), grams AS (
+      SELECT doc_id,
+             word || ' ' || lead(word, 1) OVER win || ' '
+                  || lead(word, 2) OVER win AS g
+      FROM tokens WINDOW win AS (PARTITION BY doc_id ORDER BY idx)
+      QUALIFY lead(word, 2) OVER win IS NOT NULL
+    ), dg AS MATERIALIZED (
+      SELECT DISTINCT doc_id, g FROM grams
+    ), g1 AS MATERIALIZED (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM dg GROUP BY 1
+    ), s1 AS MATERIALIZED (
+      SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1
+    ), c1 AS MATERIALIZED (
+      SELECT DISTINCT d.g FROM dg d JOIN s1 USING (doc_id)
+    )"""
+    for r in range(2, k + 1):
+        p = r - 1
+        sel_union = " UNION ALL ".join(
+            f"SELECT doc_id FROM s{i}" for i in range(1, r)
+        )
+        sql += f""", g{r} AS MATERIALIZED (
+      SELECT d.doc_id, CAST(count(*) AS BIGINT) AS gain
+      FROM dg d LEFT JOIN c{p} ON c{p}.g = d.g
+      WHERE c{p}.g IS NULL
+        AND d.doc_id NOT IN ({sel_union})
+      GROUP BY 1
+    ), s{r} AS MATERIALIZED (
+      SELECT doc_id, gain FROM g{r} ORDER BY gain DESC, doc_id LIMIT 1
+    ), c{r} AS MATERIALIZED (
+      SELECT g FROM c{p}
+      UNION
+      SELECT d.g FROM dg d JOIN s{r} USING (doc_id)
+    )"""
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, doc_id, gain, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM c{r}) AS covered_total FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    sql += f"""
+    SELECT CAST(rnd AS BIGINT) AS rnd, doc_id, gain, covered_total
+    FROM ({rows}) ORDER BY rnd
+    """
+    return sql
+
+
+@register("x_coverage_greedy_selection", oracle=_greedy_coverage_oracle(k=5))
+def x_coverage_greedy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage data selection (the facility-location /
+    submodular-subset-selection primitive behind data-efficient
+    training-set curation): pick 5 documents one at a time, each round
+    choosing the document adding the most not-yet-covered word-3-gram
+    shingles (gain ties break on doc_id). Returns the greedy
+    trajectory — (round, doc_id, marginal gain, cumulative distinct
+    shingles covered). The 1−1/e approximation guarantee is the
+    classic Nemhauser-Wolsey result; gains are exact integers, so the
+    whole trajectory hash-checks.
+
+    Scale shape: the (doc, shingle) pair frame materializes ONCE
+    (localCheckpoint) and each round is one BROADCAST anti-join
+    against the covered set (≤ Σ selected docs' shingles — k·doc-sized,
+    never corpus-sized) + one doc-keyed count + a k-sized driver
+    argmax. k passes over the pair frame is the honest cost of exact
+    greedy; at production k, switch to stochastic-greedy (subsample
+    candidates per round) or lazy evaluation — same operator shape,
+    documented here rather than silently approximated."""
+    docs = load_table(spark, sf_dir, "documents")
+    dg = (
+        D.shingle(docs, "text", n=3)
+        .select("doc_id", F.explode("shingles").alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered: DataFrame | None = None
+    selected: list[int] = []
+    rows: list[tuple[int, int, int, int]] = []
+    for r in range(1, 6):
+        rem = dg if covered is None else dg.join(F.broadcast(covered), "g", "left_anti")
+        if selected:
+            rem = rem.filter(~F.col("doc_id").isin(selected))
+        gains = rem.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("gain"))
+        top = gains.orderBy(F.desc("gain"), "doc_id").limit(1).collect()
+        if not top:
+            break
+        doc_id, gain = top[0]["doc_id"], top[0]["gain"]
+        selected.append(doc_id)
+        new_cov = dg.filter(F.col("doc_id") == doc_id).select("g")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint(eager=True)
+        rows.append((r, doc_id, gain, covered.count()))
+    return spark.createDataFrame(
+        rows, "rnd long, doc_id long, gain long, covered_total long"
+    )

@@ -1172,6 +1172,213 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
             spark.conf.set(k, v)
     out["bfs_round_hub_skew"] = res_b
 
+    # 24. r9 model-evaluation family: the deterministic score build +
+    # 10-bin calibration agg — map-side expression work + one 10-key
+    # partial-aggregated shuffle. The flattest shape in the engine;
+    # any ratio drift here means the md5/conv expression chain stopped
+    # fusing into the scan.
+    def _scored_scaled(one):
+        ev = scaled_events(spark, 1 if one else k_events)
+        h = (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+        )
+        z = (F.col("value") - 50.0) / 30.0 + ((h % 2001) - 1000) / F.lit(1000.0)
+        return ev.select(
+            "event_id",
+            "event_type",
+            F.when(F.col("value") >= 50.0, 1).otherwise(0).cast("long").alias("y"),
+            (F.lit(0.5) + z / (2.0 * (1.0 + F.abs(z)))).alias("s"),
+        )
+
+    def calibration(one):
+        sc = _scored_scaled(one)
+        return sc.groupBy(F.floor(F.col("s") * 10).cast("long").alias("bin")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+
+    case(
+        "mleval_calibration_events",
+        calibration,
+        n_rows_fn=lambda one: scaled_events(spark, 1 if one else k_events).count(),
+    )
+
+    # 25. Exact rank-AUC where the score is per-row unique, so the
+    # group-by-score spine is DATA-SIZED — the hard direction for the
+    # prefix-sum rank machinery (value-ranks above collapse ties; this
+    # case can't). Flat per-input-row cost = the two-phase range
+    # partition absorbs a data-sized ordered spine.
+    def rank_auc(one):
+        sc = _scored_scaled(one)
+        g = sc.groupBy("s").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("np"),
+        )
+        c = distributed_prefix_sum(g, ["s"], ["n"])
+        return c.agg(
+            F.sum("np").cast("long").alias("n1"),
+            F.sum("n").cast("long").alias("ntot"),
+            F.sum(F.col("np") * (2 * F.col("cum_n") + F.col("n") + 1))
+            .cast("long")
+            .alias("r1x2"),
+        )
+
+    case(
+        "rank_auc_unique_scores_events",
+        rank_auc,
+        n_rows_fn=lambda one: scaled_events(spark, 1 if one else k_events).count(),
+    )
+
+    # 26. Katz integer walk counts on the scaled co-purchase graph —
+    # pagerank's per-iteration exchange shape with int64 payloads.
+    from cse_datapipeline_and_mls_spark.operators.graph import katz_centrality
+
+    res_k = {}
+    for label, kk in (("1x", 1), (f"{k_graph}x", k_graph)):
+        e_half = copurchase_edges(kk)
+        e_sym = e_half.unionByName(
+            e_half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        n_edges = e_sym.count()
+        t0 = time.time()
+        katz_centrality(e_sym, iters=4).write.format("noop").mode("overwrite").save()
+        sec = time.time() - t0
+        res_k[label] = {
+            "rows": n_edges,
+            "sec": round(sec, 2),
+            "us_per_row": round(sec / n_edges * 1e6, 3),
+        }
+    res_k["per_row_ratio"] = round(
+        res_k[f"{k_graph}x"]["us_per_row"] / res_k["1x"]["us_per_row"], 2
+    )
+    out["katz_walks_copurchase_edges"] = res_k
+
+    # 27. Item-kNN recommendations over key-shifted copies of the
+    # purchase graph (orders AND customers shift together, so each copy
+    # is an independent marketplace — per-copy work is constant and the
+    # total must scale linearly). Stresses the bounded pair build, the
+    # per-item truncation window, and the candidate join's 20x cap.
+    def item_knn(one):
+        kk = 1 if one else k_graph
+        o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+        copies = spark.range(kk).select(F.col("id").alias("_k"))
+        o = o.crossJoin(copies).select(
+            (F.col("o_orderkey") + F.col("_k") * 100_000_000).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("_k") * 10_000_000).alias("o_custkey"),
+        )
+        li = li.crossJoin(spark.range(kk).select(F.col("id").alias("_k2"))).select(
+            (F.col("l_orderkey") + F.col("_k2") * 100_000_000).alias("l_orderkey"),
+            (F.col("l_partkey") + F.col("_k2") * 10_000_000).alias("l_partkey"),
+        )
+        from pyspark.sql import Window as W
+
+        pur = (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+            .distinct()
+        )
+        a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+        b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+        pairs = (
+            a.join(b, "k")
+            .filter(F.col("pa") != F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        )
+        topnb = (
+            pairs.withColumn(
+                "nrn", F.row_number().over(W.partitionBy("pa").orderBy(F.desc("co"), "pb"))
+            )
+            .filter(F.col("nrn") <= 20)
+            .drop("nrn")
+        )
+        cand = (
+            pur.join(topnb, pur["part"] == topnb["pa"])
+            .groupBy("cust", "pb")
+            .agg(F.sum("co").cast("long").alias("score"))
+            .withColumnRenamed("pb", "part")
+        )
+        fresh = cand.join(pur, ["cust", "part"], "left_anti")
+        return fresh.withColumn(
+            "rnk", F.row_number().over(W.partitionBy("cust").orderBy(F.desc("score"), "part"))
+        ).filter(F.col("rnk") <= 3)
+
+    def item_knn_input_rows(one):
+        kk = 1 if one else k_graph
+        return load_table(spark, SF_DIR, "lineitem").count() * kk
+
+    res_i = {}
+    for label, one in (("1x", True), (f"{k_graph}x", False)):
+        df = item_knn(one)
+        n = item_knn_input_rows(one)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        sec = time.time() - t0
+        res_i[label] = {
+            "rows": n,
+            "sec": round(sec, 2),
+            "us_per_row": round(sec / n * 1e6, 3),
+        }
+    res_i["per_row_ratio"] = round(
+        res_i[f"{k_graph}x"]["us_per_row"] / res_i["1x"]["us_per_row"], 2
+    )
+    out["item_knn_recs_lineitem"] = res_i
+
+    # 28. Bloom prefilter probe over scaled events keyed by user_id —
+    # the bit build is dim-sized, probing is distinct-key-sized, and
+    # the row filter is a broadcast semi-join: per-row cost must stay
+    # flat because nothing here shuffles the fact table at all.
+    def bloom_probe(one):
+        ev = scaled_events(spark, 1 if one else k_events)
+        dim = ev.filter(F.col("user_id") % 4 == 0).select(F.col("user_id").alias("k")).distinct()
+        three = F.array(F.lit(1), F.lit(2), F.lit(3))
+
+        def bbit(j_col, k_col):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(j_col.cast("string"), F.lit(":"), k_col.cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 131072
+            )
+
+        bits = (
+            dim.select(F.explode(three).alias("j"), "k")
+            .select(bbit(F.col("j"), F.col("k")).alias("bit"))
+            .distinct()
+        )
+        keys = ev.select(F.col("user_id").alias("k")).distinct()
+        probed = (
+            keys.select("k", F.explode(three).alias("j"))
+            .withColumn("bit", bbit(F.col("j"), F.col("k")))
+            .join(
+                F.broadcast(bits.withColumnRenamed("bit", "hit_bit")),
+                F.col("bit") == F.col("hit_bit"),
+                "left",
+            )
+            .groupBy("k")
+            .agg(
+                F.sum(F.when(F.col("hit_bit").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("hits")
+            )
+        )
+        pass_keys = probed.filter(F.col("hits") == 3).select("k")
+        return ev.join(F.broadcast(pass_keys), ev["user_id"] == pass_keys["k"], "left_semi")
+
+    case(
+        "bloom_prefilter_events",
+        bloom_probe,
+        n_rows_fn=lambda one: scaled_events(spark, 1 if one else k_events).count(),
+    )
+
     return out
 
 
