@@ -1,8 +1,8 @@
 """Model-evaluation + leakage-safe feature-engineering queries.
 
-The reference evaluates its classifier with AUC / accuracy / confusion
-counts (ml-models/classifier.py) but computes them driver-side on a
-collected pandas frame; this module re-expresses the whole evaluation
+The reference evaluates its classifier with accuracy computed
+driver-side on collected predictions (ml-algorithms/classifier.py:
+89-90); this module re-expresses the whole evaluation
 toolbox as DISTRIBUTED, hash-checkable queries — the shapes every
 training-data pipeline needs between "features built" and "model
 shipped": calibration curves, Brier decomposition, exact rank-AUC,
@@ -89,8 +89,8 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability-curve bins: scores cut into 10 equal-width bins,
     each reporting mean predicted probability vs realized positive
     rate — the standard calibration diagnostic the reference's
-    collected-pandas metrics step (ml-models/classifier.py) never
-    distributes. ONE map-side bin assignment + ONE 10-group agg: at
+    driver-side metrics step (ml-algorithms/classifier.py:89-90)
+    never distributes. ONE map-side bin assignment + ONE 10-group agg: at
     100 TB this is a single partial-aggregating shuffle of 10 keys.
     pos_rate is an exact int/int division (bit-identical everywhere);
     only avg_score (float sum order) needs q6."""
