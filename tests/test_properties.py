@@ -335,3 +335,43 @@ def test_word_ngrams_matches_naive_python(spark, texts, n):
         ws = re.sub(r"[ \t\n\r]+", " ", t.lower().strip()).split(" ")
         want = [" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)]
         assert got[i] == want, (t, n)
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=14,
+    ),
+    iters=st.integers(min_value=1, max_value=4),
+)
+def test_katz_walk_counts_match_matrix_powers(spark, edges, iters):
+    """katz_centrality's integer walk counts equal the column sums of
+    the adjacency-matrix powers (walks_k(v) = (1ᵀAᵏ)_v) on random
+    digraphs — the linear-algebra definition as the oracle. Duplicate
+    edges in the input are NOT deduped by the operator (a multigraph
+    reading), so dedupe here to fix the semantics."""
+    import numpy as np
+
+    uniq = sorted(set(edges))
+    df = spark.createDataFrame(uniq, "src long, dst long")
+    out = {r["node"]: r for r in __import__(
+        "cse_datapipeline_and_mls_spark.operators.graph", fromlist=["katz_centrality"]
+    ).katz_centrality(df, iters=iters, alpha_inv=20).collect()}
+    nodes = sorted({n for e in uniq for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    for s, d in uniq:
+        A[idx[s], idx[d]] = 1
+    ones = np.ones(len(nodes), dtype=np.int64)
+    walks = []
+    v = ones
+    for _ in range(iters):
+        v = v @ A  # row vector times A: walks ending at each node
+        walks.append(v.copy())
+    for n in nodes:
+        for k in range(1, iters + 1):
+            assert out[n][f"w{k}"] == walks[k - 1][idx[n]], (n, k)
+        expect = sum(walks[k - 1][idx[n]] / float(20**k) for k in range(1, iters + 1))
+        assert abs(out[n]["katz"] - expect) < 1e-12
