@@ -2358,3 +2358,74 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_weeks")
     )
+
+
+@register(
+    "agg_trimmed_mean_revenue",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS v, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ), c AS (
+      SELECT v, n,
+             CAST(coalesce(sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      FROM g
+    ), t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS ntot FROM g
+    ), k AS (
+      SELECT CAST(floor(ntot * 0.05) AS BIGINT) AS lo_k, ntot FROM t
+    ), kept AS (
+      SELECT c.v,
+             greatest(0, least(c.cum + c.n, k.ntot - k.lo_k)
+                         - greatest(c.cum, k.lo_k)) AS kn
+      FROM c CROSS JOIN k
+    )
+    SELECT k.ntot AS n_total, k.lo_k AS n_trimmed_each_side,
+           floor(sum(kept.kn * kept.v) / (k.ntot - 2 * k.lo_k)
+                 * 1000000 + 0.5) / 1000000 AS trimmed_mean
+    FROM kept CROSS JOIN k GROUP BY k.ntot, k.lo_k
+    """,
+)
+def agg_trimmed_mean_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed mean of order revenue — the robust location
+    estimate between the mean (outlier-hostage) and the median
+    (discards everything but rank), completing the robust family
+    (MAD / Tukey fences / winsorize / Theil-Sen). Trim boundaries are
+    EXACT integer ranks: group by value, distributed_prefix_sum for
+    each group's position interval (cum, cum+n], then the kept count
+    per group is the integer overlap with (⌊0.05N⌋, N−⌊0.05N⌋] —
+    greatest/least arithmetic, no data-sized sort, tie groups handled
+    exactly (a value straddling the cut contributes only its in-range
+    multiplicity). One weighted sum over the distinct-value frame
+    (float, q6'd) finishes it."""
+    from ..operators.relational import distributed_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    c = distributed_prefix_sum(g, ["v"], ["n"])
+    t = g.agg(F.sum("n").cast("long").alias("ntot"))
+    k = t.select(
+        F.floor(F.col("ntot") * 0.05).cast("long").alias("lo_k"), "ntot"
+    )
+    kept = c.crossJoin(F.broadcast(k)).select(
+        "v",
+        "ntot",
+        "lo_k",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("cum_n") + F.col("n"), F.col("ntot") - F.col("lo_k"))
+            - F.greatest(F.col("cum_n"), F.col("lo_k")),
+        ).alias("kn"),
+    )
+    return kept.groupBy("ntot", "lo_k").agg(
+        _q6(
+            F.sum(F.col("kn") * F.col("v")) / (F.col("ntot") - 2 * F.col("lo_k"))
+        ).alias("trimmed_mean")
+    ).select(
+        F.col("ntot").alias("n_total"),
+        F.col("lo_k").alias("n_trimmed_each_side"),
+        "trimmed_mean",
+    )

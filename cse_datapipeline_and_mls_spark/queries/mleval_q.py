@@ -826,3 +826,76 @@ def ml_mrr_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_pos_rank",
         (F.lit(1.0) / F.col("first_pos_rank")).alias("reciprocal_rank"),
     ).orderBy("event_type")
+
+
+@register(
+    "ml_ks_discrimination",
+    oracle=f"""{_SCORED_CTE}, g AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS np
+      FROM scored GROUP BY 1
+    ), c AS (
+      SELECT s,
+             CAST(sum(np) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum_pos,
+             CAST(sum(n - np) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS cum_neg
+      FROM g
+    ), t AS (
+      SELECT CAST(sum(np) AS BIGINT) AS n1, CAST(sum(n - np) AS BIGINT) AS n0
+      FROM g
+    ), d AS (
+      SELECT c.s,
+             abs(c.cum_pos * 1.0 / t.n1 - c.cum_neg * 1.0 / t.n0) AS diff
+      FROM c CROSS JOIN t
+    )
+    SELECT t.n1 AS n_pos, t.n0 AS n_neg,
+           m.diff AS ks_stat, m.s AS at_score
+    FROM (SELECT s, diff FROM d ORDER BY diff DESC, s LIMIT 1) m CROSS JOIN t
+    """,
+)
+def ml_ks_discrimination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov discrimination statistic between the positive
+    and negative SCORE distributions — credit scoring's standard
+    separation metric (KS ≈ 0 → the model can't tell the classes
+    apart; the existing agg_ks_price_drift compares two TIME windows,
+    this compares the two LABEL classes). D = max |ECDF₁ − ECDF₀| over
+    distinct scores, each ECDF value a single division of exact int64
+    cumulative counts (bit-identical across engines), the max taken
+    with a smallest-score tiebreak so the argmax row hashes too.
+
+    Same distributed spine as the rank-AUC: group by score,
+    distributed_prefix_sum over BOTH class counts, one 1-row totals
+    broadcast — never a data-sized ordered window. INCLUSIVE
+    cumulatives (dps's exclusive prefix + the row's own count) in both
+    engines."""
+    sc = _scored(spark, sf_dir)
+    g = sc.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("np"),
+    )
+    g = g.withColumn("nn", F.col("n") - F.col("np"))
+    c = distributed_prefix_sum(g, ["s"], ["np", "nn"])
+    t = g.agg(
+        F.sum("np").cast("long").alias("n1"),
+        F.sum("nn").cast("long").alias("n0"),
+    )
+    d = (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "s",
+            F.abs(
+                (F.col("cum_np") + F.col("np")) * 1.0 / F.col("n1")
+                - (F.col("cum_nn") + F.col("nn")) * 1.0 / F.col("n0")
+            ).alias("diff"),
+        )
+    )
+    m = d.orderBy(F.desc("diff"), "s").limit(1)
+    return (
+        m.crossJoin(F.broadcast(t))
+        .select(
+            F.col("n1").alias("n_pos"),
+            F.col("n0").alias("n_neg"),
+            F.col("diff").alias("ks_stat"),
+            F.col("s").alias("at_score"),
+        )
+    )

@@ -93,6 +93,8 @@ EXPECTED_CROSS = {
     "t_nelson_aalen_hazard",  # 1-row censoring-reference-day broadcast (same cohort build as t_kaplan_meier_conversion)
     "ml_average_precision",   # 1-row totals broadcast + prefix-sum's partition-count theta self-join
     "x_join_skew_diagnostics",# 1-row totals + 1-row p50/p99 order-statistic frames broadcast onto the count-of-counts spine
+    "ml_ks_discrimination",   # 1-row class-totals broadcast + prefix-sum theta join; argmax is a 1-row TakeOrdered
+    "agg_trimmed_mean_revenue",  # 1-row (N, trim-rank) broadcast onto the distinct-value frame + prefix-sum theta join
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -126,6 +128,8 @@ EXPECTED_MANY_EXCHANGES = {
     "ml_brier_decomposition", # 10-row bin agg + parts/rel/res 1-row folds + the global brier sum — each a distinct tiny aggregation of the SAME bin frame
     "ml_average_precision",   # score-group agg + prefix-sum over TWO sum columns (range + pid stages) + 1-row AP fold; every frame past the first agg is distinct-score-sized
     "ml_item_cooccurrence_recs",  # purchase dedup + bounded pair agg + per-item truncation window + candidate agg + ownership anti-join + per-customer top-3 — the item-kNN pipeline's stages, all part-/customer-keyed
+    "ml_ks_discrimination",   # score-group agg + prefix-sum over both class counts (range + pid stages) + totals + 1-row argmax — every frame past the first agg is distinct-score-sized
+    "agg_trimmed_mean_revenue",  # value-group agg + prefix-sum stages + totals + one weighted fold over the distinct-value frame
     "x_join_skew_diagnostics",# key-count shuffle + count-of-counts agg + spine cumsum + totals + two order-statistic folds; every frame past the first agg is multiplicity-spine-sized
     "ml_lift_gain_deciles",   # score-group agg + prefix-sum (range + pid stages) + 10-row decile agg + 10-row cumulative; every frame past the first agg is distinct-score-sized
     "ml_threshold_sweep",     # 10-row bucket agg + totals + 9x10 broadcast sweep — frames past the bucket agg are <=10 rows
