@@ -121,3 +121,45 @@ def test_kfold_and_feature_hashing_partition(spark):
     fh = QUERIES["ml_feature_hashing"](spark, SF).collect()
     assert sum(r["n"] for r in fh) == 2 * n  # two features per row
     assert all(r["n_feats"] >= 1 for r in fh)
+
+
+def test_ks_discrimination_matches_direct_ecdf_scan(spark):
+    """Numpy replay of the two-sample KS statistic: direct ECDF
+    difference over the pooled distinct scores must equal the
+    prefix-sum formulation exactly (both are integer-count ratios)."""
+    rows = _scored(spark, SF).select("s", "y").collect()
+    pos = sorted(r["s"] for r in rows if r["y"] == 1)
+    neg = sorted(r["s"] for r in rows if r["y"] == 0)
+    import bisect
+
+    best, at = -1.0, None
+    for s in sorted({r["s"] for r in rows}):
+        d = abs(
+            bisect.bisect_right(pos, s) / len(pos)
+            - bisect.bisect_right(neg, s) / len(neg)
+        )
+        if d > best:
+            best, at = d, s
+    out = QUERIES["ml_ks_discrimination"](spark, SF).collect()[0]
+    assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
+    assert out["ks_stat"] == best
+    assert out["at_score"] == at
+    assert 0.0 < out["ks_stat"] <= 1.0
+
+
+def test_trimmed_mean_matches_direct_sort(spark):
+    """Direct replay: sort all order totals, drop floor(0.05 N) from
+    each side, average the middle — must equal the rank-interval
+    formulation to q6."""
+    from cse_datapipeline_and_mls_spark.sources import load_table
+
+    vals = sorted(
+        r["o_totalprice"] for r in load_table(spark, SF, "orders").collect()
+    )
+    k = int(len(vals) * 0.05)
+    middle = vals[k : len(vals) - k]
+    direct = sum(middle) / len(middle)
+    out = QUERIES["agg_trimmed_mean_revenue"](spark, SF).collect()[0]
+    assert out["n_total"] == len(vals)
+    assert out["n_trimmed_each_side"] == k
+    assert abs(out["trimmed_mean"] - direct) < 1e-6
