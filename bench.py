@@ -1,8 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE compact JSON summary line (totals, subset totals, the 10
+slowest rows — ≤1.5 KB so the driver's tail capture parses it whole;
+BENCH_r09.json overflowed to `parsed: null` when the full 308-row map
+was the last line) and writes the FULL per-query map to the committed
+`BENCH_local.json`, pinned to the registry by
+tests/test_bench_artifact_pin.py so a stale artifact fails the suite.
 
 Each query is fully materialized via the noop sink (whole plan executes,
 nothing collects to the driver), timed after a warm-up of the JVM/session.
@@ -367,30 +371,70 @@ def main() -> None:
     r6_subset = round(sum(timings[n] for n in HEADLINE[:57] if n in timings), 3)
     r7_subset = round(sum(timings[n] for n in HEADLINE[:119] if n in timings), 3)
     r8_subset = round(sum(timings[n] for n in HEADLINE[:121] if n in timings), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "r1_subset_total_sec": r1_subset,
-                "r2_subset_total_sec": r2_subset,
-                "r3_subset_total_sec": r3_subset,
-                "r4_subset_total_sec": r4_subset,
-                "r5_subset_total_sec": r5_subset,
-                "r6_subset_total_sec": r6_subset,
-                "r7_subset_total_sec": r7_subset,
-                "r8_subset_total_sec": r8_subset,
-                "production_sec": production,
-                "coverage_queries": coverage,
-                "coverage_total_sec": round(sum(coverage.values()), 3),
-                "n_registry": len(QUERIES),
-                "n_benched": len(timings) + len(coverage),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    full_payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "r1_subset_total_sec": r1_subset,
+        "r2_subset_total_sec": r2_subset,
+        "r3_subset_total_sec": r3_subset,
+        "r4_subset_total_sec": r4_subset,
+        "r5_subset_total_sec": r5_subset,
+        "r6_subset_total_sec": r6_subset,
+        "r7_subset_total_sec": r7_subset,
+        "r8_subset_total_sec": r8_subset,
+        "production_sec": production,
+        "coverage_queries": coverage,
+        "coverage_total_sec": round(sum(coverage.values()), 3),
+        "n_registry": len(QUERIES),
+        "n_benched": len(timings) + len(coverage),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full per-query map → committed artifact (round-over-round diffs
+    # come from here; the driver's captured line is the compact summary
+    # below, which must stay well under the driver's tail window).
+    if "--r1-subset" not in sys.argv[1:]:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
         )
+        with open(out_path, "w") as fh:
+            json.dump(full_payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    line = compact_summary_line(full_payload)
+    assert len(line) <= 1536, f"compact bench line too long: {len(line)}"
+    print(line)
+
+
+def compact_summary_line(full_payload: dict) -> str:
+    """The ONE line the driver captures: totals, subset totals, the 10
+    slowest rows of the whole run. Must stay ≤1.5 KB — the full 308-row
+    map overflowed the driver's tail window in r9 (`parsed: null`)."""
+    all_rows = dict(full_payload["queries"])
+    all_rows.update(full_payload.get("coverage_queries", {}))
+    slowest = dict(
+        sorted(all_rows.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    compact = {
+        "metric": full_payload["metric"],
+        "value": full_payload["value"],
+        "unit": full_payload["unit"],
+        # 10 slowest of the full run; full map in BENCH_local.json
+        "queries": slowest,
+        "coverage_total_sec": full_payload.get("coverage_total_sec", 0.0),
+        "production_total_sec": round(
+            sum(full_payload.get("production_sec", {}).values()), 3
+        ),
+        "subset_totals": {
+            f"r{i}": full_payload.get(f"r{i}_subset_total_sec")
+            for i in range(1, 9)
+        },
+        "n_registry": full_payload["n_registry"],
+        "n_benched": full_payload["n_benched"],
+        "full_artifact": "BENCH_local.json",
+        "sf": full_payload["sf"],
+    }
+    return json.dumps(compact)
 
 
 if __name__ == "__main__":

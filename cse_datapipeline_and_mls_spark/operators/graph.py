@@ -1098,6 +1098,10 @@ def katz_centrality(
         raise ValueError(f"katz_centrality: iters must be >= 1, got {iters}")
     if alpha_inv < 2:
         raise ValueError(f"katz_centrality: alpha_inv must be >= 2, got {alpha_inv}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"katz_centrality: checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     spark = edges.sparkSession
     par = max(spark.sparkContext.defaultParallelism, 1)
     e = (

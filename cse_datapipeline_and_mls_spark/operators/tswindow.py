@@ -551,9 +551,13 @@ def nelson_aalen(
     cumulative over that spine, and the spine_window guard names the
     bound. Determinism is STRONGER than KM's ln/exp chain: each hazard
     increment is quantized ONCE to an int64 nano-unit (floor of
-    dᵢ·1e9/nᵢ + .5 — one correctly-rounded division of exact integers)
-    and the cumulative sum runs in EXACT int64, order-independent, so
-    the output is a division of identical integers on any engine — the
+    dᵢ·1e9/nᵢ + .5) and the cumulative sum runs in EXACT int64,
+    order-independent. Cross-engine parity holds because both engines
+    evaluate the identical IEEE-754 expression; the quantization step
+    itself is exact integer arithmetic only while dᵢ·1e9 stays below
+    2^53 (dᵢ ≲ 9.0e6 events per duration — past that the double
+    product rounds, identically on both engines, so parity survives but
+    the "exact" label does not; ADVICE r9) — the
     w_page_hinkley_drift integer-innovation discipline applied to
     survival analysis."""
     dur, ev = F.col(duration_col), F.col(event_col)

@@ -57,6 +57,25 @@ STATE_SCHEMA = StructType(
 )
 
 
+def _whole_batch(
+    pdfs: Iterator[pd.DataFrame], sort_cols: tuple = ("ts", "event_id")
+) -> "pd.DataFrame | None":
+    """Concatenate ALL Arrow chunks of a key's micro-batch, then sort
+    once globally (ADVICE r9): Spark may split one key's micro-batch
+    across several chunks in the ``pdfs`` iterator, and sorting each
+    chunk independently is only globally event-time-ordered when chunk
+    boundaries happen to align with event-time order. One concat per
+    key per micro-batch keeps the documented stream==batch parity
+    contracts exact regardless of Arrow chunking. Memory: a single
+    key's micro-batch slice — the same bound the per-chunk path already
+    assumed, since Spark buffers the key's rows to group them."""
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return None
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    return pdf.sort_values(list(sort_cols), kind="stable")
+
+
 def _score_batches(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
@@ -64,8 +83,8 @@ def _score_batches(
     z_threshold: float,
 ) -> Iterator[pd.DataFrame]:
     n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+    pdf = _whole_batch(pdfs)
+    if pdf is not None:
         zs = []
         for v in pdf["value"].astype(float):
             n += 1
@@ -133,8 +152,8 @@ def _cusum_batches(
     threshold: float,
 ) -> Iterator[pd.DataFrame]:
     (s,) = state.get if state.exists else (0.0,)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+    pdf = _whole_batch(pdfs)
+    if pdf is not None:
         stats = []
         for v in pdf["value"].astype(float):
             s = max(0.0, s + (v - target - slack))
@@ -211,8 +230,8 @@ def _holt_batches(
     beta: float,
 ) -> Iterator[pd.DataFrame]:
     l, b, seen = state.get if state.exists else (0.0, 0.0, 0)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+    pdf = _whole_batch(pdfs)
+    if pdf is not None:
         levels, trends = [], []
         for v in pdf["value"].astype(float):
             if seen == 0:
@@ -290,8 +309,8 @@ def _attribution_batches(
     convert_type: str,
 ) -> Iterator[pd.DataFrame]:
     (touch,) = state.get if state.exists else (None,)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+    pdf = _whole_batch(pdfs)
+    if pdf is not None:
         rows = []
         for eid, ts, et, v in zip(
             pdf["event_id"], pdf["ts"], pdf["event_type"], pdf["value"]
@@ -370,8 +389,8 @@ def _markov_batches(
     state: "GroupState",
 ) -> Iterator[pd.DataFrame]:
     (prev,) = state.get if state.exists else (None,)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+    pdf = _whole_batch(pdfs)
+    if pdf is not None:
         rows = []
         for eid, ts, et in zip(pdf["event_id"], pdf["ts"], pdf["event_type"]):
             if prev is not None:
@@ -444,8 +463,8 @@ def _page_hinkley_batches(
     n, s, mt, m_min = state.get if state.exists else (0, 0, 0, None)
     if state.exists and n == 0:
         m_min = None  # sentinel round-trips as 0-count ⇒ min not yet seeded
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+    pdf = _whole_batch(pdfs)
+    if pdf is not None:
         phs, alerts = [], []
         for v in pdf["value"].astype(float):
             vi = int(math.floor(v * 1000000 + 0.5))

@@ -808,3 +808,57 @@ def test_stateful_page_hinkley_matches_batch_exactly(spark, events_dir):
         if got_map[k][0] != want_map[k][0] or got_map[k][1] != want_map[k][1]
     }
     assert not mismatches, f"{len(mismatches)} mismatches, e.g. {list(mismatches.items())[:3]}"
+
+
+def test_stateful_detectors_order_across_arrow_chunks():
+    """ADVICE r9: a key's micro-batch may arrive split across several
+    Arrow chunks in the ``pdfs`` iterator, with chunk boundaries NOT
+    aligned to event-time order. The detectors must produce the same
+    output as if the whole micro-batch arrived as one ordered frame —
+    exercised directly on the generator with a deliberately misaligned
+    two-chunk split (the later half of the timeline in the FIRST chunk)."""
+    import pandas as pd
+
+    from cse_datapipeline_and_mls_spark.streaming import stateful as S
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    base = pd.Timestamp("2024-01-01")
+    rows = pd.DataFrame(
+        {
+            "user_id": [1] * 8,
+            "event_id": list(range(8)),
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(8)],
+            "value": [5.0, 9.0, 1.0, 7.0, 3.0, 8.0, 2.0, 6.0],
+        }
+    )
+    # misaligned split: events 4..7 land in the first chunk, 0..3 second
+    split = [rows.iloc[4:].reset_index(drop=True), rows.iloc[:4].reset_index(drop=True)]
+    whole = [rows.copy()]
+
+    def run(fn_factory):
+        outs = []
+        for chunks in (whole, [c.copy() for c in split]):
+            st = FakeState()
+            out = pd.concat(list(fn_factory(iter(chunks), st)), ignore_index=True)
+            outs.append(out.sort_values("event_id").reset_index(drop=True))
+        return outs
+
+    for factory in (
+        lambda p, st: S._score_batches((1,), p, st, 3.0),
+        lambda p, st: S._cusum_batches((1,), p, st, 5.0, 0.5, 4.0),
+        lambda p, st: S._holt_batches((1,), p, st, 0.8, 0.2),
+        lambda p, st: S._page_hinkley_batches((1,), p, st, 0.5e6, 50.0),
+    ):
+        got_whole, got_split = run(factory)
+        pd.testing.assert_frame_equal(got_whole, got_split)
