@@ -1379,7 +1379,126 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
         n_rows_fn=lambda one: scaled_events(spark, 1 if one else k_events).count(),
     )
 
+    out["item_knn_hub_topk"] = hub_topk_smoke(spark)
+
     return out
+
+
+def hub_topk_smoke(spark) -> dict:
+    """Two hub sizes, so the single-task-sort penalty's GROWTH is the
+    readout (one point can't distinguish 'plain wins' from 'plain wins
+    until the hub outgrows a task'): at ~8M hub neighbors the plain
+    window wins (the extra two-phase exchange costs more than a small
+    single-task sort); at ~38M the two plans reach parity; past
+    single-task memory (the mega-hub regime this smoke exists for,
+    unreachable under the 8 GiB local heap — the 90M-row build itself
+    OOMs) the plain plan has no valid physical execution at all while
+    two-phase scales with the salt width. See SCALE.md's item-kNN
+    hub-skew row for the posture."""
+    res = {
+        "hub_8m": _hub_topk_once(spark, n_rows=16_000_000, hub_tenths=5),
+        "hub_38m": _hub_topk_once(spark, n_rows=48_000_000, hub_tenths=8),
+    }
+    res["two_phase_relative_cost_trend"] = [
+        round(res[k]["two_phase_sec"] / res[k]["plain_sec"], 2)
+        for k in ("hub_8m", "hub_38m")
+    ]
+    return res
+
+
+def _hub_topk_once(spark, n_rows: int, hub_tenths: int) -> dict:
+    # 29. Hub-skewed item-kNN neighbor truncation (r10, VERDICT r9 #2):
+    # ml_item_cooccurrence_recs keeps each item's top-20 co-purchase
+    # neighbors via row_number over Window.partitionBy(pa). The window
+    # input is the PRE-AGGREGATED (pa, pb, co) pair-count table (the
+    # groupBy upstream already collapsed purchase multiplicity), so the
+    # hot partition is hub-item-DISTINCT-NEIGHBOR-sized — at TPC-H skew
+    # that is bounded by the ≤7-lines-per-order pair fan-out, but a
+    # mega-hub catalog item co-purchased with a large share of the
+    # catalog concentrates its full neighbor row set on ONE task (AQE
+    # skew-join splitting does NOT apply: this is a window exchange,
+    # not a join). Mitigation measured here: two-phase top-k — per
+    # (pa, salt) top-20 first (64-way hash salt on pb), then top-20 of
+    # the ≤ 20·64 per-item survivors. Semantics-preserving BY
+    # CONSTRUCTION (every global-top-20 row is in its salt bucket's
+    # top-20; deterministic (desc co, pb) total order on the deduped
+    # input), asserted by a full-output checksum equality.
+    def build_hub_pairs(n_rows: int = n_rows, hub_tenths: int = hub_tenths):
+        # n_rows pair rows; the hub (pa=0) carries hub_tenths/10 of
+        # them with all-distinct neighbor ids — the worst window
+        # partition (a mega-hub's neighbor set approaches catalog size,
+        # so at default sizing ~8M rows sort on ONE task in the plain
+        # plan while every other partition is ~40 rows).
+        base = spark.range(n_rows)
+        raw = base.select(
+            F.when(F.col("id") % 10 < hub_tenths, F.lit(0))
+            .otherwise(F.pmod(F.col("id") * 2654435761, F.lit(200_000)) + 1)
+            .alias("pa"),
+            F.when(F.col("id") % 10 < hub_tenths, F.col("id") * 7 + 1)
+            .otherwise(F.pmod(F.col("id") * 40503 + 7, F.lit(1_000_000)) + 1)
+            .alias("pb"),
+            (F.pmod(F.col("id") * 65537, F.lit(9973)) + 1).alias("c"),
+        )
+        return (
+            raw.filter(F.col("pa") != F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.sum("c").cast("long").alias("co"))
+            .localCheckpoint(eager=True)
+        )
+
+    from pyspark.sql import Window as SqlWindow
+
+    def topk_plain(pairs):
+        w = SqlWindow.partitionBy("pa").orderBy(F.desc("co"), "pb")
+        return (
+            pairs.withColumn("nrn", F.row_number().over(w))
+            .filter(F.col("nrn") <= 20)
+            .drop("nrn")
+        )
+
+    def topk_two_phase(pairs, buckets: int = 64):
+        salted = pairs.withColumn("_salt", F.pmod(F.xxhash64("pb"), F.lit(buckets)))
+        w1 = SqlWindow.partitionBy("pa", "_salt").orderBy(F.desc("co"), "pb")
+        survivors = (
+            salted.withColumn("nrn", F.row_number().over(w1))
+            .filter(F.col("nrn") <= 20)
+            .drop("nrn", "_salt")
+        )
+        w2 = SqlWindow.partitionBy("pa").orderBy(F.desc("co"), "pb")
+        return (
+            survivors.withColumn("nrn", F.row_number().over(w2))
+            .filter(F.col("nrn") <= 20)
+            .drop("nrn")
+        )
+
+    def _checksum(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("pa") * 31 + F.col("pb")).alias("s1"),
+            F.sum("co").alias("s2"),
+        ).collect()[0]
+        return (r["n"], r["s1"], r["s2"])
+
+    res_k = {"hub_raw_share": hub_tenths / 10.0, "raw_rows": n_rows}
+    hub_pairs = build_hub_pairs()
+    res_k["pair_rows"] = hub_pairs.count()
+    res_k["hub_distinct_neighbors"] = hub_pairs.filter(F.col("pa") == 0).count()
+    for label, fn in (("plain", topk_plain), ("two_phase", topk_two_phase)):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(hub_pairs).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        res_k[f"{label}_sec"] = round(best, 2)
+    res_k["two_phase_speedup_vs_plain"] = (
+        round(res_k["plain_sec"] / res_k["two_phase_sec"], 2)
+        if res_k["two_phase_sec"]
+        else None
+    )
+    res_k["outputs_identical"] = _checksum(topk_plain(hub_pairs)) == _checksum(
+        topk_two_phase(hub_pairs)
+    )
+    return res_k
 
 
 def main() -> None:
