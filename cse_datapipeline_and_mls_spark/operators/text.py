@@ -773,3 +773,96 @@ def source_boilerplate_audit(
         "n_boilerplate_segs",
         F.coalesce("n_docs_affected", F.lit(0)).cast("long").alias("n_docs_affected"),
     )
+
+
+def remove_source_boilerplate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    seg_words: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The CUT half of the within-source boilerplate pass (VERDICT r9
+    #4) — :func:`source_boilerplate_audit` detects recurring site
+    chrome; this removes it, completing the detect+cut pair the
+    duplicated-span family already has (duplicate_spans /
+    remove_duplicate_spans). Every non-overlapping ``seg_words``-word
+    segment recurring in ``min_docs``+ DISTINCT documents of the SAME
+    source is dropped from each document it appears in; survivors
+    rejoin into the cleaned text. Tokenization and segment hashing are
+    IDENTICAL to the audit (same whitespace class, same md5-of-slice),
+    so a segment the audit counts as boilerplate is exactly a segment
+    this function cuts.
+
+    Plan shape: the audit's map-side segmenting scan (split → explode
+    → slice → md5), one (source, h)-keyed distinct-doc count shrunk by
+    the ``min_docs`` filter, a hash join of segment rows against that
+    (already-small) boilerplate set, ONE bounded per-doc aggregation
+    (boilerplate seg indexes collect_list'd — ≤ words/seg_words per
+    doc), and a keyed join back to the corpus. The cut itself maps a
+    word position to its segment index (``(i-1) div seg_words``) in a
+    JVM higher-order filter — zero Python, O(words × bp_segs_per_doc)
+    per row. Nothing here is corpus×corpus; every shuffle keys on
+    (source, h) or ``id_col``.
+
+    Output: (id_col, clean_text, n_words, n_removed_words)."""
+    words = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"[ \t\n\r]+", " "), " ")
+    d = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("source"),
+        words.alias("_w"),
+        ((F.size(words) - 1) / seg_words).cast("int").alias("_mx"),
+    )
+    segs = (
+        d.select(
+            "_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.col("_mx"))).alias("seg_idx"),
+            "_w",
+        )
+        .select(
+            "_id",
+            "source",
+            "seg_idx",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("_w", F.col("seg_idx") * seg_words + 1, seg_words)
+                ).cast("binary")
+            ).alias("h"),
+        )
+        # both the boilerplate-set build and the hit join read this —
+        # materialize once, same discipline as the audit's seg_docs
+        .localCheckpoint(eager=True)
+    )
+    bp = (
+        segs.groupBy("source", "h")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("source", "h")
+    )
+    per_doc = (
+        segs.join(bp, ["source", "h"])
+        .groupBy("_id")
+        .agg(F.collect_list("seg_idx").alias("_bp"))
+    )
+    base = df.select(F.col(id_col), words.alias("_w")).join(
+        per_doc, F.col(id_col) == per_doc["_id"], "left"
+    )
+    all_idx = F.sequence(F.lit(1), F.size("_w"))
+    filtered = F.filter(
+        all_idx,
+        lambda i: ~F.exists(
+            F.col("_bp"),
+            lambda s: s.cast("long") == F.floor((i - 1) / F.lit(seg_words)),
+        ),
+    )
+    kept = F.when(F.col("_bp").isNull(), all_idx).otherwise(filtered)
+    return base.select(
+        id_col,
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at(F.col("_w"), i)), " "
+        ).alias("clean_text"),
+        F.size("_w").cast("long").alias("n_words"),
+        (F.size("_w") - F.size(kept)).cast("long").alias("n_removed_words"),
+    )

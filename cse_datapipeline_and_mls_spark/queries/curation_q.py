@@ -507,6 +507,68 @@ def x_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+@register(
+    "x_boilerplate_removed",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             string_split(regexp_replace(trim(text), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS words
+      FROM documents
+    ), segs AS (
+      SELECT doc_id, source,
+             unnest(generate_series(0, CAST(floor((len(words) - 1) / 8) AS INT))) AS seg_idx,
+             words
+      FROM w
+    ), hashed AS (
+      SELECT doc_id, source, seg_idx,
+             md5(array_to_string(list_slice(words, seg_idx * 8 + 1, seg_idx * 8 + 8), ' ')) AS h
+      FROM segs
+    ), bp AS (
+      SELECT source, h
+      FROM hashed GROUP BY source, h
+      HAVING count(DISTINCT doc_id) >= 2
+    ), per_doc AS (
+      SELECT hd.doc_id, list(hd.seg_idx) AS bp_segs
+      FROM hashed hd JOIN bp ON bp.source = hd.source AND bp.h = hd.h
+      GROUP BY hd.doc_id
+    ), j AS (
+      SELECT w.doc_id, w.words, p.bp_segs FROM w LEFT JOIN per_doc p USING (doc_id)
+    ), r AS (
+      SELECT doc_id, words,
+             CASE WHEN bp_segs IS NULL THEN range(1, len(words) + 1)
+                  ELSE list_filter(range(1, len(words) + 1),
+                         i -> len(list_filter(bp_segs,
+                                s -> s = CAST(floor((i - 1) / 8) AS INT))) = 0)
+             END AS kept
+      FROM j
+    )
+    SELECT CAST(doc_id AS BIGINT)                              AS doc_id,
+           -- array_to_string of an EMPTY list is NULL in DuckDB but ''
+           -- in Spark's array_join: a fully-removed doc must agree
+           coalesce(array_to_string(list_transform(kept, i -> words[i]), ' '), '')
+                                                               AS clean_text,
+           CAST(len(words) AS BIGINT)                          AS n_words,
+           CAST(len(words) - len(kept) AS BIGINT)              AS n_removed_words
+    FROM r
+    """,
+)
+def x_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT half of the within-source boilerplate pass (VERDICT r9
+    #4): the corpus with every segment x_boilerplate_segments counts as
+    recurring site chrome dropped at word level, mirroring the
+    x_duplicate_spans / x_duplicate_spans_removed detect+cut pair. The
+    oracle reconstructs the full cleaned text per document, so the
+    hash gate checks the actual output corpus, not just removal
+    counts. See operators/text.remove_source_boilerplate for the plan
+    and 100 TB posture."""
+    from ..operators.text import remove_source_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_source_boilerplate(
+        docs, "text", "doc_id", "source", seg_words=8, min_docs=2
+    )
+
+
 def _greedy_coverage_oracle(k: int = 5) -> str:
     """Unrolled greedy max-coverage twin: k rounds, each one
     MATERIALIZED (gains, argmax, covered-set) CTE triple. Gains are

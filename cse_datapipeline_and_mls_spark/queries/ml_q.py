@@ -1083,9 +1083,11 @@ def x_multimodal_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "ml_item_cooccurrence_recs",
-    oracle="""
+# Full-recompute item-kNN oracle, shared verbatim by the full query and
+# the incremental-refresh query: the incremental path's correctness
+# claim IS hash-equality against this full recompute (the
+# x_incremental_rollup_refresh proof shape).
+_ITEM_RECS_FULL_ORACLE = """
     WITH pur AS (
       SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -1116,7 +1118,12 @@ def x_multimodal_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT cust AS custkey, CAST(rnk AS BIGINT) AS rnk, part AS rec_part, score
     FROM ranked WHERE rnk <= 3 ORDER BY custkey, rnk
-    """,
+    """
+
+
+@register(
+    "ml_item_cooccurrence_recs",
+    oracle=_ITEM_RECS_FULL_ORACLE,
 )
 def ml_item_cooccurrence_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative filtering, the exactly-checkable
@@ -1163,6 +1170,122 @@ def ml_item_cooccurrence_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nrn") <= 20)
         .drop("nrn")
     )
+    cand = (
+        pur.join(topnb, pur["part"] == topnb["pa"])
+        .groupBy("cust", "pb")
+        .agg(F.sum("co").cast("long").alias("score"))
+        .withColumnRenamed("pb", "part")
+    )
+    fresh = cand.join(pur, ["cust", "part"], "left_anti")
+    w = Window.partitionBy("cust").orderBy(F.desc("score"), "part")
+    return (
+        fresh.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("cust").alias("custkey"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("part").alias("rec_part"),
+            "score",
+        )
+        .orderBy("custkey", "rnk")
+    )
+
+
+@register(
+    "ml_item_recs_incremental",
+    oracle=_ITEM_RECS_FULL_ORACLE,
+)
+def ml_item_recs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental item-kNN neighborhood refresh (VERDICT r9 #3) — the
+    delta-vs-corpus pattern proven for MinHash (x_minhash_incremental)
+    and rollups (x_incremental_rollup_refresh), applied to the
+    recommender: orders are split at a watermark 30 days behind the max
+    order date, the corpus side standing in for the PERSISTED state a
+    production refresh reads instead of rebuilding (pair-count table +
+    its top-20 truncation), the delta side for the new batch.
+
+    Why pair counts decompose exactly: every co-occurrence pair comes
+    from a single order (both legs share l_orderkey), and an order lies
+    entirely on one side of an order-date watermark — so
+    pairs(corpus ∪ delta) = pairs(corpus) ⊎ pairs(delta), an integer
+    count merge keyed on (pa, pb), never a corpus re-pair. The refresh:
+
+    1. delta pair build — only delta lineitem explodes (per-refresh
+       pair cost is |delta orders|·basket², never corpus-sized);
+    2. count merge — (pa, pb)-keyed sum of persisted counts ⊎ delta
+       counts (here a union+groupBy; in production a MERGE upsert
+       with addition on match);
+    3. re-truncation ONLY for touched items — delta pa's re-window
+       over their merged counts (left-semi), untouched neighborhoods
+       carry over verbatim (left-anti against touched) — a mega-hub
+       item untouched by the delta never re-sorts;
+    4. purchase-set union (distinct (cust, part) is a set, so the
+       incremental form is corpus ∪ delta distinct — in production an
+       anti-join insert into the persisted purchase table);
+    5. the same candidate/ownership/top-3 serving stages as the full
+       query.
+
+    The oracle is the FULL recompute (shared string with
+    ml_item_cooccurrence_recs), so the driver's hash gate IS the proof
+    that the incremental algebra loses nothing. Hub-skew posture for
+    the touched-item re-window: SCALE.md's item_knn_hub_topk row."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("day")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cutoff = o.agg(F.date_sub(F.max("day"), 30).alias("c")).collect()[0]["c"]
+    corpus_o = o.filter(F.col("day") <= F.lit(cutoff))
+    delta_o = o.filter(F.col("day") > F.lit(cutoff))
+
+    def pair_counts(orders_side: DataFrame) -> DataFrame:
+        side_li = li.join(
+            orders_side.select("o_orderkey"),
+            li["l_orderkey"] == orders_side["o_orderkey"],
+            "left_semi",
+        )
+        a = side_li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+        b = side_li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+        return (
+            a.join(b, "k")
+            .filter(F.col("pa") != F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        )
+
+    def purchases(orders_side: DataFrame) -> DataFrame:
+        return (
+            orders_side.join(li, orders_side["o_orderkey"] == li["l_orderkey"])
+            .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+            .distinct()
+        )
+
+    # persisted-state stand-ins (production reads these, it does not
+    # rebuild them — the checker is stateless, same stance as
+    # x_incremental_rollup_refresh)
+    corpus_pairs = pair_counts(corpus_o)
+    wn = Window.partitionBy("pa").orderBy(F.desc("co"), "pb")
+    corpus_topnb = (
+        corpus_pairs.withColumn("nrn", F.row_number().over(wn))
+        .filter(F.col("nrn") <= 20)
+        .drop("nrn")
+    )
+
+    # the refresh proper
+    delta_pairs = pair_counts(delta_o)
+    merged = (
+        corpus_pairs.unionByName(delta_pairs)
+        .groupBy("pa", "pb")
+        .agg(F.sum("co").cast("long").alias("co"))
+    )
+    touched = delta_pairs.select("pa").distinct()
+    topnb = corpus_topnb.join(touched, "pa", "left_anti").unionByName(
+        merged.join(touched, "pa", "left_semi")
+        .withColumn("nrn", F.row_number().over(wn))
+        .filter(F.col("nrn") <= 20)
+        .drop("nrn")
+    )
+    pur = purchases(corpus_o).unionByName(purchases(delta_o)).distinct()
+
     cand = (
         pur.join(topnb, pur["part"] == topnb["pa"])
         .groupBy("cust", "pb")

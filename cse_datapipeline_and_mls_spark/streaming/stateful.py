@@ -23,7 +23,9 @@ from typing import TYPE_CHECKING
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -481,6 +483,120 @@ def _page_hinkley_batches(
         out["alert"] = alerts
         yield out
     state.update((n, s, mt, 0 if m_min is None else m_min))
+
+
+AUC_BINS = 1024
+
+AUC_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("segment", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("n_pos", LongType()),
+        StructField("n_neg", LongType()),
+        StructField("auc", DoubleType()),
+        StructField("gini", DoubleType()),
+    ]
+)
+
+# AUC monitor state: two int64[AUC_BINS] histograms per segment —
+# per-bin row count and per-bin positive count. Bounded (16 KiB per
+# segment) regardless of stream length, and ORDER-INDEPENDENT: folding
+# histograms over any micro-batch split reproduces the batch-on-binned-
+# scores result to the bit, the strongest parity class in this module
+# (the detectors above need event-time order; this needs none).
+AUC_STATE_SCHEMA = StructType(
+    [
+        StructField("n", ArrayType(LongType())),
+        StructField("np", ArrayType(LongType())),
+    ]
+)
+
+
+def _auc_from_hist(n_hist, np_hist) -> tuple:
+    """ml_auc_rank_exact's midrank rank-sum identity applied to the
+    binned histogram, in exact Python ints: ascending-bin prefix sum
+    supplies each bin's strictly-below count; doubled midranks keep
+    every accumulant integral."""
+    n1 = sum(np_hist)
+    ntot = sum(n_hist)
+    n2 = ntot - n1
+    cum = 0
+    r1x2 = 0
+    for nb, pb in zip(n_hist, np_hist):
+        r1x2 += pb * (2 * cum + nb + 1)
+        cum += nb
+    if n1 == 0 or n2 == 0:
+        return ntot, n1, n2, None, None
+    auc = (r1x2 - n1 * (n1 + 1)) / (2.0 * n1 * n2)
+    gini = (r1x2 - n1 * (n1 + 1)) / (1.0 * n1 * n2) - 1.0
+    return ntot, n1, n2, auc, gini
+
+
+def _auc_batches(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: "GroupState",
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    if state.exists:
+        n_hist, np_hist = (list(a) for a in state.get)
+    else:
+        n_hist, np_hist = [0] * AUC_BINS, [0] * AUC_BINS
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        # no sort: histogram accumulation is order-independent
+        bins = np.minimum(
+            np.floor(pdf["s"].to_numpy(dtype=float) * AUC_BINS).astype(np.int64),
+            AUC_BINS - 1,
+        )
+        y = pdf["y"].to_numpy(dtype=np.int64)
+        add_n = np.bincount(bins, minlength=AUC_BINS)
+        add_p = np.bincount(bins, weights=y, minlength=AUC_BINS)
+        for b in np.nonzero(add_n)[0]:
+            n_hist[b] += int(add_n[b])
+            np_hist[b] += int(add_p[b])
+    state.update((n_hist, np_hist))
+    ntot, n1, n2, auc, gini = _auc_from_hist(n_hist, np_hist)
+    yield pd.DataFrame(
+        [(str(key[0]), ntot, n1, n2, auc, gini)],
+        columns=["segment", "n_seen", "n_pos", "n_neg", "auc", "gini"],
+    )
+
+
+def auc_monitor_stream(stream: DataFrame) -> DataFrame:
+    """Streaming running-AUC monitor per segment (VERDICT r9 #6) — the
+    live counterpart of the batch evaluation family: per event_type it
+    maintains two int64[1024] score histograms and emits, after every
+    micro-batch, the segment's running (n_seen, n_pos, n_neg, auc,
+    gini) computed by ml_auc_rank_exact's exact midrank rank-sum
+    identity over the binned scores.
+
+    Parity contract (asserted in tests/test_streaming.py): the final
+    emission per segment equals the batch ml_auc_monitor_segments query
+    on the same rows BIT-for-bit, under ANY micro-batch split and ANY
+    within-batch arrival order — histogram folds commute, so this
+    monitor needs no ordered-delivery assumption at all (unlike the
+    detector family above). State: 16 KiB per segment regardless of
+    stream length — the 100 TB-safe shape; a model monitor tracking
+    1M segments holds 16 GB of state across the cluster's state
+    stores.
+
+    Input must carry (event_type, y, s) — build them with
+    queries.mleval_q.scored_columns for the deterministic-score twin,
+    or from a real model's scores in production."""
+    return (
+        stream.select(F.col("event_type"), "y", "s")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _auc_batches,
+            outputStructType=AUC_OUTPUT_SCHEMA,
+            stateStructType=AUC_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
 
 
 def page_hinkley_stream(

@@ -810,6 +810,72 @@ def test_stateful_page_hinkley_matches_batch_exactly(spark, events_dir):
     assert not mismatches, f"{len(mismatches)} mismatches, e.g. {list(mismatches.items())[:3]}"
 
 
+def test_stateful_auc_monitor_matches_batch_exactly(spark, events_dir):
+    """VERDICT r9 #6: the streaming AUC monitor's final emission per
+    segment must equal the batch ml_auc_monitor_segments query on the
+    same rows BIT-for-bit — and unlike the detector family this parity
+    needs no ordered delivery at all (histogram folds commute), so the
+    stream is deliberately driven one file per micro-batch (4 splits,
+    arbitrary arrival order within each)."""
+    import os
+
+    from cse_datapipeline_and_mls_spark.queries import QUERIES
+    from cse_datapipeline_and_mls_spark.queries.mleval_q import scored_columns
+
+    # dedicated fixture: the shared events_dir has value = i % 50, so
+    # y = (value >= 50) is 0 everywhere and AUC is undefined — this one
+    # spans both classes in every segment
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(minutes=i),
+            i % 5,
+            ["click", "view", "buy"][i % 3],
+            float((i * 37) % 100),
+            "{}",
+        )
+        for i in range(240)
+    ]
+    auc_dir = os.path.join(os.path.dirname(events_dir), "auc_events")
+    if not os.path.exists(auc_dir):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).repartition(4).write.parquet(auc_dir)
+    events_dir = auc_dir
+
+    stream = ST.ingest_file_stream(
+        spark, events_dir, max_files_per_trigger=1
+    ).dropDuplicates(["event_id"])
+    got = ST.run_to_memory_sink(
+        ST.auc_monitor_stream(scored_columns(stream)), "auc_monitor_test"
+    ).collect()
+    # final emission per segment = the row with the max running n_seen
+    final: dict = {}
+    for r in got:
+        if r["segment"] not in final or r["n_seen"] > final[r["segment"]]["n_seen"]:
+            final[r["segment"]] = r
+    # intermediate emissions exist: >1 micro-batch touched each segment
+    assert len(got) > len(final)
+
+    sf_like = os.path.join(os.path.dirname(events_dir), "auc_sf_root")
+    tgt = os.path.join(sf_like, "events.parquet")
+    if not os.path.exists(tgt):
+        spark.read.parquet(events_dir).dropDuplicates(["event_id"]).coalesce(
+            1
+        ).write.parquet(tgt)
+    want = {r["segment"]: r for r in QUERIES["ml_auc_monitor_segments"](spark, sf_like).collect()}
+    assert set(final) == set(want)
+    for seg, w in want.items():
+        g = final[seg]
+        assert g["n_seen"] == w["n_pos"] + w["n_neg"]
+        assert g["n_pos"] == w["n_pos"] and g["n_neg"] == w["n_neg"]
+        assert g["auc"] == w["auc"], (seg, g["auc"], w["auc"])
+        assert g["gini"] == w["gini"], (seg, g["gini"], w["gini"])
+
+
 def test_stateful_detectors_order_across_arrow_chunks():
     """ADVICE r9: a key's micro-batch may arrive split across several
     Arrow chunks in the ``pdfs`` iterator, with chunk boundaries NOT
