@@ -2429,3 +2429,222 @@ def agg_trimmed_mean_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lo_k").alias("n_trimmed_each_side"),
         "trimmed_mean",
     )
+
+
+@register(
+    "agg_anova_f_priority",
+    oracle="""
+    WITH m AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+        CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(round(o_totalprice) AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+        CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                 THEN CAST(round(o_totalprice) AS BIGINT) ELSE 0 END) AS BIGINT) AS s2,
+        CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                 THEN CAST(round(o_totalprice) AS BIGINT) ELSE 0 END) AS BIGINT) AS s3,
+        CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                 THEN CAST(round(o_totalprice) AS BIGINT) ELSE 0 END) AS BIGINT) AS s4,
+        CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                 THEN CAST(round(o_totalprice) AS BIGINT) ELSE 0 END) AS BIGINT) AS s5,
+        CAST(sum(CAST(round(o_totalprice) AS BIGINT)
+               * CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS ss
+      FROM orders
+    ), f AS (
+      SELECT n, n1, n2, n3, n4, n5,
+             (CAST(s1 AS DOUBLE) * s1 / n1 + CAST(s2 AS DOUBLE) * s2 / n2
+              + CAST(s3 AS DOUBLE) * s3 / n3 + CAST(s4 AS DOUBLE) * s4 / n4
+              + CAST(s5 AS DOUBLE) * s5 / n5)
+             - CAST(s1 + s2 + s3 + s4 + s5 AS DOUBLE)
+               * (s1 + s2 + s3 + s4 + s5) / n                     AS ssb,
+             CAST(ss AS DOUBLE)
+             - (CAST(s1 AS DOUBLE) * s1 / n1 + CAST(s2 AS DOUBLE) * s2 / n2
+                + CAST(s3 AS DOUBLE) * s3 / n3 + CAST(s4 AS DOUBLE) * s4 / n4
+                + CAST(s5 AS DOUBLE) * s5 / n5)                   AS ssw
+      FROM m
+    )
+    SELECT n, n1, n2, n3, n4, n5,
+           floor(ssb * 1000 + 0.5) / 1000 AS ss_between,
+           floor(ssw * 1000 + 0.5) / 1000 AS ss_within,
+           CAST(4 AS BIGINT) AS df_between,
+           n - 5 AS df_within,
+           floor((ssb / 4.0) / (ssw / (n - 5)) * 1000000 + 0.5) / 1000000 AS f_stat
+    FROM f
+    """,
+)
+def agg_anova_f_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five TPC-H order priorities on
+    rounded-dollar order totals — the k-group extension of
+    agg_welch_ttest's two-cohort comparison (the experimentation
+    primitive for 'does this categorical treatment move the metric').
+
+    Determinism design: unlike Welch (float var_samp + q6), every
+    moment here is an EXACT int64 — per-group counts, per-group
+    dollar sums, and the global sum of squares, all conditional
+    aggregations over integer dollars (round(o_totalprice); squares
+    bounded ~2.5e11 per row, int64-safe to ~3e7 rows per the OLS
+    bound) — and SSB/SSW are FIXED-ASSOCIATIVITY float chains over
+    those integers (the identity SSB = Σ s_g²/n_g − s²/n avoids
+    per-row residuals entirely), so both engines run the identical
+    IEEE-754 expression and only the display quantization rounds.
+
+    Scale: ONE conditional-aggregation scan — map-side partial agg to
+    a single row, no group-by shuffle, no second pass; at 100 TB the
+    cost is the parquet scan of two columns."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.round(F.col("o_totalprice")).cast("long")
+    pr = F.col("o_orderpriority")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, p in enumerate(pris, start=1):
+        aggs.append(
+            F.sum(F.when(pr == p, 1).otherwise(0)).cast("long").alias(f"n{i}")
+        )
+    for i, p in enumerate(pris, start=1):
+        aggs.append(
+            F.sum(F.when(pr == p, d).otherwise(0)).cast("long").alias(f"s{i}")
+        )
+    aggs.append(F.sum(d * d).cast("long").alias("ss"))
+    m = o.agg(*aggs)
+
+    def dbl(c):
+        return F.col(c).cast("double")
+
+    grp = (
+        dbl("s1") * F.col("s1") / F.col("n1")
+        + dbl("s2") * F.col("s2") / F.col("n2")
+        + dbl("s3") * F.col("s3") / F.col("n3")
+        + dbl("s4") * F.col("s4") / F.col("n4")
+        + dbl("s5") * F.col("s5") / F.col("n5")
+    )
+    stot = F.col("s1") + F.col("s2") + F.col("s3") + F.col("s4") + F.col("s5")
+    ssb = grp - stot.cast("double") * stot / F.col("n")
+    ssw = dbl("ss") - grp
+    f = m.select(
+        "n", "n1", "n2", "n3", "n4", "n5",
+        ssb.alias("ssb"), ssw.alias("ssw"),
+    )
+    q3 = lambda c: F.floor(c * 1000 + F.lit(0.5)) / 1000  # noqa: E731
+    return f.select(
+        "n", "n1", "n2", "n3", "n4", "n5",
+        q3(F.col("ssb")).alias("ss_between"),
+        q3(F.col("ssw")).alias("ss_within"),
+        F.lit(4).cast("long").alias("df_between"),
+        (F.col("n") - 5).alias("df_within"),
+        _q6((F.col("ssb") / 4.0) / (F.col("ssw") / (F.col("n") - 5))).alias(
+            "f_stat"
+        ),
+    )
+
+
+@register(
+    "agg_kendall_tau_b",
+    oracle="""
+    WITH pairs AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_discount * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), cells AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2
+    ), cd AS (
+      SELECT
+        CAST(sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+        CAST(sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc
+      FROM cells a JOIN cells b ON a.x < b.x
+    ), mx AS (
+      SELECT CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n1
+      FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY x)
+    ), my AS (
+      SELECT CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n2
+      FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY y)
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n FROM cells
+    )
+    SELECT tot.n, cd.conc AS concordant, cd.disc AS discordant,
+           mx.n1 AS ties_x, my.n2 AS ties_y,
+           CAST(cd.conc - cd.disc AS DOUBLE)
+             / sqrt(CAST(tot.n * (tot.n - 1) / 2 - mx.n1 AS DOUBLE)
+                    * CAST(tot.n * (tot.n - 1) / 2 - my.n2 AS DOUBLE))
+             AS tau_b
+    FROM cd, mx, my, tot
+    """,
+)
+def agg_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between quantity and discount — the
+    concordance-based rank association completing the correlation trio
+    (Pearson agg_corr_covar, Spearman agg_spearman_rank_corr): robust
+    to ties on BOTH margins, which quantity (50 values) and discount
+    (11 values) have in bulk.
+
+    The naive τ is an all-pairs O(n²) scan; this plan computes it
+    EXACTLY from the joint contingency table: one (x, y) group-by
+    collapses the fact table to ≤ 50·11 = 550 cells, and concordant/
+    discordant weights come from a cell×cell self-join bounded at
+    550² — integers throughout (products of cell counts), so C, D,
+    and the tie corrections are exact int64 and τ-b is a single IEEE
+    chain over exact inputs (no quantization needed). For
+    high-cardinality margins, quantize first (the binned-AUC stance,
+    ml_auc_monitor_segments) — the bound is |X|·|Y| BY CONSTRUCTION.
+
+    Scale: the fact scan + ONE tiny aggregation shuffle; the cell
+    self-join broadcasts 550 rows. At 100 TB: unchanged — the joint
+    table's size depends on the value domains, not the row count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    cells = li.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("c").alias("cb")
+    )
+    cd = a.join(F.broadcast(b), F.col("xa") < F.col("xb")).agg(
+        F.sum(
+            F.when(F.col("ya") < F.col("yb"), F.col("ca") * F.col("cb")).otherwise(0)
+        )
+        .cast("long")
+        .alias("concordant"),
+        F.sum(
+            F.when(F.col("ya") > F.col("yb"), F.col("ca") * F.col("cb")).otherwise(0)
+        )
+        .cast("long")
+        .alias("discordant"),
+    )
+    mx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("ties_x"))
+    )
+    my = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("ties_y"))
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    j = (
+        cd.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(my))
+        .crossJoin(F.broadcast(tot))
+    )
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    return j.select(
+        "n",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        (
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.sqrt(
+                (n0 - F.col("ties_x")).cast("double")
+                * (n0 - F.col("ties_y")).cast("double")
+            )
+        ).alias("tau_b"),
+    )

@@ -599,6 +599,105 @@ def auc_monitor_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+HH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("segment", StringType()),
+        StructField("item", StringType()),
+        StructField("est_count", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("max_undercount", LongType()),
+    ]
+)
+
+# Misra-Gries state: up to k (item, counter) pairs + the processed-row
+# count per segment. Bounded at k entries regardless of stream length
+# or item cardinality — the point of the sketch.
+HH_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _hh_batches(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: "GroupState",
+    k: int,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        items, counts, n = state.get
+        counters = dict(zip(items, counts))
+    else:
+        counters, n = {}, 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        # batched (mergeable-summary) form: fold the micro-batch's exact
+        # item counts in, then if more than k counters survive, subtract
+        # the (k+1)-st largest from all and drop non-positives — the
+        # vectorized equivalent of per-arrival decrements, same
+        # n/(k+1) undercount guarantee (Agarwal et al., 2013).
+        vc = pdf["item"].astype(str).value_counts()
+        n += int(vc.sum())
+        for it, c in vc.items():
+            counters[it] = counters.get(it, 0) + int(c)
+        if len(counters) > k:
+            cut = sorted(counters.values(), reverse=True)[k]
+            counters = {it: c - cut for it, c in counters.items() if c > cut}
+    state.update((list(counters), [counters[i] for i in counters], n))
+    bound = n // (k + 1)
+    rows = [
+        (str(key[0]), it, int(c), n, bound)
+        for it, c in sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
+    yield pd.DataFrame(
+        rows, columns=["segment", "item", "est_count", "n_seen", "max_undercount"]
+    )
+
+
+def heavy_hitters_stream(stream: DataFrame, k: int = 16) -> DataFrame:
+    """Streaming per-segment heavy hitters via a Misra–Gries summary —
+    the bounded-state answer to "top values right now" that an exact
+    streaming groupBy count cannot give (its state grows with item
+    cardinality; at 100 TB of high-cardinality items the state store
+    IS the problem). State: ≤ k counters per segment, folded with the
+    mergeable-summaries batch update, so the summary after any
+    micro-batch split equals a single-pass summary's GUARANTEES (not
+    its exact counter values — MG summaries are split-dependent, the
+    bounds are not):
+
+    * every item with true frequency > n/(k+1) is present;
+    * est_count never exceeds the true count;
+    * the undercount is at most n/(k+1) (emitted as max_undercount).
+
+    Asserted against exact batch counts in tests/test_streaming.py —
+    the bracket-verdict pattern (bounds checked, not bit equality),
+    matching how the ANN/recall family is verified. Emissions are the
+    running summary after each micro-batch, append-mode; the final
+    emission per segment (max n_seen) is the current belief.
+
+    Input must carry (event_type, item); derive `item` from whatever
+    column matters (the tests bucket `value`)."""
+
+    def fn(key, pdfs, state):
+        return _hh_batches(key, pdfs, state, k)
+
+    return (
+        stream.select(F.col("event_type"), F.col("item").cast("string").alias("item"))
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=HH_OUTPUT_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def page_hinkley_stream(
     stream: DataFrame,
     delta: float = 0.5,

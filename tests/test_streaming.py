@@ -876,6 +876,73 @@ def test_stateful_auc_monitor_matches_batch_exactly(spark, events_dir):
         assert g["gini"] == w["gini"], (seg, g["gini"], w["gini"])
 
 
+def test_stateful_heavy_hitters_mg_guarantees(spark, events_dir):
+    """Misra-Gries heavy hitters: bounds-checked against exact batch
+    counts (the bracket-verdict pattern — MG counter values are
+    micro-batch-split-dependent, the guarantees are not): every item
+    with true frequency > n/(k+1) survives, estimates never exceed
+    truth, undercount stays within n/(k+1)."""
+    import os
+
+    K = 4
+    # skewed items per segment: bucket value so one item dominates
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(600):
+        # item "0" takes ~70% of rows in EVERY segment (skew orthogonal
+        # to the i%3 segment assignment), the rest spread over 11 items
+        v = 0.0 if i % 10 < 7 else float(i % 11 + 1)
+        rows.append(
+            (i, base + dt.timedelta(minutes=i), i % 5,
+             ["click", "view", "buy"][i % 3], v, "{}")
+        )
+    hh_dir = os.path.join(os.path.dirname(events_dir), "hh_events")
+    if not os.path.exists(hh_dir):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).repartition(4).write.parquet(hh_dir)
+
+    stream = ST.ingest_file_stream(spark, hh_dir, max_files_per_trigger=1)
+    items = stream.withColumn("item", F.col("value").cast("int").cast("string"))
+    got = ST.run_to_memory_sink(
+        ST.heavy_hitters_stream(items, k=K), "hh_test"
+    ).collect()
+    final_n: dict = {}
+    for r in got:
+        final_n[r["segment"]] = max(final_n.get(r["segment"], 0), r["n_seen"])
+    final = {
+        (r["segment"], r["item"]): r
+        for r in got
+        if r["n_seen"] == final_n[r["segment"]]
+    }
+
+    truth = {
+        (r["event_type"], str(int(r["value"]))): r["c"]
+        for r in spark.read.parquet(hh_dir)
+        .groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for (seg, item), r in final.items():
+        true_c = truth[(seg, item)]
+        assert r["est_count"] <= true_c, (seg, item)
+        assert true_c - r["est_count"] <= r["max_undercount"], (seg, item)
+    # completeness: every true heavy hitter (> n/(k+1)) must be present
+    for seg, n in final_n.items():
+        for (s2, item), c in truth.items():
+            if s2 == seg and c > n // (K + 1):
+                assert (seg, item) in final, (seg, item, c, n)
+    # the dominant bucket must be the top estimate in every segment
+    for seg in final_n:
+        top = max(
+            (r for (s2, _), r in final.items() if s2 == seg),
+            key=lambda r: r["est_count"],
+        )
+        assert top["item"] == "0"
+
+
 def test_stateful_detectors_order_across_arrow_chunks():
     """ADVICE r9: a key's micro-batch may arrive split across several
     Arrow chunks in the ``pdfs`` iterator, with chunk boundaries NOT
