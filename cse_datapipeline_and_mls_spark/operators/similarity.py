@@ -1057,3 +1057,79 @@ def load_pq_index(spark, path: str):
     return codes, [
         [books[j][c] for c in sorted(books[j])] for j in sorted(books)
     ]
+
+
+def pca_power_topvec(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 3,
+) -> DataFrame:
+    """Top principal direction of the embedding second-moment (Gram)
+    matrix by the power method, with the Gram matrix NEVER materialized:
+    each iteration computes A·v as Σᵢ (xᵢ·v)·xᵢ — one broadcast of the
+    64-double state, one map-side dot per row, one posexplode +
+    (dim)-keyed aggregation (64 groups). At 100 TB that is iters scans
+    of the vector column and iters tiny shuffles; the d×d Gram (or the
+    n×d collect that sklearn-style PCA needs) never exists anywhere.
+    Uncentered by design (second moment, not covariance) — center
+    upstream when the mean direction should be excluded.
+
+    Determinism (hash-checkable like the graph family): per iteration
+    the 64 component sums quantize to 1e-6 (the only order-sensitive
+    reductions — row-count-sized float sums), then the L2 norm and the
+    normalized state are LEFT-TO-RIGHT folds over the j-ordered array
+    (Spark F.aggregate == DuckDB aggregate(list, ...) — the
+    similarity-module parity contract), so state and output are exact
+    IEEE chains over quantized inputs. Power iteration contracts
+    toward the top eigenvector, so quantizing the state does not
+    accumulate (same stance as the pagerank oracle's 8-decimal ranks).
+
+    Returns (component 1..dim, loading, eigenvalue): the unit top
+    eigenvector and its eigenvalue estimate ‖A·v_last‖ (valid because
+    the previous state is unit-norm — requires iters ≥ 2)."""
+    if iters < 2:
+        raise ValueError(f"pca_power_topvec: iters must be >= 2, got {iters}")
+    spark = emb.sparkSession
+    e = emb.select(
+        F.col(vec_col).cast("array<double>").alias("emb")
+    ).localCheckpoint(eager=True)
+    v_df = spark.range(1).select(F.array(*[F.lit(1.0)] * dim).alias("v"))
+    last = None
+    for _ in range(iters):
+        d = e.crossJoin(F.broadcast(v_df)).select(
+            dot(F.col("emb"), F.col("v")).alias("d"), "emb"
+        )
+        raw = (
+            d.select("d", F.posexplode("emb").alias("j0", "x"))
+            .groupBy((F.col("j0") + 1).alias("j"))
+            .agg(
+                (F.floor(F.sum(F.col("d") * F.col("x")) * 1000000 + F.lit(0.5)) / 1000000)
+                .alias("raw")
+            )
+        )
+        vrow = raw.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "raw"))),
+                lambda s: s["raw"],
+            ).alias("rawv")
+        ).select(
+            "rawv",
+            F.sqrt(
+                F.aggregate("rawv", F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias("nrm"),
+        )
+        last = vrow
+        v_df = vrow.select(
+            F.transform("rawv", lambda x: x / F.col("nrm")).alias("v")
+        )
+    return last.select(
+        F.col("nrm").alias("eigenvalue"),
+        F.posexplode(F.transform("rawv", lambda x: x / F.col("nrm"))).alias(
+            "j0", "loading"
+        ),
+    ).select(
+        (F.col("j0") + 1).cast("long").alias("component"),
+        "loading",
+        "eigenvalue",
+    )

@@ -3752,3 +3752,63 @@ def x_join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_cnt") * 1.0 / F.col("total")).alias("top1_share"),
         )
     )
+
+
+def _pca_power_oracle(dim: int = 64, iters: int = 3) -> str:
+    """Unrolled power-iteration twin of similarity.pca_power_topvec:
+    per round the 64 component sums quantize at 1e-6 (the only
+    order-sensitive reductions), then the norm is a left-to-right list
+    fold (list_reduce with a prepended 0.0 accumulator — squares
+    rounded element-wise first, additions in index order: the exact
+    IEEE sequence Spark's F.aggregate(acc + x*x) produces), so state
+    and output match bit-for-bit given equal quantized sums (the
+    similarity-module dot/list_dot_product parity contract)."""
+    sql = f"""
+    WITH e AS MATERIALIZED (
+      SELECT embedding::DOUBLE[] AS emb FROM embeddings
+    ), v0 AS (
+      SELECT list_transform(range(1, {dim + 1}), x -> CAST(1.0 AS DOUBLE)) AS v
+    )"""
+    prev = "v0"
+    for k in range(1, iters + 1):
+        sql += f""", d{k} AS MATERIALIZED (
+      SELECT list_dot_product(emb, (SELECT v FROM {prev})) AS d, emb FROM e
+    ), r{k} AS MATERIALIZED (
+      SELECT j, floor(sum(d * emb[j]) * 1000000 + 0.5) / 1000000 AS raw
+      FROM d{k}, unnest(generate_series(1, {dim})) AS t(j) GROUP BY j
+    ), w{k} AS (
+      SELECT list(raw ORDER BY j) AS rawv FROM r{k}
+    ), n{k} AS (
+      SELECT sqrt(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(rawv, y -> y * y)),
+               (acc, y) -> acc + y)) AS nrm
+      FROM w{k}
+    ), v{k} AS (
+      SELECT list_transform(w{k}.rawv, x -> x / n{k}.nrm) AS v
+      FROM w{k}, n{k}
+    )"""
+        prev = f"v{k}"
+    sql += f"""
+    SELECT CAST(r{iters}.j AS BIGINT) AS component,
+           r{iters}.raw / n{iters}.nrm AS loading,
+           n{iters}.nrm AS eigenvalue
+    FROM r{iters}, n{iters}
+    ORDER BY component
+    """
+    return sql
+
+
+@register("x_pca_power_iteration", oracle=_pca_power_oracle(dim=64, iters=3))
+def x_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction + eigenvalue of the embedding
+    second-moment matrix via Gram-free power iteration — the embedding
+    diagnostics step (dominant direction, anisotropy check, whitening
+    seed) between the centroid queries and the ANN index builds. See
+    operators/similarity.pca_power_topvec for the plan and the
+    quantized-state determinism contract; the oracle unrolls the same
+    three rounds in SQL."""
+    from ..operators.similarity import pca_power_topvec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_power_topvec(emb, "embedding", dim=64, iters=3).orderBy("component")
