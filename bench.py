@@ -217,6 +217,15 @@ HEADLINE = [
     # or reuses the table; min-of-3 measures the amortized re-run path,
     # mirroring x_pagerank_bucketed_edges)
     "x_hits_bucketed_edges",
+    # r10: the round's scale-sensitive newcomers — the incremental
+    # recommender refresh (delta pair build + touched-only re-window:
+    # a regression here silently reverts to corpus-sized recompute),
+    # the boilerplate CUT (corpus scan + segment join + per-doc
+    # higher-order filter), and the Gram-free PCA (3 iterations of
+    # dot-scan + posexplode agg — the heaviest new embedding plan)
+    "ml_item_recs_incremental",
+    "x_boilerplate_removed",
+    "x_pca_power_iteration",
 ]
 
 

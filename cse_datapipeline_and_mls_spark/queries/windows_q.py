@@ -1649,6 +1649,124 @@ def w_theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w_mann_kendall_trend",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id,
+             datediff('day', DATE '2024-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS x,
+             floor(avg(value) {_Q6} AS v
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT a.user_id,
+             CAST(sum(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM d a JOIN d b ON a.user_id = b.user_id AND b.x > a.x
+      GROUP BY 1
+    ), n AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1
+    ), t AS (
+      SELECT user_id,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS t
+            FROM d GROUP BY user_id, v)
+      GROUP BY 1
+    ), m AS (
+      SELECT n.user_id, n.n_days, s.s_stat,
+             CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                  - t.tie_term AS BIGINT) AS var_s_x18
+      FROM n JOIN s USING (user_id) JOIN t USING (user_id)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, n_days, s_stat, var_s_x18,
+           CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s_x18 / 18.0)
+                WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s_x18 / 18.0)
+                ELSE 0.0 END AS z_mk
+    FROM m ORDER BY user_id
+    """,
+)
+def w_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per series — the nonparametric
+    is-there-a-monotonic-trend companion to w_theilsen_daily_trend's
+    slope estimate (the standard pairing: MK decides significance,
+    Theil–Sen sizes the trend): S = Σ sign(v_j − v_i) over all ordered
+    day pairs of the daily-mean series, tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, continuity-corrected
+    z. S, n, and the ×18 variance numerator are EXACT int64 (sign
+    comparisons run on q6-quantized daily means, identical doubles
+    both engines), and z is a fixed IEEE chain over those integers —
+    no output quantization at all, the agg_kendall_tau_b stance.
+
+    Plan: one (user, day) agg on the fact scan, then every frame is
+    day-spine-sized — the pairwise build is a user-keyed self-join on
+    the CALENDAR-BOUNDED daily frame (the theilsen posture; at
+    decade-scale horizons window the pair span the same way theilsen
+    caps at 90 days), plus two tiny rollups. Nothing downstream of the
+    first agg scales with the row count."""
+    from ..operators.numeric import q6
+
+    ev = _events_series(spark, sf_dir)
+    d = ev.groupBy(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("x"),
+    ).agg(q6(F.avg("value")).alias("v"))
+    a = d.select(F.col("user_id"), F.col("x").alias("xa"), F.col("v").alias("va"))
+    b = d.select(F.col("user_id"), F.col("x").alias("xb"), F.col("v").alias("vb"))
+    s = (
+        a.join(b, "user_id")
+        .filter(F.col("xb") > F.col("xa"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("vb") > F.col("va"), 1)
+                .when(F.col("vb") < F.col("va"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = d.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    t = (
+        d.groupBy("user_id", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    m = (
+        n.join(s, "user_id")
+        .join(t, "user_id")
+        .select(
+            "user_id",
+            "n_days",
+            "s_stat",
+            (
+                F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            )
+            .cast("long")
+            .alias("var_s_x18"),
+        )
+    )
+    sd = F.sqrt(F.col("var_s_x18") / 18.0)
+    return m.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_days",
+        "s_stat",
+        "var_s_x18",
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+        .otherwise(F.lit(0.0))
+        .alias("z_mk"),
+    ).orderBy("user_id")
+
+
 from . import ORACLE as _ORACLE  # noqa: E402
 
 # Reuse w_holt_forecast's entire CTE chain (bars -> ... -> lt) verbatim,

@@ -645,3 +645,46 @@ def test_lorenz_curve_matches_numpy(spark, sf_dir):
     shares = [r["cum_revenue_share"] for r in rows]
     assert all(a <= b for a, b in zip(shares, shares[1:]))  # monotone
     assert shares[-1] <= 1.0
+
+
+def test_two_phase_topk_equals_plain_window(spark):
+    """two_phase_topk (the hub-skew escape for per-group top-k) must
+    equal the plain row_number window on any TOTAL order — exercised on
+    a skewed synthetic with a hub group holding most rows, k smaller
+    and larger than some group sizes, and duplicate order values broken
+    by the id tiebreak."""
+    from pyspark.sql import Window, functions as F
+
+    from cse_datapipeline_and_mls_spark.operators.relational import two_phase_topk
+
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 4 < 2, F.lit(0))
+        .otherwise(F.pmod(F.col("id") * 7919, F.lit(50)) + 1)
+        .alias("g"),
+        F.pmod(F.col("id") * 104729, F.lit(97)).alias("score"),
+        F.col("id"),
+    ).localCheckpoint(eager=True)
+    order = [F.desc("score"), F.asc("id")]
+    for k in (3, 25):
+        w = Window.partitionBy("g").orderBy(*order)
+        plain = (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+        two = two_phase_topk(df, ["g"], order, k=k, salt_on="id", buckets=8)
+        want = sorted(plain.collect())
+        got = sorted(two.collect())
+        assert got == want, f"k={k}: {len(got)} vs {len(want)}"
+
+
+def test_two_phase_topk_validates_params(spark):
+    import pytest
+
+    from cse_datapipeline_and_mls_spark.operators.relational import two_phase_topk
+
+    df = spark.range(5).select(F.lit(1).alias("g"), F.col("id"))
+    with pytest.raises(ValueError, match="k must be"):
+        two_phase_topk(df, ["g"], [F.asc("id")], k=0, salt_on="id")
+    with pytest.raises(ValueError, match="buckets"):
+        two_phase_topk(df, ["g"], [F.asc("id")], k=1, salt_on="id", buckets=1)
