@@ -2598,7 +2598,14 @@ def agg_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_discount") * 100).cast("long").alias("y"),
     )
-    cells = li.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # 4 downstream references (pair join sides, both marginals, total):
+    # materialize the ≤550-row cell table once or every reference
+    # re-runs the fact scan + aggregation
+    cells = (
+        li.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     a = cells.select(
         F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("c").alias("ca")
     )

@@ -95,6 +95,9 @@ EXPECTED_CROSS = {
     "x_join_skew_diagnostics",# 1-row totals + 1-row p50/p99 order-statistic frames broadcast onto the count-of-counts spine
     "ml_ks_discrimination",   # 1-row class-totals broadcast + prefix-sum theta join; argmax is a 1-row TakeOrdered
     "agg_trimmed_mean_revenue",  # 1-row (N, trim-rank) broadcast onto the distinct-value frame + prefix-sum theta join
+    # r10
+    "agg_kendall_tau_b",      # 550-cell joint-contingency self-join (bounded by |X|x|Y| BY CONSTRUCTION) + three 1-row broadcasts
+    "x_pca_power_iteration",  # 1-row 64-double state broadcast per power iteration (similarity.pca_power_topvec)
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -139,6 +142,11 @@ EXPECTED_MANY_EXCHANGES = {
     "x_embedding_dim_truncation_recall",  # two independent rank windows (full + truncated top-10) + the overlap join + rollup — the eval's irreducible shape; every post-rank frame is 30 rows
     "x_jaccard_links",        # checkpointed edge/deg/wadj builds + the wedge self-join, pair agg, anti-join, and two endpoint-degree joins — the link-prediction shape's irreducible set
     "x_degree_distribution",  # the co-purchase edge build (self-join + count filter) + the two histogram aggs past the checkpointed edge list
+    # r10
+    "agg_kendall_tau_b",      # past the checkpointed <=550-cell joint table: C/D pair fold + two marginal tie rollups + totals + the 1-row combine — every frame is cell- or 1-row-sized
+    "ml_item_recs_incremental",  # the full recommender's stages TWICE-split by the watermark (corpus + delta pair builds, count merge, touched/untouched truncation union, purchase-set union) — the delta-vs-corpus refresh's irreducible set, all part-/customer-keyed
+    "w_mann_kendall_trend",   # (user, day) agg + user-keyed pair self-join on the calendar-bounded day spine + sign fold + tie/count rollups + the final join — every frame past the first agg is day-spine-sized
+    "x_pca_power_iteration",  # 1 posexplode 64-group agg + 1 collect fold x 3 power iterations past the checkpointed embedding scan — the Gram-free iteration's shape
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
