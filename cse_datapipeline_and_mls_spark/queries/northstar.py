@@ -1357,3 +1357,65 @@ def x_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("max_abs_err") <= F.col("scale") * 0.5000001).alias("within_half_step"),
     )
+
+
+@register(
+    "x_ann_ivf_incremental",
+    oracle=_brute_topk_oracle(
+        "vec_id % 100 = 0", 5, "ivf_incr_recall_ge_060"
+    ).replace(
+        "TRUE AS ivf_incr_recall_ge_060",
+        "TRUE AS incr_equals_rebuild, TRUE AS ivf_incr_recall_ge_060",
+    ),
+)
+def x_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index refresh — the delta-vs-corpus pattern
+    (x_minhash_incremental, ml_item_recs_incremental) applied to the
+    vector index: new vectors (a 10% vec_id-slice standing in for the
+    arriving batch) are assigned to cells with the FROZEN codebook
+    trained on the pre-existing corpus (the persisted artifact a
+    production refresh reads; save_ivf_index's partitioned layout means
+    the append lands as new files in existing cell partitions — the
+    corpus is never re-assigned, and per-refresh cost is |delta|
+    map-side matmuls + one append write).
+
+    Two verdicts ride the exact brute-force rows: (1)
+    incr_equals_rebuild — the unioned corpus+delta assignment set is
+    row-identical to re-assigning the full corpus with the same
+    codebook (per-row argmax is independent of every other row, so the
+    incremental index IS the rebuilt index — asserted, not assumed,
+    because a future assignment path that normalizes per batch would
+    silently break this); (2) recall@5 of the incremental-index probe
+    ≥ 0.6 vs the exact top-5 (measured 0.76/0.69/0.72 at
+    sf0.001/0.01/0.1 with nprobe=8 of 32). The oracle recomputes the
+    exact side and expects TRUE on both."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    is_delta = F.col("vec_id") % 10 == 7
+    corpus = emb.filter(~is_delta)
+    delta = emb.filter(is_delta)
+    codebook = S.fit_codebook(corpus, k=32, seed=42, max_iter=5)
+
+    inv_corpus = S.assign_cells_np(corpus, codebook)
+    inv_delta = S.assign_cells_np(delta, codebook)
+    inv_incr = inv_corpus.unionByName(inv_delta).localCheckpoint(eager=True)
+    inv_full = S.assign_cells_np(emb, codebook)
+
+    a = inv_incr.select("vec_id", "_cell")
+    b = inv_full.select("vec_id", "_cell")
+    equals = (
+        a.exceptAll(b)
+        .unionByName(b.exceptAll(a))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+        .select((F.col("n_diff") == 0).alias("incr_equals_rebuild"))
+    )
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(emb, queries, k=5, id_col="vec_id", vec_col="embedding")
+    approx = S.ivf_topk_from_index(inv_incr, codebook, queries, k=5, nprobe=8)
+    return _ann_recall_verdict(
+        exact, approx, 0.6, "ivf_incr_recall_ge_060"
+    ).crossJoin(F.broadcast(equals))

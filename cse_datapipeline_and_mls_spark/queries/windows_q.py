@@ -2695,3 +2695,128 @@ def w_holt_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "w_changepoint_single_split",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             datediff('day', DATE '2024-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS x,
+             CAST(floor(avg(value) * 1000000 + 0.5) AS BIGINT) AS vi
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      SELECT user_id, x,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             CAST(sum(vi) OVER w AS BIGINT) AS cum
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), t AS (
+      SELECT user_id, i AS n, cum AS s FROM c
+      QUALIFY i = max(i) OVER (PARTITION BY user_id)
+    ), m AS (
+      SELECT c.user_id, c.x, c.i AS n_l, t.n - c.i AS n_r,
+             c.cum AS s_l, t.s - c.cum AS s_r, t.n AS n_days
+      FROM c JOIN t ON t.user_id = c.user_id
+      WHERE c.i < t.n
+    ), scored AS (
+      SELECT user_id, x, n_l, n_r, s_l, s_r, n_days,
+             CAST(s_l AS DOUBLE) * s_l / n_l
+               + CAST(s_r AS DOUBLE) * s_r / n_r AS crit,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(s_l AS DOUBLE) * s_l / n_l
+                        + CAST(s_r AS DOUBLE) * s_r / n_r DESC, x) AS rn
+      FROM m
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, n_days,
+           CAST(x AS BIGINT) AS split_day_x, n_l, n_r,
+           s_l / 1000000.0 / n_l AS mean_left,
+           s_r / 1000000.0 / n_r AS mean_right,
+           s_r / 1000000.0 / n_r - s_l / 1000000.0 / n_l AS mean_shift
+    FROM scored WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def w_changepoint_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split changepoint per series — the first round of binary
+    segmentation (the classic offline changepoint scheme; CUSUM and
+    Page-Hinkley are its online siblings already in the engine): the
+    split day maximizing the between-segment sum-of-squares criterion
+    s_l²/n_l + s_r²/n_r (equivalent to the SSE-reduction argmax since
+    the total SSE is split-invariant), earliest-day tiebreak.
+
+    Determinism: daily means quantize ONCE to int64 micro-units, the
+    running total is an EXACT integer cumulative (order-independent —
+    no float window accumulation anywhere), and the criterion is a
+    fixed IEEE chain over those integers (cast-to-double exact below
+    2^53, documented micro-unit bound ~3e9 per series at TPC-H
+    magnitudes), so the argmax row and both segment means are
+    engine-exact with no output quantization.
+
+    Plan: one (user, day) agg on the fact scan; everything after is
+    day-spine-sized — one per-user cumulative window, one join against
+    the per-user last row, one argmax window. Recurse on the winning
+    segments for full binary segmentation; each round costs one more
+    spine-sized pass, never a fact re-scan."""
+    from pyspark.sql import Window as W
+
+    ev = _events_series(spark, sf_dir)
+    d = ev.groupBy(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("x"),
+    ).agg(
+        F.floor(F.avg("value") * 1000000 + F.lit(0.5)).cast("long").alias("vi")
+    )
+    w = W.partitionBy("user_id").orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    c = d.select(
+        "user_id",
+        "x",
+        F.row_number().over(W.partitionBy("user_id").orderBy("x")).cast("long").alias("i"),
+        F.sum("vi").over(w).cast("long").alias("cum"),
+    )
+    wt = W.partitionBy("user_id")
+    t = (
+        c.withColumn("_mx", F.max("i").over(wt))
+        .filter(F.col("i") == F.col("_mx"))
+        .select("user_id", F.col("i").alias("n"), F.col("cum").alias("s"))
+    )
+    m = (
+        c.join(t, "user_id")
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            "user_id",
+            "x",
+            F.col("i").alias("n_l"),
+            (F.col("n") - F.col("i")).alias("n_r"),
+            F.col("cum").alias("s_l"),
+            (F.col("s") - F.col("cum")).alias("s_r"),
+            F.col("n").alias("n_days"),
+        )
+    )
+    crit = (
+        F.col("s_l").cast("double") * F.col("s_l") / F.col("n_l")
+        + F.col("s_r").cast("double") * F.col("s_r") / F.col("n_r")
+    )
+    ws = W.partitionBy("user_id").orderBy(F.desc(crit), F.asc("x"))
+    return (
+        m.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n_days",
+            F.col("x").cast("long").alias("split_day_x"),
+            "n_l",
+            "n_r",
+            (F.col("s_l") / 1000000.0 / F.col("n_l")).alias("mean_left"),
+            (F.col("s_r") / 1000000.0 / F.col("n_r")).alias("mean_right"),
+            (
+                F.col("s_r") / 1000000.0 / F.col("n_r")
+                - F.col("s_l") / 1000000.0 / F.col("n_l")
+            ).alias("mean_shift"),
+        )
+        .orderBy("user_id")
+    )

@@ -491,3 +491,36 @@ def test_int8_quantize_error_within_half_step(spark):
     assert len(rows) == 500
     assert all(r["within_half_step"] for r in rows)
     assert all(r["max_abs_err"] <= r["qscale"] * 0.51 for r in rows)
+
+
+def test_pca_power_topvec_closed_form(spark):
+    """Rank-1 corpus: every vector is a scalar multiple of u, so the top
+    eigenvector is u/|u| exactly and the eigenvalue is the eigenvalue of
+    A = (Σ c_i²)·(u uᵀ)/... — checked against numpy's eigh on the exact
+    Gram matrix."""
+    import numpy as np
+
+    from cse_datapipeline_and_mls_spark.operators.similarity import pca_power_topvec
+
+    rng = [1.0, 2.0, -1.5, 0.5]
+    u = np.arange(1, 9, dtype=float)  # dim 8
+    rows = [(i, (c * u).tolist()) for i, c in enumerate(rng)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["component"]: r for r in pca_power_topvec(df, dim=8, iters=3).collect()}
+    X = np.stack([c * u for c in rng])
+    gram = X.T @ X
+    evals, evecs = np.linalg.eigh(gram)
+    top = evecs[:, -1] * np.sign(evecs[:, -1].sum())
+    for j in range(8):
+        assert abs(got[j + 1]["loading"] - top[j]) < 1e-6, j
+    assert abs(got[1]["eigenvalue"] - evals[-1]) < 1e-3
+
+
+def test_pca_power_topvec_validates_iters(spark):
+    import pytest
+
+    from cse_datapipeline_and_mls_spark.operators.similarity import pca_power_topvec
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="iters"):
+        pca_power_topvec(df, dim=2, iters=1)

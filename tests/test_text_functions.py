@@ -288,3 +288,37 @@ def test_remove_duplicate_spans_cuts_exactly_the_spans(spark):
     # doc 3 and 5 are untouched, doc 4 keeps only the filler word
     assert out[3][2] == 0 and out[5][2] == 0
     assert out[4][0] == "filler"
+
+
+def test_remove_source_boilerplate_planted(spark):
+    """Planted site chrome: an 8-word footer shared by two docs of the
+    same source must be cut from both; the identical segment in a
+    DIFFERENT source (only one doc there) must survive; uniques keep
+    their text verbatim."""
+    from cse_datapipeline_and_mls_spark.operators.text import (
+        remove_source_boilerplate,
+    )
+
+    footer = "terms of service apply contact us legal notice"
+    rows = [
+        (1, "a", f"alpha beta gamma delta epsilon zeta eta theta {footer}"),
+        (2, "a", f"one two three four five six seven eight {footer}"),
+        (3, "b", f"solo doc in another source keeps its words {footer}"),
+        (4, "a", "completely unique words here nothing repeats at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in remove_source_boilerplate(df, "text", "doc_id", "source").collect()
+    }
+    # docs 1 and 2: 16 words, the footer segment (positions 9-16) cut
+    for i in (1, 2):
+        assert got[i]["n_words"] == 16
+        assert got[i]["n_removed_words"] == 8, got[i]
+        assert footer not in got[i]["clean_text"]
+    assert got[1]["clean_text"] == "alpha beta gamma delta epsilon zeta eta theta"
+    # doc 3: same footer but source b has only one doc — survives
+    assert got[3]["n_removed_words"] == 0
+    assert footer in got[3]["clean_text"]
+    assert got[4]["n_removed_words"] == 0
+    assert got[4]["clean_text"] == rows[3][2]

@@ -98,6 +98,7 @@ EXPECTED_CROSS = {
     # r10
     "agg_kendall_tau_b",      # 550-cell joint-contingency self-join (bounded by |X|x|Y| BY CONSTRUCTION) + three 1-row broadcasts
     "x_pca_power_iteration",  # 1-row 64-double state broadcast per power iteration (similarity.pca_power_topvec)
+    "x_ann_ivf_incremental",  # bracket-verdict crossJoins: 1-row recall verdict + 1-row incr-equals-rebuild boolean + the 3-query brute-force broadcast
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -147,6 +148,8 @@ EXPECTED_MANY_EXCHANGES = {
     "ml_item_recs_incremental",  # the full recommender's stages TWICE-split by the watermark (corpus + delta pair builds, count merge, touched/untouched truncation union, purchase-set union) — the delta-vs-corpus refresh's irreducible set, all part-/customer-keyed
     "w_mann_kendall_trend",   # (user, day) agg + user-keyed pair self-join on the calendar-bounded day spine + sign fold + tie/count rollups + the final join — every frame past the first agg is day-spine-sized
     "x_pca_power_iteration",  # 1 posexplode 64-group agg + 1 collect fold x 3 power iterations past the checkpointed embedding scan — the Gram-free iteration's shape
+    "x_ann_ivf_incremental",  # corpus+delta assignment scans + the exceptAll equality audit + exact side + probe join + two 1-row verdict folds — the bracket-verdict refresh's irreducible set
+    "w_changepoint_single_split",  # (user,day) agg + per-user cumulative + last-row join + argmax window — every frame past the first agg is day-spine-sized
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
