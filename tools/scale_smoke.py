@@ -1379,6 +1379,49 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
         n_rows_fn=lambda one: scaled_events(spark, 1 if one else k_events).count(),
     )
 
+    # 30. Boilerplate CUT over scaled docs (r10): corpus-scan-shaped —
+    # segmenting scan + (source,h) distinct-doc count + hit join +
+    # bounded per-doc collect + higher-order filter. Per-row cost must
+    # stay flat: nothing here is corpus×corpus. Copy-suffixed text
+    # means each copy's segments are distinct, so the boilerplate SET
+    # grows with the corpus the way real site chrome does per domain.
+    def boilerplate_cut(one):
+        from cse_datapipeline_and_mls_spark.operators.text import (
+            remove_source_boilerplate,
+        )
+
+        docs = scaled_docs(spark, 1 if one else k_docs)
+        return remove_source_boilerplate(docs, "text", "doc_id", "source")
+
+    case("boilerplate_cut_docs", boilerplate_cut)
+
+    # 31. Gram-free PCA power iteration over scaled embeddings (r10):
+    # per iteration one map-side dot + a posexplode 64-group agg — the
+    # posexplode fans rows×64, so per-INPUT-row cost is the honest
+    # denominator and must stay flat (nothing materializes the Gram).
+    def scaled_emb(kk: int) -> DataFrame:
+        emb = load_table(spark, SF_DIR, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        copies = spark.range(kk).select(F.col("id").alias("_k"))
+        return emb.crossJoin(copies).select(
+            (F.col("vec_id") + F.col("_k") * 10_000_000).alias("vec_id"),
+            "embedding",
+        )
+
+    def pca_power(one):
+        from cse_datapipeline_and_mls_spark.operators.similarity import (
+            pca_power_topvec,
+        )
+
+        return pca_power_topvec(scaled_emb(1 if one else k_docs), dim=64, iters=3)
+
+    case(
+        "pca_power_embeddings",
+        pca_power,
+        n_rows_fn=lambda one: scaled_emb(1 if one else k_docs).count(),
+    )
+
     out["item_knn_hub_topk"] = hub_topk_smoke(spark)
 
     return out
