@@ -2655,3 +2655,231 @@ def agg_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tau_b"),
     )
+
+
+def _markov_stationary_oracle(iters: int = 6) -> str:
+    """Unrolled power iteration over the event-type transition chain.
+    Transition probabilities are EXACT int64 divisions (no q6); the
+    per-iteration 5-term redistribution sums are the only
+    order-sensitive reductions, quantized to 1e-9 each round (the
+    pca_power_topvec stance: the iteration contracts, quantized state
+    does not accumulate)."""
+    sql = """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), cnt AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), tp AS (
+      SELECT cur, nxt, n * 1.0 / sum(n) OVER (PARTITION BY cur) AS p
+      FROM cnt
+    ), st AS (
+      SELECT DISTINCT cur AS state FROM tp
+    ), pi0 AS (
+      SELECT state, 1.0 / (SELECT CAST(count(*) AS BIGINT) FROM st) AS pv
+      FROM st
+    )"""
+    prev = "pi0"
+    for k in range(1, iters + 1):
+        sql += f""", pi{k} AS (
+      SELECT tp.nxt AS state,
+             floor(sum({prev}.pv * tp.p) * 1000000000 + 0.5) / 1000000000 AS pv
+      FROM tp JOIN {prev} ON tp.cur = {prev}.state GROUP BY 1
+    )"""
+        prev = f"pi{k}"
+    sql += f"""
+    SELECT state, pv AS stationary_p FROM pi{iters} ORDER BY state
+    """
+    return sql
+
+
+@register("t_markov_stationary", oracle=_markov_stationary_oracle(iters=6))
+def t_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — where
+    t_markov_transitions gives the one-step model, this gives its
+    long-run occupancy (the steady-state share of each event type a
+    user session converges to), by six unrolled power-iteration rounds
+    from the uniform start.
+
+    Determinism: transition probabilities are exact int64 divisions;
+    each redistribution round's ≤|states| -term sums quantize at 1e-9
+    (the only order-sensitive reductions — the pca_power_topvec
+    per-round stance; the chain contracts at its spectral gap, so
+    quantized state does not accumulate error).
+
+    Scale: ONE fact-sized lead window (shared shape with
+    t_markov_transitions); everything after is |states|²-sized — the
+    iteration joins and sums run on a ≤25-row frame. At 100 TB the
+    cost is the sequence scan, full stop."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cnt = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tp = cnt.select(
+        "cur",
+        "nxt",
+        (F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("cur"))).alias("p"),
+    ).localCheckpoint(eager=True)
+    st = tp.select(F.col("cur").alias("state")).distinct()
+    ns = st.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    pi = st.crossJoin(F.broadcast(ns)).select(
+        "state", (F.lit(1.0) / F.col("k")).alias("pv")
+    )
+    q9 = lambda c: F.floor(c * 1000000000 + F.lit(0.5)) / 1000000000  # noqa: E731
+    for _ in range(6):
+        pi = (
+            tp.join(pi, tp["cur"] == pi["state"])
+            .groupBy(F.col("nxt").alias("state"))
+            .agg(q9(F.sum(F.col("pv") * F.col("p"))).alias("pv"))
+        )
+    return pi.select("state", F.col("pv").alias("stationary_p")).orderBy("state")
+
+
+@register(
+    "agg_randomization_test",
+    oracle="""
+    WITH c AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp
+      FROM lineitem
+    ), obs AS (
+      SELECT CAST(sum(CASE WHEN grp = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(grp) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN grp = 0 THEN cents ELSE 0 END) AS BIGINT) AS s0,
+             CAST(sum(1 - grp) AS BIGINT) AS n0
+      FROM c
+    ), reps AS (
+      SELECT r.rep, c.cents,
+             CAST(('0x' || substring(md5(CAST(c.l_orderkey AS VARCHAR) || '-'
+               || CAST(c.l_linenumber AS VARCHAR) || '-'
+               || CAST(r.rep AS VARCHAR)), 1, 8))::BIGINT % 2 AS BIGINT) AS g
+      FROM c, (SELECT unnest(generate_series(0, 19)) AS rep) r
+    ), rstat AS (
+      SELECT rep,
+             CAST(sum(CASE WHEN g = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(g) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN g = 0 THEN cents ELSE 0 END) AS BIGINT) AS s0,
+             CAST(sum(1 - g) AS BIGINT) AS n0
+      FROM reps GROUP BY rep
+    ), d AS (
+      SELECT abs(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) AS adiff
+      FROM rstat
+    ), o AS (
+      SELECT abs(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) AS adiff_obs,
+             CAST(s1 AS DOUBLE) / n1 / 100 - CAST(s0 AS DOUBLE) / n0 / 100
+               AS diff_obs_dollars
+      FROM obs
+    )
+    SELECT CAST(20 AS BIGINT) AS n_reps,
+           floor(o.diff_obs_dollars * 1000000 + 0.5) / 1000000 AS diff_obs_dollars,
+           CAST(sum(CASE WHEN d.adiff >= o.adiff_obs THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_extreme,
+           (1 + sum(CASE WHEN d.adiff >= o.adiff_obs THEN 1 ELSE 0 END)) / 21.0
+             AS p_value
+    FROM d, o GROUP BY o.diff_obs_dollars
+    """,
+)
+def agg_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (approximate permutation) test for the returned-
+    vs-kept price gap — the distribution-free companion to
+    agg_welch_ttest: 20 deterministic md5-keyed random relabelings of
+    the rows (the bootstrap queries' inverse-CDF trick applied to group
+    assignment), each producing the |mean difference| under the null;
+    the p-value is the add-one-smoothed share of replicates at least as
+    extreme as the observed gap.
+
+    Determinism end-to-end EXACT: group sums are int64 cents,
+    per-replicate means are single divisions of exact integers, and
+    the ≥ comparison runs on those exact doubles — no quantization is
+    load-bearing (only the output display rounds). Random relabeling
+    (not an exact permutation) leaves group sizes binomial around n/2;
+    with n in the thousands the size jitter is ~1/√n and the test is
+    the standard randomization variant.
+
+    Scale: like agg_bootstrap_ci_revenue, a 20× row explode into one
+    (rep, group) partial-agg shuffle of 40 keys — the explode rides
+    map-side; nothing else scales with the data."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
+    )
+    obs = li.agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum("grp").cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(1 - F.col("grp")).cast("long").alias("n0"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                    F.lit("-"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    reps = li.select(
+        "l_orderkey", "l_linenumber", "cents", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep")
+    ).select("rep", "cents", (h % 2).alias("g"))
+    rstat = reps.groupBy("rep").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum("g").cast("long").alias("n1"),
+        F.sum(F.when(F.col("g") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(1 - F.col("g")).cast("long").alias("n0"),
+    )
+    adiff = F.abs(
+        F.col("s1").cast("double") / F.col("n1")
+        - F.col("s0").cast("double") / F.col("n0")
+    )
+    d = rstat.select(adiff.alias("adiff"))
+    o = obs.select(
+        adiff.alias("adiff_obs"),
+        (
+            F.col("s1").cast("double") / F.col("n1") / 100
+            - F.col("s0").cast("double") / F.col("n0") / 100
+        ).alias("diff_obs_dollars"),
+    )
+    return (
+        d.crossJoin(F.broadcast(o))
+        .groupBy("diff_obs_dollars")
+        .agg(
+            F.sum(F.when(F.col("adiff") >= F.col("adiff_obs"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_extreme")
+        )
+        .select(
+            F.lit(20).cast("long").alias("n_reps"),
+            _q6(F.col("diff_obs_dollars")).alias("diff_obs_dollars"),
+            "n_extreme",
+            ((1 + F.col("n_extreme")) / 21.0).alias("p_value"),
+        )
+    )

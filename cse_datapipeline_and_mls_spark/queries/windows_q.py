@@ -2820,3 +2820,109 @@ def w_changepoint_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "w_sax_symbols",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             datediff('day', DATE '2024-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS x,
+             CAST(floor(avg(value) * 1000000 + 0.5) AS BIGINT) AS vi
+      FROM events GROUP BY 1, 2
+    ), paa AS (
+      SELECT user_id, CAST(floor(x / 7) AS BIGINT) AS wk,
+             CAST(sum(vi) AS BIGINT) AS svi,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM d GROUP BY 1, 2
+    ), rk AS (
+      SELECT user_id, wk, svi, nd,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_weeks,
+             CAST(row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(svi AS DOUBLE) / nd, wk) AS BIGINT) AS r
+      FROM paa
+    ), sym AS (
+      SELECT user_id, wk, n_weeks,
+             CAST(floor(4.0 * (r - 1) / n_weeks) AS BIGINT) AS s
+      FROM rk
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(max(n_weeks) AS BIGINT) AS n_weeks,
+           string_agg(chr(97 + CAST(s AS INT)), '' ORDER BY wk) AS sax
+    FROM sym GROUP BY user_id ORDER BY user_id
+    """,
+)
+def w_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization per series (Lin et al. 2003, rank-binned
+    variant): daily means → weekly PAA (piecewise aggregate
+    approximation) → each week mapped to one of 4 symbols a-d by the
+    week's EXACT rank among the user's weeks — the discretization that
+    feeds motif discovery, series indexing, and anomaly grammars.
+    Rank binning replaces the classic Gaussian breakpoints so the
+    symbol boundary is a deterministic function of exact integers (the
+    Gaussian variant needs a per-user mean/std standardization whose
+    float boundaries are exactly the cross-engine hash risk this
+    registry bans).
+
+    Determinism: daily means quantize once to int64 micro-units;
+    weekly PAA is an exact integer (sum, count) pair; the rank orders
+    by the exact-double division svi/nd with the week index as
+    tiebreak; symbols are integer arithmetic on ranks; the SAX string
+    is an ordered aggregation with a pinned week order.
+
+    Scale: one (user, day) agg on the fact scan, one (user, week) agg,
+    one per-user window over the WEEK spine (calendar-bounded), one
+    ordered collect per user — day-spine-sized after the first agg."""
+    from pyspark.sql import Window as W
+
+    ev = _events_series(spark, sf_dir)
+    d = ev.groupBy(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("x"),
+    ).agg(
+        F.floor(F.avg("value") * 1000000 + F.lit(0.5)).cast("long").alias("vi")
+    )
+    paa = d.groupBy(
+        "user_id", F.floor(F.col("x") / 7).cast("long").alias("wk")
+    ).agg(
+        F.sum("vi").cast("long").alias("svi"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    rk = paa.select(
+        "user_id",
+        "wk",
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).cast("long").alias("n_weeks"),
+        F.row_number()
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.col("svi").cast("double") / F.col("nd"), "wk"
+            )
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    sym = rk.select(
+        "user_id",
+        "wk",
+        "n_weeks",
+        F.floor(4.0 * (F.col("r") - 1) / F.col("n_weeks")).cast("long").alias("s"),
+    )
+    return (
+        sym.groupBy("user_id")
+        .agg(
+            F.max("n_weeks").cast("long").alias("n_weeks"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wk", "s"))),
+                    lambda p: F.chr(F.lit(97) + p["s"]),
+                ),
+            ).alias("sax"),
+        )
+        .withColumn("user_id", F.col("user_id").cast("long"))
+        .orderBy("user_id")
+    )

@@ -99,6 +99,8 @@ EXPECTED_CROSS = {
     "agg_kendall_tau_b",      # 550-cell joint-contingency self-join (bounded by |X|x|Y| BY CONSTRUCTION) + three 1-row broadcasts
     "x_pca_power_iteration",  # 1-row 64-double state broadcast per power iteration (similarity.pca_power_topvec)
     "x_ann_ivf_incremental",  # bracket-verdict crossJoins: 1-row recall verdict + 1-row incr-equals-rebuild boolean + the 3-query brute-force broadcast
+    "t_markov_stationary",    # 1-row state-count broadcast seeding the uniform start
+    "agg_randomization_test", # 1-row observed-gap broadcast onto the 20-row replicate frame
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -150,6 +152,7 @@ EXPECTED_MANY_EXCHANGES = {
     "x_pca_power_iteration",  # 1 posexplode 64-group agg + 1 collect fold x 3 power iterations past the checkpointed embedding scan — the Gram-free iteration's shape
     "x_ann_ivf_incremental",  # corpus+delta assignment scans + the exceptAll equality audit + exact side + probe join + two 1-row verdict folds — the bracket-verdict refresh's irreducible set
     "w_changepoint_single_split",  # (user,day) agg + per-user cumulative + last-row join + argmax window — every frame past the first agg is day-spine-sized
+    "t_markov_stationary",    # 6 power-iteration rounds over the checkpointed <=25-row transition frame (1 join + 1 agg each) — every post-scan frame is |states|-sized
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
