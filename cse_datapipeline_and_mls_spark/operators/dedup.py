@@ -764,3 +764,97 @@ def minhash_neardup_incremental(
         ).filter(F.col("id_a") != F.col("id_b"))
 
     return shape(cross).unionByName(shape(intra)).dropDuplicates(["id_a", "id_b"])
+
+
+def simhash_neardup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Incremental SimHash near-dup: candidate pairs touching a NEW
+    batch — batch×corpus band probes plus batch×batch — without
+    re-joining the corpus against itself (the SimHash twin of
+    ``minhash_neardup_incremental``, completing the incremental
+    near-dup pair).
+
+    STRONGER contract than the MinHash twin's recall framing: a
+    document's simhash depends only on its own text (pure xxhash64 bit
+    arithmetic, no fitted state), and a pair survives iff some band
+    matches — both facts are per-pair local — so this function's output
+    EQUALS ``simhash_neardup_pairs(corpus ∪ batch)`` restricted to
+    pairs with ≥1 batch member, row for row (asserted in the registered
+    query AND in tests). At scale, persist the corpus band table
+    (4 int rows per doc) and probe each batch against it — the
+    inverted-file posture; per-batch cost ∝ |batch| band probes."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"pigeonhole recall requires max_hamming <= n_bands - 1; "
+            f"got max_hamming={max_hamming}, n_bands={n_bands}"
+        )
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+
+    def bands(df: DataFrame) -> DataFrame:
+        sh = with_simhash(
+            _ensure_min_parallelism(df.select(id_col, text_col)), text_col
+        ).select(id_col, "simhash")
+        return sh.select(
+            id_col,
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.shiftright("simhash", i * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_val"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+
+    bb = bands(batch).localCheckpoint(eager=True)
+    cb = bands(corpus)
+    a = bb.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
+        "band_idx", "band_val",
+    )
+    c = cb.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
+        "band_idx", "band_val",
+    )
+    b2 = bb.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
+        "band_idx", "band_val",
+    )
+    cross = a.join(c, ["band_idx", "band_val"])
+    intra = a.join(b2, ["band_idx", "band_val"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    cand = (
+        cross.unionByName(intra)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("sim_a"))
+            .otherwise(F.col("sim_b"))
+            .alias("sim_a"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("sim_b"))
+            .otherwise(F.col("sim_a"))
+            .alias("sim_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

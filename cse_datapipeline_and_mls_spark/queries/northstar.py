@@ -1419,3 +1419,89 @@ def x_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_verdict(
         exact, approx, 0.6, "ivf_incr_recall_ge_060"
     ).crossJoin(F.broadcast(equals))
+
+
+@register(
+    "x_simhash_incremental",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), tokens AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx FROM words
+    ), grams AS (
+      SELECT doc_id,
+             word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS g
+      FROM tokens WINDOW win AS (PARTITION BY doc_id ORDER BY idx)
+      QUALIFY lead(word, 2) OVER win IS NOT NULL
+    ), dgrams AS (
+      SELECT DISTINCT doc_id, g FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM dgrams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM dgrams a JOIN dgrams b USING (g)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, jaccard,
+           TRUE AS incr_equals_full, TRUE AS simhash_recall_ge_050
+    FROM (
+      SELECT id_a, id_b,
+             floor(n_inter / (sa.sz + sb.sz - n_inter) * 1000000 + 0.5) / 1000000 AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= 0.9
+      AND (id_a % 5 = 0 OR id_b % 5 = 0)
+    """,
+)
+def x_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (batch-ingest flavor, SimHash): incremental SimHash near-dup —
+    new batch (doc_id ≡ 0 mod 5) band-probed against the standing
+    corpus plus itself, never corpus×corpus; completes the incremental
+    near-dup pair (x_minhash_incremental is the Jaccard-regime twin).
+
+    TWO verdicts ride the exact batch-touching Jaccard ≥ 0.9 rows:
+    (1) incr_equals_full — the incremental pair set is ROW-IDENTICAL
+    to the full simhash_neardup_pairs run restricted to batch-touching
+    pairs (simhash is per-document-deterministic and band matching is
+    per-pair local, so equality is structural — asserted, because a
+    future signature that normalizes over the corpus would silently
+    break it); (2) the full run's recall ≥ 0.5 bound inherited on the
+    batch slice. The oracle recomputes the exact side and expects TRUE
+    on both."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    exact = (
+        D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.9)
+        .filter((F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0))
+        .localCheckpoint(eager=True)
+    )
+    incr = D.simhash_neardup_incremental(
+        batch, corpus, "text", "doc_id", max_hamming=3
+    ).localCheckpoint(eager=True)
+    full_touching = (
+        D.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3)
+        .filter((F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0))
+        .select("id_a", "id_b", "hamming")
+    )
+    eq = (
+        incr.exceptAll(full_touching)
+        .unionByName(full_touching.exceptAll(incr))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+        .select((F.col("n_diff") == 0).alias("incr_equals_full"))
+    )
+    hits = exact.join(incr.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    verdict = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            (F.col("n_hit") >= 0.5 * F.col("n_exact")).alias(
+                "simhash_recall_ge_050"
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(eq)).crossJoin(F.broadcast(verdict))

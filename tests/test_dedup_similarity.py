@@ -524,3 +524,36 @@ def test_pca_power_topvec_validates_iters(spark):
     df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="iters"):
         pca_power_topvec(df, dim=2, iters=1)
+
+
+def test_simhash_incremental_equals_full_restricted(spark, sf_dir):
+    """Incremental batch-vs-corpus SimHash must reproduce EXACTLY the
+    full run's pairs that touch a batch member (simhash is
+    per-document-deterministic; band matching is per-pair local), and
+    an empty batch must yield an empty frame, not a crash."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    expected = {p for p in full if p[0] in batch_ids or p[1] in batch_ids}
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_neardup_incremental(batch, corpus, max_hamming=3).collect()
+    }
+    assert got == expected
+    assert D.simhash_neardup_incremental(
+        docs.filter(F.lit(False)), corpus, max_hamming=3
+    ).count() == 0
+
+
+def test_simhash_incremental_validates_bands(spark, sf_dir):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_neardup_incremental(docs, docs, max_hamming=4, n_bands=4)

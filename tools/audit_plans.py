@@ -101,6 +101,7 @@ EXPECTED_CROSS = {
     "x_ann_ivf_incremental",  # bracket-verdict crossJoins: 1-row recall verdict + 1-row incr-equals-rebuild boolean + the 3-query brute-force broadcast
     "t_markov_stationary",    # 1-row state-count broadcast seeding the uniform start
     "agg_randomization_test", # 1-row observed-gap broadcast onto the 20-row replicate frame
+    "x_simhash_incremental",  # bracket-verdict crossJoins: 1-row equality audit + 1-row recall verdict onto the exact rows
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -153,6 +154,7 @@ EXPECTED_MANY_EXCHANGES = {
     "x_ann_ivf_incremental",  # corpus+delta assignment scans + the exceptAll equality audit + exact side + probe join + two 1-row verdict folds — the bracket-verdict refresh's irreducible set
     "w_changepoint_single_split",  # (user,day) agg + per-user cumulative + last-row join + argmax window — every frame past the first agg is day-spine-sized
     "t_markov_stationary",    # 6 power-iteration rounds over the checkpointed <=25-row transition frame (1 join + 1 agg each) — every post-scan frame is |states|-sized
+    "x_simhash_incremental",  # batch/corpus band builds + the full-run twin for the equality audit + exceptAll pair + recall join — the proof costs, not the production probe (which is the checkpointed incr side alone)
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
