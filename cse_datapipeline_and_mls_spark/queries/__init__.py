@@ -43,6 +43,8 @@ def _load_all() -> None:
         analytics_q,
         coverage_q,
         curation_q,
+        experiments_q,
+        geo_q,
         functions_q,
         llmdata_q,
         ml_q,
