@@ -41,6 +41,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def _load_all() -> None:
     from . import (  # noqa: F401
         analytics_q,
+        attribution_q,
         coverage_q,
         curation_q,
         experiments_q,

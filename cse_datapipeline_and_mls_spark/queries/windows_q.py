@@ -2926,3 +2926,138 @@ def w_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("user_id", F.col("user_id").cast("long"))
         .orderBy("user_id")
     )
+
+
+# --- Croston intermittent-demand forecast -------------------------------
+# Smoothing weight and the finite lookback that makes the recursive SES
+# exactly computable without unbounded exponents: the estimator is
+# DEFINED as the normalized truncated EMA over the last L nonzero-demand
+# days (weight (1-a)^j, j=0..L-1, renormalized). At a=0.2 the dropped
+# tail weight past L=64 is 0.8^64 ~ 6e-7 of an UN-normalized SES — and
+# the normalized form is exact by definition, so both engines compute
+# the identical estimator at any series length (the w_ema block-splice
+# machinery is unnecessary here because only the LAST point's smoothed
+# state is reported, not every row's).
+_CROSTON_A = 0.2
+_CROSTON_L = 64
+
+
+@register(
+    "w_croston_forecast",
+    oracle=f"""
+    WITH d AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), iv AS (
+      SELECT brand, day, qty,
+             date_diff('day',
+                       lag(day) OVER (PARTITION BY brand ORDER BY day),
+                       day) AS gap,
+             row_number() OVER (PARTITION BY brand ORDER BY day DESC) AS rn,
+             count(*) OVER (PARTITION BY brand) AS n_days,
+             max(day) OVER (PARTITION BY brand) AS last_day
+      FROM d
+    ), k AS (
+      SELECT brand, n_days, last_day,
+             power({1.0 - _CROSTON_A!r}, rn - 1) AS w, qty, gap
+      FROM iv WHERE rn <= {_CROSTON_L}
+    ), s AS (
+      SELECT brand,
+             CAST(max(n_days) AS BIGINT) AS n_demand_days,
+             max(last_day) AS last_day,
+             sum(w * qty) / sum(w) AS z_hat,
+             sum(CASE WHEN gap IS NOT NULL THEN w * gap END)
+               / sum(CASE WHEN gap IS NOT NULL THEN w END) AS p_hat
+      FROM k GROUP BY brand
+    )
+    SELECT brand, n_demand_days, last_day,
+           floor(z_hat * 1000000 + 0.5) / 1000000 AS z_hat,
+           floor(p_hat * 1000000 + 0.5) / 1000000 AS p_hat,
+           floor((z_hat / p_hat) * 1000000 + 0.5) / 1000000 AS croston_forecast,
+           floor(({1.0 - _CROSTON_A / 2.0!r} * (z_hat / p_hat)) * 1000000 + 0.5)
+             / 1000000 AS sb_forecast
+    FROM s ORDER BY brand
+    """,
+)
+def w_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (Croston 1972) with the Syntetos-Boylan bias
+    correction (2005): the standard forecaster for INTERMITTENT demand,
+    where zero-demand days dominate and plain SES chases the gaps.
+    Demand sizes z and inter-demand intervals p are smoothed SEPARATELY
+    on the nonzero-demand subsequence (zero days are absent rows — the
+    intervals carry them); forecast per day = z_hat/p_hat, and the SB
+    variant multiplies by (1 - a/2) to undo Croston's renewal bias.
+
+    Series: daily shipped quantity per part brand (25 series). Both
+    smoothers are the normalized truncated EMA over the last L=64
+    demand days — see the constant block above for why this finite
+    form is exact and engine-identical. The first demand day of a
+    series has no interval and is excluded from p_hat's weights only
+    (standard Croston initialization).
+
+    Scale: one fact-sized join (part dim broadcast) + one (brand, day)
+    aggregation; the per-brand window ranks then keeps <=64 rows per
+    series, so the smoothing aggregation is bounded by |brands| * L.
+    At 100 TB: cost = the lineitem scan + one keyed shuffle."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    d = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+            .cast("long")
+            .alias("qty")
+        )
+    )
+    wb = W.partitionBy("brand").orderBy("day")
+    wd = W.partitionBy("brand").orderBy(F.desc("day"))
+    wa = W.partitionBy("brand")
+    iv = d.select(
+        "brand",
+        "day",
+        "qty",
+        F.datediff("day", F.lag("day").over(wb)).alias("gap"),
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wa).alias("n_days"),
+        F.max("day").over(wa).alias("last_day"),
+    )
+    k = iv.filter(F.col("rn") <= _CROSTON_L).select(
+        "brand",
+        "n_days",
+        "last_day",
+        F.pow(F.lit(1.0 - _CROSTON_A), F.col("rn") - 1).alias("w"),
+        "qty",
+        "gap",
+    )
+    s = k.groupBy("brand").agg(
+        F.max("n_days").cast("long").alias("n_demand_days"),
+        F.max("last_day").alias("last_day"),
+        (F.sum(F.col("w") * F.col("qty")) / F.sum("w")).alias("z_hat"),
+        (
+            F.sum(F.when(F.col("gap").isNotNull(), F.col("w") * F.col("gap")))
+            / F.sum(F.when(F.col("gap").isNotNull(), F.col("w")))
+        ).alias("p_hat"),
+    )
+    from ..operators.numeric import q6 as _q6
+
+    return s.select(
+        "brand",
+        "n_demand_days",
+        "last_day",
+        _q6(F.col("z_hat")).alias("z_hat"),
+        _q6(F.col("p_hat")).alias("p_hat"),
+        _q6(F.col("z_hat") / F.col("p_hat")).alias("croston_forecast"),
+        _q6(
+            F.lit(1.0 - _CROSTON_A / 2.0) * (F.col("z_hat") / F.col("p_hat"))
+        ).alias("sb_forecast"),
+    ).orderBy("brand")
