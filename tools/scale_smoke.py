@@ -1422,6 +1422,36 @@ def run(spark, k_events: int, k_docs: int, k_graph: int = 10) -> dict:
         n_rows_fn=lambda one: scaled_emb(1 if one else k_docs).count(),
     )
 
+    # 32. Grid-bucketed spatial radius join (r10): k key-shifted copies
+    # of the customer points rescatter under the md5 coordinates, so
+    # point DENSITY grows k-fold on the fixed map — the honest
+    # constant-local-workload scale-up shrinks the radius (and with it
+    # the cell) by sqrt(k), keeping expected neighbors-per-point fixed.
+    # Flat per-INPUT-row cost then proves the join does work
+    # proportional to true local density (a cross join would read k x
+    # flat-degrading here; the 3x3 probe guarantees no lost pairs —
+    # tests/test_geo.py proves completeness against brute force).
+    def scaled_points(kk: int) -> DataFrame:
+        cust = load_table(spark, SF_DIR, "customer").select("c_custkey")
+        copies = spark.range(kk).select(F.col("id").alias("_k"))
+        return cust.crossJoin(copies).select(
+            (F.col("c_custkey") + F.col("_k") * 10_000_000).alias("c_custkey")
+        )
+
+    def geo_radius(one):
+        from cse_datapipeline_and_mls_spark.operators.geo import radius_pairs
+
+        kk = 1 if one else k_graph
+        return radius_pairs(
+            scaled_points(kk), "c_custkey", radius_deg=3.0 / kk**0.5
+        )
+
+    case(
+        "geo_radius_join_points",
+        geo_radius,
+        n_rows_fn=lambda one: scaled_points(1 if one else k_graph).count(),
+    )
+
     out["item_knn_hub_topk"] = hub_topk_smoke(spark)
 
     return out
