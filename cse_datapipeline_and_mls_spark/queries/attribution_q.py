@@ -301,3 +301,244 @@ def t_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("removal_effect") / F.sum("removal_effect").over(Window.partitionBy())
         ).alias("attribution_share"),
     ).orderBy("channel")
+
+
+# --- Heuristic multi-touch attribution (time-decay, position/U-shaped) --
+# Shares the Markov query's session-journey construction; conversions
+# with no preceding touch in their session credit the 'none' channel
+# (the t_attribution_last_touch convention). The decay half-life is a
+# pinned config literal like the mSPRT variances.
+_DECAY_HALFLIFE_SEC = 600.0
+
+_SESSION_PREFIX_SQL = """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                       OR floor(epoch(ts))
+                          - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id))) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), seq AS (
+      SELECT user_id, event_type, value, floor(epoch(ts)) AS sec,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gn
+      FROM g
+    ), sq AS (
+      SELECT user_id, sid, event_type, value, sec,
+             row_number() OVER (PARTITION BY user_id, sid ORDER BY gn) AS rn
+      FROM seq
+    ), conv AS (
+      SELECT user_id, sid, min(rn) AS conv_rn
+      FROM sq WHERE event_type = 'purchase' GROUP BY user_id, sid
+    ), convs AS (
+      SELECT c.user_id, c.sid, c.conv_rn, p.sec AS conv_sec,
+             p.value AS conv_value
+      FROM conv c JOIN sq p
+        ON p.user_id = c.user_id AND p.sid = c.sid AND p.rn = c.conv_rn
+    ), touches AS (
+      SELECT s.user_id, s.sid, s.rn, s.event_type AS channel, s.sec,
+             c.conv_sec, c.conv_value,
+             count(*) OVER (PARTITION BY s.user_id, s.sid) AS k,
+             min(s.rn) OVER (PARTITION BY s.user_id, s.sid) AS first_rn,
+             max(s.rn) OVER (PARTITION BY s.user_id, s.sid) AS last_rn
+      FROM sq s JOIN convs c ON s.user_id = c.user_id AND s.sid = c.sid
+      WHERE s.rn < c.conv_rn
+    ), none_convs AS (
+      SELECT c.conv_value
+      FROM convs c
+      WHERE NOT EXISTS (SELECT 1 FROM touches t
+                        WHERE t.user_id = c.user_id AND t.sid = c.sid)
+    )
+"""
+
+
+def _session_touches(spark: SparkSession, sf_dir: str):
+    """(touches, none_convs) — the shared journey frames: every touch
+    of a CONVERTED session joined with its conversion's epoch second
+    and value plus per-journey k/first/last, and the zero-touch
+    conversions (purchase opened the session)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_timestamp("ts").alias("sec"),
+        F.sum(new_sess).over(cum).alias("sid"),
+        F.row_number().over(w).alias("gn"),
+    )
+    wj = Window.partitionBy("user_id", "sid").orderBy("gn")
+    sq = seq.select(
+        "user_id", "sid", "event_type", "value", "sec",
+        F.row_number().over(wj).alias("rn"),
+    )
+    conv = (
+        sq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "sid")
+        .agg(F.min("rn").alias("conv_rn"))
+    )
+    convs = (
+        conv.join(
+            sq.select(
+                "user_id",
+                "sid",
+                "rn",
+                F.col("sec").alias("conv_sec"),
+                F.col("value").alias("conv_value"),
+            ),
+            ["user_id", "sid"],
+        )
+        .filter(F.col("rn") == F.col("conv_rn"))
+        .drop("rn")
+    )
+    wk = Window.partitionBy("user_id", "sid")
+    touches = (
+        sq.join(convs, ["user_id", "sid"])
+        .filter(F.col("rn") < F.col("conv_rn"))
+        .select(
+            "user_id", "sid", "rn",
+            F.col("event_type").alias("channel"),
+            "sec", "conv_sec", "conv_value",
+        )
+        .withColumn("k", F.count(F.lit(1)).over(wk))
+        .withColumn("first_rn", F.min("rn").over(wk))
+        .withColumn("last_rn", F.max("rn").over(wk))
+    )
+    none_convs = convs.join(
+        touches.select("user_id", "sid").distinct(), ["user_id", "sid"], "left_anti"
+    ).select("conv_value")
+    return touches, none_convs
+
+
+@register(
+    "t_attribution_time_decay",
+    oracle=_SESSION_PREFIX_SQL + f"""
+    , wtd AS (
+      SELECT channel, conv_value,
+             power(0.5, (conv_sec - sec) / {_DECAY_HALFLIFE_SEC!r}) AS w,
+             sum(power(0.5, (conv_sec - sec) / {_DECAY_HALFLIFE_SEC!r}))
+               OVER (PARTITION BY user_id, sid) AS wsum
+      FROM touches
+    ), credit AS (
+      SELECT channel, w / wsum AS credit, conv_value * (w / wsum) AS rev
+      FROM wtd
+      UNION ALL
+      SELECT 'none' AS channel, 1.0 AS credit, conv_value AS rev
+      FROM none_convs
+    )
+    SELECT channel,
+           floor(sum(credit) * 1000000 + 0.5) / 1000000
+             AS credited_conversions,
+           floor(sum(rev) * 1000000 + 0.5) / 1000000 AS credited_revenue
+    FROM credit GROUP BY channel ORDER BY channel
+    """,
+)
+def t_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every touch in a converted
+    session shares the conversion's credit with weight 0.5^(dt/600s)
+    (10-minute half-life — recency-biased but smoother than last-touch,
+    the standard middle ground). Per-conversion weights normalize to 1,
+    so credited_conversions sums to the conversion count.
+
+    Scale: the sessionize/journey windows are the one fact-sized stage
+    (all on the user_id exchange); credits are map-side arithmetic plus
+    one per-journey window and one final channel rollup."""
+    touches, none_convs = _session_touches(spark, sf_dir)
+    w = F.pow(
+        F.lit(0.5), (F.col("conv_sec") - F.col("sec")) / F.lit(_DECAY_HALFLIFE_SEC)
+    )
+    wk = Window.partitionBy("user_id", "sid")
+    wtd = touches.select(
+        "channel",
+        "conv_value",
+        w.alias("w"),
+        F.sum(w).over(wk).alias("wsum"),
+    )
+    credit = wtd.select(
+        "channel",
+        (F.col("w") / F.col("wsum")).alias("credit"),
+        (F.col("conv_value") * (F.col("w") / F.col("wsum"))).alias("rev"),
+    ).unionByName(
+        none_convs.select(
+            F.lit("none").alias("channel"),
+            F.lit(1.0).alias("credit"),
+            F.col("conv_value").alias("rev"),
+        )
+    )
+    return (
+        credit.groupBy("channel")
+        .agg(
+            _q6(F.sum("credit")).alias("credited_conversions"),
+            _q6(F.sum("rev")).alias("credited_revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "t_attribution_position",
+    oracle=_SESSION_PREFIX_SQL + """
+    , credit AS (
+      SELECT channel,
+             CASE WHEN k = 1 THEN 1.0
+                  WHEN k = 2 THEN 0.5
+                  WHEN rn = first_rn OR rn = last_rn THEN 0.4
+                  ELSE 0.2 / (k - 2) END AS credit,
+             conv_value
+      FROM touches
+    ), rows_out AS (
+      SELECT channel, credit, conv_value * credit AS rev FROM credit
+      UNION ALL
+      SELECT 'none' AS channel, 1.0 AS credit, conv_value AS rev
+      FROM none_convs
+    )
+    SELECT channel,
+           floor(sum(credit) * 1000000 + 0.5) / 1000000
+             AS credited_conversions,
+           floor(sum(rev) * 1000000 + 0.5) / 1000000 AS credited_revenue
+    FROM rows_out GROUP BY channel ORDER BY channel
+    """,
+)
+def t_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) attribution: first and last
+    touch of a converted session get 40% each, the middle splits the
+    remaining 20% evenly; 1-touch journeys take 100%, 2-touch 50/50.
+    Exact rational credits (integer-ratio doubles), so only the final
+    channel rollup is order-sensitive.
+
+    Scale: identical shape to t_attribution_time_decay — one fact-sized
+    user_id exchange, then map-side credit arithmetic + one rollup."""
+    touches, none_convs = _session_touches(spark, sf_dir)
+    credit_expr = (
+        F.when(F.col("k") == 1, 1.0)
+        .when(F.col("k") == 2, 0.5)
+        .when((F.col("rn") == F.col("first_rn")) | (F.col("rn") == F.col("last_rn")), 0.4)
+        .otherwise(0.2 / (F.col("k") - 2))
+    )
+    credit = touches.select(
+        "channel",
+        credit_expr.alias("credit"),
+        (F.col("conv_value") * credit_expr).alias("rev"),
+    ).unionByName(
+        none_convs.select(
+            F.lit("none").alias("channel"),
+            F.lit(1.0).alias("credit"),
+            F.col("conv_value").alias("rev"),
+        )
+    )
+    return (
+        credit.groupBy("channel")
+        .agg(
+            _q6(F.sum("credit")).alias("credited_conversions"),
+            _q6(F.sum("rev")).alias("credited_revenue"),
+        )
+        .orderBy("channel")
+    )

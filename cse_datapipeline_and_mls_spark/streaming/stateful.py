@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
+    DateType,
     DoubleType,
     LongType,
     StringType,
@@ -730,4 +732,135 @@ def page_hinkley_stream(
             outputMode="append",
             timeoutConf="NoTimeout",
         )
+    )
+
+
+MSPRT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("day", DateType()),
+        StructField("n_treat", LongType()),
+        StructField("n_ctrl", LongType()),
+        StructField("s_treat_cents", LongType()),
+        StructField("s_ctrl_cents", LongType()),
+        StructField("diff_musd", DoubleType()),
+        StructField("log_lambda", DoubleType()),
+        StructField("reject", BooleanType()),
+    ]
+)
+
+# mSPRT monitor state: the four cumulative int64s the whole statistic
+# is a pure function of — exact integer folds, so cross-batch carrying
+# cannot drift. O(1) per experiment, ever.
+MSPRT_STATE_SCHEMA = StructType(
+    [
+        StructField("n_t", LongType()),
+        StructField("n_c", LongType()),
+        StructField("s_t", LongType()),
+        StructField("s_c", LongType()),
+    ]
+)
+
+
+def _msprt_batches(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: "GroupState",
+    sigma0_sq: float,
+    tau_sq: float,
+    log_reject: float,
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    n_t, n_c, s_t, s_c = state.get if state.exists else (0, 0, 0, 0)
+    pdf = _whole_batch(pdfs, sort_cols=("day",))
+    if pdf is not None and len(pdf):
+        d = (
+            pdf.groupby("day", sort=True)
+            .agg(
+                nt_d=("t", "sum"),
+                n_d=("t", "count"),
+                st_d=("tc", "sum"),
+                sa_d=("cents", "sum"),
+            )
+            .reset_index()
+        )
+        rows = []
+        for r in d.itertuples(index=False):
+            n_t += int(r.nt_d)
+            n_c += int(r.n_d) - int(r.nt_d)
+            s_t += int(r.st_d)
+            s_c += int(r.sa_d) - int(r.st_d)
+            if n_t > 0 and n_c > 0:
+                # EXACTLY the batch query's op order (pinned IEEE chain)
+                diff = s_t / n_t / 100000000.0 - s_c / n_c / 100000000.0
+                v = sigma0_sq * (1.0 / n_t + 1.0 / n_c)
+                ll = 0.5 * math.log(v / (v + tau_sq)) + (diff * diff * tau_sq) / (
+                    2.0 * v * (v + tau_sq)
+                )
+                rows.append((r.day, n_t, n_c, s_t, s_c, diff, ll, ll > log_reject))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MSPRT_OUTPUT_SCHEMA.fields]
+            )
+    state.update((n_t, n_c, s_t, s_c))
+
+
+def msprt_columns(df: DataFrame) -> DataFrame:
+    """Project order-shaped rows to the monitor's input: day, the
+    md5-hash arm flag t, its cents product tc (so the pandas fold is a
+    plain sum), and exact int64 cents — the SAME Spark expressions as
+    the batch ab_msprt_sequential query, so arm assignment and cents
+    rounding are engine-identical by construction."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    t = F.when(bucket == 0, 1).otherwise(0)
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    return df.select(
+        F.lit("default").alias("experiment"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        t.alias("t"),
+        cents.alias("cents"),
+        (t * cents).cast("long").alias("tc"),
+    )
+
+
+def msprt_monitor_stream(
+    stream: DataFrame,
+    sigma0_sq: float = 0.01,
+    tau_sq: float = 0.0001,
+    log_reject: float = 2.995732273553991,
+) -> DataFrame:
+    """Streaming always-valid experiment monitor — the live twin of the
+    batch ab_msprt_sequential query: after each day it emits the
+    cumulative per-arm counts/sums and the mixture-SPRT log-likelihood
+    ratio, rejecting when it crosses ln(1/alpha).
+
+    Parity contract (tests/test_msprt_stream.py): with day-aligned
+    micro-batches arriving in day order (the ingest contract of a daily
+    experiment feed, same stance as t_ingest_dedup_daily), every
+    emitted row equals the batch query's row for that day — the state
+    is four cumulative int64s (exact folds), and the float chain copies
+    the batch op order, so the only cross-engine slack is the <=1-ulp
+    libm-vs-JVM ln difference, far below q6.
+
+    Scale: state is O(1) per experiment; the per-batch pandas work is
+    one day-grain groupby of that batch's rows. A platform monitoring
+    10k concurrent experiments holds 10k x 32 bytes of state. The
+    single-key-per-experiment funnel is real but bounded: the input
+    should be pre-aggregated to (day, arm) partials upstream if one
+    experiment's raw feed exceeds a task (documented, not yet needed at
+    this scale)."""
+
+    def fn(key, pdfs, state):
+        return _msprt_batches(key, pdfs, state, sigma0_sq, tau_sq, log_reject)
+
+    return stream.groupBy("experiment").applyInPandasWithState(
+        fn,
+        outputStructType=MSPRT_OUTPUT_SCHEMA,
+        stateStructType=MSPRT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
     )
