@@ -179,3 +179,88 @@ def knn_within_radius(
             "d2",
         )
     )
+
+
+def dbscan_grid(
+    points: DataFrame,
+    key: str,
+    eps_deg: float,
+    min_pts: int,
+    label_rounds: int = 8,
+) -> DataFrame:
+    """Grid-accelerated DBSCAN (Ester et al. 1996): core points have
+    >= min_pts points (incl. self) within eps; clusters are the
+    connected components of the core-core eps-graph; border points
+    attach to their min-cluster core neighbor; the rest is noise.
+
+    Neighborhood queries ride the 3x3 grid-bucketed candidate join
+    (radius_pairs — never n^2). Cluster ids follow the engine's
+    CAPPED-ROUND contract (the x_label_propagation / graph-family
+    stance): cluster_id = min core key reachable within
+    ``label_rounds`` min-label propagation hops, computed as
+    ``label_rounds`` unrolled rounds on BOTH engine and oracle — a
+    percolating eps-graph (high density) may carry components wider
+    than the cap, where the ids become per-neighborhood rather than
+    global; full closure at 100 TB swaps in
+    dedup.connected_components_star (O(log n) rounds) behind the same
+    (node, label) seam.
+
+    Returns (key, role in {core, border, noise}, cluster_id | NULL),
+    one row per input point. Deterministic end-to-end: degrees and
+    min-labels are exact integer folds.
+    """
+    nbrs = radius_pairs(points, key, eps_deg, ordered=False)
+    deg = nbrs.groupBy(F.col("a_key").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    pts = points.select(F.col(key).alias("k"))
+    deg = pts.join(deg, "k", "left").select(
+        "k", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
+    )
+    core = deg.filter(F.col("deg") >= min_pts - 1).select("k")
+    # core-core edges, both directions, ready for min-label rounds
+    edges = (
+        nbrs.join(core.withColumnRenamed("k", "a_key"), "a_key")
+        .join(core.withColumnRenamed("k", "b_key"), "b_key")
+        .select(F.col("a_key").alias("src"), F.col("b_key").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = core.select(F.col("k"), F.col("k").alias("label"))
+    for i in range(label_rounds):
+        msgs = (
+            edges.join(labels.withColumnRenamed("k", "src"), "src")
+            .groupBy(F.col("dst").alias("k"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(msgs, "k", "left")
+            .select(
+                "k",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if i % 2 == 1:
+            labels = labels.localCheckpoint(eager=True)
+    core_lab = labels.select(
+        F.col("k").alias("ck"), F.col("label").alias("cluster_id")
+    )
+    # border: non-core point with >= 1 core neighbor -> min core cluster
+    border = (
+        nbrs.join(core.withColumnRenamed("k", "a_key"), "a_key", "left_anti")
+        .join(core_lab, nbrs["b_key"] == core_lab["ck"])
+        .groupBy(F.col("a_key").alias("k"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    out_core = core_lab.select(
+        F.col("ck").alias("k"), F.lit("core").alias("role"), "cluster_id"
+    )
+    out_border = border.select("k", F.lit("border").alias("role"), "cluster_id")
+    out_noise = (
+        pts.join(core, "k", "left_anti")
+        .join(border.select("k"), "k", "left_anti")
+        .select(
+            "k", F.lit("noise").alias("role"), F.lit(None).cast("long").alias("cluster_id")
+        )
+    )
+    return out_core.unionByName(out_border).unionByName(out_noise)

@@ -3812,3 +3812,110 @@ def x_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_power_topvec(emb, "embedding", dim=64, iters=3).orderBy("component")
+
+
+# --- Fellegi-Sunter probabilistic record linkage ------------------------
+# Agreement/disagreement weights per comparison field — pinned config
+# literals in log-odds spirit (a production linker estimates m/u via EM;
+# the scoring/blocking machinery is identical, these constants are the
+# swap point). Thresholds: score >= 6 -> match, >= 1 -> possible.
+_FS_WEIGHTS = {
+    "adj": (3.5, -1.5),
+    "type": (2.0, -1.0),
+    "brand": (2.5, -0.8),
+    "size": (1.5, -0.7),
+}
+_FS_MATCH, _FS_POSSIBLE = 6.0, 1.0
+
+
+@register(
+    "j_fellegi_sunter_parts",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey, split_part(p_name, ' ', 1) AS adj,
+             split_part(p_name, ' ', 2) AS noun,
+             p_type, p_brand, p_size
+      FROM part
+    ), pairs AS (
+      SELECT CASE WHEN a.adj = b.adj THEN {_FS_WEIGHTS["adj"][0]!r}
+                  ELSE {_FS_WEIGHTS["adj"][1]!r} END
+           + CASE WHEN a.p_type = b.p_type THEN {_FS_WEIGHTS["type"][0]!r}
+                  ELSE {_FS_WEIGHTS["type"][1]!r} END
+           + CASE WHEN a.p_brand = b.p_brand THEN {_FS_WEIGHTS["brand"][0]!r}
+                  ELSE {_FS_WEIGHTS["brand"][1]!r} END
+           + CASE WHEN abs(a.p_size - b.p_size) <= 2 THEN {_FS_WEIGHTS["size"][0]!r}
+                  ELSE {_FS_WEIGHTS["size"][1]!r} END AS score
+      FROM p a JOIN p b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+    ), classed AS (
+      SELECT CASE WHEN score >= {_FS_MATCH!r} THEN 'match'
+                  WHEN score >= {_FS_POSSIBLE!r} THEN 'possible'
+                  ELSE 'non_match' END AS link_class,
+             score
+      FROM pairs
+    )
+    SELECT link_class,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           floor((sum(score) / count(*)) * 1000000 + 0.5) / 1000000 AS avg_score,
+           floor(min(score) * 1000000 + 0.5) / 1000000 AS min_score,
+           floor(max(score) * 1000000 + 0.5) / 1000000 AS max_score
+    FROM classed GROUP BY link_class ORDER BY link_class
+    """,
+)
+def j_fellegi_sunter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969) over the
+    part catalog: candidate pairs BLOCKED on the name's noun token (an
+    equi-join — the blocking key is what keeps linkage off the n^2
+    cliff, same stance as the fuzzy join's segment blocking and the
+    geo grid), then scored by summed per-field agreement/disagreement
+    weights (adjective, type, brand, size-within-2) and classed
+    match / possible / non_match at the pinned thresholds.
+
+    Determinism: the score is a fixed chain of 4 literal doubles per
+    pair — engine-identical; only the per-class average is an
+    order-sensitive sum (q6). Scale: pair volume = sum of block-size
+    choose 2 — the block-size histogram is exactly what
+    x_join_skew_diagnostics reports, and an oversized block AQE-splits
+    like any hot equi-join key; production tightens blocks with a
+    second pass (e.g. noun + brand) union-ed, same machinery."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.split(F.col("p_name"), " ").getItem(0).alias("adj"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
+        "p_type",
+        "p_brand",
+        "p_size",
+    )
+    a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
+    b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
+    wt = _FS_WEIGHTS
+    score = (
+        F.when(F.col("a_adj") == F.col("b_adj"), wt["adj"][0]).otherwise(wt["adj"][1])
+        + F.when(F.col("a_p_type") == F.col("b_p_type"), wt["type"][0]).otherwise(
+            wt["type"][1]
+        )
+        + F.when(F.col("a_p_brand") == F.col("b_p_brand"), wt["brand"][0]).otherwise(
+            wt["brand"][1]
+        )
+        + F.when(
+            F.abs(F.col("a_p_size") - F.col("b_p_size")) <= 2, wt["size"][0]
+        ).otherwise(wt["size"][1])
+    )
+    pairs = a.join(
+        b,
+        (a["a_noun"] == b["b_noun"]) & (a["a_p_partkey"] < b["b_p_partkey"]),
+    ).select(score.alias("score"))
+    link_class = (
+        F.when(F.col("score") >= _FS_MATCH, "match")
+        .when(F.col("score") >= _FS_POSSIBLE, "possible")
+        .otherwise("non_match")
+    )
+    return (
+        pairs.groupBy(link_class.alias("link_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            _q6(F.sum("score") / F.count(F.lit(1))).alias("avg_score"),
+            _q6(F.min("score")).alias("min_score"),
+            _q6(F.max("score")).alias("max_score"),
+        )
+        .orderBy("link_class")
+    )

@@ -152,3 +152,59 @@ def test_rect_join_zone_totals_replay(spark):
         assert row["acctbal_total"] == pytest.approx(
             inside["cents"].sum() / 100.0, abs=1e-6
         )
+
+
+def test_dbscan_matches_pure_python_replay(spark):
+    """Independent DBSCAN replay at sf0.01 (sf0.001 is all-noise at
+    eps=3): brute-force neighbors in numpy, python union-find-free
+    8-round capped min-label propagation — the same estimator contract,
+    none of the same code."""
+    sf = "/root/testdata/sf0.01"
+    cust = pd.read_parquet(f"{sf}/customer.parquet")[["c_custkey"]]
+
+    def h(k, salt, mod):
+        return int(hashlib.md5(f"{k}{salt}".encode()).hexdigest()[:8], 16) % mod
+
+    ks = cust["c_custkey"].to_numpy()
+    lat = np.array([h(k, "-lat", 1800000) / 10000.0 - 90.0 for k in ks])
+    lon = np.array([h(k, "-lon", 3600000) / 10000.0 - 180.0 for k in ks])
+    d2 = (lat[:, None] - lat[None, :]) ** 2 + (lon[:, None] - lon[None, :]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    adj = d2 < 9.0
+    deg = adj.sum(axis=1)
+    is_core = deg >= 3  # min_pts=4 including self
+    # capped 8-round min-label propagation on the core-core graph
+    label = {int(ks[i]): int(ks[i]) for i in range(len(ks)) if is_core[i]}
+    core_idx = np.where(is_core)[0]
+    for _ in range(8):
+        new = dict(label)
+        for i in core_idx:
+            nbr_labels = [
+                label[int(ks[j])] for j in np.where(adj[i] & is_core)[0]
+            ]
+            if nbr_labels:
+                new[int(ks[i])] = min(label[int(ks[i])], min(nbr_labels))
+        label = new
+    want = {}
+    for i in range(len(ks)):
+        k = int(ks[i])
+        if is_core[i]:
+            want[k] = ("core", label[k])
+        else:
+            core_nbrs = [label[int(ks[j])] for j in np.where(adj[i] & is_core)[0]]
+            if core_nbrs:
+                want[k] = ("border", min(core_nbrs))
+            else:
+                want[k] = ("noise", None)
+
+    got = QUERIES["geo_dbscan_clusters"](spark, sf).toPandas()
+    assert len(got) == len(ks)
+    n_roles = got["role"].value_counts().to_dict()
+    assert n_roles.get("core", 0) == int(is_core.sum())
+    for r in got.itertuples(index=False):
+        w_role, w_cluster = want[int(r.custkey)]
+        assert r.role == w_role, (r.custkey, r.role, w_role)
+        if w_cluster is None:
+            assert pd.isna(r.cluster_id)
+        else:
+            assert int(r.cluster_id) == w_cluster
