@@ -721,7 +721,9 @@ def t_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cur", "nxt")
 
 
-def _survival_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _survival_subjects(
+    spark: SparkSession, sf_dir: str, keep_user: bool = False
+) -> DataFrame:
     """Shared signup→purchase survival cohort: one row per signed-up
     user with duration (days from first signup to first subsequent
     purchase) and the event flag, right-censored at the corpus's last
@@ -748,7 +750,7 @@ def _survival_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "t0")
         .agg(F.min("pts").alias("t1"))
     )
-    return conv.crossJoin(F.broadcast(ref_day)).select(
+    cols = (["user_id"] if keep_user else []) + [
         F.when(
             F.col("t1").isNotNull(),
             F.datediff(
@@ -761,7 +763,8 @@ def _survival_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("dur"),
         F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("ev"),
-    )
+    ]
+    return conv.crossJoin(F.broadcast(ref_day)).select(*cols)
 
 
 # The signup→purchase survival cohort as oracle CTEs — the SQL twin of
@@ -2882,4 +2885,152 @@ def agg_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_extreme",
             ((1 + F.col("n_extreme")) / 21.0).alias("p_value"),
         )
+    )
+
+
+# --- Two-sample log-rank test over the survival cohort ------------------
+# Groups: the registry's deterministic md5 hash split on user_id (the
+# ab_* arm convention) — a null split, so the test SHOULD not reject;
+# the statistic machinery is what a real cohort comparison (plan A vs
+# plan B signups) runs unchanged.
+_LOGRANK_ARM_SQL = (
+    "CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT"
+    " % 2 = 0 THEN 1 ELSE 0 END"
+)
+
+
+@register(
+    "t_logrank_test",
+    oracle=f"""
+    WITH ref AS (
+      SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS ref_day FROM events
+    ), signup AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+      SELECT s.user_id, s.t0, min(e.ts) AS t1
+      FROM signup s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts > s.t0
+      GROUP BY s.user_id, s.t0
+    ), subj AS (
+      SELECT user_id, {_LOGRANK_ARM_SQL} AS g1,
+             CASE WHEN t1 IS NOT NULL
+                  THEN date_diff('day', CAST(date_trunc('day', t0) AS DATE),
+                                        CAST(date_trunc('day', t1) AS DATE))
+                  ELSE date_diff('day', CAST(date_trunc('day', t0) AS DATE),
+                                        (SELECT ref_day FROM ref)) END AS dur,
+             CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM conv
+    ), g AS (
+      SELECT dur,
+             CAST(count(*) AS BIGINT) AS n_d,
+             CAST(sum(ev) AS BIGINT) AS d_d,
+             CAST(sum(g1) AS BIGINT) AS n1_d,
+             CAST(sum(g1 * ev) AS BIGINT) AS d1_d
+      FROM subj GROUP BY dur
+    ), risk AS (
+      SELECT dur, d_d, d1_d,
+             CAST(sum(n_d) OVER w AS BIGINT) AS n_at,
+             CAST(sum(n1_d) OVER w AS BIGINT) AS n1_at
+      FROM g WINDOW w AS (ORDER BY dur DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), terms AS (
+      SELECT d1_d,
+             d_d * (CAST(n1_at AS DOUBLE) / n_at) AS e1,
+             CASE WHEN n_at > 1 THEN
+               d_d * (CAST(n1_at AS DOUBLE) / n_at)
+                   * (1.0 - CAST(n1_at AS DOUBLE) / n_at)
+                   * (CAST(n_at - d_d AS DOUBLE) / (n_at - 1))
+             ELSE 0.0 END AS v
+      FROM risk WHERE d_d > 0
+    ), tot AS (
+      SELECT CAST(sum(d1_d) AS BIGINT) AS o1,
+             sum(e1) AS e1, sum(v) AS v
+      FROM terms
+    ), ns AS (
+      SELECT CAST(sum(g1) AS BIGINT) AS n_group1,
+             CAST(sum(1 - g1) AS BIGINT) AS n_group0
+      FROM subj
+    )
+    SELECT ns.n_group1, ns.n_group0, tot.o1,
+           floor(tot.e1 * 1000000 + 0.5) / 1000000 AS e1,
+           floor(tot.v * 1000000 + 0.5) / 1000000 AS var_o1,
+           floor(((tot.o1 - tot.e1) * (tot.o1 - tot.e1) / tot.v) * 1000000 + 0.5)
+             / 1000000 AS logrank_chi2,
+           ((tot.o1 - tot.e1) * (tot.o1 - tot.e1) / tot.v) > 3.841459
+             AS significant
+    FROM tot, ns
+    """,
+)
+def t_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank (Mantel-Cox) test on the signup→purchase
+    survival cohort — the inference step completing the KM /
+    Nelson-Aalen family: O1 - E1 accumulated over event times with the
+    hypergeometric variance, chi-square(1) against 3.841459. Groups are
+    the null md5 hash split, so the expected readout is NOT significant
+    (a real comparison swaps the arm column for a cohort label and
+    changes nothing else).
+
+    Determinism: every count (n_at, n1_at, d_d, d1_d) is an exact int64
+    reverse-cumsum over the bounded duration spine (spine_window names
+    the bound); per-duration e1/v terms are fixed IEEE chains; only
+    their ~spine-length sums are order-sensitive, landed in q6.
+
+    Scale: identical shape to the sibling survival queries — user-keyed
+    aggregations + one broadcast censor reference; everything after
+    lives on the duration spine."""
+    subj = _survival_subjects(spark, sf_dir, keep_user=True)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    subj = subj.withColumn("g1", F.when(bucket == 0, 1).otherwise(0))
+    g = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("ev").cast("long").alias("d_d"),
+        F.sum("g1").cast("long").alias("n1_d"),
+        F.sum(F.col("g1") * F.col("ev")).cast("long").alias("d1_d"),
+    )
+    g, w0 = spine_window(g, [F.desc("dur")], max_rows=65536, label="logrank_durs")
+    w = w0.rowsBetween(Window.unboundedPreceding, 0)
+    risk = g.select(
+        "dur",
+        "d_d",
+        "d1_d",
+        F.sum("n_d").over(w).cast("long").alias("n_at"),
+        F.sum("n1_d").over(w).cast("long").alias("n1_at"),
+    ).filter(F.col("d_d") > 0)
+    share = F.col("n1_at").cast("double") / F.col("n_at")
+    terms = risk.select(
+        "d1_d",
+        (F.col("d_d") * share).alias("e1"),
+        F.when(
+            F.col("n_at") > 1,
+            F.col("d_d")
+            * share
+            * (1.0 - share)
+            * ((F.col("n_at") - F.col("d_d")).cast("double") / (F.col("n_at") - 1)),
+        )
+        .otherwise(0.0)
+        .alias("v"),
+    )
+    tot = terms.agg(
+        F.sum("d1_d").cast("long").alias("o1"),
+        F.sum("e1").alias("e1"),
+        F.sum("v").alias("v"),
+    )
+    ns = subj.agg(
+        F.sum("g1").cast("long").alias("n_group1"),
+        F.sum(1 - F.col("g1")).cast("long").alias("n_group0"),
+    )
+    chi2 = (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("v")
+    return tot.crossJoin(F.broadcast(ns)).select(
+        "n_group1",
+        "n_group0",
+        "o1",
+        _q6(F.col("e1")).alias("e1"),
+        _q6(F.col("v")).alias("var_o1"),
+        _q6(chi2).alias("logrank_chi2"),
+        (chi2 > 3.841459).alias("significant"),
     )

@@ -3919,3 +3919,101 @@ def j_fellegi_sunter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("link_class")
     )
+
+
+@register(
+    "x_zone_map_pruning",
+    oracle="""
+    WITH blk AS (
+      SELECT 'ingest_clustered' AS layout,
+             CAST(floor(l_orderkey / 4096) AS BIGINT) AS block_id,
+             CAST(l_shipdate AS DATE) AS ship
+      FROM lineitem
+      UNION ALL
+      SELECT 'shipdate_clustered' AS layout,
+             CAST(floor(date_diff('day', DATE '1992-01-01',
+                                  CAST(l_shipdate AS DATE)) / 7) AS BIGINT)
+               AS block_id,
+             CAST(l_shipdate AS DATE) AS ship
+      FROM lineitem
+    ), zones AS (
+      SELECT layout, block_id,
+             min(ship) AS lo, max(ship) AS hi,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM blk GROUP BY layout, block_id
+    ), flagged AS (
+      SELECT layout, n_rows,
+             CASE WHEN hi >= DATE '1996-01-01' AND lo <= DATE '1996-01-31'
+                  THEN 1 ELSE 0 END AS scanned
+      FROM zones
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(scanned) AS BIGINT) AS n_scanned_blocks,
+           CAST(sum(n_rows) AS BIGINT) AS rows_total,
+           CAST(sum(scanned * n_rows) AS BIGINT) AS rows_scanned,
+           floor((CAST(sum(scanned * n_rows) AS DOUBLE) / sum(n_rows))
+                 * 1000000 + 0.5) / 1000000 AS scan_fraction
+    FROM flagged GROUP BY layout ORDER BY layout
+    """,
+)
+def x_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max block statistics) pruning audit — the
+    quantified data-skipping story behind x_zorder_layout: simulate two
+    physical layouts of lineitem (append-ingest blocks keyed by
+    orderkey range vs shipdate-clustered weekly blocks), build each
+    block's min/max shipdate zone map, and measure what fraction of
+    blocks and rows a 1-month shipdate predicate must scan. The
+    time-clustered layout prunes ~98% of rows; the ingest layout
+    prunes ~none — the measured argument for clustering fact tables on
+    their dominant filter column before they reach 100 TB (parquet
+    row-group stats, Delta/Iceberg file stats, and this audit all read
+    the same min/max contract).
+
+    Everything is exact integer/date arithmetic: block assignment is
+    map-side (no global row_number — a layout simulation must not cost
+    a data-sized sort), zone bounds are min/max folds, overlap is a
+    date-range test."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship")
+    )
+    ingest = li.select(
+        F.lit("ingest_clustered").alias("layout"),
+        F.floor(F.col("l_orderkey") / 4096).cast("long").alias("block_id"),
+        "ship",
+    )
+    clustered = li.select(
+        F.lit("shipdate_clustered").alias("layout"),
+        F.floor(F.datediff(F.col("ship"), F.lit("1992-01-01").cast("date")) / 7)
+        .cast("long")
+        .alias("block_id"),
+        "ship",
+    )
+    zones = (
+        ingest.unionByName(clustered)
+        .groupBy("layout", "block_id")
+        .agg(
+            F.min("ship").alias("lo"),
+            F.max("ship").alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    scanned = (
+        (F.col("hi") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("lo") <= F.lit("1996-01-31").cast("date"))
+    ).cast("int")
+    return (
+        zones.select("layout", "n_rows", scanned.alias("scanned"))
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("scanned").cast("long").alias("n_scanned_blocks"),
+            F.sum("n_rows").cast("long").alias("rows_total"),
+            F.sum(F.col("scanned") * F.col("n_rows")).cast("long").alias("rows_scanned"),
+            _q6(
+                F.sum(F.col("scanned") * F.col("n_rows")).cast("double")
+                / F.sum("n_rows")
+            ).alias("scan_fraction"),
+        )
+        .orderBy("layout")
+    )
