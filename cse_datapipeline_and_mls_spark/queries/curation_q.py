@@ -678,3 +678,189 @@ def x_coverage_greedy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rnd long, doc_id long, gain long, covered_total long"
     )
+
+
+# --- Privacy governance: k-anonymity / l-diversity audit ----------------
+# Quasi-identifier set for the customer table: nation, market segment,
+# and the account-balance thousand-bucket — the releasable-attribute
+# combination an attacker could link on. Sensitive attribute: the
+# high-balance flag. Pinned k ladder like the recall brackets.
+_KANON_KS = (2, 5, 10)
+
+
+@register(
+    "x_k_anonymity_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_nationkey AS qi_nation, c_mktsegment AS qi_segment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS qi_balband,
+             CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS sens
+      FROM customer
+    ), cls AS (
+      SELECT qi_nation, qi_segment, qi_balband,
+             CAST(count(*) AS BIGINT) AS sz,
+             CAST(count(DISTINCT sens) AS BIGINT) AS l_div
+      FROM q GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(CASE WHEN l_div < 2 THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_l1
+      FROM cls
+    ), ks AS (
+      SELECT unnest([{", ".join(str(k) for k in _KANON_KS)}]) AS k
+    )
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           tot.n_classes,
+           CAST(sum(CASE WHEN cls.sz < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_k,
+           CAST(sum(CASE WHEN cls.sz < ks.k THEN cls.sz ELSE 0 END) AS BIGINT)
+             AS rows_below_k,
+           floor((CAST(sum(CASE WHEN cls.sz < ks.k THEN cls.sz ELSE 0 END)
+                  AS DOUBLE) / tot.n_rows) * 1000000 + 0.5) / 1000000
+             AS reident_risk_share,
+           floor((CAST(tot.rows_l1 AS DOUBLE) / tot.n_rows) * 1000000 + 0.5)
+             / 1000000 AS l1_rows_share
+    FROM ks, cls, tot
+    GROUP BY ks.k, tot.n_classes, tot.rows_l1, tot.n_rows
+    ORDER BY k
+    """,
+)
+def x_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit (Sweeney 2002; the
+    governance gate a training-data pipeline runs before publishing
+    joined customer attributes): equivalence classes over the
+    quasi-identifier set (nation, segment, balance band), the share of
+    rows in classes smaller than k for the pinned k ladder, and the
+    share of rows in sensitive-homogeneous classes (l-diversity < 2 —
+    k-anonymous rows still leak when everyone in the class shares the
+    sensitive value).
+
+    Scale: one class-grain aggregation (map-side partials), then the
+    k ladder rides a 3-row broadcast cross join over the class frame —
+    no second data-sized pass. All counts exact int64."""
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.select(
+        F.col("c_nationkey").alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("qi_balband"),
+        F.when(F.col("c_acctbal") > 5000, 1).otherwise(0).alias("sens"),
+    )
+    cls = q.groupBy("qi_nation", "qi_segment", "qi_balband").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.countDistinct("sens").cast("long").alias("l_div"),
+    )
+    tot = cls.agg(
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("l_div") < 2, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("rows_l1"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _KANON_KS], "k long")
+    j = cls.crossJoin(F.broadcast(ks)).crossJoin(F.broadcast(tot))
+    below = F.when(F.col("sz") < F.col("k"), 1).otherwise(0)
+    below_rows = F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0)
+    return (
+        j.groupBy("k", "n_classes", "rows_l1", "n_rows")
+        .agg(
+            F.sum(below).cast("long").alias("classes_below_k"),
+            F.sum(below_rows).cast("long").alias("rows_below_k"),
+        )
+        .select(
+            "k",
+            "n_classes",
+            "classes_below_k",
+            "rows_below_k",
+            _q6(F.col("rows_below_k").cast("double") / F.col("n_rows")).alias(
+                "reident_risk_share"
+            ),
+            _q6(F.col("rows_l1").cast("double") / F.col("n_rows")).alias(
+                "l1_rows_share"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "x_neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sy,
+             CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS syy
+      FROM customer GROUP BY 1
+    ), sig AS (
+      SELECT segment, n_h,
+             sqrt(CAST(syy AS DOUBLE) / n_h
+                  - (CAST(sy AS DOUBLE) / n_h) * (CAST(sy AS DOUBLE) / n_h))
+               / 100.0 AS sigma_h
+      FROM s
+    ), w AS (
+      SELECT segment, n_h, sigma_h, n_h * sigma_h AS wgt,
+             floor(sum(n_h * sigma_h) OVER () * 1000000000 + 0.5) / 1000000000
+               AS wtot,
+             CAST(sum(n_h) OVER () AS BIGINT) AS n_pop
+      FROM sig
+    )
+    SELECT segment, n_h,
+           floor(sigma_h * 1000000 + 0.5) / 1000000 AS sigma_h,
+           CAST(floor(100.0 * wgt / wtot + 0.5) AS BIGINT) AS alloc_neyman,
+           CAST(floor(100.0 * n_h / n_pop + 0.5) AS BIGINT) AS alloc_proportional
+    FROM w ORDER BY segment
+    """,
+)
+def x_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (Neyman 1934): for a
+    budget of 100 samples over the market-segment strata, allocate
+    n_h ∝ N_h σ_h (minimum-variance for estimating mean account
+    balance) next to the proportional baseline — the survey-sampling
+    counterpart of the quality/temperature samplers in this family.
+
+    Determinism: per-stratum moments are exact int64 cent sums; σ_h is
+    one sqrt of a fixed IEEE chain (sqrt is correctly rounded, so
+    engine-identical); the only order-sensitive reduction is the 5-term
+    Σ N_hσ_h, quantized at 1e-9 before the division feeds the floor
+    rounding on both sides. Scale: one segment-grain aggregation over
+    the scan; the allocation math lives on 5 rows."""
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    s = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"), cents.alias("c"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_h"),
+            F.sum("c").cast("long").alias("sy"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("syy"),
+        )
+    )
+    mean = F.col("sy").cast("double") / F.col("n_h")
+    sigma = F.sqrt(F.col("syy").cast("double") / F.col("n_h") - mean * mean) / 100.0
+    sig = s.select("segment", "n_h", sigma.alias("sigma_h"))
+    q9 = lambda c: F.floor(c * 1000000000 + F.lit(0.5)) / 1000000000  # noqa: E731
+    w = sig.select(
+        "segment",
+        "n_h",
+        "sigma_h",
+        (F.col("n_h") * F.col("sigma_h")).alias("wgt"),
+        q9(F.sum(F.col("n_h") * F.col("sigma_h")).over(Window.partitionBy())).alias(
+            "wtot"
+        ),
+        F.sum("n_h").over(Window.partitionBy()).cast("long").alias("n_pop"),
+    )
+    return w.select(
+        "segment",
+        "n_h",
+        _q6(F.col("sigma_h")).alias("sigma_h"),
+        F.floor(100.0 * F.col("wgt") / F.col("wtot") + 0.5)
+        .cast("long")
+        .alias("alloc_neyman"),
+        F.floor(100.0 * F.col("n_h") / F.col("n_pop") + 0.5)
+        .cast("long")
+        .alias("alloc_proportional"),
+    ).orderBy("segment")

@@ -3061,3 +3061,147 @@ def w_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0 - _CROSTON_A / 2.0) * (F.col("z_hat") / F.col("p_hat"))
         ).alias("sb_forecast"),
     ).orderBy("brand")
+
+
+# --- Theta-method forecast ---------------------------------------------
+# Classical two-line Theta (Assimakopoulos & Nikolopoulos 2000, the M3
+# winner): forecast = mean of the theta=0 line (the OLS trend,
+# extrapolated) and the SES of the theta=2 line (2Y - trend, whose SES
+# forecast is flat). SES reuses the Croston stance: normalized
+# truncated EMA over the last L points — exact finite form, no
+# recursion. Pinned config: alpha=0.3, L=64, horizon 14 days.
+_THETA_A = 0.3
+_THETA_L = 64
+_THETA_H = 14
+
+
+@register(
+    "w_theta_forecast",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+    ), x AS (
+      SELECT day, cents,
+             CAST(date_diff('day', min(day) OVER (), day) AS BIGINT) AS t
+      FROM d
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS sx,
+             CAST(sum(cents) AS BIGINT) AS sy,
+             CAST(sum(t * cents) AS BIGINT) AS sxy,
+             CAST(sum(t * t) AS BIGINT) AS sxx,
+             CAST(max(t) AS BIGINT) AS t_last,
+             max(day) AS last_day
+      FROM x
+    ), ab AS (
+      SELECT n, t_last, last_day,
+             CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) / 100.0 AS b,
+             (CAST(sy AS DOUBLE) / n
+              - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+                * (CAST(sx AS DOUBLE) / n)) / 100.0 AS a
+      FROM m
+    ), tail AS (
+      SELECT x.cents, x.t, ab.a, ab.b, ab.t_last, ab.last_day,
+             row_number() OVER (ORDER BY x.t DESC) AS rn
+      FROM x, ab
+    ), ses AS (
+      SELECT any_value(a) AS a, any_value(b) AS b,
+             any_value(t_last) AS t_last, any_value(last_day) AS last_day,
+             sum(power({1.0 - _THETA_A!r}, rn - 1)
+                 * (2.0 * (CAST(cents AS DOUBLE) / 100.0) - (a + b * t)))
+               / sum(power({1.0 - _THETA_A!r}, rn - 1)) AS z
+      FROM tail WHERE rn <= {_THETA_L}
+    )
+    SELECT CAST(h.h AS BIGINT) AS h,
+           ses.last_day + CAST(h.h AS INTEGER) AS day,
+           floor((0.5 * (ses.a + ses.b * (ses.t_last + h.h)) + 0.5 * ses.z)
+                 * 1000000 + 0.5) / 1000000 AS forecast
+    FROM ses, (SELECT unnest(generate_series(1, {_THETA_H})) AS h) h
+    ORDER BY h
+    """,
+)
+def w_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method 14-day revenue forecast over the 1995 daily order
+    series — see the constant block for the model. Sits beside Holt
+    (trend-recursive) and Croston (intermittent) as the
+    decomposition-flavored forecaster: the OLS trend carries long-run
+    drift, the SES of the theta=2 line carries level, and the M3
+    result is that their average is embarrassingly hard to beat.
+
+    Determinism: OLS slope/intercept are fixed IEEE chains over exact
+    int64 cent moments (x bounded by 365, products far inside 2^53);
+    the SES is the normalized truncated EMA (order-sensitive only in
+    its <=64-term sums, landed in q6 at output). Scale: one orders
+    scan (year pushdown), one day-grain agg, then a <=365-row spine —
+    the 100 TB cost is the scan."""
+    from pyspark.sql import Window as W
+
+    from ..operators.numeric import q6 as _q6
+
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    d = (
+        o.select(F.col("o_orderdate").cast("date").alias("day"), cents.alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    x = d.select(
+        "day",
+        "cents",
+        F.datediff("day", F.min("day").over(W.partitionBy())).cast("long").alias("t"),
+    )
+    m = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum("cents").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("cents")).cast("long").alias("sxy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("sxx"),
+        F.max("t").cast("long").alias("t_last"),
+        F.max("day").alias("last_day"),
+    )
+    bnum = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    bden = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ab = m.select(
+        "n",
+        "t_last",
+        "last_day",
+        (bnum / bden / 100.0).alias("b"),
+        (
+            (
+                F.col("sy").cast("double") / F.col("n")
+                - bnum / bden * (F.col("sx").cast("double") / F.col("n"))
+            )
+            / 100.0
+        ).alias("a"),
+    )
+    tail_df, w0 = TS.spine_window(
+        x.crossJoin(F.broadcast(ab)), [F.desc("t")], max_rows=4096,
+        label="theta_day_spine",
+    )
+    tail = tail_df.withColumn("rn", F.row_number().over(w0)).filter(
+        F.col("rn") <= _THETA_L
+    )
+    wgt = F.pow(F.lit(1.0 - _THETA_A), F.col("rn") - 1)
+    theta2 = 2.0 * (F.col("cents").cast("double") / 100.0) - (
+        F.col("a") + F.col("b") * F.col("t")
+    )
+    ses = tail.agg(
+        F.first("a").alias("a"),
+        F.first("b").alias("b"),
+        F.first("t_last").alias("t_last"),
+        F.first("last_day").alias("last_day"),
+        (F.sum(wgt * theta2) / F.sum(wgt)).alias("z"),
+    )
+    hs = spark.createDataFrame([(h,) for h in range(1, _THETA_H + 1)], "h long")
+    out = ses.crossJoin(F.broadcast(hs))
+    forecast = 0.5 * (F.col("a") + F.col("b") * (F.col("t_last") + F.col("h"))) + (
+        0.5 * F.col("z")
+    )
+    return out.select(
+        "h",
+        F.date_add(F.col("last_day"), F.col("h").cast("int")).alias("day"),
+        _q6(forecast).alias("forecast"),
+    ).orderBy("h")
