@@ -392,9 +392,17 @@ def ab_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rejecting when Lambda > 1/alpha (log > ln 20) is an always-valid
     5% test — the peeking-proof replacement for a daily fixed-horizon
-    t-test. On the null hash split the monitor should (and does) stay
-    below the boundary; log_lambda is reported so the margin is
-    visible.
+    t-test — UNDER ITS MODEL: independent observations with known
+    variance. On this data the null split stays under the boundary at
+    sf0.001 but CROSSES it from late 1995 at sf0.01+ (diff ~ -14.5 k$,
+    z ~ -3.8), and that is the textbook failure the monitor is kept
+    here to illustrate: randomization is per CUSTOMER while the
+    observations are ORDERS, so the iid variance V understates the
+    cluster-randomized truth (between-customer spend heterogeneity
+    never averages out within an arm). A production readout feeds the
+    monitor CUSTOMER-GRAIN increments (ab_cuped_adjusted's unit
+    frame) or inflates V by the design effect; the statistic machinery
+    is unchanged either way.
 
     Determinism: daily and cumulative sums are exact int64 cents over a
     bounded calendar spine (≤365 rows — spine_window names the bound);
@@ -446,6 +454,142 @@ def ab_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "n_treat",
         "n_ctrl",
+        _q6(F.col("diff")).alias("diff_musd"),
+        _q6(log_lambda).alias("log_lambda"),
+        (log_lambda > _LOG_REJECT).alias("reject"),
+    ).orderBy("day")
+
+
+# Customer-grain monitor config: per-customer revenue-to-date in M$
+# (year-end mean ~0.35, cross-customer variance ~0.09).
+_SIGMA0_SQ_CUST = 0.09
+_TAU_SQ_CUST = 0.001
+
+
+@register(
+    "ab_msprt_customer_grain",
+    oracle=f"""
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, o_custkey,
+             CASE WHEN {_ARM_SQL.format(k="o_custkey")} = 'treatment'
+                  THEN 1 ELSE 0 END AS t,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE year(o_orderdate) = 1995
+    ), firsts AS (
+      SELECT o_custkey, t, min(day) AS first_day FROM o GROUP BY 1, 2
+    ), daily_units AS (
+      SELECT first_day AS day,
+             CAST(sum(t) AS BIGINT) AS ut_d,
+             CAST(sum(1 - t) AS BIGINT) AS uc_d
+      FROM firsts GROUP BY 1
+    ), daily_rev AS (
+      SELECT day,
+             CAST(sum(CASE WHEN t = 1 THEN cents ELSE 0 END) AS BIGINT) AS st_d,
+             CAST(sum(CASE WHEN t = 0 THEN cents ELSE 0 END) AS BIGINT) AS sc_d
+      FROM o GROUP BY 1
+    ), spine AS (
+      SELECT coalesce(u.day, r.day) AS day,
+             coalesce(u.ut_d, 0) AS ut_d, coalesce(u.uc_d, 0) AS uc_d,
+             coalesce(r.st_d, 0) AS st_d, coalesce(r.sc_d, 0) AS sc_d
+      FROM daily_units u FULL OUTER JOIN daily_rev r ON u.day = r.day
+    ), c AS (
+      SELECT day,
+             CAST(sum(ut_d) OVER w AS BIGINT) AS nc_treat,
+             CAST(sum(uc_d) OVER w AS BIGINT) AS nc_ctrl,
+             CAST(sum(st_d) OVER w AS BIGINT) AS s_treat,
+             CAST(sum(sc_d) OVER w AS BIGINT) AS s_ctrl
+      FROM spine WINDOW w AS (ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT day, nc_treat, nc_ctrl,
+             CAST(s_treat AS DOUBLE) / nc_treat / 100000000.0
+               - CAST(s_ctrl AS DOUBLE) / nc_ctrl / 100000000.0 AS diff,
+             {_SIGMA0_SQ_CUST!r} * (1.0 / nc_treat + 1.0 / nc_ctrl) AS v
+      FROM c WHERE nc_treat > 0 AND nc_ctrl > 0
+    )
+    SELECT day, nc_treat, nc_ctrl,
+           floor((diff) * 1000000 + 0.5) / 1000000 AS diff_musd,
+           floor((0.5 * ln(v / (v + {_TAU_SQ_CUST!r}))
+                  + (diff * diff * {_TAU_SQ_CUST!r})
+                    / (2.0 * v * (v + {_TAU_SQ_CUST!r}))) * 1000000 + 0.5)
+             / 1000000 AS log_lambda,
+           (0.5 * ln(v / (v + {_TAU_SQ_CUST!r}))
+            + (diff * diff * {_TAU_SQ_CUST!r})
+              / (2.0 * v * (v + {_TAU_SQ_CUST!r}))) > {_LOG_REJECT!r} AS reject
+    FROM s ORDER BY day
+    """,
+)
+def ab_msprt_customer_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-robust twin of ab_msprt_sequential: the analysis
+    unit matches the RANDOMIZATION unit. Each day's estimate is the
+    per-CUSTOMER revenue-to-date difference (cumulative arm revenue /
+    cumulative exposed customers, a customer counting from its first
+    1995 order), with V = sigma0^2 (1/N_t + 1/N_c) over CUSTOMER
+    counts. Where the order-grain monitor crosses the boundary on the
+    null split at sf0.01+ (the documented clustered-variance artifact),
+    this one stays under it — the pair is the measured argument for
+    unit-of-analysis discipline in experiment readouts.
+
+    Determinism and scale: identical shape to the order-grain monitor —
+    exact int64 daily/cumulative sums (revenue at order grain, units at
+    first-order grain, FULL-OUTER-merged onto one bounded day spine),
+    pinned IEEE chain, one orders scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    t = (_arm("o_custkey") == "treatment").cast("int")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    base = o.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.col("o_custkey").alias("cust"),
+        t.alias("t"),
+        cents.alias("cents"),
+    )
+    firsts = base.groupBy("cust", "t").agg(F.min("day").alias("first_day"))
+    daily_units = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.sum("t").cast("long").alias("ut_d"),
+        F.sum(1 - F.col("t")).cast("long").alias("uc_d"),
+    )
+    daily_rev = base.groupBy("day").agg(
+        F.sum(F.when(F.col("t") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("st_d"),
+        F.sum(F.when(F.col("t") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sc_d"),
+    )
+    spine = (
+        daily_units.join(daily_rev, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("ut_d", F.lit(0)).alias("ut_d"),
+            F.coalesce("uc_d", F.lit(0)).alias("uc_d"),
+            F.coalesce("st_d", F.lit(0)).alias("st_d"),
+            F.coalesce("sc_d", F.lit(0)).alias("sc_d"),
+        )
+    )
+    spine, w0 = spine_window(
+        spine, ["day"], max_rows=4096, label="msprt_cust_day_spine"
+    )
+    w = w0.rowsBetween(Window.unboundedPreceding, 0)
+    c = spine.select(
+        "day",
+        F.sum("ut_d").over(w).cast("long").alias("nc_treat"),
+        F.sum("uc_d").over(w).cast("long").alias("nc_ctrl"),
+        F.sum("st_d").over(w).cast("long").alias("s_treat"),
+        F.sum("sc_d").over(w).cast("long").alias("s_ctrl"),
+    ).filter((F.col("nc_treat") > 0) & (F.col("nc_ctrl") > 0))
+    diff = (
+        F.col("s_treat").cast("double") / F.col("nc_treat") / F.lit(100000000.0)
+        - F.col("s_ctrl").cast("double") / F.col("nc_ctrl") / F.lit(100000000.0)
+    )
+    v = F.lit(_SIGMA0_SQ_CUST) * (1.0 / F.col("nc_treat") + 1.0 / F.col("nc_ctrl"))
+    s = c.select("day", "nc_treat", "nc_ctrl", diff.alias("diff"), v.alias("v"))
+    log_lambda = 0.5 * F.log(F.col("v") / (F.col("v") + _TAU_SQ_CUST)) + (
+        F.col("diff") * F.col("diff") * F.lit(_TAU_SQ_CUST)
+    ) / (2.0 * F.col("v") * (F.col("v") + _TAU_SQ_CUST))
+    return s.select(
+        "day",
+        "nc_treat",
+        "nc_ctrl",
         _q6(F.col("diff")).alias("diff_musd"),
         _q6(log_lambda).alias("log_lambda"),
         (log_lambda > _LOG_REJECT).alias("reject"),
