@@ -2957,7 +2957,8 @@ _LOGRANK_ARM_SQL = (
            floor(tot.v * 1000000 + 0.5) / 1000000 AS var_o1,
            floor(((tot.o1 - tot.e1) * (tot.o1 - tot.e1) / tot.v) * 1000000 + 0.5)
              / 1000000 AS logrank_chi2,
-           ((tot.o1 - tot.e1) * (tot.o1 - tot.e1) / tot.v) > 3.841459
+           (floor(((tot.o1 - tot.e1) * (tot.o1 - tot.e1) / tot.v) * 1000000 + 0.5)
+              / 1000000) > 3.841459
              AS significant
     FROM tot, ns
     """,
@@ -3032,5 +3033,5 @@ def t_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q6(F.col("e1")).alias("e1"),
         _q6(F.col("v")).alias("var_o1"),
         _q6(chi2).alias("logrank_chi2"),
-        (chi2 > 3.841459).alias("significant"),
+        (_q6(chi2) > 3.841459).alias("significant"),
     )

@@ -3880,7 +3880,12 @@ def j_fellegi_sunter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         F.split(F.col("p_name"), " ").getItem(0).alias("adj"),
-        F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
+        # F.get (not getItem — ANSI raises on out-of-bounds) + coalesce
+        # to '' so a single-token name blocks on the empty string
+        # exactly like DuckDB's split_part (which returns '' instead of
+        # NULL) — keeps the twins aligned if the name generator ever
+        # emits 1-token names
+        F.coalesce(F.get(F.split(F.col("p_name"), " "), 1), F.lit("")).alias("noun"),
         "p_type",
         "p_brand",
         "p_size",

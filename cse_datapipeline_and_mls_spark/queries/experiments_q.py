@@ -70,7 +70,7 @@ def _arm(key) -> F.Column:
            CAST(sum(1 - t) AS BIGINT) AS n_control,
            {_Q6.format("CAST((sum(t) - sum(1 - t)) * (sum(t) - sum(1 - t)) AS DOUBLE) / count(*)")}
              AS chi2,
-           (CAST((sum(t) - sum(1 - t)) * (sum(t) - sum(1 - t)) AS DOUBLE) / count(*))
+           {_Q6.format("CAST((sum(t) - sum(1 - t)) * (sum(t) - sum(1 - t)) AS DOUBLE) / count(*)")}
              > 3.841459 AS srm_flag
     FROM a GROUP BY segment ORDER BY segment
     """,
@@ -100,7 +100,7 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_treatment",
         "n_control",
         _q6(chi2).alias("chi2"),
-        (chi2 > 3.841459).alias("srm_flag"),
+        (_q6(chi2) > 3.841459).alias("srm_flag"),
     ).orderBy("segment")
 
 
@@ -216,7 +216,10 @@ def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u
     ), th AS (
       SELECT n, CAST(sx AS DOUBLE) / n AS mean_x,
-             CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS theta
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta
       FROM m
     ), adj AS (
       SELECT u.arm, u.y,
@@ -250,10 +253,14 @@ def ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: X and Y are exact int64 (cents floored to hundreds of
     dollars — the estimator's documented unit), so the moment sums
-    (sx, sy, sxy, sxx) are exact and theta is ONE IEEE division of
-    exact integers — bit-identical everywhere. Only the adjusted-value
-    reductions are float sums, landed in q6. The hundreds-of-dollars
-    scale keeps n*sxy comfortably inside int64 through sf10+.
+    (sx, sy, sxy, sxx) are exact int64. The cross products n*sxy and
+    sx*sy would overflow int64 near sf10 (n~1.5e6, E[x^2]~2.6e7 gives
+    n*sxx ~ 6e19 > 2^63), so both engine and oracle cast each moment
+    to double BEFORE multiplying: theta is then the same short IEEE
+    sequence (two multiplies, one subtract, one divide) of exactly
+    representable inputs on both sides — deterministic across engines
+    at every SF. Only the adjusted-value reductions are float sums,
+    landed in q6.
 
     Scale: one shuffle to the per-customer grain (join + groupBy on
     o_custkey), one 5-number global moment reduce (broadcast back),
@@ -298,8 +305,14 @@ def ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("sx").cast("double") / F.col("n")).alias("mean_x"),
         (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            (
+                F.col("n").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
         ).alias("theta"),
     )
     adj = per.crossJoin(F.broadcast(m)).select(
@@ -374,9 +387,10 @@ _LOG_REJECT = 2.995732273553991  # ln(20) <=> always-valid p < 0.05
                f"0.5 * ln(v / (v + {_TAU_SQ!r}))"
                f" + (diff * diff * {_TAU_SQ!r}) / (2.0 * v * (v + {_TAU_SQ!r}))"
            )} AS log_lambda,
-           (0.5 * ln(v / (v + {_TAU_SQ!r}))
-            + (diff * diff * {_TAU_SQ!r}) / (2.0 * v * (v + {_TAU_SQ!r})))
-             > {_LOG_REJECT!r} AS reject
+           {_Q6.format(
+               f"0.5 * ln(v / (v + {_TAU_SQ!r}))"
+               f" + (diff * diff * {_TAU_SQ!r}) / (2.0 * v * (v + {_TAU_SQ!r}))"
+           )} > {_LOG_REJECT!r} AS reject
     FROM s ORDER BY day
     """,
 )
@@ -456,7 +470,7 @@ def ab_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ctrl",
         _q6(F.col("diff")).alias("diff_musd"),
         _q6(log_lambda).alias("log_lambda"),
-        (log_lambda > _LOG_REJECT).alias("reject"),
+        (_q6(log_lambda) > _LOG_REJECT).alias("reject"),
     ).orderBy("day")
 
 
@@ -513,9 +527,10 @@ _TAU_SQ_CUST = 0.001
                   + (diff * diff * {_TAU_SQ_CUST!r})
                     / (2.0 * v * (v + {_TAU_SQ_CUST!r}))) * 1000000 + 0.5)
              / 1000000 AS log_lambda,
-           (0.5 * ln(v / (v + {_TAU_SQ_CUST!r}))
-            + (diff * diff * {_TAU_SQ_CUST!r})
-              / (2.0 * v * (v + {_TAU_SQ_CUST!r}))) > {_LOG_REJECT!r} AS reject
+           (floor((0.5 * ln(v / (v + {_TAU_SQ_CUST!r}))
+                   + (diff * diff * {_TAU_SQ_CUST!r})
+                     / (2.0 * v * (v + {_TAU_SQ_CUST!r}))) * 1000000 + 0.5)
+              / 1000000) > {_LOG_REJECT!r} AS reject
     FROM s ORDER BY day
     """,
 )
@@ -592,5 +607,5 @@ def ab_msprt_customer_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nc_ctrl",
         _q6(F.col("diff")).alias("diff_musd"),
         _q6(log_lambda).alias("log_lambda"),
-        (log_lambda > _LOG_REJECT).alias("reject"),
+        (_q6(log_lambda) > _LOG_REJECT).alias("reject"),
     ).orderBy("day")
