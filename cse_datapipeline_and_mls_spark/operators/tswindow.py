@@ -812,9 +812,17 @@ def spine_window(
             "are expected (guard trips the job if the bound is exceeded)",
             file=sys.stderr,
         )
-    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    w = Window.orderBy(*order)
-    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    if order_cols:
+        order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+        w = Window.orderBy(*order)
+        full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    else:
+        # unordered global TOTAL over a bounded frame (grand-total
+        # ratios, normalizers): no sort at all — the default frame of
+        # an unordered window is the whole partition, and the same
+        # guard/annotation contract applies
+        w = Window.partitionBy()
+        full = w
     n = F.count(F.lit(1)).over(full)
     guard = F.assert_true(
         n <= F.lit(int(max_rows)),

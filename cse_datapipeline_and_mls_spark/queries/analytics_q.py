@@ -56,7 +56,8 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = digits.withColumn("total", F.sum("n").over(Window.partitionBy()))
+    digits, wg = spine_window(digits, [], max_rows=16, label="benford-digits")
+    tot = digits.withColumn("total", F.sum("n").over(wg))
     return tot.select(
         "digit",
         "n",
@@ -130,7 +131,7 @@ def agg_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("nb", F.lit(0)).alias("n_cur"),
         )
     )
-    w = Window.partitionBy()
+    j, w = spine_window(j, [], max_rows=64, label="psi-bins")
     t = j.select(
         "bin",
         "n_ref",
@@ -1030,7 +1031,7 @@ def agg_woe_iv_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bad"),
     )
-    w = Window.partitionBy()
+    bins, w = spine_window(bins, [], max_rows=64, label="woe-priority-bins")
     tot = bins.select(
         "o_orderpriority",
         "n_good",
@@ -1914,7 +1915,7 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("double").alias("n"))
     wr = Window.partitionBy("event_type")
     wc = Window.partitionBy("grp")
-    wg = Window.partitionBy()
+    cells, wg = spine_window(cells, [], max_rows=4096, label="contingency-cells")
     t = (
         cells.withColumn("row_tot", F.sum("n").over(wr))
         .withColumn("col_tot", F.sum("n").over(wc))

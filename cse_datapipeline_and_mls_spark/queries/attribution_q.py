@@ -292,13 +292,16 @@ def t_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from ..operators.tswindow import spine_window
+
+    eff, wg = spine_window(eff, [], max_rows=64, label="removal-effect-channels")
     return eff.select(
         "channel",
         _q6(F.col("p_full")).alias("p_conv_full"),
         _q6(F.col("p_removed")).alias("p_conv_removed"),
         _q6(F.col("removal_effect")).alias("removal_effect"),
         _q6(
-            F.col("removal_effect") / F.sum("removal_effect").over(Window.partitionBy())
+            F.col("removal_effect") / F.sum("removal_effect").over(wg)
         ).alias("attribution_share"),
     ).orderBy("channel")
 
@@ -375,46 +378,42 @@ def _session_touches(spark: SparkSession, sf_dir: str):
         F.sum(new_sess).over(cum).alias("sid"),
         F.row_number().over(w).alias("gn"),
     )
+    # Everything below rides the ONE user_id exchange: the
+    # (user_id, sid) windows are a refinement of hashpartitioning
+    # (user_id) (Spark's subset rule — no re-shuffle, sort only), and
+    # because EVERY row before the first purchase is a touch, the
+    # journey stats are closed-form in conv_rn (k = conv_rn - 1,
+    # first_rn = 1, last_rn = conv_rn - 1) — no self-joins, no
+    # anti-join. This took the executed plan from 12 exchanges to the
+    # sessionize exchange plus the final channel rollup.
     wj = Window.partitionBy("user_id", "sid").orderBy("gn")
+    wk = Window.partitionBy("user_id", "sid")
     sq = seq.select(
         "user_id", "sid", "event_type", "value", "sec",
         F.row_number().over(wj).alias("rn"),
+    ).withColumn(
+        "conv_rn",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rn"))).over(wk),
     )
-    conv = (
-        sq.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "sid")
-        .agg(F.min("rn").alias("conv_rn"))
+    sq = sq.withColumn(
+        "conv_sec",
+        F.max(F.when(F.col("rn") == F.col("conv_rn"), F.col("sec"))).over(wk),
+    ).withColumn(
+        "conv_value",
+        F.max(F.when(F.col("rn") == F.col("conv_rn"), F.col("value"))).over(wk),
     )
-    convs = (
-        conv.join(
-            sq.select(
-                "user_id",
-                "sid",
-                "rn",
-                F.col("sec").alias("conv_sec"),
-                F.col("value").alias("conv_value"),
-            ),
-            ["user_id", "sid"],
-        )
-        .filter(F.col("rn") == F.col("conv_rn"))
-        .drop("rn")
+    touches = sq.filter(F.col("rn") < F.col("conv_rn")).select(
+        "user_id", "sid", "rn",
+        F.col("event_type").alias("channel"),
+        "sec", "conv_sec", "conv_value",
+        (F.col("conv_rn") - 1).cast("long").alias("k"),
+        F.lit(1).alias("first_rn"),
+        (F.col("conv_rn") - 1).alias("last_rn"),
     )
-    wk = Window.partitionBy("user_id", "sid")
-    touches = (
-        sq.join(convs, ["user_id", "sid"])
-        .filter(F.col("rn") < F.col("conv_rn"))
-        .select(
-            "user_id", "sid", "rn",
-            F.col("event_type").alias("channel"),
-            "sec", "conv_sec", "conv_value",
-        )
-        .withColumn("k", F.count(F.lit(1)).over(wk))
-        .withColumn("first_rn", F.min("rn").over(wk))
-        .withColumn("last_rn", F.max("rn").over(wk))
-    )
-    none_convs = convs.join(
-        touches.select("user_id", "sid").distinct(), ["user_id", "sid"], "left_anti"
-    ).select("conv_value")
+    # zero-touch conversion == the purchase opened the session
+    none_convs = sq.filter(
+        (F.col("rn") == F.col("conv_rn")) & (F.col("conv_rn") == 1)
+    ).select(F.col("value").alias("conv_value"))
     return touches, none_convs
 
 

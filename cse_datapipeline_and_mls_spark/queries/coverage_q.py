@@ -2478,9 +2478,11 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ev.groupBy(
         "event_type", (F.col("user_id") % 2).alias("grp")
     ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    from ..operators.tswindow import spine_window
+
     wr = Window.partitionBy("event_type")
     wc = Window.partitionBy("grp")
-    wg = Window.partitionBy()
+    cells, wg = spine_window(cells, [], max_rows=4096, label="contingency-cells")
     t = (
         cells.withColumn("row_tot", F.sum("n").over(wr))
         .withColumn("col_tot", F.sum("n").over(wc))
@@ -2663,7 +2665,10 @@ def agg_hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
     )
-    t = rev.withColumn("t", F.sum("r").over(Window.partitionBy()))
+    from ..operators.tswindow import spine_window
+
+    rev, wg = spine_window(rev, [], max_rows=1024, label="nation-revenue")
+    t = rev.withColumn("t", F.sum("r").over(wg))
     share2 = (F.col("r") / F.col("t")) * (F.col("r") / F.col("t"))
     return t.agg(
         F.count(F.lit(1)).cast("long").alias("n_nations"),

@@ -841,17 +841,18 @@ def x_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("sy").cast("double") / F.col("n_h")
     sigma = F.sqrt(F.col("syy").cast("double") / F.col("n_h") - mean * mean) / 100.0
+    from ..operators.tswindow import spine_window
+
     sig = s.select("segment", "n_h", sigma.alias("sigma_h"))
+    sig, wg = spine_window(sig, [], max_rows=64, label="neyman-strata")
     q9 = lambda c: F.floor(c * 1000000000 + F.lit(0.5)) / 1000000000  # noqa: E731
     w = sig.select(
         "segment",
         "n_h",
         "sigma_h",
         (F.col("n_h") * F.col("sigma_h")).alias("wgt"),
-        q9(F.sum(F.col("n_h") * F.col("sigma_h")).over(Window.partitionBy())).alias(
-            "wtot"
-        ),
-        F.sum("n_h").over(Window.partitionBy()).cast("long").alias("n_pop"),
+        q9(F.sum(F.col("n_h") * F.col("sigma_h")).over(wg)).alias("wtot"),
+        F.sum("n_h").over(wg).cast("long").alias("n_pop"),
     )
     return w.select(
         "segment",

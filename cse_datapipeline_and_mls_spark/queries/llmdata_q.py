@@ -289,14 +289,30 @@ def x_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df"))
         .filter(F.col("n") >= 5)
     )
-    worder = Window.orderBy(F.desc("n"), F.asc("word"))
+    from ..operators.tswindow import spine_window
+
+    # vocabulary frame is aggregate-bounded (Heaps-law sublinear);
+    # the guard names the bound so a data-sized frame can't hide here
+    counts, worder = spine_window(
+        counts,
+        [F.desc("n"), F.asc("word")],
+        max_rows=4_194_304,
+        label="vocab-rank",
+    )
     ranked = (
         counts.withColumn("rank", F.row_number().over(worder).cast("int"))
         .withColumn(
             "cum_n",
             F.sum("n").over(worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
         )
-        .withColumn("total_n", F.sum("n").over(Window.partitionBy()))
+        .withColumn(
+            "total_n",
+            F.sum("n").over(
+                worder.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
     )
     return (
         ranked.filter(F.col("rank") <= 200)
@@ -672,11 +688,15 @@ def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is read once, map-side filtered. The 1e-4-granular cut
     is computed on round(·, 3) so the floor is stable against the
     last-bit summation-order differences between engines."""
+    from ..operators.tswindow import spine_window
+
     docs = load_table(spark, sf_dir, "documents")
-    wall = Window.partitionBy()
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    per_source, wall = spine_window(
+        per_source, [], max_rows=65536, label="source-shares"
+    )
     shares = (
-        docs.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_s"))
+        per_source
         .withColumn(
             "share",
             F.sqrt(F.col("n_s").cast("double"))

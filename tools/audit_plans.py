@@ -102,6 +102,14 @@ EXPECTED_CROSS = {
     "t_markov_stationary",    # 1-row state-count broadcast seeding the uniform start
     "agg_randomization_test", # 1-row observed-gap broadcast onto the 20-row replicate frame
     "x_simhash_incremental",  # bracket-verdict crossJoins: 1-row equality audit + 1-row recall verdict onto the exact rows
+    # r11 adjudication of the 10 r10 flags (VERDICT r10 item 2)
+    "ab_cuped_adjusted",      # 1-row moment frame (n, mean_x, theta) broadcast onto the per-customer frame (experiments_q.py)
+    "geo_grid_hotspots",      # 1-row totals broadcast onto the cell neighbor-sum frame (geo_q.py:91)
+    "geo_point_in_rect_join", # the documented broadcast non-equi rectangle-containment join — BNLJ IS the right plan (geo_q.py:207)
+    "t_attribution_markov_removal",  # tiny channel-matrix broadcasts: <=245-row variant frame x matrix squarings (attribution_q.py:217,273,285)
+    "t_logrank_test",         # 1-row group-sizes frame broadcast onto the 1-row O/E/V totals (analytics_q.py:3029)
+    "w_theta_forecast",       # 1-row Theta-line (a,b) coefficient frame broadcast onto the horizon spine (windows_q.py:3181,3199)
+    "x_k_anonymity_audit",    # 1-row k-threshold + totals broadcasts onto the equivalence-class frame (curation_q.py:761)
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -155,6 +163,11 @@ EXPECTED_MANY_EXCHANGES = {
     "w_changepoint_single_split",  # (user,day) agg + per-user cumulative + last-row join + argmax window — every frame past the first agg is day-spine-sized
     "t_markov_stationary",    # 6 power-iteration rounds over the checkpointed <=25-row transition frame (1 join + 1 agg each) — every post-scan frame is |states|-sized
     "x_simhash_incremental",  # batch/corpus band builds + the full-run twin for the equality audit + exceptAll pair + recall join — the proof costs, not the production probe (which is the checkpointed incr side alone)
+    # r11 adjudication of the 10 r10 flags (VERDICT r10 item 2)
+    "ab_cuped_adjusted",      # customer-grain shuffle + 5-number moment fold + per-arm agg; every frame past the per-customer agg is 1-row/2-row (experiments_q.py)
+    "geo_dbscan_clusters",    # 8 CAPPED min-label rounds over the grid-bucketed eps-graph (geo_q.py:319) — the unrolled-iteration contract, like pagerank; connected_components_star is the documented 100 TB swap
+    "t_logrank_test",         # event-day risk-set build (distinct days + cumulative at-risk) + per-group O/E/V sums; every frame past the first agg is distinct-day-sized (analytics_q.py)
+    "x_k_anonymity_audit",    # class-grain agg + k-bucket rollups + 1-row totals folds; every frame past the first agg is equivalence-class-sized (curation_q.py:729)
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o_pagination_orders",    # serving-edge page; documented
