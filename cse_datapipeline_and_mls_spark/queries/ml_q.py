@@ -442,6 +442,78 @@ def x_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_multimodal_png_rgb",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, CAST(length(text) // 3 AS BIGINT) AS npix
+      FROM documents WHERE length(text) >= 3
+    ), b AS (
+      SELECT doc_id, npix, unnest(range(0, 3 * npix)) AS i, text FROM d
+    ), v AS (
+      SELECT doc_id, npix, CAST(i % 3 AS INTEGER) AS ch,
+             ord(substr(text, CAST(i AS INTEGER) + 1, 1)) AS val
+      FROM b
+    ), agg AS (
+      SELECT doc_id,
+             any_value(npix) AS n_pixels,
+             CAST(sum(CASE WHEN ch = 0 THEN val ELSE 0 END) AS DOUBLE)
+               / any_value(npix) AS r,
+             CAST(sum(CASE WHEN ch = 1 THEN val ELSE 0 END) AS DOUBLE)
+               / any_value(npix) AS g,
+             CAST(sum(CASE WHEN ch = 2 THEN val ELSE 0 END) AS DOUBLE)
+               / any_value(npix) AS bl
+      FROM v GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST(n_pixels AS INTEGER) AS width,
+           CAST(1 AS INTEGER) AS height,
+           CAST(2 AS INTEGER) AS color_type,
+           n_pixels,
+           floor(r * 1000000 + 0.5) / 1000000 AS r_mean,
+           floor(g * 1000000 + 0.5) / 1000000 AS g_mean,
+           floor(bl * 1000000 + 0.5) / 1000000 AS b_mean,
+           floor((0.299e0 * r + 0.587e0 * g + 0.114e0 * bl) * 1000000 + 0.5)
+             / 1000000 AS luma_mean
+    FROM agg
+    """,
+)
+def x_multimodal_png_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truecolor leg of the PNG codec family (VERDICT r10 item 9):
+    every document >= 3 bytes is synthesized into a genuine TRUECOLOR
+    8-bit PNG (color type 2, stdlib struct/zlib) whose interleaved
+    R,G,B samples ARE the document's bytes (byte i -> channel i % 3 of
+    pixel i // 3, truncated to a multiple of 3); extract_rgb_stats
+    walks the real container — IHDR parse plus a full inflate +
+    de-filter decode at the 3-byte-per-pixel stride — and reports
+    per-channel means and the Rec.601 luma mean.
+
+    Oracle-checked end-to-end: channel sums are exact int64 over the
+    text bytes, so width, the IHDR constants, and all four means
+    replay exactly in SQL. A stride bug (reading RGB rows at the
+    grayscale width) or channel-interleave slip shifts g_mean/b_mean
+    and fails the hash.
+
+    Scale: map-only — the synth and the decode are one mapInPandas
+    each over the documents scan; zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synth_rgb_png_from_documents(docs)
+    from ..operators.numeric import q6
+
+    out = MM.extract_rgb_stats(media, decoder=MM.decode_media)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "color_type",
+        "n_pixels",
+        q6(F.col("r_mean")).alias("r_mean"),
+        q6(F.col("g_mean")).alias("g_mean"),
+        q6(F.col("b_mean")).alias("b_mean"),
+        q6(F.col("luma_mean")).alias("luma_mean"),
+    )
+
+
+@register(
     "ml_quality_classifier",
     oracle="""
     WITH b AS (

@@ -557,3 +557,63 @@ def test_simhash_incremental_validates_bands(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(5)
     with pytest.raises(ValueError, match="pigeonhole"):
         D.simhash_neardup_incremental(docs, docs, max_hamming=4, n_bands=4)
+
+
+def test_ivf_tombstone_filters_before_topk(spark):
+    """The classic tombstone bug filters AFTER the top-k cut and
+    returns k - dead results; ivf_apply_tombstones anti-joins the
+    postings themselves, so deleting a query's top-1 must (a) remove
+    it from the results, (b) still return a full k, and (c) promote
+    the next-best vector into the set."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 8)).astype("float64")
+    # vector 0 is the query; vector 1 is a near-duplicate of it (the
+    # guaranteed top-1 among non-self candidates), vector 2 next-best
+    vecs[1] = vecs[0] + 0.01 * rng.normal(size=8)
+    vecs[2] = vecs[0] + 0.05 * rng.normal(size=8)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    codebook = S.fit_codebook(emb, k=4, seed=42, max_iter=5)
+    inv = S.assign_cells_np(emb, codebook)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 5
+    before = S.ivf_topk_from_index(inv, codebook, queries, k=k, nprobe=4)
+    ids_before = {r["vec_id"] for r in before.collect()}
+    assert 1 in ids_before  # the near-dup is in the top-k pre-delete
+
+    tomb = spark.createDataFrame([(1,)], "vec_id long")
+    live = S.ivf_apply_tombstones(inv, tomb)
+    after = S.ivf_topk_from_index(live, codebook, queries, k=k, nprobe=4)
+    rows_after = after.collect()
+    ids_after = {r["vec_id"] for r in rows_after}
+    assert 1 not in ids_after            # (a) dead posting gone
+    assert len(rows_after) == k          # (b) full k, not k-1
+    assert 2 in ids_after                # (c) next-best promoted
+
+
+def test_ivf_compaction_equals_rebuild(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    codebook = S.fit_codebook(emb, k=4, seed=7, max_iter=5)
+    inv = S.assign_cells_np(emb, codebook)
+    tomb = emb.filter(F.col("vec_id") % 4 == 1).select("vec_id")
+    compacted = S.compact_ivf_index(inv, tomb)
+    rebuilt = S.assign_cells_np(
+        emb.join(tomb, ["vec_id"], "left_anti"), codebook
+    )
+    a = compacted.select("vec_id", "_cell")
+    b = rebuilt.select("vec_id", "_cell")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # compaction really dropped the dead postings
+    assert compacted.count() == 45

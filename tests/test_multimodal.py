@@ -201,14 +201,70 @@ def test_decode_media_real_png_roundtrip():
 
 
 def test_decode_media_png_rejects_unsupported():
-    png_rgb = _make_png(b"\x01\x02\x03" * 4, 2, 2, color_type=2)
-    with pytest.raises(ValueError, match="grayscale-8"):
-        MM.decode_media(png_rgb, "image")
+    # color type 2 (truecolor) is SUPPORTED since r11 — the reject set
+    # is now palette (3), gray+alpha (4), RGBA (6), odd bit depths
+    png_rgba = _make_png(b"\x01\x02\x03\x04" * 4, 4, 1, color_type=6)
+    with pytest.raises(ValueError, match="color types 0/2"):
+        MM.decode_media(png_rgba, "image")
+    png_pal = _make_png(bytes(4), 4, 1, color_type=3)
+    with pytest.raises(ValueError, match="color types 0/2"):
+        MM.decode_media(png_pal, "image")
     png_filt = _make_png(bytes(8), 4, 2, filt=1)
     with pytest.raises(ValueError, match="filter 0"):
         MM.decode_media(png_filt, "image")
     with pytest.raises(ValueError, match="not a PNG"):
         MM.png_info(b"GIF89a....")
+
+
+def test_decode_media_truecolor_png_roundtrip():
+    import numpy as np
+
+    # 2x2 RGB image: scanlines are 3*width bytes, NOT width — the
+    # stride bug this leg exists to pin
+    pix = bytes(range(12))  # 4 pixels x 3 channels
+    # build with correct truecolor stride: width=2, height=2 -> each
+    # raw scanline is 6 bytes; _make_png slices by its width param, so
+    # pass width=6 rows-of-bytes but patch the IHDR via real builder
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    raw = b"\x00" + pix[:6] + b"\x00" + pix[6:]
+    png = (MM.PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert MM.png_info(png) == (2, 2, 8, 2)
+    vals = MM.decode_media(png, "image")
+    assert vals.dtype == np.uint8
+    assert bytes(vals.tobytes()) == pix
+
+
+def test_synth_rgb_png_documents_channel_means(spark):
+    """End-to-end: synth writes REAL truecolor PNGs; extract_rgb_stats
+    decodes them and the per-channel means equal the numpy stats of
+    the raw text bytes split by position mod 3."""
+    import numpy as np
+
+    texts = [(1, "hello png rgb!"), (2, "aAbBcC" * 10), (3, "xy")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    media = MM.synth_rgb_png_from_documents(docs)
+    rows = {r["media_id"]: r for r in MM.extract_rgb_stats(media).collect()}
+    assert 3 not in rows  # 2-byte doc dropped (0-width image)
+    for doc_id, text in texts[:2]:
+        b = np.frombuffer(text.encode(), dtype=np.uint8)
+        n = len(b) // 3
+        b = b[: 3 * n].reshape(-1, 3)
+        r = rows[doc_id]
+        assert (r["width"], r["height"], r["color_type"]) == (n, 1, 2)
+        assert r["n_pixels"] == n
+        for col, ch in [("r_mean", 0), ("g_mean", 1), ("b_mean", 2)]:
+            assert math.isclose(r[col], float(b[:, ch].mean()))
+        want_luma = (0.299 * b[:, 0].mean() + 0.587 * b[:, 1].mean()
+                     + 0.114 * b[:, 2].mean())
+        assert math.isclose(r["luma_mean"], float(want_luma))
 
 
 def test_synth_png_documents_decode_to_text_bytes(spark):

@@ -110,6 +110,7 @@ EXPECTED_CROSS = {
     "t_logrank_test",         # 1-row group-sizes frame broadcast onto the 1-row O/E/V totals (analytics_q.py:3029)
     "w_theta_forecast",       # 1-row Theta-line (a,b) coefficient frame broadcast onto the horizon spine (windows_q.py:3181,3199)
     "x_k_anonymity_audit",    # 1-row k-threshold + totals broadcasts onto the equivalence-class frame (curation_q.py:761)
+    "x_ann_ivf_delete_compact",  # bracket-verdict crossJoins: 1-row compact-equals-rebuild + 1-row no-tombstone-hits + 1-row recall verdict onto the exact rows
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -162,6 +163,7 @@ EXPECTED_MANY_EXCHANGES = {
     "x_ann_ivf_incremental",  # corpus+delta assignment scans + the exceptAll equality audit + exact side + probe join + two 1-row verdict folds — the bracket-verdict refresh's irreducible set
     "w_changepoint_single_split",  # (user,day) agg + per-user cumulative + last-row join + argmax window — every frame past the first agg is day-spine-sized
     "t_markov_stationary",    # 6 power-iteration rounds over the checkpointed <=25-row transition frame (1 join + 1 agg each) — every post-scan frame is |states|-sized
+    "x_ann_ivf_delete_compact",  # base+add assignment scans + compaction exchange + exceptAll equality audit + exact side + tombstone anti-joins + probe join + three 1-row verdict folds — the delete-path bracket-verdict's irreducible set
     "x_simhash_incremental",  # batch/corpus band builds + the full-run twin for the equality audit + exceptAll pair + recall join — the proof costs, not the production probe (which is the checkpointed incr side alone)
     # r11 adjudication of the 10 r10 flags (VERDICT r10 item 2)
     "ab_cuped_adjusted",      # customer-grain shuffle + 5-number moment fold + per-arm agg; every frame past the per-customer agg is 1-row/2-row (experiments_q.py)
