@@ -316,10 +316,24 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # Warm up the session (JVM JIT, parquet footer cache) on a cheap query.
+    # Warm up the session (JVM JIT, parquet footer cache) on a cheap query,
+    # then first-touch every table so no timed query pays file listing /
+    # footer reads. Measured bench-order sensitivity (r10->r11): the SAME
+    # ml_kfold_assignment plan timed 9.26 s as an early query in the
+    # contended driver run, 1.10 s first and 0.55 s second in a clean
+    # session — cold-JIT/footer effects dominate sub-second queries, so
+    # cross-round comparisons should use the committed close regen, and
+    # only >=2x drifts on MULTI-second queries indicate plan regressions.
     QUERIES["group_histogram_events"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    from cse_datapipeline_and_mls_spark.sources import load_table
+
+    for _t in (
+        "lineitem", "orders", "customer", "supplier", "part",
+        "nation", "region", "documents", "embeddings",
+    ):
+        load_table(spark, sf_dir, _t).write.format("noop").mode("overwrite").save()
 
     # Three runs per query, report the min: run 1 pays one-time costs
     # (query compilation, codegen, file listing) that a long-lived engine

@@ -110,3 +110,60 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def plan_file_compaction(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    order_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction PLAN: assign each row (a file / document)
+    of ``df`` to an output chunk of ~``target_bytes`` within its
+    ``group_col`` (source, table partition), using cumulative-quota
+    packing — chunk_id = floor(exclusive_running_bytes / target). The
+    greedy's overflow bound is strict: a chunk closes at the first row
+    that crosses the quota, so chunk_bytes < target + that row's size.
+
+    Scale posture: the running total is NOT a per-group window (a hot
+    group is data-sized — the single-task sort trap); it is ONE global
+    ``relational.distributed_prefix_sum`` over (group, order) — two
+    distributed exchanges — and the per-group rebase subtracts each
+    group's start offset, computed from the |groups|-row totals frame
+    via a spine_window'd cumsum (bounded BY CONSTRUCTION) broadcast
+    back. Returns df + ``_chunk_id``."""
+    from pyspark.sql import Window
+
+    from .relational import distributed_prefix_sum
+    from .tswindow import spine_window
+
+    # the cum frame feeds THREE consumers (totals, the rebase join, the
+    # caller's rollups) — checkpoint it once so the prefix-sum lineage
+    # is never replayed per branch (the multi-reference re-derivation
+    # trap). Cheap by construction: this operator runs over FILE
+    # METADATA (one row per file/doc), not data rows.
+    cum = distributed_prefix_sum(
+        df, [group_col, order_col], [size_col], out_prefix="_cum_"
+    ).localCheckpoint(eager=True)
+    totals = cum.groupBy(group_col).agg(F.sum(size_col).alias("_gbytes"))
+    totals, wg = spine_window(
+        totals, [group_col], max_rows=65536, label="compaction-groups"
+    )
+    offsets = totals.select(
+        group_col,
+        F.coalesce(
+            F.sum("_gbytes").over(
+                wg.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_goffset"),
+    )
+    out = cum.join(F.broadcast(offsets), [group_col])
+    return out.withColumn(
+        "_chunk_id",
+        F.floor(
+            (F.col(f"_cum_{size_col}") - F.col("_goffset"))
+            / F.lit(int(target_bytes))
+        ).cast("long"),
+    ).drop(f"_cum_{size_col}", "_goffset")

@@ -3036,3 +3036,120 @@ def t_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q6(chi2).alias("logrank_chi2"),
         (_q6(chi2) > 3.841459).alias("significant"),
     )
+
+
+@register(
+    "agg_mergeable_rollup_states",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), daily AS (
+      SELECT event_type, day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(min(cents) AS BIGINT) AS mn,
+             CAST(max(cents) AS BIGINT) AS mx,
+             CAST(sum(cents * cents) AS BIGINT) AS ss
+      FROM ev GROUP BY 1, 2
+    ), merged AS (
+      SELECT event_type,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS s,
+             CAST(min(mn) AS BIGINT) AS mn,
+             CAST(max(mx) AS BIGINT) AS mx,
+             CAST(sum(ss) AS BIGINT) AS ss
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+           n AS n_events,
+           s AS sum_cents,
+           mn AS min_cents,
+           mx AS max_cents,
+           floor((CAST(s AS DOUBLE) / n) * 1000000 + 0.5) / 1000000
+             AS mean_cents,
+           floor(((CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+                 * 1000000 + 0.5) / 1000000 AS var_cents,
+           TRUE AS merge_equals_full
+    FROM merged ORDER BY event_type
+    """,
+)
+def agg_mergeable_rollup_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-rollup maintenance proof — the algebraic-aggregate
+    property every materialized view / cube refresh rests on: DAILY
+    partial states (count, sum, min, max, sum-of-squares over exact
+    int64 cents) MERGE into the per-type rollup (sum the counts/sums/
+    squares, min the mins, max the maxes), and the merged states are
+    asserted row-identical to aggregating the facts from scratch —
+    a refresh that re-reads only new days is therefore exact, never an
+    approximation. Mean/variance derive from the merged moments with
+    the CUPED posture (moments exact int64; cross products formed in
+    double — s^2 would pass 2^63 near sf10).
+
+    Determinism: all five states are exact integers, so merge-vs-full
+    equality is literal, not epsilon. The sum-of-squares bound:
+    cents <= 49_002 (value <= 490.02), cents^2 < 2.5e9, so ss stays
+    inside int64 through ~3.8e9 events (sf ~3800).
+
+    Scale: ONE fact-sized aggregation to (type, day) grain — map-side
+    partials make it a near-pure scan; the merge and the equality
+    audit run over the day-spine-sized partial frame (|types| x
+    |days|). This is also the refresh recipe: persist `daily`, append
+    new days, re-merge only the tail."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.sum("ss").cast("long").alias("ss"),
+    )
+    full = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+    )
+    # literal state equality: a merged row must exist with ALL FIVE
+    # states identical — exceptAll both ways over the state tuples
+    a = merged.select("event_type", "n", "s", "mn", "mx", "ss")
+    b = full.select("event_type", "n", "s", "mn", "mx", "ss")
+    equals = (
+        a.exceptAll(b)
+        .unionByName(b.exceptAll(a))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+        .select((F.col("n_diff") == 0).alias("merge_equals_full"))
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / F.col("n")
+    return (
+        merged.crossJoin(F.broadcast(equals))
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("s").alias("sum_cents"),
+            F.col("mn").alias("min_cents"),
+            F.col("mx").alias("max_cents"),
+            _q6(mean).alias("mean_cents"),
+            _q6(var).alias("var_cents"),
+            "merge_equals_full",
+        )
+        .orderBy("event_type")
+    )

@@ -4027,3 +4027,69 @@ def x_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+@register(
+    "x_file_compaction_plan",
+    oracle="""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prior
+      FROM documents
+    ), chunks AS (
+      SELECT source, CAST(floor(prior / 16384.0) AS BIGINT) AS chunk_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chunk_bytes
+      FROM c GROUP BY 1, 2
+    )
+    SELECT source, chunk_id, n_docs, chunk_bytes,
+           (SELECT max(chunk_bytes) FROM chunks)
+             <= 16384 + (SELECT max(n_chars) FROM documents)
+             AS within_overflow_bound
+    FROM chunks ORDER BY source, chunk_id
+    """,
+)
+def x_file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the write-side sibling of
+    x_zorder_layout): a 100 TB table accumulates kilobyte-scale files
+    from streaming ingest and incremental jobs, and scan throughput
+    dies on file-open overhead; the fix is periodic bin-packing of
+    each partition's files into ~target-size chunks. This query PLANS
+    the rewrite — cumulative-quota packing at a 16 KiB target over the
+    per-source document byte counts (layout.plan_file_compaction) —
+    and reports every planned chunk's fill, plus the greedy's overflow
+    invariant (chunk_bytes < target + max single file, the bound that
+    makes the plan safe to execute blindly).
+
+    Scale posture: the running byte total is ONE global
+    distributed_prefix_sum over (source, doc_id) — two distributed
+    exchanges, NO per-source window (a hot source is data-sized; the
+    single-task-sort trap this family always dodges) — with the
+    |sources|-row start offsets rebased via a spine_window'd cumsum
+    broadcast back. The oracle uses the plain per-source window cumsum
+    (DuckDB has no task-skew concern), proving both compute the same
+    plan."""
+    from ..operators.layout import plan_file_compaction
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    planned = plan_file_compaction(
+        docs, "source", "n_chars", "doc_id", target_bytes=16384
+    )
+    chunks = planned.groupBy("source", F.col("_chunk_id").alias("chunk_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chunk_bytes"),
+    )
+    # max single-file size rides the planned (checkpoint-backed) frame,
+    # not a second documents scan
+    bound = chunks.agg(F.max("chunk_bytes").alias("mx")).crossJoin(
+        planned.agg(F.max("n_chars").alias("mxd"))
+    ).select((F.col("mx") <= 16384 + F.col("mxd")).alias("within_overflow_bound"))
+    return (
+        chunks.crossJoin(F.broadcast(bound))
+        .select("source", "chunk_id", "n_docs", "chunk_bytes", "within_overflow_bound")
+        .orderBy("source", "chunk_id")
+    )

@@ -865,3 +865,94 @@ def x_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_proportional"),
     ).orderBy("segment")
+
+
+@register(
+    "x_erasure_cascade_audit",
+    oracle="""
+    WITH victims AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 1000 = 7
+    ), vo AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM victims)
+    ), counts AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM victims) AS n_customers_erased,
+        (SELECT CAST(count(*) AS BIGINT) FROM vo) AS n_orders_cascaded,
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM vo))
+          AS n_lineitems_cascaded,
+        (SELECT CAST(count(*) AS BIGINT) FROM events
+          WHERE user_id % 1000 = 7) AS n_events_erased,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders) AS o_total,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM victims))
+          AS o_kept,
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS l_total,
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM vo)) AS l_kept
+    )
+    SELECT n_customers_erased, n_orders_cascaded, n_lineitems_cascaded,
+           n_events_erased,
+           (o_kept + n_orders_cascaded = o_total
+            AND l_kept + n_lineitems_cascaded = l_total)
+             AS residual_consistent
+    FROM counts
+    """,
+)
+def x_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit (the governance twin of
+    x_k_anonymity_audit): an erasure request batch (customers with
+    c_custkey % 1000 == 7 — a deterministic stand-in for the DSAR
+    queue) is propagated through the foreign-key chain customer ->
+    orders -> lineitem, plus the behavioral log keyed directly on the
+    user id. Reports per-table cascade counts AND the residual
+    consistency invariant: kept + erased == total for every cascaded
+    table (the semi/anti partition of each table is exact — an erasure
+    job that loses or double-counts rows flips the boolean).
+
+    Scale: the victim set is |customers|/1000 (a DSAR queue is always
+    tiny relative to the corpus) — Spark broadcasts it into the semi/
+    anti joins on orders; the lineitem cascade is keyed on the cascaded
+    order set (larger, stays a shuffled semi-join, never a broadcast
+    assumption); every count is a map-side-combined scan. Erasure
+    itself is the same anti-joins materialized (the compaction posture
+    of similarity.compact_ivf_index)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    victims = cust.filter(F.col("c_custkey") % 1000 == 7)
+    vo = orders.join(
+        F.broadcast(victims), orders["o_custkey"] == victims["c_custkey"], "left_semi"
+    )
+    vl = li.join(vo, li["l_orderkey"] == vo["o_orderkey"], "left_semi")
+    o_kept = orders.join(
+        F.broadcast(victims), orders["o_custkey"] == victims["c_custkey"], "left_anti"
+    )
+    l_kept = li.join(vo, li["l_orderkey"] == vo["o_orderkey"], "left_anti")
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    out = (
+        cnt(victims, "n_customers_erased")
+        .crossJoin(cnt(vo, "n_orders_cascaded"))
+        .crossJoin(cnt(vl, "n_lineitems_cascaded"))
+        .crossJoin(cnt(ev.filter(F.col("user_id") % 1000 == 7), "n_events_erased"))
+        .crossJoin(cnt(orders, "o_total"))
+        .crossJoin(cnt(o_kept, "o_kept"))
+        .crossJoin(cnt(li, "l_total"))
+        .crossJoin(cnt(l_kept, "l_kept"))
+    )
+    return out.select(
+        "n_customers_erased",
+        "n_orders_cascaded",
+        "n_lineitems_cascaded",
+        "n_events_erased",
+        (
+            (F.col("o_kept") + F.col("n_orders_cascaded") == F.col("o_total"))
+            & (F.col("l_kept") + F.col("n_lineitems_cascaded") == F.col("l_total"))
+        ).alias("residual_consistent"),
+    )

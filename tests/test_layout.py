@@ -104,3 +104,37 @@ def test_write_zordered_files_prune_two_dimensional_predicates(
     # a date-only sort keeps every file spanning the full part range, so
     # ALL date-matching files are scanned; z-order must skip most files.
     assert zhit <= ztot // 2, f"z-order layout scanned {zhit}/{ztot} files"
+
+
+def test_plan_file_compaction_quota_and_overflow_bound(spark):
+    """Cumulative-quota packing: chunks fill to ~target within each
+    group, chunk 0 starts at 0, every chunk's bytes < target + max
+    single file, and no file crosses groups."""
+    import numpy as np
+
+    from cse_datapipeline_and_mls_spark.operators.layout import (
+        plan_file_compaction,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (src, int(i), int(rng.integers(50, 400)))
+        for src in ("a", "b")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_bytes long")
+    out = plan_file_compaction(df, "source", "n_bytes", "doc_id", target_bytes=1000)
+    pdf = out.toPandas()
+    assert set(pdf.columns) >= {"source", "doc_id", "n_bytes", "_chunk_id"}
+    for src, grp in pdf.groupby("source"):
+        grp = grp.sort_values("doc_id")
+        # chunk ids start at 0 and are non-decreasing in file order
+        cids = grp["_chunk_id"].tolist()
+        assert cids[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(cids, cids[1:]))
+        sizes = grp.groupby("_chunk_id")["n_bytes"].sum()
+        mx = grp["n_bytes"].max()
+        assert (sizes < 1000 + mx).all()
+        # all but the last chunk actually reach the quota (greedy is
+        # dense, not sparse)
+        assert (sizes.iloc[:-1] + mx >= 1000).all()

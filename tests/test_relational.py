@@ -688,3 +688,34 @@ def test_two_phase_topk_validates_params(spark):
         two_phase_topk(df, ["g"], [F.asc("id")], k=0, salt_on="id")
     with pytest.raises(ValueError, match="buckets"):
         two_phase_topk(df, ["g"], [F.asc("id")], k=1, salt_on="id", buckets=1)
+
+
+def test_mergeable_rollup_states_property(spark):
+    """Algebraic-aggregate mergeability on a frame with a FORCED split:
+    partial states over arbitrary row subsets merge to exactly the
+    full-frame states (count/sum/min/max/sumsq are all int64-exact)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i % 3, i, (i * 37) % 101) for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, part long, v long")
+
+    def states(d, by):
+        return d.groupBy(*by).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("long").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
+        )
+
+    partial = states(df.withColumn("split", F.col("part") % 7), ["k", "split"])
+    merged = partial.groupBy("k").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.sum("ss").cast("long").alias("ss"),
+    )
+    full = states(df, ["k"])
+    a, b = merged.select(*full.columns), full
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

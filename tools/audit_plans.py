@@ -111,6 +111,9 @@ EXPECTED_CROSS = {
     "w_theta_forecast",       # 1-row Theta-line (a,b) coefficient frame broadcast onto the horizon spine (windows_q.py:3181,3199)
     "x_k_anonymity_audit",    # 1-row k-threshold + totals broadcasts onto the equivalence-class frame (curation_q.py:761)
     "x_ann_ivf_delete_compact",  # bracket-verdict crossJoins: 1-row compact-equals-rebuild + 1-row no-tombstone-hits + 1-row recall verdict onto the exact rows
+    "agg_mergeable_rollup_states",  # 1-row merge-equals-full verdict broadcast onto the |types|-row rollup
+    "x_erasure_cascade_audit",   # eight 1-row count folds crossJoined into the single audit row (all broadcast)
+    "x_file_compaction_plan",    # prefix-sum's partition-count theta self-join + 1-row overflow-bound verdict broadcast onto the chunk frame
 }
 
 # Queries whose >4 exchanges are the documented, irreducible shape
@@ -164,6 +167,9 @@ EXPECTED_MANY_EXCHANGES = {
     "w_changepoint_single_split",  # (user,day) agg + per-user cumulative + last-row join + argmax window — every frame past the first agg is day-spine-sized
     "t_markov_stationary",    # 6 power-iteration rounds over the checkpointed <=25-row transition frame (1 join + 1 agg each) — every post-scan frame is |states|-sized
     "x_ann_ivf_delete_compact",  # base+add assignment scans + compaction exchange + exceptAll equality audit + exact side + tombstone anti-joins + probe join + three 1-row verdict folds — the delete-path bracket-verdict's irreducible set
+    "agg_mergeable_rollup_states",  # daily-grain agg + merged rollup + full-scratch agg + the exceptAll equality audit — the merge-vs-full PROOF costs; a production refresh runs the daily agg alone
+    "x_erasure_cascade_audit",   # per-table semi/anti cascade counts (customer/orders/lineitem/events) — each a distinct scan-agg the invariant needs; all joins keyed or broadcast
+    "x_file_compaction_plan",    # distributed_prefix_sum's range+pid stages + |sources|-row offsets + chunk rollup + 1-row bound fold — the no-per-source-window posture's costs
     "x_simhash_incremental",  # batch/corpus band builds + the full-run twin for the equality audit + exceptAll pair + recall join — the proof costs, not the production probe (which is the checkpointed incr side alone)
     # r11 adjudication of the 10 r10 flags (VERDICT r10 item 2)
     "ab_cuped_adjusted",      # customer-grain shuffle + 5-number moment fold + per-arm agg; every frame past the per-customer agg is 1-row/2-row (experiments_q.py)
