@@ -682,3 +682,56 @@ def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           CAST(sum(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS cents_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS cents_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS cents_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) — the inverse of unpivot_lineitem_measures and
+    the one §2.7-family reshaping op the registry lacked: order counts
+    and exact cent totals per priority, pivoted across the three order
+    statuses. The pivot VALUES ARE PINNED ('F','O','P'): Spark's
+    values-less pivot runs a hidden distinct-values collect job first
+    and caps at spark.sql.pivotMaxValues — pinning them keeps the plan
+    a single map-side-combined aggregation (the conditional-agg plan
+    the oracle spells out), which is the only pivot shape that scales.
+
+    Determinism: counts and cent sums are exact int64 — no
+    quantization anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    wide = (
+        o.select("o_orderpriority", "o_orderstatus", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).cast("long").alias("n_p"),
+        F.coalesce(F.col("F_cents"), F.lit(0)).cast("long").alias("cents_f"),
+        F.coalesce(F.col("O_cents"), F.lit(0)).cast("long").alias("cents_o"),
+        F.coalesce(F.col("P_cents"), F.lit(0)).cast("long").alias("cents_p"),
+    ).orderBy("o_orderpriority")
