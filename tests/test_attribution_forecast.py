@@ -131,3 +131,81 @@ def test_croston_matches_pandas_replay(spark):
         assert row["p_hat"] == pytest.approx(p_hat, abs=1e-5)
         assert row["croston_forecast"] == pytest.approx(z_hat / p_hat, abs=1e-5)
         assert row["sb_forecast"] == pytest.approx(0.9 * z_hat / p_hat, abs=1e-5)
+
+
+def test_session_touches_closed_form_matches_brute_force(spark, tmp_path):
+    """r11 rewrote _session_touches from joins to closed-form window
+    arithmetic (k = conv_rn - 1, first_rn = 1, last_rn = conv_rn - 1,
+    all riding one user_id exchange). This pins the rewrite against a
+    pandas brute force over RANDOM event streams covering every edge:
+    purchase-opens-session (zero-touch), multiple purchases per
+    session, sessions with no purchase, single-event sessions."""
+    import numpy as np
+    import pandas as pd
+
+    from cse_datapipeline_and_mls_spark.queries.attribution_q import (
+        _session_touches,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-01-01")
+    for user in range(12):
+        t = base + pd.Timedelta(minutes=int(rng.integers(0, 600)))
+        for _ in range(int(rng.integers(1, 40))):
+            # gaps straddle the 30-min session boundary
+            t = t + pd.Timedelta(seconds=int(rng.integers(60, 3600)))
+            etype = rng.choice(
+                ["view", "click", "search", "purchase"], p=[0.4, 0.25, 0.15, 0.2]
+            )
+            rows.append((eid, t, user, str(etype), float(rng.integers(1, 100))))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+    touches, none_convs = _session_touches(spark, str(tmp_path))
+    got = (
+        touches.select("user_id", "sid", "rn", "channel", "k", "first_rn", "last_rn")
+        .orderBy("user_id", "sid", "rn")
+        .toPandas()
+    )
+    got_none = sorted(r["conv_value"] for r in none_convs.collect())
+
+    # brute force: sessionize, find first purchase, everything before it
+    want_rows, want_none = [], []
+    for user, grp in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        sid, last_ts = 0, None
+        sessions: dict[int, list] = {}
+        for _, r in grp.iterrows():
+            if last_ts is None or (r["ts"] - last_ts).total_seconds() > 1800:
+                sid += 1
+            last_ts = r["ts"]
+            sessions.setdefault(sid, []).append(r)
+        for s, evs in sessions.items():
+            conv_rn = next(
+                (i + 1 for i, r in enumerate(evs) if r["event_type"] == "purchase"),
+                None,
+            )
+            if conv_rn is None:
+                continue
+            if conv_rn == 1:
+                want_none.append(float(evs[0]["value"]))
+                continue
+            k = conv_rn - 1
+            for i in range(k):
+                want_rows.append(
+                    (user, s, i + 1, evs[i]["event_type"], k, 1, k)
+                )
+    want = pd.DataFrame(
+        want_rows,
+        columns=["user_id", "sid", "rn", "channel", "k", "first_rn", "last_rn"],
+    ).sort_values(["user_id", "sid", "rn"]).reset_index(drop=True)
+
+    assert len(got) == len(want)
+    got_r = got.reset_index(drop=True)
+    for col in ["user_id", "sid", "rn", "channel", "k", "first_rn", "last_rn"]:
+        assert (got_r[col].astype(want[col].dtype) == want[col]).all(), col
+    assert got_none == sorted(want_none)

@@ -624,3 +624,21 @@ def test_nelson_aalen_dominates_km_log_survival(spark):
     for d, h in na.items():
         if km[d] > 0:
             assert h <= -math.log(km[d]) + 1e-6, (d, h, km[d])
+
+
+def test_spine_window_unordered_total_mode(spark):
+    """r11: empty order_cols = unordered global-total frame (grand-total
+    ratios) — no sort, whole-partition default frame, same guard."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cse_datapipeline_and_mls_spark.operators.tswindow import spine_window
+
+    df = spark.range(20).select(F.col("id"), (F.col("id") % 4).alias("k"))
+    g, w = spine_window(df, [], max_rows=50, label="total-ok")
+    out = g.withColumn("tot", F.sum("id").over(w)).collect()
+    assert all(r["tot"] == 190 for r in out) and len(out) == 20
+
+    g2, w2 = spine_window(df, [], max_rows=10, label="total-trips")
+    with pytest.raises(Exception, match="total-trips"):
+        g2.withColumn("tot", F.sum("id").over(w2)).collect()
