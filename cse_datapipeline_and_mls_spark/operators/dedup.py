@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .numeric import q6
 from .relational import dedup_by_key  # re-export: exact dedup lives there
@@ -455,12 +456,50 @@ def ngram_containment_self_pairs(
 _LAST_CC_ROUNDS: int = 0
 
 
+def _cc_union_find(canon: DataFrame) -> DataFrame:
+    """Closed-form connected components for a SMALL, already-materialized
+    canonical edge list: collect → union-find (path compression + union
+    by min) → (node, label=min id) DataFrame with the input id type.
+    Only called under an absolute edge bound (see connected_components);
+    the collect is a few MB at most — the same class of bounded driver
+    read as a broadcast-threshold decision."""
+    id_type = canon.schema[0].dataType
+    rows = canon.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so every root IS the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in parent]
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("label", id_type)]
+    )
+    return canon.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
     init_labels: DataFrame | None = None,
+    small_graph_max_edges: int | None = 100_000,
 ) -> DataFrame:
     """Connected components over an undirected pair graph → (node, label)
     where label = min node id in the component. This is the step that
@@ -488,10 +527,44 @@ def connected_components(
     this in tests). NOT valid under pair deletion: a departed min-id
     node would leave a stale label no propagation can correct — rerun
     cold after compaction instead.
+
+    ``small_graph_max_edges`` (absolute bound, default 100k edges ≈ a
+    few MB of ids): at or under it the materialized canonical edge list
+    is collected and solved with driver-side union-find in ONE job —
+    the near-dup pair graph is normally a tiny fraction of the corpus,
+    and the iterative path pays ~6 Spark jobs of fixed overhead per run
+    regardless of size (measured: 2.4 s warm / 9.5 s cold for a
+    256-edge graph at 32 shuffle partitions). Same decision shape as
+    Spark's autoBroadcastJoinThreshold: a hard byte-bounded driver
+    read, never corpus-proportional — above the bound the distributed
+    loop runs unchanged (and for deep graphs,
+    connected_components_star). The fast path ignores ``init_labels``
+    (it is exact from scratch; warm-start only accelerates the
+    iterative loop) and reports ``_LAST_CC_ROUNDS = 0``. Pass
+    ``small_graph_max_edges=None`` or 0 to force the iterative path.
     """
-    edges = (
+    # Materialize the upstream pair plan ONCE (eager localCheckpoint)
+    # before building the bidirectional edge set. The previous
+    # union-then-distinct-then-cache shape embedded the (possibly
+    # expensive — e.g. a shingle self-join) upstream plan twice in the
+    # union, and cache() is lazy, so the first action paid 2× the
+    # upstream cost before the cache existed (measured: 10.6 s → ~2 s
+    # for a 256-edge graph fed by a 3 s pair plan at sf0.1).
+    canon = (
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .union(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    global _LAST_CC_ROUNDS
+    if small_graph_max_edges:
+        # bounded probe on the ALREADY-materialized frame — cost capped
+        # by the threshold, not the input
+        probed = canon.limit(small_graph_max_edges + 1).count()
+        if probed <= small_graph_max_edges:
+            _LAST_CC_ROUNDS = 0
+            return _cc_union_find(canon)
+    edges = (
+        canon.union(canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .cache()
     )
@@ -507,7 +580,6 @@ def connected_components(
             F.least(F.col("node"), F.coalesce("_prev", F.col("node"))).alias("label"),
         )
     labels = labels.localCheckpoint()
-    global _LAST_CC_ROUNDS
     _LAST_CC_ROUNDS = 0
     converged = False
     for _ in range(max_iter):

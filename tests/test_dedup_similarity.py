@@ -218,8 +218,11 @@ def test_connected_components_raises_on_nonconvergence(spark):
         [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="converge"):
-        D.connected_components(chain, max_iter=3)
-    labels = {r["node"]: r["label"] for r in D.connected_components(chain).collect()}
+        D.connected_components(chain, max_iter=3, small_graph_max_edges=0)
+    labels = {
+        r["node"]: r["label"]
+        for r in D.connected_components(chain, small_graph_max_edges=0).collect()
+    }
     assert set(labels.values()) == {1}
 
 
@@ -241,11 +244,19 @@ def test_connected_components_star_matches_propagation(spark):
     }
     prop = {
         r["node"]: r["label"]
-        for r in D.connected_components(pairs, max_iter=200).collect()
+        for r in D.connected_components(
+            pairs, max_iter=200, small_graph_max_edges=0
+        ).collect()
     }
     assert star == prop
     # chain collapses to one component labeled by its min node
     assert all(star[1000 + i] == 1000 for i in range(61))
+    # the bounded driver union-find fast path must agree with both
+    fast = {
+        r["node"]: r["label"] for r in D.connected_components(pairs).collect()
+    }
+    assert fast == prop
+    assert D._LAST_CC_ROUNDS == 0  # fast path reports closed-form marker
 
 
 def test_exact_pair_oracles_guard_against_large_input(spark):
@@ -442,16 +453,27 @@ def test_connected_components_warm_start_append_only(spark):
     merges, and convergence takes fewer rounds than a cold run."""
     chain = [(i, i + 1) for i in range(0, 12)]  # one long chain: 0..12
     p1 = spark.createDataFrame(chain[:6], "id_a long, id_b long")
-    l1 = D.connected_components(p1)
+    l1 = D.connected_components(p1, small_graph_max_edges=0)
     # append pairs that EXTEND and MERGE components
     p2 = spark.createDataFrame(chain, "id_a long, id_b long")
-    cold = {r["node"]: r["label"] for r in D.connected_components(p2).collect()}
+    cold = {
+        r["node"]: r["label"]
+        for r in D.connected_components(p2, small_graph_max_edges=0).collect()
+    }
     cold_rounds = D._LAST_CC_ROUNDS
     warm = {
         r["node"]: r["label"]
-        for r in D.connected_components(p2, init_labels=l1).collect()
+        for r in D.connected_components(
+            p2, init_labels=l1, small_graph_max_edges=0
+        ).collect()
     }
     warm_rounds = D._LAST_CC_ROUNDS
+    # and the fast path (which ignores init_labels by design) must match
+    fast = {
+        r["node"]: r["label"]
+        for r in D.connected_components(p2, init_labels=l1).collect()
+    }
+    assert fast == cold
     assert warm == cold  # same clustering, min-id labels
     assert set(warm.values()) == {0}
     assert warm_rounds < cold_rounds, (warm_rounds, cold_rounds)
