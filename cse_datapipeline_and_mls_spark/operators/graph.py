@@ -56,6 +56,11 @@ def _ensure_exchange_ids(df: DataFrame) -> set[str]:
 # regression this file used to have: LogicalRDD drops outputPartitioning).
 _LAST_ITER_EXCHANGES: int | None = None
 
+# Exchange count of triangle_counts' canonical-edge frame — 0 when the
+# caller serves a pre-canonical bucketed edge table (assume_canonical),
+# >=1 when the operator canonicalized raw pairs itself.
+_LAST_TRI_CANON_EXCHANGES: int | None = None
+
 
 def pagerank(
     edges: DataFrame,
@@ -322,6 +327,7 @@ def triangle_counts(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph
     (edge direction and duplicates in the input are ignored). Returns
@@ -359,16 +365,34 @@ def triangle_counts(
     shuffle layout / AQE keeps sizing those exchanges, and the
     checkpoints are stored DISK_ONLY — resident edge blocks would
     compete with the wedge sort for the same heap.
+
+    ``assume_canonical=True`` declares the input ALREADY canonical
+    (a<b on (src, dst), distinct, no nulls/self-loops) AND stable/
+    cheap to re-scan — i.e. a bucketed edge-table scan, the
+    pay-at-ingest layout x_pagerank_bucketed_edges models. The
+    canonicalize-distinct shuffle and its checkpoint are skipped
+    entirely (the table IS the materialization); only the oriented
+    frame is checkpointed. _LAST_TRI_CANON_EXCHANGES records the
+    exchange count of the canonical-edge frame — 0 from a table scan,
+    >=1 when the operator had to canonicalize.
     """
     from pyspark import StorageLevel
 
-    und = (
-        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    )
+    global _LAST_TRI_CANON_EXCHANGES
+    if assume_canonical:
+        und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        _LAST_TRI_CANON_EXCHANGES = len(_ensure_exchange_ids(und))
+    else:
+        pre = (
+            edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+            .distinct()
+        )
+        # count on the PRE-checkpoint plan: the checkpointed frame is a
+        # LogicalRDD scan that no longer shows the canonicalize shuffle
+        _LAST_TRI_CANON_EXCHANGES = len(_ensure_exchange_ids(pre))
+        und = pre.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))

@@ -1317,6 +1317,93 @@ def _bucketed_purchase_edges(spark: SparkSession, sf_dir: str) -> str:
     return table
 
 
+def _bucketed_copurchase_edges(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently build (once per data root) the bucketed CANONICAL
+    part co-purchase edge table (a < b, distinct — edge = two parts
+    sharing an order) that the triangle family shares: the same
+    pay-at-ingest stance as _bucketed_purchase_edges, applied to the
+    second graph the registry analyzes. Storing the edges canonical
+    means every consumer skips the canonicalize-distinct shuffle
+    (triangle_counts(assume_canonical=True)); bucketing by the low
+    endpoint co-locates each vertex's edge list for degree/orientation
+    work. Keyed by the FULL data root digest (ADVICE r5)."""
+    import hashlib
+    import re
+
+    from ..sources.sinks import write_bucketed
+
+    root = sf_dir.rstrip("/")
+    table = (
+        "copur_edges_b_"
+        + re.sub(r"\W", "_", root.rsplit("/", 1)[-1])
+        + "_"
+        + hashlib.sha1(root.encode()).hexdigest()[:8]
+    )
+    if not spark.catalog.tableExists(table):
+        # clear any orphan directory a previous session left behind
+        # (in-memory catalog forgets managed tables on exit)
+        wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table}")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+        b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+        edges = (
+            a.join(b, "k")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        n_buckets = max(spark.sparkContext.defaultParallelism, 1)
+        write_bucketed(edges, table, "a", n_buckets)
+    return table
+
+
+# (applicationId, data root) -> eagerly checkpointed (node, degree,
+# triangles) frame. Keyed by applicationId so a new session can never
+# see a stale frame from a stopped one.
+_TRI_STATS_MEMO: dict = {}
+
+
+def _copurchase_tri_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, degree, triangles) over the part co-purchase graph —
+    the shared oriented-wedge computation behind x_triangle_copurchase
+    AND x_clustering_coefficient (VERDICT r11 #3). Built ONCE per
+    (session, data root): the canonical edge list comes from the
+    bucketed ingest layout (zero canonicalize exchanges —
+    graph._LAST_TRI_CANON_EXCHANGES == 0, asserted in
+    tests/test_graph.py), the O(|E|^1.5) degree-ordered wedge join runs
+    once, and the result is checkpointed DISK_ONLY and memoized, so
+    the second consumer pays only its own ranking tail. At 100 TB this
+    is exactly how a graph-metrics pass runs: one oriented-wedge sweep
+    feeding every per-node statistic, not one sweep per metric."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    hit = _TRI_STATS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    from pyspark import StorageLevel
+
+    from ..operators.graph import triangle_counts
+
+    edges = spark.table(_bucketed_copurchase_edges(spark, sf_dir))
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tc = triangle_counts(edges, src="a", dst="b", assume_canonical=True)
+    stats = (
+        tc.join(deg, "node")
+        .select("node", "degree", F.col("triangles").cast("long").alias("triangles"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    _TRI_STATS_MEMO[key] = stats
+    return stats
+
+
 @register("x_pagerank_bucketed_edges", oracle=_pagerank_oracle(iters=6))
 def x_pagerank_bucketed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same supplier PageRank served from a SRC-BUCKETED edge
@@ -1991,23 +2078,18 @@ def x_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-order pair explode is quadratic in order size; TPC-H orders
     hold ≤7 lines so it is bounded here. At 100 TB, cap the per-key
     fan-out (drop or sample baskets above ~100 items) before pairing —
-    the same guard posture as the exact-pair dedup oracles."""
-    from ..operators.graph import triangle_counts
+    the same guard posture as the exact-pair dedup oracles.
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    tc = triangle_counts(edges)
+    Served from the SHARED co-purchase graph layout: the canonical
+    edge list is the bucketed ingest table (_bucketed_copurchase_edges)
+    and the oriented-wedge sweep runs once per session, shared with
+    x_clustering_coefficient (_copurchase_tri_stats) — this query is
+    the one wedge sweep plus a TakeOrdered tail."""
+    stats = _copurchase_tri_stats(spark, sf_dir)
     return (
-        tc.select(
+        stats.select(
             F.col("node").cast("long").alias("partkey"),
-            F.col("triangles").cast("long").alias("triangles"),
+            "triangles",
         )
         .orderBy(F.desc("triangles"), "partkey")
         .limit(25)
@@ -2216,35 +2298,22 @@ def x_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts on the rounded ratio with a partkey tiebreak; 2.0*T/(d(d-1))
     is one IEEE division of exact integers, identical in both engines.
     Restricted to triangle-participating nodes (zero-lcc nodes can
-    never reach a top-25 by lcc)."""
-    from ..operators.graph import triangle_counts
+    never reach a top-25 by lcc).
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
-    tc = triangle_counts(edges)
+    Served from the SHARED co-purchase graph layout
+    (_copurchase_tri_stats): degree and triangle counts come from the
+    same once-per-session oriented-wedge sweep x_triangle_copurchase
+    uses — this query adds only the lcc projection and its ranking
+    tail."""
+    stats = _copurchase_tri_stats(spark, sf_dir)
     lcc = _q6(
         2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1))
     )
     return (
-        tc.join(deg, "node")
-        .select(
+        stats.select(
             F.col("node").cast("long").alias("partkey"),
             "degree",
-            F.col("triangles").cast("long").alias("triangles"),
+            "triangles",
             lcc.alias("lcc"),
         )
         .orderBy(F.desc("lcc"), "partkey")

@@ -178,6 +178,70 @@ def test_pagerank_from_bucketed_edges_skips_the_edge_shuffle(spark):
     assert all(abs(plain[k] - bucketed[k]) < 1e-12 for k in plain)
 
 
+def test_triangle_counts_from_canonical_table_skips_canonicalize(spark):
+    """triangle_counts(assume_canonical=True) over a pre-canonical
+    bucketed edge table must produce identical counts with ZERO
+    exchanges in the canonical-edge frame (the raw path pays >=1 for
+    its canonicalize-distinct) — the shared-layout contract behind
+    x_triangle_copurchase / x_clustering_coefficient."""
+    from pyspark.sql import functions as F
+
+    from cse_datapipeline_and_mls_spark.operators import graph as G
+    from cse_datapipeline_and_mls_spark.sources.sinks import write_bucketed
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(25) for b in range(25) if a < b and (a * 3 + b) % 4 != 0],
+        "src long, dst long",
+    )
+    raw = {
+        r["node"]: r["triangles"] for r in G.triangle_counts(edges).collect()
+    }
+    assert G._LAST_TRI_CANON_EXCHANGES >= 1
+    spark.sql("DROP TABLE IF EXISTS t_tri_edges_b")
+    try:
+        write_bucketed(edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+                       "t_tri_edges_b", "a", 4)
+        canon = {
+            r["node"]: r["triangles"]
+            for r in G.triangle_counts(
+                spark.table("t_tri_edges_b"), src="a", dst="b", assume_canonical=True
+            ).collect()
+        }
+        assert G._LAST_TRI_CANON_EXCHANGES == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_tri_edges_b")
+    assert canon == raw
+
+
+def test_copurchase_tri_stats_shared_and_memoized(spark, sf_dir):
+    """The shared (node, degree, triangles) frame: matches the raw
+    triangle_counts path on the same graph, and the second consumer in
+    a session gets the SAME memoized frame (no second wedge sweep)."""
+    from pyspark.sql import functions as FF
+
+    from cse_datapipeline_and_mls_spark.operators.graph import triangle_counts
+    from cse_datapipeline_and_mls_spark.queries.coverage_q import (
+        _copurchase_tri_stats,
+    )
+    from cse_datapipeline_and_mls_spark.sources import load_table
+
+    s1 = _copurchase_tri_stats(spark, sf_dir)
+    s2 = _copurchase_tri_stats(spark, sf_dir)
+    assert s1 is s2  # memo hit: one oriented-wedge sweep per session
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(FF.col("l_orderkey").alias("k"), FF.col("l_partkey").alias("src"))
+    b = li.select(FF.col("l_orderkey").alias("k"), FF.col("l_partkey").alias("dst"))
+    raw_edges = (
+        a.join(b, "k").filter(FF.col("src") < FF.col("dst")).select("src", "dst").distinct()
+    )
+    raw = {
+        r["node"]: r["triangles"] for r in triangle_counts(raw_edges).collect()
+    }
+    got = {r["node"]: r["triangles"] for r in s1.collect()}
+    assert got == raw
+
+
 def test_pagerank_warm_start_converges_faster_after_perturbation(spark):
     """Warm-start contract: a converged vector fed back is already at
     the fixed point (2 iterations move it < 1e-9), and after a small
