@@ -544,9 +544,12 @@ def ivf_apply_tombstones(
     """Tombstone-aware READ view of an IVF inverted file (VERDICT r10
     item 8): real corpora retire vectors (dedup kills, TTL), and the
     probe path must never surface a dead posting. The view is a
-    LEFT-ANTI join on the vector id — keyed, shuffle-partitioned, NOT
-    a broadcast (a delete set is corpus-scale data: 10% of 100 TB does
-    not fit an executor). Applied BEFORE the top-k truncation: the
+    LEFT-ANTI join on the vector id with NO forced broadcast hint
+    (ADVICE r11): the plan never REQUIRES the delete set to fit one
+    executor — a corpus-proportional tombstone set (10% of 100 TB)
+    plans as a shuffled anti-join — while Spark/AQE remains free to
+    broadcast a delete set it measures as small, which is the right
+    call when it is. Applied BEFORE the top-k truncation: the
     classic tombstone bug filters after the cut and silently returns
     k - dead results; anti-joining the postings themselves makes that
     impossible by construction.

@@ -911,13 +911,16 @@ def x_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (the semi/anti partition of each table is exact — an erasure
     job that loses or double-counts rows flips the boolean).
 
-    Scale: the victim set is |customers|/1000 (a DSAR queue is always
-    tiny relative to the corpus) — Spark broadcasts it into the semi/
-    anti joins on orders; the lineitem cascade is keyed on the cascaded
-    order set (larger, stays a shuffled semi-join, never a broadcast
-    assumption); every count is a map-side-combined scan. Erasure
-    itself is the same anti-joins materialized (the compaction posture
-    of similarity.compact_ivf_index)."""
+    Scale: the victim side carries NO forced broadcast hint (ADVICE
+    r11) — this fixture's modulus makes it corpus-proportional
+    (|customers|/1000), so a pinned broadcast would contradict the
+    repo's own tombstone posture at 100 TB; AQE sizes the join at
+    runtime (broadcast while the DSAR batch is small, shuffled
+    semi-join once it isn't). The lineitem cascade is keyed on the
+    cascaded order set (larger, always a shuffled semi-join); every
+    count is a map-side-combined scan. Erasure itself is the same
+    anti-joins materialized (the compaction posture of
+    similarity.compact_ivf_index)."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
@@ -925,11 +928,11 @@ def x_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     victims = cust.filter(F.col("c_custkey") % 1000 == 7)
     vo = orders.join(
-        F.broadcast(victims), orders["o_custkey"] == victims["c_custkey"], "left_semi"
+        victims, orders["o_custkey"] == victims["c_custkey"], "left_semi"
     )
     vl = li.join(vo, li["l_orderkey"] == vo["o_orderkey"], "left_semi")
     o_kept = orders.join(
-        F.broadcast(victims), orders["o_custkey"] == victims["c_custkey"], "left_anti"
+        victims, orders["o_custkey"] == victims["c_custkey"], "left_anti"
     )
     l_kept = li.join(vo, li["l_orderkey"] == vo["o_orderkey"], "left_anti")
 

@@ -493,9 +493,26 @@ def x_multimodal_png_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     grayscale width) or channel-interleave slip shifts g_mean/b_mean
     and fails the hash.
 
+    ASCII assumption (ADVICE r11): the engine encodes UTF-8 BYTES
+    while the oracle's length/substr/ord walk CHARACTERS, so parity
+    relies on the documents fixture being pure ASCII (a documented
+    corpus property, same as the grayscale leg). Guarded loudly: a
+    non-ASCII row (octet_length != length) raises in the engine scan
+    instead of silently hash-mismatching.
+
     Scale: map-only — the synth and the decode are one mapInPandas
     each over the documents scan; zero shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.octet_length("text") == F.length("text"), F.col("text")
+        ).otherwise(
+            F.expr(
+                "raise_error('x_multimodal_png_rgb requires a pure-ASCII "
+                "documents fixture: byte-vs-char parity would silently break')"
+            )
+        ),
+    )
     media = MM.synth_rgb_png_from_documents(docs)
     from ..operators.numeric import q6
 

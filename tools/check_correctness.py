@@ -47,6 +47,36 @@ def table_hash(rows, colnames):
     return h.hexdigest()[:16]
 
 
+def _names_new_since(rev: str, registry) -> list[str]:
+    """Registry names present now but NOT registered at git ``rev``:
+    scans every tracked .py at the rev for literal register("name")
+    first-args (registrations are multi-line, so this reads file
+    contents rather than line-grepping). Names are returned in current
+    registry order."""
+    import re
+    import subprocess
+
+    ls = subprocess.run(
+        ["git", "-C", "/root/repo", "ls-tree", "-r", "--name-only", rev],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    old: set[str] = set()
+    pat = re.compile(r'register\(\s*"([^"]+)"')
+    for path in ls.stdout.split():
+        if not path.endswith(".py"):
+            continue
+        show = subprocess.run(
+            ["git", "-C", "/root/repo", "show", f"{rev}:{path}"],
+            capture_output=True,
+            text=True,
+        )
+        if show.returncode == 0:
+            old.update(pat.findall(show.stdout))
+    return [n for n in registry if n not in old]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -63,11 +93,31 @@ def main() -> int:
         metavar="PATH",
         help="write a driver-shaped per-query result artifact (CORRECTNESS_local.json)",
     )
+    ap.add_argument(
+        "--new-since",
+        default=None,
+        metavar="REV",
+        help="run only queries NOT registered at the given git rev "
+        "(auto-discovers a round's additions; VERDICT r11 #6 — the "
+        "driver's 50-query sample cannot be relied on to cover them)",
+    )
     args = ap.parse_args()
 
     import duckdb
 
     from cse_datapipeline_and_mls_spark.queries import ORACLE, QUERIES
+
+    if args.new_since:
+        if args.names:
+            ap.error("--new-since and explicit names are mutually exclusive")
+        args.names = _names_new_since(args.new_since, QUERIES)
+        if not args.names:
+            print(f"no queries registered since {args.new_since}; nothing to run")
+            return 0
+        print(
+            f"{len(args.names)} queries registered since {args.new_since}: "
+            + " ".join(args.names)
+        )
 
     if args.vanilla:
         from pyspark.sql import SparkSession

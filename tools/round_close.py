@@ -5,7 +5,8 @@ artifact against the CURRENT registry and refuses a dirty exit:
 
   1. lint_oracles (static + schema pass at sf0.001)
   2. full correctness sweep -> CORRECTNESS_local.json (the pin test's
-     evidence file — 341-for-341 or fail)
+     evidence file — ALL registered queries green or fail; the count
+     is whatever len(QUERIES) is at close, never a hardcoded number)
   3. plan audit vs tools/plan_baseline.json (0 flagged or fail)
   4. full bench regen -> BENCH_local.json
   5. full pytest (includes the sweep/bench/coverage pin tests, which
