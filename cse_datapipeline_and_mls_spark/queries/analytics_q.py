@@ -3045,6 +3045,190 @@ def t_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _coxph_oracle(iters: int = 8) -> str:
+    """Oracle for t_cox_proportional_hazards: the same survival cohort
+    and md5 arm as t_logrank_test, then ``iters`` unrolled Newton
+    steps on the Breslow partial likelihood (single binary covariate —
+    score and information have closed forms per event time), each
+    step's sums AND the updated beta quantized at 1e-9 exactly as the
+    engine quantizes them."""
+    steps = []
+    for k in range(1, iters + 1):
+        prev = f"it{k - 1}"
+        steps.append(
+            f""", it{k} AS (
+      SELECT floor((b + (floor(su * 1000000000 + 0.5) / 1000000000)
+                      / (floor(si * 1000000000 + 0.5) / 1000000000))
+                   * 1000000000 + 0.5) / 1000000000 AS b
+      FROM (
+        SELECT i.b AS b,
+               sum(r.d1_d - r.d_d * (r.n1_at * exp(i.b))
+                     / ((r.n_at - r.n1_at) + r.n1_at * exp(i.b))) AS su,
+               sum(r.d_d
+                   * ((r.n1_at * exp(i.b))
+                      / ((r.n_at - r.n1_at) + r.n1_at * exp(i.b)))
+                   * (1 - (r.n1_at * exp(i.b))
+                      / ((r.n_at - r.n1_at) + r.n1_at * exp(i.b)))) AS si
+        FROM r, {prev} i GROUP BY i.b
+      )
+    )"""
+        )
+    return f"""
+    WITH ref AS (
+      SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS ref_day FROM events
+    ), signup AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+      SELECT s.user_id, s.t0, min(e.ts) AS t1
+      FROM signup s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts > s.t0
+      GROUP BY s.user_id, s.t0
+    ), subj AS (
+      SELECT user_id, {_LOGRANK_ARM_SQL} AS g1,
+             CASE WHEN t1 IS NOT NULL
+                  THEN date_diff('day', CAST(date_trunc('day', t0) AS DATE),
+                                        CAST(date_trunc('day', t1) AS DATE))
+                  ELSE date_diff('day', CAST(date_trunc('day', t0) AS DATE),
+                                        (SELECT ref_day FROM ref)) END AS dur,
+             CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM conv
+    ), g AS (
+      SELECT dur,
+             CAST(count(*) AS BIGINT) AS n_d,
+             CAST(sum(ev) AS BIGINT) AS d_d,
+             CAST(sum(g1) AS BIGINT) AS n1_d,
+             CAST(sum(g1 * ev) AS BIGINT) AS d1_d
+      FROM subj GROUP BY dur
+    ), risk AS (
+      SELECT dur, d_d, d1_d,
+             CAST(sum(n_d) OVER w AS BIGINT) AS n_at,
+             CAST(sum(n1_d) OVER w AS BIGINT) AS n1_at
+      FROM g WINDOW w AS (ORDER BY dur DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), r AS (
+      SELECT * FROM risk WHERE d_d > 0
+    ), it0 AS (SELECT 0.0 AS b){''.join(steps)}, fin AS (
+      SELECT i.b AS b,
+             floor(sum(r.d_d
+                   * ((r.n1_at * exp(i.b))
+                      / ((r.n_at - r.n1_at) + r.n1_at * exp(i.b)))
+                   * (1 - (r.n1_at * exp(i.b))
+                      / ((r.n_at - r.n1_at) + r.n1_at * exp(i.b))))
+                   * 1000000000 + 0.5) / 1000000000 AS info
+      FROM r, it{iters} i GROUP BY i.b
+    ), ns AS (
+      SELECT CAST(sum(g1) AS BIGINT) AS n_group1,
+             CAST(sum(1 - g1) AS BIGINT) AS n_group0,
+             CAST(sum(ev) AS BIGINT) AS n_events
+      FROM subj
+    )
+    SELECT ns.n_group1, ns.n_group0, ns.n_events,
+           f.b AS beta,
+           floor(exp(f.b) * 1000000 + 0.5) / 1000000 AS hazard_ratio,
+           floor((1.0 / sqrt(f.info)) * 1000000 + 0.5) / 1000000 AS se_beta,
+           floor((f.b * f.b * f.info) * 1000000 + 0.5) / 1000000 AS wald_chi2,
+           (floor((f.b * f.b * f.info) * 1000000 + 0.5) / 1000000) > 3.841459
+             AS significant
+    FROM fin f, ns
+    """
+
+
+@register("t_cox_proportional_hazards", oracle=_coxph_oracle(iters=8))
+def t_cox_proportional_hazards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards fit on the signup→purchase survival
+    cohort with one binary covariate (the registry's null md5 arm) —
+    the regression member completing the survival family (KM estimate,
+    Nelson-Aalen hazard, log-rank test, now the semi-parametric
+    model). For a single binary covariate the Breslow partial
+    likelihood's score and information reduce to closed forms per
+    event time over (n_at, n1_at, d_d, d1_d) — the SAME risk-set frame
+    the log-rank test builds — so the fit is 8 unrolled Newton steps
+    from beta = 0, each one aggregate over the tiny duration spine.
+    The null split means beta ≈ 0 / hazard ratio ≈ 1 / NOT significant
+    is the expected readout; a real cohort comparison swaps the arm
+    column and changes nothing else.
+
+    Determinism: risk-set counts are exact int64; each Newton step's
+    score/information sums are the only order-sensitive reductions and
+    are quantized at 1e-9 (the t_markov_stationary per-round stance),
+    as is each updated beta, so both engines walk the identical
+    iterate sequence; exp() 1-ulp engine differences are absorbed by
+    the quantizers. Final readouts land in q6.
+
+    Scale: identical to the log-rank shape — user-keyed cohort
+    aggregations + one broadcast censor reference build the spine-
+    bounded risk frame ONCE (localCheckpoint); all 8 Newton rounds run
+    on that tiny frame (1-row broadcast beta each round), so at 100 TB
+    the entire fit costs one cohort scan."""
+    subj = _survival_subjects(spark, sf_dir, keep_user=True)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    subj = subj.withColumn("g1", F.when(bucket == 0, 1).otherwise(0))
+    g = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("ev").cast("long").alias("d_d"),
+        F.sum("g1").cast("long").alias("n1_d"),
+        F.sum(F.col("g1") * F.col("ev")).cast("long").alias("d1_d"),
+    )
+    g, w0 = spine_window(g, [F.desc("dur")], max_rows=65536, label="coxph_durs")
+    w = w0.rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        g.select(
+            "dur",
+            "d_d",
+            "d1_d",
+            F.sum("n_d").over(w).cast("long").alias("n_at"),
+            F.sum("n1_d").over(w).cast("long").alias("n1_at"),
+        )
+        .filter(F.col("d_d") > 0)
+        .localCheckpoint(eager=True)
+    )
+    q9 = lambda c: F.floor(c * 1000000000 + F.lit(0.5)) / 1000000000  # noqa: E731
+
+    def _p():
+        h = F.col("n1_at") * F.exp(F.col("b"))
+        return h / ((F.col("n_at") - F.col("n1_at")) + h)
+
+    beta = spark.range(1).select(F.lit(0.0).alias("b"))
+    for _ in range(8):
+        p = _p()
+        stats = (
+            risk.crossJoin(F.broadcast(beta))
+            .groupBy("b")
+            .agg(
+                q9(F.sum(F.col("d1_d") - F.col("d_d") * p)).alias("u"),
+                q9(F.sum(F.col("d_d") * p * (1 - p))).alias("i"),
+            )
+        )
+        beta = stats.select(q9(F.col("b") + F.col("u") / F.col("i")).alias("b"))
+    p = _p()
+    fin = (
+        risk.crossJoin(F.broadcast(beta))
+        .groupBy("b")
+        .agg(q9(F.sum(F.col("d_d") * p * (1 - p))).alias("info"))
+    )
+    ns = subj.agg(
+        F.sum("g1").cast("long").alias("n_group1"),
+        F.sum(1 - F.col("g1")).cast("long").alias("n_group0"),
+        F.sum("ev").cast("long").alias("n_events"),
+    )
+    wald = F.col("b") * F.col("b") * F.col("info")
+    return fin.crossJoin(F.broadcast(ns)).select(
+        "n_group1",
+        "n_group0",
+        "n_events",
+        F.col("b").alias("beta"),
+        _q6(F.exp(F.col("b"))).alias("hazard_ratio"),
+        _q6(1.0 / F.sqrt(F.col("info"))).alias("se_beta"),
+        _q6(wald).alias("wald_chi2"),
+        (_q6(wald) > 3.841459).alias("significant"),
+    )
+
+
 @register(
     "agg_mergeable_rollup_states",
     oracle="""

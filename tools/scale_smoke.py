@@ -1574,12 +1574,242 @@ def _hub_topk_once(spark, n_rows: int, hub_tenths: int) -> dict:
     return res_k
 
 
+def run_r12(spark, k: int = 10) -> dict:
+    """VERDICT r11 #4: linearity smokes for the round's most expensive
+    registry rows (x_triangle_copurchase already has one —
+    triangle_copurchase_edges above). Same protocol as run(): key-
+    shifted disjoint copies stand in for a larger SF; per-input-row
+    cost must stay ~flat at kx."""
+    out: dict = {}
+
+    # A. agg_randomization_test: ONE md5 per row -> 20 nibble-derived
+    # relabelings -> 40-key partial agg. The explode rides map-side, so
+    # per-input-row cost must be flat (the r12 single-md5 rework's
+    # scale evidence).
+    def scaled_li(kk: int) -> DataFrame:
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
+        )
+        copies = spark.range(kk).select(F.col("id").alias("_k"))
+        return li.crossJoin(copies).select(
+            (F.col("l_orderkey") + F.col("_k") * 10_000_000_000).alias("l_orderkey"),
+            "l_linenumber",
+            "l_extendedprice",
+            "l_returnflag",
+        )
+
+    def randomization(kk: int) -> DataFrame:
+        li = scaled_li(kk).select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
+        )
+        obs = li.agg(
+            F.sum(F.when(F.col("grp") == 1, F.col("cents")).otherwise(0)).cast("long").alias("s1"),
+            F.sum("grp").cast("long").alias("n1"),
+            F.sum(F.when(F.col("grp") == 0, F.col("cents")).otherwise(0)).cast("long").alias("s0"),
+            F.sum(1 - F.col("grp")).cast("long").alias("n0"),
+        )
+        hashed = li.select(
+            "cents",
+            F.md5(F.concat(F.col("l_orderkey").cast("string"), F.lit("-"),
+                           F.col("l_linenumber").cast("string"))).alias("hx"),
+        )
+        g = (F.conv(F.expr("substring(hx, rep + 1, 1)"), 16, 10).cast("bigint") % 2).alias("g")
+        reps = hashed.select(
+            "cents", "hx", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep")
+        ).select("rep", "cents", g)
+        rstat = reps.groupBy("rep").agg(
+            F.sum(F.when(F.col("g") == 1, F.col("cents")).otherwise(0)).cast("long").alias("s1"),
+            F.sum("g").cast("long").alias("n1"),
+            F.sum(F.when(F.col("g") == 0, F.col("cents")).otherwise(0)).cast("long").alias("s0"),
+            F.sum(1 - F.col("g")).cast("long").alias("n0"),
+        )
+        adiff = F.abs(F.col("s1").cast("double") / F.col("n1")
+                      - F.col("s0").cast("double") / F.col("n0"))
+        d = rstat.select(adiff.alias("adiff"))
+        o = obs.select(adiff.alias("adiff_obs"))
+        return d.crossJoin(F.broadcast(o)).agg(
+            F.sum(F.when(F.col("adiff") >= F.col("adiff_obs"), 1).otherwise(0)).alias("n_extreme")
+        )
+
+    res: dict = {}
+    for label, kk in (("1x", 1), (f"{k}x", k)):
+        n_in = scaled_li(kk).count()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            randomization(kk).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        res[label] = {"rows": n_in, "sec": round(best, 2),
+                      "us_per_row": round(best / n_in * 1e6, 3)}
+    res["per_row_ratio"] = round(res[f"{k}x"]["us_per_row"] / res["1x"]["us_per_row"], 2)
+    out["randomization_test_lineitem"] = res
+
+    # B. x_dedup_survivors chain: exact-jaccard pairs -> connected
+    # components -> quality-ranked survivor window. Copies are made
+    # CONTENT-DISJOINT by tagging every word with the copy id (a mere
+    # suffix doc would leave each doc near-identical to its other-copy
+    # twins -> pair count grows k², which is the minhash smoke's
+    # adversarial case, not this one): pairs/clusters then scale
+    # linearly with copies and per-input-doc cost must stay flat.
+    from cse_datapipeline_and_mls_spark.operators import dedup as D12
+    from cse_datapipeline_and_mls_spark.operators import text as X12
+    from pyspark.sql import Window as W12
+
+    def disjoint_docs(kk: int) -> DataFrame:
+        docs = load_table(spark, SF_DIR, "documents")
+        copies = spark.range(kk).select(F.col("id").alias("_k"))
+        tagged = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("_"), F.col("_k").cast("string")),
+            ),
+            " ",
+        )
+        return docs.crossJoin(copies).select(
+            (F.col("doc_id") + F.col("_k") * 10_000_000).alias("doc_id"),
+            tagged.alias("text"),
+        )
+
+    def survivors(kk: int) -> DataFrame:
+        docs = disjoint_docs(kk)
+        pairs = D12.ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.3, max_rows=None
+        ).select("id_a", "id_b")
+        labels = D12.connected_components(pairs)
+        q = docs.select("doc_id", X12.quality_score("text").alias("quality"))
+        joined = q.join(
+            labels.select(F.col("node").alias("doc_id"), F.col("label").alias("_cl")),
+            "doc_id", "left",
+        ).select("doc_id", F.coalesce("_cl", "doc_id").alias("cluster_id"), "quality")
+        w = W12.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+        return joined.withColumn("is_survivor", (F.row_number().over(w) == 1).cast("int"))
+
+    res = {}
+    for label, kk in (("1x", 1), (f"{k}x", k)):
+        n_in = disjoint_docs(kk).count()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            survivors(kk).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        res[label] = {"rows": n_in, "sec": round(best, 2),
+                      "us_per_row": round(best / n_in * 1e6, 3)}
+    res["per_row_ratio"] = round(res[f"{k}x"]["us_per_row"] / res["1x"]["us_per_row"], 2)
+    out["dedup_survivors_docs"] = res
+
+    # C. ml_item_recs_incremental's REFRESH leg (steps 1-4: delta pair
+    # build, count merge, touched-only re-truncation, purchase union)
+    # with the persisted corpus state pre-materialized OUTSIDE the
+    # timer, the way production reads it. Corpus and delta scale
+    # together (disjoint key-shifted copies); per-total-input-row cost
+    # must stay flat — the merge and re-window are keyed on (pa, pb) /
+    # pa, never corpus re-pairs.
+    from pyspark import StorageLevel
+
+    def scaled_ol(kk: int):
+        o = load_table(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("day")
+        )
+        li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+        copies = spark.range(kk).select(F.col("id").alias("_k"))
+        o_k = o.crossJoin(copies).select(
+            (F.col("o_orderkey") + F.col("_k") * 10_000_000_000).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("_k") * 1_000_000_000).alias("o_custkey"),
+            "day",
+        )
+        li_k = li.crossJoin(copies).select(
+            (F.col("l_orderkey") + F.col("_k") * 10_000_000_000).alias("l_orderkey"),
+            (F.col("l_partkey") + F.col("_k") * 1_000_000_000).alias("l_partkey"),
+        )
+        return o_k, li_k
+
+    def pair_counts(li: DataFrame, orders_side: DataFrame) -> DataFrame:
+        side_li = li.join(
+            orders_side.select("o_orderkey"),
+            li["l_orderkey"] == orders_side["o_orderkey"], "left_semi",
+        )
+        a = side_li.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("pa"))
+        b = side_li.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("pb"))
+        return (
+            a.join(b, "kk").filter(F.col("pa") != F.col("pb"))
+            .groupBy("pa", "pb").agg(F.count(F.lit(1)).cast("long").alias("co"))
+        )
+
+    res = {}
+    for label, kk in (("1x", 1), (f"{k}x", k)):
+        o_k, li_k = scaled_ol(kk)
+        n_in = li_k.count()
+        cutoff = o_k.agg(F.date_sub(F.max("day"), 30).alias("c")).collect()[0]["c"]
+        corpus_o = o_k.filter(F.col("day") <= F.lit(cutoff)).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+        delta_o = o_k.filter(F.col("day") > F.lit(cutoff)).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+        wn = W12.partitionBy("pa").orderBy(F.desc("co"), "pb")
+        corpus_pairs = pair_counts(li_k, corpus_o).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+        corpus_topnb = (
+            corpus_pairs.withColumn("nrn", F.row_number().over(wn))
+            .filter(F.col("nrn") <= 20).drop("nrn")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+        corpus_pur = (
+            corpus_o.join(li_k, corpus_o["o_orderkey"] == li_k["l_orderkey"])
+            .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+            .distinct()
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+
+        def refresh() -> DataFrame:
+            delta_pairs = pair_counts(li_k, delta_o)
+            merged = (
+                corpus_pairs.unionByName(delta_pairs)
+                .groupBy("pa", "pb").agg(F.sum("co").cast("long").alias("co"))
+            )
+            touched = delta_pairs.select("pa").distinct()
+            topnb = corpus_topnb.join(touched, "pa", "left_anti").unionByName(
+                merged.join(touched, "pa", "left_semi")
+                .withColumn("nrn", F.row_number().over(wn))
+                .filter(F.col("nrn") <= 20).drop("nrn")
+            )
+            delta_pur = (
+                delta_o.join(li_k, delta_o["o_orderkey"] == li_k["l_orderkey"])
+                .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+                .distinct()
+            )
+            pur = corpus_pur.unionByName(delta_pur).distinct()
+            # materialize BOTH refresh outputs (new neighbor table +
+            # new purchase set) through one sink
+            return topnb.unionByName(
+                pur.select(F.col("cust").alias("pa"), F.col("part").alias("pb"),
+                           F.lit(0).cast("long").alias("co"))
+            )
+
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            refresh().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        res[label] = {"rows": n_in, "sec": round(best, 2),
+                      "us_per_row": round(best / n_in * 1e6, 3)}
+    res["per_row_ratio"] = round(res[f"{k}x"]["us_per_row"] / res["1x"]["us_per_row"], 2)
+    out["item_recs_incremental_refresh"] = res
+    return out
+
+
 def main() -> None:
-    k_events = int(sys.argv[1]) if len(sys.argv) > 1 else 25
-    k_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    k_graph = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k_events = int(args[0]) if len(args) > 0 else 25
+    k_docs = int(args[1]) if len(args) > 1 else 50
+    k_graph = int(args[2]) if len(args) > 2 else 10
     spark = get_spark("scale_smoke")
-    out = run(spark, k_events, k_docs, k_graph)
+    out = {} if "--r12-only" in sys.argv[1:] else run(spark, k_events, k_docs, k_graph)
+    out.update(run_r12(spark, k_graph))
     print(json.dumps({"sf_dir": SF_DIR, "k_events": k_events, "k_docs": k_docs, "k_graph": k_graph, "cases": out}))
 
 
