@@ -490,7 +490,13 @@ def _cc_union_find(canon: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("node", id_type), T.StructField("label", id_type)]
     )
-    return canon.sparkSession.createDataFrame(out, schema)
+    # Broadcast hint: this frame is bounded by the ABSOLUTE
+    # small_graph_max_edges threshold (≤ 2·100k rows ≈ a few MB), so
+    # the hint is justified by a hard cap, never a corpus-proportional
+    # assumption (the ADVICE r11 distinction). Without it the
+    # driver-built LogicalRDD carries no size stats and downstream
+    # label joins statically plan a shuffle.
+    return F.broadcast(canon.sparkSession.createDataFrame(out, schema))
 
 
 def connected_components(

@@ -58,6 +58,10 @@ EXPECTED_CROSS = {
     # the per-partition counts frame (rows = #partitions) — the
     # deliberate replacement for the folded-away unpartitioned window
     "x_dense_ids_documents",
+    # r12: 8 Newton rounds each crossJoin a 1-row beta frame onto the
+    # spine-bounded risk frame (the markov/pagerank 1-row broadcast
+    # class); the final stats join is 1-row x 1-row
+    "t_cox_proportional_hazards",
     "agg_gini_revenue_concentration",
     "agg_rfm_segmentation",   # 1-row (r/f/m quantile cutoffs) broadcast onto the customer frame
     "t_kaplan_meier_conversion",  # 1-row censoring-reference-day broadcast
@@ -134,6 +138,7 @@ EXPECTED_MANY_EXCHANGES = {
     "x_pagerank_bucketed_edges",  # power iteration exchanges, same as x_pagerank_suppliers
     "x_minhash_incremental",  # exact shingle-join side + LSH probe joins + verdict aggs (bracket-verdict form)
     "x_clustering_coefficient",  # the triangle shape's 5 + the degree join
+    "t_cox_proportional_hazards",  # cohort build + duration spine + 8 Newton rounds, each ONE exchange on the tiny checkpointed risk frame — the fit's irreducible iteration, every post-cohort frame spine-sized
     "x_association_rules",    # basket dedup + item/pair/meta aggs + 2 rule-stat joins; every frame past the pair count is ≤ |rules| rows
     "x_pagerank_personalized",  # power iteration over the undirected graph: 2-3 exchanges x 6 iterations is the algorithm
     "x_hits_suppliers",       # 2 node-keyed joins x 4 iterations past the checkpoints is the algorithm
