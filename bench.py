@@ -296,6 +296,9 @@ def _production_legs():
     # ml_item_recs_incremental's benched row folds the full-recompute
     # oracle audit into total_sec (VERDICT r11 plan-audit note); this
     # leg times ONLY the refresh a production job runs per batch —
+    # KEEP IN SYNC with the source of truth, queries/ml_q.py
+    # ml_item_recs_incremental (steps 1-4) — tools/scale_smoke.py
+    # run_r12 carries the same copy for its linearity case —
     # delta pair build, (pa,pb)-keyed count merge, touched-only
     # re-truncation, purchase-set union — with the persisted corpus
     # state built once per sf_dir OUTSIDE the timer (production reads

@@ -558,6 +558,11 @@ def connected_components(
     # for a 256-edge graph fed by a 3 s pair plan at sf0.1).
     canon = (
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        # a NULL endpoint carries no identity: the iterative path's
+        # join semantics would silently strand it and the union-find
+        # fast path would crash comparing None (code-review r12) —
+        # drop such rows explicitly, same stance as triangle_counts
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
         .localCheckpoint()
     )

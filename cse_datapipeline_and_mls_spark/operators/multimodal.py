@@ -222,6 +222,10 @@ def synth_rgb_png_from_documents(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, payloads = [], []
             for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # same drop as <3-byte docs; the SQL twin's
+                    # length(text) >= 3 filter drops NULL identically
+                    continue
                 pix = text.encode("utf-8")
                 w = len(pix) // 3
                 if w == 0:

@@ -2907,6 +2907,18 @@ _LOGRANK_ARM_SQL = (
 )
 
 
+def _md5_arm_col() -> "F.Column":
+    """Engine twin of _LOGRANK_ARM_SQL: 1 when the md5 hash bucket of
+    user_id is even — shared by every survival query that needs the
+    null arm split, so the two sides can never drift independently."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    return F.when(bucket == 0, 1).otherwise(0)
+
+
 @register(
     "t_logrank_test",
     oracle=f"""
@@ -2989,12 +3001,7 @@ def t_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations + one broadcast censor reference; everything after
     lives on the duration spine."""
     subj = _survival_subjects(spark, sf_dir, keep_user=True)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 2
-    )
-    subj = subj.withColumn("g1", F.when(bucket == 0, 1).otherwise(0))
+    subj = subj.withColumn("g1", _md5_arm_col())
     g = subj.groupBy("dur").agg(
         F.count(F.lit(1)).cast("long").alias("n_d"),
         F.sum("ev").cast("long").alias("d_d"),
@@ -3162,12 +3169,7 @@ def t_cox_proportional_hazards(spark: SparkSession, sf_dir: str) -> DataFrame:
     on that tiny frame (1-row broadcast beta each round), so at 100 TB
     the entire fit costs one cohort scan."""
     subj = _survival_subjects(spark, sf_dir, keep_user=True)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 2
-    )
-    subj = subj.withColumn("g1", F.when(bucket == 0, 1).otherwise(0))
+    subj = subj.withColumn("g1", _md5_arm_col())
     g = subj.groupBy("dur").agg(
         F.count(F.lit(1)).cast("long").alias("n_d"),
         F.sum("ev").cast("long").alias("d_d"),

@@ -504,8 +504,14 @@ def x_multimodal_png_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     each over the documents scan; zero shuffles."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "text",
+        # NULL text passes through (octet_length(NULL)==length(NULL) is
+        # NULL, which would wrongly fall to the raise branch); the synth
+        # step drops null rows like it drops <3-byte docs — only a
+        # genuinely non-ASCII row must abort
         F.when(
-            F.octet_length("text") == F.length("text"), F.col("text")
+            F.col("text").isNull()
+            | (F.octet_length("text") == F.length("text")),
+            F.col("text"),
         ).otherwise(
             F.expr(
                 "raise_error('x_multimodal_png_rgb requires a pure-ASCII "

@@ -571,12 +571,18 @@ def erasure_cascade_stream(
     one audit row per batch to ``audit/`` recording per-table erased
     counts and the kept + erased == total residual invariant.
 
-    Replay safety: the same batch-id high-watermark marker as
-    sketch_rollup_stream / inverted_index_stream — a restarted query
-    re-delivering an applied batch is skipped, so the tables are
-    erased exactly once per batch. Idempotence of the cascade itself:
-    erasing an already-erased id removes 0 rows and the audit row says
-    so (counts are measured, not assumed).
+    Replay safety: the marker stores (batch_id, victim fingerprint),
+    and a batch is skipped only when BOTH match — unlike the sibling
+    sinks' plain id-watermark, because a checkpoint reset restarts
+    batch ids at 0 and a bare id check would silently drop NEW victims
+    bundled into the re-delivered batch (compliance loss). The cascade
+    is idempotent (anti-joining absent keys removes 0 rows), so the
+    safe default on any mismatch is reprocess, never skip; a
+    crash-replayed batch's audit row then records only the RESIDUAL
+    work (0s if the crash happened after all swaps). Tables swap
+    leaf-first (lineitem, events, then orders) so a crash between
+    swaps always replays to the converged store — the lineitem cascade
+    is keyed off the orders table, which survives until last.
 
     Scale posture: per batch, work is three keyed anti/semi joins
     (victim side sized by the DSAR batch — no forced broadcast, AQE
@@ -596,13 +602,28 @@ def erasure_cascade_stream(
     audit_path = store_path.rstrip("/") + "/audit"
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        import hashlib as _hashlib
+
         spark = batch_df.sparkSession
         marker = store_path.rstrip("/") + "/_last_batch"
+        victims = batch_df.select("c_custkey").distinct().localCheckpoint(eager=True)
+        # Content fingerprint of the victim batch (bounded: a DSAR batch
+        # is driver-collectable by definition here). The skip requires
+        # BOTH the batch id AND the fingerprint to match the applied
+        # marker: a plain id-watermark would silently drop NEW victims
+        # after a checkpoint reset, where Spark restarts ids at 0 and
+        # re-delivers all source files as one batch (code-review r12).
+        # Re-processing an already-applied victim set is safe — the
+        # cascade is idempotent (anti-joining absent keys removes 0
+        # rows) — so when in doubt we reprocess, never skip.
+        fp = _hashlib.sha256(
+            ",".join(str(r["c_custkey"]) for r in sorted(victims.collect())).encode()
+        ).hexdigest()
         if _os.path.exists(marker):
             with open(marker) as fh:
-                if batch_id <= _json.load(fh)["batch_id"]:
-                    return
-        victims = batch_df.select("c_custkey").distinct().localCheckpoint(eager=True)
+                last = _json.load(fh)
+            if batch_id <= last["batch_id"] and fp == last.get("fp"):
+                return
         orders = spark.read.parquet(paths["orders"])
         li = spark.read.parquet(paths["lineitem"])
         ev = spark.read.parquet(paths["events"])
@@ -618,16 +639,35 @@ def erasure_cascade_stream(
         e_kept = ev.join(
             victims, ev["user_id"] == victims["c_custkey"], "left_anti"
         )
+        # Erased counts measured INDEPENDENTLY (semi-join side), never
+        # derived as total - kept: a derived count makes the residual
+        # boolean a tautology that can never fire (code-review r12).
+        erased = {
+            "orders": vo.count(),
+            "lineitem": li.join(
+                vo, li["l_orderkey"] == vo["o_orderkey"], "left_semi"
+            ).count(),
+            "events": ev.join(
+                victims, ev["user_id"] == victims["c_custkey"], "left_semi"
+            ).count(),
+        }
 
+        # Swap LEAF tables first, the root (orders) LAST: the lineitem
+        # cascade key set is recomputed from the orders table on a
+        # crash replay, so if orders swapped before lineitem and the
+        # marker was never written, the replay would find the victims'
+        # orders already gone and orphan their lineitems forever
+        # (code-review r12). Leaf-first, any crash point replays to a
+        # converged store: children already erased anti-join to 0 rows,
+        # then the root erase completes.
         kept = {}
-        for t, df in (("orders", o_kept), ("lineitem", l_kept), ("events", e_kept)):
+        for t, df in (("lineitem", l_kept), ("events", e_kept), ("orders", o_kept)):
             stage = paths[t] + "._stage"
             df.write.mode("overwrite").parquet(stage)
             kept[t] = spark.read.parquet(stage).count()
             _shutil.rmtree(paths[t])
             _shutil.move(stage, paths[t])
 
-        erased = {t: totals[t] - kept[t] for t in totals}
         residual_ok = all(kept[t] + erased[t] == totals[t] for t in totals)
         spark.createDataFrame(
             [(
@@ -642,7 +682,7 @@ def erasure_cascade_stream(
             "n_lineitems_erased long, n_events_erased long, residual_consistent boolean",
         ).write.mode("append").parquet(audit_path)
         with open(marker, "w") as fh:
-            _json.dump({"batch_id": batch_id}, fh)
+            _json.dump({"batch_id": batch_id, "fp": fp}, fh)
 
     writer = stream.writeStream.outputMode("append").foreachBatch(upsert)
     if checkpoint_dir is not None:

@@ -47,6 +47,40 @@ def test_png_rgb_guard_raises_on_non_ascii(spark, tmp_path):
         QUERIES["x_multimodal_png_rgb"](spark, root).collect()
 
 
+def test_png_rgb_guard_tolerates_null_text(spark, tmp_path):
+    """NULL text must pass the guard (octet_length(NULL)==length(NULL)
+    is NULL, not false) and be dropped by the synth like a <3-byte doc
+    — not abort the job with a misleading non-ASCII diagnosis."""
+    from cse_datapipeline_and_mls_spark.queries import QUERIES
+
+    root = str(tmp_path / "null_sf")
+    docs = spark.createDataFrame(
+        [(1, "plain ascii text here", "t", 21), (2, None, "t", 0)],
+        "doc_id long, text string, source string, n_chars int",
+    )
+    docs.write.parquet(f"{root}/documents.parquet")
+    rows = QUERIES["x_multimodal_png_rgb"](spark, root).collect()
+    assert [r["media_id"] for r in rows] == [1]
+
+
+def test_connected_components_drops_null_endpoints(spark):
+    """A pair row with a NULL endpoint carries no identity: both the
+    fast path and the iterative path must drop it instead of crashing
+    (union-find None comparison) or stranding a null node."""
+    import cse_datapipeline_and_mls_spark.operators.dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None)], "id_a long, id_b long"
+    )
+    fast = {r["node"]: r["label"] for r in D.connected_components(pairs).collect()}
+    assert fast == {1: 1, 2: 1}
+    iterative = {
+        r["node"]: r["label"]
+        for r in D.connected_components(pairs, small_graph_max_edges=0).collect()
+    }
+    assert iterative == fast
+
+
 def test_png_rgb_guard_passes_ascii_through(spark, sf_dir):
     """The guard must be a no-op on the real (ASCII) fixture."""
     from cse_datapipeline_and_mls_spark.queries import QUERIES

@@ -1058,7 +1058,11 @@ def test_erasure_cascade_stream_matches_batch_and_skips_replay(spark, sf_dir, tm
     assert all(r["residual_consistent"] for r in audit)
     assert sum(r["n_orders_erased"] for r in audit) == orders0.count() - ref_orders.count()
 
-    # replay: fresh checkpoint, same source — applied batches must skip
+    # replay with a FRESH checkpoint: Spark re-delivers all source
+    # files as batch 0, whose victim fingerprint differs from the
+    # applied marker — the sink must REPROCESS (idempotent: 0 rows
+    # erased, tables unchanged), never id-skip, because a reset batch
+    # can carry brand-new victims
     shutil.rmtree(ckpt)
     before = (live_orders.count(), live_li.count(), live_ev.count())
     q2 = ST.erasure_cascade_stream(
@@ -1072,4 +1076,38 @@ def test_erasure_cascade_stream_matches_batch_and_skips_replay(spark, sf_dir, tm
         spark.read.parquet(store + "/events").count(),
     )
     assert after == before
-    assert spark.read.parquet(store + "/audit").count() == 2  # no new audit rows
+    audit2 = spark.read.parquet(store + "/audit").collect()
+    replayed = [r for r in audit2 if r["batch_id"] == 0 and r["n_victims"] == 6]
+    assert replayed and all(
+        r["n_orders_erased"] == 0 and r["residual_consistent"] for r in replayed
+    )
+
+    # exact re-delivery of the applied (id, fingerprint) pair must skip:
+    # restart on the SAME checkpoint with no new files
+    n_audit = len(audit2)
+    q3 = ST.erasure_cascade_stream(
+        spark.readStream.schema(st).parquet(src), store,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q3.processAllAvailable()
+    q3.stop()
+    assert spark.read.parquet(store + "/audit").count() == n_audit
+
+    # NEW victim arriving after a checkpoint reset must still be erased
+    # (the bug a bare id-watermark has): pick a surviving custkey
+    new_victim = spark.read.parquet(store + "/orders").select("o_custkey").first()[0]
+    spark.createDataFrame([(int(new_victim),)], "c_custkey long").write.mode(
+        "append"
+    ).parquet(src)
+    q4 = ST.erasure_cascade_stream(
+        spark.readStream.schema(st).parquet(src), store,
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+    )
+    q4.processAllAvailable()
+    q4.stop()
+    assert (
+        spark.read.parquet(store + "/orders")
+        .filter(F.col("o_custkey") == new_victim)
+        .count()
+        == 0
+    )

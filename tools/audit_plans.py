@@ -137,7 +137,6 @@ EXPECTED_MANY_EXCHANGES = {
     "x_ann_pq_topk",          # exact side + ADC candidate shuffle + verdict aggs
     "x_pagerank_bucketed_edges",  # power iteration exchanges, same as x_pagerank_suppliers
     "x_minhash_incremental",  # exact shingle-join side + LSH probe joins + verdict aggs (bracket-verdict form)
-    "x_clustering_coefficient",  # the triangle shape's 5 + the degree join
     "t_cox_proportional_hazards",  # cohort build + duration spine + 8 Newton rounds, each ONE exchange on the tiny checkpointed risk frame — the fit's irreducible iteration, every post-cohort frame spine-sized
     "x_association_rules",    # basket dedup + item/pair/meta aggs + 2 rule-stat joins; every frame past the pair count is ≤ |rules| rows
     "x_pagerank_personalized",  # power iteration over the undirected graph: 2-3 exchanges x 6 iterations is the algorithm

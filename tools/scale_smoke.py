@@ -1700,7 +1700,9 @@ def run_r12(spark, k: int = 10) -> dict:
     res["per_row_ratio"] = round(res[f"{k}x"]["us_per_row"] / res["1x"]["us_per_row"], 2)
     out["dedup_survivors_docs"] = res
 
-    # C. ml_item_recs_incremental's REFRESH leg (steps 1-4: delta pair
+    # C. KEEP IN SYNC with queries/ml_q.py ml_item_recs_incremental
+    # (the source of truth) and bench.py's production leg.
+    # ml_item_recs_incremental's REFRESH leg (steps 1-4: delta pair
     # build, count merge, touched-only re-truncation, purchase union)
     # with the persisted corpus state pre-materialized OUTSIDE the
     # timer, the way production reads it. Corpus and delta scale
