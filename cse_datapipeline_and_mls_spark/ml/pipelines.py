@@ -266,14 +266,62 @@ def binary_metrics(predictions: DataFrame, label_col: str = "label") -> dict[str
 def regression_metrics(
     predictions: DataFrame, label_col: str = "target", pred_col: str = "prediction"
 ) -> dict[str, float]:
-    """M11: RMSE/MSE/MAE/R² via MLlib evaluators (replaces sklearn,
-    regression.py:422-429)."""
-    out = {}
-    for m in ("rmse", "mse", "mae", "r2"):
-        out[m] = RegressionEvaluator(
-            labelCol=label_col, predictionCol=pred_col, metricName=m
-        ).evaluate(predictions)
-    return out
+    """M11: RMSE/MSE/MAE/R² (replaces sklearn, regression.py:422-429)
+    as ONE distributed aggregation instead of four RegressionEvaluator
+    passes — each evaluate() is a full action over the predictions
+    lineage, so the evaluator loop recomputed the window-feature block
+    four times (the reference's own §4 recompute quirk reborn; VERDICT
+    r12 #1). All four metrics are moments of the residual: mse=E[e²],
+    rmse=√mse, mae=E[|e|], and r² = 1 − SSerr/SStot = 1 − mse/var_pop(y)
+    — exactly RegressionEvaluator's definitions (throughOrigin=false),
+    asserted equal to the evaluator output in tests/test_mleval.py."""
+    e = F.col(label_col) - F.col(pred_col)
+    row = predictions.agg(
+        F.avg(e * e).alias("mse"),
+        F.avg(F.abs(e)).alias("mae"),
+        F.var_pop(F.col(label_col)).alias("var_y"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    mse = row["mse"] if row["mse"] is not None else float("nan")
+    var_y = row["var_y"]
+    return {
+        "rmse": mse**0.5,
+        "mse": mse,
+        "mae": row["mae"] if row["mae"] is not None else float("nan"),
+        "r2": 1.0 - mse / var_y if var_y else float("nan"),
+        "n": row["n"],
+    }
+
+
+def regression_report(
+    predictions: DataFrame, label_col: str = "target", pred_col: str = "prediction"
+) -> dict[str, float]:
+    """M11+M12 in ONE action: regression_metrics' residual moments plus
+    directional accuracy (sign-match rate) and the scored-row count,
+    fused into a single aggregation so a metrics pass over an uncached
+    lineage costs exactly one computation of that lineage."""
+    e = F.col(label_col) - F.col(pred_col)
+    row = predictions.agg(
+        F.avg(e * e).alias("mse"),
+        F.avg(F.abs(e)).alias("mae"),
+        F.var_pop(F.col(label_col)).alias("var_y"),
+        F.count(F.lit(1)).alias("n"),
+        F.avg(
+            F.when(
+                F.signum(F.col(label_col)) == F.signum(F.col(pred_col)), 1.0
+            ).otherwise(0.0)
+        ).alias("da"),
+    ).collect()[0]
+    mse = row["mse"] if row["mse"] is not None else float("nan")
+    var_y = row["var_y"]
+    return {
+        "rmse": mse**0.5,
+        "mse": mse,
+        "mae": row["mae"] if row["mae"] is not None else float("nan"),
+        "r2": 1.0 - mse / var_y if var_y else float("nan"),
+        "n": row["n"],
+        "directional_accuracy": row["da"],
+    }
 
 
 def directional_accuracy(

@@ -104,13 +104,22 @@ def ml_gbt_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     feats = build_price_features(ev, "user_id", ["ts", "event_id"], "value")
     w = TS.series_window("user_id", ["ts", "event_id"])
-    labeled = add_binary_label_and_weights(feats, "value", w).na.drop(subset=DEFAULT_FEATURES)
-    train, test = time_split(labeled, "ts", test_days=7)
-    model = classifier_pipeline(DEFAULT_FEATURES, max_iter=5, max_depth=3).fit(train)
-    m = binary_metrics(model.transform(test))
-    n_test = test.count()
-    cut = ev.agg(F.date_sub(F.max("ts"), 7).alias("s")).collect()[0]["s"]
-    n_events = ev.count()
+    # cache the window-feature lineage ONCE (VERDICT r12 #1): fit, the
+    # AUC pass, the confusion groupBy and n_test all read the cache
+    labeled = add_binary_label_and_weights(feats, "value", w).na.drop(
+        subset=DEFAULT_FEATURES
+    ).cache()
+    try:
+        train, test = time_split(labeled, "ts", test_days=7)
+        model = classifier_pipeline(DEFAULT_FEATURES, max_iter=5, max_depth=3).fit(train)
+        m = binary_metrics(model.transform(test))
+        n_test = test.count()
+    finally:
+        labeled.unpersist()
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n"), F.date_sub(F.max("ts"), 7).alias("s")
+    ).collect()[0]
+    n_events, cut = agg["n"], agg["s"]
     n_window = ev.filter(F.col("ts") >= F.lit(cut)).count()
     return spark.createDataFrame(
         [
@@ -209,9 +218,8 @@ def ml_gbt_regressor_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_ml.py."""
     from ..ml import (
         build_price_features,
-        directional_accuracy,
-        regression_metrics,
         regression_pipeline,
+        regression_report,
         score_with_price_reconstruction,
         time_split,
     )
@@ -221,20 +229,29 @@ def ml_gbt_regressor_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     feats = build_price_features(ev, "user_id", ["ts", "event_id"], "value")
     w = TS.series_window("user_id", ["ts", "event_id"])
+    # cache the window-feature lineage ONCE: fit + every metric action
+    # reads the cached block instead of re-running the window shuffle
+    # per action — the reference's §4 recompute quirk (VERDICT r12 #1)
     labeled = (
         TS.with_lead(feats, "pct_change", "target", w)
         .filter(F.col("target").isNotNull())
         .na.drop(subset=DEFAULT_FEATURES)
+        .cache()
     )
-    train, test = time_split(labeled, "ts", test_days=7)
-    model = regression_pipeline(DEFAULT_FEATURES, max_iter=5, max_depth=3).fit(train)
-    preds = model.transform(test)
-    m = regression_metrics(preds)
-    da = directional_accuracy(preds)
-    n_scored = score_with_price_reconstruction(model, test, price="value").count()
-    n_test = test.count()
-    cut = ev.agg(F.date_sub(F.max("ts"), 7).alias("s")).collect()[0]["s"]
-    n_events = ev.count()
+    try:
+        train, test = time_split(labeled, "ts", test_days=7)
+        model = regression_pipeline(DEFAULT_FEATURES, max_iter=5, max_depth=3).fit(train)
+        # one fused aggregation: rmse/mse/mae/r2 + directional accuracy
+        # + n in a single action over the predictions
+        m = regression_report(model.transform(test))
+        n_scored = score_with_price_reconstruction(model, test, price="value").count()
+        n_test = test.count()
+    finally:
+        labeled.unpersist()
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n"), F.date_sub(F.max("ts"), 7).alias("s")
+    ).collect()[0]
+    n_events, cut = agg["n"], agg["s"]
     n_window = ev.filter(F.col("ts") >= F.lit(cut)).count()
     return spark.createDataFrame(
         [
@@ -243,7 +260,7 @@ def ml_gbt_regressor_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_window,
                 bool(m["mae"] <= m["rmse"] + 1e-9),
                 bool(m["r2"] <= 1.0 + 1e-9),
-                bool(da >= 0.4),
+                bool(m["directional_accuracy"] >= 0.4),
                 bool(n_scored == n_test),
             )
         ],
@@ -581,26 +598,33 @@ def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = QUERIES["x_quality_filter"](spark, sf_dir).select(
         "doc_id", F.col("keep").cast("double").alias("label")
     )
-    data = feats.join(labels, "doc_id")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 10
-    )
-    train = data.filter(bucket < 8)
-    test = data.filter(bucket >= 8)
-    cols = ["n_words", "mean_wl", "stop_r", "punct_r", "word_rep"]
-    asm = VectorAssembler(inputCols=cols, outputCol="features", handleInvalid="keep")
-    model = GBTClassifier(
-        maxIter=10, maxDepth=3, seed=7, labelCol="label"
-    ).fit(asm.transform(train))
-    scored = model.transform(asm.transform(test))
-    auc = BinaryClassificationEvaluator(labelCol="label").evaluate(scored)
-    # bracket-verdict output: the md5-bucket split sizes are the exact
-    # SQL-checkable side ('0x'||hex)::BIGINT in DuckDB == conv(hex,16,10)
-    # in Spark); the fit's quality rides as a boolean (measured AUC 1.0
-    # at every SF vs the 0.9 bound asserted in tests/test_ml.py)
+    # cache the joined feature+label block ONCE (VERDICT r12 #1): its
+    # lineage re-runs the whole x_quality_filter query, and fit,
+    # transform, AUC and both split counts are each a full action
+    data = feats.join(labels, "doc_id").cache()
+    try:
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % 10
+        )
+        train = data.filter(bucket < 8)
+        test = data.filter(bucket >= 8)
+        cols = ["n_words", "mean_wl", "stop_r", "punct_r", "word_rep"]
+        asm = VectorAssembler(inputCols=cols, outputCol="features", handleInvalid="keep")
+        model = GBTClassifier(
+            maxIter=10, maxDepth=3, seed=7, labelCol="label"
+        ).fit(asm.transform(train))
+        scored = model.transform(asm.transform(test))
+        auc = BinaryClassificationEvaluator(labelCol="label").evaluate(scored)
+        # bracket-verdict output: the md5-bucket split sizes are the exact
+        # SQL-checkable side ('0x'||hex)::BIGINT in DuckDB == conv(hex,16,10)
+        # in Spark); the fit's quality rides as a boolean (measured AUC 1.0
+        # at every SF vs the 0.9 bound asserted in tests/test_ml.py)
+        n_train, n_test = train.count(), test.count()
+    finally:
+        data.unpersist()
     return spark.createDataFrame(
-        [(train.count(), test.count(), bool(auc >= 0.9))],
+        [(n_train, n_test, bool(auc >= 0.9))],
         "n_train long, n_test long, auc_ge_090 boolean",
     )
 

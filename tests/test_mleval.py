@@ -163,3 +163,29 @@ def test_trimmed_mean_matches_direct_sort(spark):
     assert out["n_total"] == len(vals)
     assert out["n_trimmed_each_side"] == k
     assert abs(out["trimmed_mean"] - direct) < 1e-6
+
+
+def test_regression_metrics_match_mllib_evaluators(spark):
+    """The fused single-agg regression_metrics (VERDICT r12 #1) must
+    reproduce RegressionEvaluator's rmse/mse/mae/r2 to float tolerance,
+    and regression_report must additionally agree with the standalone
+    directional_accuracy pass."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    from cse_datapipeline_and_mls_spark.ml import pipelines as M
+
+    preds = spark.createDataFrame(
+        [(1.0, 0.8), (2.0, 2.5), (-1.0, -0.4), (0.5, -0.2), (3.0, 2.0), (-2.0, -2.6)],
+        "target double, prediction double",
+    )
+    fused = M.regression_metrics(preds)
+    for name in ("rmse", "mse", "mae", "r2"):
+        ref = RegressionEvaluator(
+            labelCol="target", predictionCol="prediction", metricName=name
+        ).evaluate(preds)
+        assert abs(fused[name] - ref) < 1e-9, (name, fused[name], ref)
+    report = M.regression_report(preds)
+    for name in ("rmse", "mse", "mae", "r2"):
+        assert abs(report[name] - fused[name]) < 1e-12
+    assert abs(report["directional_accuracy"] - M.directional_accuracy(preds)) < 1e-12
+    assert report["n"] == 6
