@@ -525,14 +525,21 @@ def connected_components(
 
     ``init_labels`` (node, label) warm-starts propagation from a
     previous clustering — the incremental path for an APPEND-ONLY pair
-    stream (the near-dup ingest case: components only ever merge). Each
-    node starts at min(own id, prior label); a prior label is the min
-    id of the node's old component, which still belongs to its current
-    (possibly merged) component, so convergence and the min-id contract
-    are unchanged — only the rounds shrink (_LAST_CC_ROUNDS asserts
-    this in tests). NOT valid under pair deletion: a departed min-id
-    node would leave a stale label no propagation can correct — rerun
-    cold after compaction instead.
+    stream (the near-dup ingest case: components only ever merge).
+    ``pairs`` must still be the FULL cumulative edge set, in BOTH
+    paths: labels only exist for nodes that appear in ``pairs``, so
+    delta-only pairs plus prior labels is out of contract (nodes
+    absent from the delta would vanish from the output entirely, and
+    the union-find fast path — which ignores ``init_labels``, being
+    exact from scratch — would label the delta without the history;
+    ADVICE r12). With cumulative pairs, each node starts at min(own
+    id, prior label); a prior label is the min id of the node's old
+    component, which still belongs to its current (possibly merged)
+    component, so convergence and the min-id contract are unchanged —
+    only the rounds shrink (_LAST_CC_ROUNDS asserts this in tests).
+    NOT valid under pair deletion: a departed min-id node would leave
+    a stale label no propagation can correct — rerun cold after
+    compaction instead.
 
     ``small_graph_max_edges`` (absolute bound, default 100k edges ≈ a
     few MB of ids): at or under it the materialized canonical edge list
@@ -556,8 +563,27 @@ def connected_components(
     # union, and cache() is lazy, so the first action paid 2× the
     # upstream cost before the cache existed (measured: 10.6 s → ~2 s
     # for a 256-edge graph fed by a 3 s pair plan at sf0.1).
+    canon = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Endpoint types must agree: _cc_union_find types BOTH output
+    # columns from the src column, and the iterative path's
+    # union(src↔dst) needs one schema — an int/bigint mix would
+    # truncate or fail downstream (ADVICE r12). Widen integral mixes
+    # to bigint; anything else is a caller error.
+    s_t, d_t = canon.schema[0].dataType, canon.schema[1].dataType
+    if s_t != d_t:
+        integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        if isinstance(s_t, integral) and isinstance(d_t, integral):
+            canon = canon.select(
+                F.col("src").cast("bigint").alias("src"),
+                F.col("dst").cast("bigint").alias("dst"),
+            )
+        else:
+            raise ValueError(
+                f"connected_components: endpoint types differ ({s_t} vs {d_t}); "
+                "cast them to one type first"
+            )
     canon = (
-        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        canon
         # a NULL endpoint carries no identity: the iterative path's
         # join semantics would silently strand it and the union-find
         # fast path would crash comparing None (code-review r12) —

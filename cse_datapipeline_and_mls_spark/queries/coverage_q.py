@@ -1367,6 +1367,29 @@ def _bucketed_copurchase_edges(spark: SparkSession, sf_dir: str) -> str:
 _TRI_STATS_MEMO: dict = {}
 
 
+def _drop_copurchase_artifacts(spark: SparkSession, sf_dir: str) -> None:
+    """Drop the bucketed co-purchase edge table AND the session
+    tri-stats memo for ``sf_dir``, forcing the next consumer to pay the
+    full cold build. Bench hook: the triangle family's headline rows
+    measure the amortized (memoized) path, which is the right
+    production posture but left the ~once-per-session edge+wedge setup
+    cost invisible in the bench artifact (VERDICT r12 'What's wrong'
+    #2) — the setup-leg row calls this before each timed build."""
+    import hashlib
+    import re
+
+    _TRI_STATS_MEMO.pop((spark.sparkContext.applicationId, sf_dir.rstrip("/")), None)
+    root = sf_dir.rstrip("/")
+    table = (
+        "copur_edges_b_"
+        + re.sub(r"\W", "_", root.rsplit("/", 1)[-1])
+        + "_"
+        + hashlib.sha1(root.encode()).hexdigest()[:8]
+    )
+    if spark.catalog.tableExists(table):
+        spark.sql(f"DROP TABLE `{table}`")
+
+
 def _copurchase_tri_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(node, degree, triangles) over the part co-purchase graph —
     the shared oriented-wedge computation behind x_triangle_copurchase

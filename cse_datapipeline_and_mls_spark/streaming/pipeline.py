@@ -452,7 +452,6 @@ def sketch_rollup_stream(
     """
     import json as _json
     import os as _os
-    import shutil as _shutil
 
     from ..operators import sketches as SK
 
@@ -465,6 +464,11 @@ def sketch_rollup_stream(
             with open(marker) as fh:
                 if batch_id <= _json.load(fh)["batch_id"]:
                     return  # replayed batch — already folded in
+        # finish any interrupted swap first: the merge below reads the
+        # live table, so a crash that left the data only in '._stage'
+        # would otherwise silently drop the accumulated rollup and
+        # restart from this batch's delta (ADVICE r12 swap window)
+        _recover_swap(rollup_path)
         prepared = batch_df
         if "day" in key_list and "day" not in batch_df.columns:
             prepared = prepared.withColumn("day", F.date_trunc("day", "ts"))
@@ -476,11 +480,7 @@ def sketch_rollup_stream(
             merged = SK.merge_rollup_tables(existing, delta, key_list)
         else:
             merged = delta
-        stage = rollup_path.rstrip("/") + "._stage"
-        merged.write.mode("overwrite").parquet(stage)
-        if _os.path.exists(rollup_path):
-            _shutil.rmtree(rollup_path)
-        _shutil.move(stage, rollup_path)
+        _recoverable_swap(merged, rollup_path)
         with open(marker, "w") as fh:
             _json.dump({"batch_id": batch_id}, fh)
 
@@ -510,7 +510,6 @@ def inverted_index_stream(
     ``<index>/doc_stats`` so BM25 can run against the live index."""
     import json as _json
     import os as _os
-    import shutil as _shutil
 
     from ..operators.search import build_inverted_index, merge_postings
 
@@ -524,6 +523,10 @@ def inverted_index_stream(
             with open(marker) as fh:
                 if batch_id <= _json.load(fh)["batch_id"]:
                     return
+        # finish any interrupted swap first — the postings merge reads
+        # the live index (ADVICE r12 swap window)
+        _recover_swap(post_path)
+        _recover_swap(stats_path)
         delta_post, delta_stats = build_inverted_index(
             batch_df, id_col=id_col, text_col=text_col
         )
@@ -538,11 +541,7 @@ def inverted_index_stream(
         else:
             post, stats = delta_post, delta_stats
         for df, path in ((post, post_path), (stats, stats_path)):
-            stage = path + "._stage"
-            df.write.mode("overwrite").parquet(stage)
-            if _os.path.exists(path):
-                _shutil.rmtree(path)
-            _shutil.move(stage, path)
+            _recoverable_swap(df, path)
         _os.makedirs(index_path, exist_ok=True)
         with open(marker, "w") as fh:
             _json.dump({"batch_id": batch_id}, fh)
@@ -553,6 +552,120 @@ def inverted_index_stream(
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+# Erasure-store layout descriptor + per-table erasure keys. The bucket
+# partition column is pmod(hash(<key>), buckets) — Spark's Murmur3
+# hash, deterministic across sessions, so the ingest layout and every
+# later DSAR batch agree on which partition a key lives in.
+_ERASURE_LAYOUT_FILE = "_layout.json"
+_ERASURE_BUCKET_COLS = {"orders": "o_bucket", "lineitem": "l_bucket", "events": "e_bucket"}
+_ERASURE_HASH_KEYS = {"orders": "o_custkey", "lineitem": "l_orderkey", "events": "user_id"}
+
+
+def prepare_erasure_store(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    events: DataFrame,
+    store_path: str,
+    buckets: int = 16,
+) -> None:
+    """Write the erasure store in the partition-scoped layout the
+    streaming DSAR sink prunes on: each table hive-partitioned by an
+    erasure-bucket column — pmod(hash(erasure key), buckets) — so a
+    DSAR batch touches |victim buckets| partitions, not the store.
+    orders buckets on o_custkey (the victim key), events on user_id
+    (same key domain), lineitem on l_orderkey (cascaded from the
+    victims' orders). At 100 TB pick buckets so one bucket ≈ a few GB;
+    the per-batch rewrite cost is then |touched buckets| regardless of
+    store size."""
+    import json as _json
+    import os as _os
+
+    root = store_path.rstrip("/")
+    _os.makedirs(root, exist_ok=True)
+    for name, df in (("orders", orders), ("lineitem", lineitem), ("events", events)):
+        bcol, key = _ERASURE_BUCKET_COLS[name], _ERASURE_HASH_KEYS[name]
+        df.withColumn(bcol, F.pmod(F.hash(F.col(key)), F.lit(buckets))).write.mode(
+            "overwrite"
+        ).partitionBy(bcol).parquet(f"{root}/{name}")
+    with open(f"{root}/{_ERASURE_LAYOUT_FILE}", "w") as fh:
+        _json.dump({"buckets": buckets, "bucket_cols": _ERASURE_BUCKET_COLS}, fh)
+
+
+def _recover_swap(path: str) -> None:
+    """Finish (or clean up after) an interrupted recoverable swap on
+    ``path`` (ADVICE r12): the swap protocol is stage-write → rename
+    live → '._old' → move stage into place → delete old, so at every
+    crash point either the live dir or a COMPLETE stage exists. Called
+    before reading a swap-managed table."""
+    import os as _os
+    import shutil as _shutil
+
+    stage, old = path + "._stage", path + "._old"
+    if not _os.path.exists(path):
+        if _os.path.exists(stage):
+            # the live dir is only renamed away AFTER the stage write
+            # returned, so an orphaned stage is complete — promote it
+            _shutil.move(stage, path)
+        elif _os.path.exists(old):
+            # unreachable under the protocol, but restoring the old
+            # live dir is always safe (the cascade replays idempotently)
+            _shutil.move(old, path)
+    if _os.path.exists(path):
+        for leftover in (old, stage):
+            if _os.path.exists(leftover):
+                _shutil.rmtree(leftover)
+
+
+def _recoverable_swap(df: DataFrame, path: str) -> int:
+    """Atomically-recoverable replace of the parquet dir at ``path``
+    with ``df`` (ADVICE r12 — the old rmtree-then-move left a window
+    where the table existed nowhere). Returns the row count written."""
+    import os as _os
+    import shutil as _shutil
+
+    stage, old = path + "._stage", path + "._old"
+    df.write.mode("overwrite").parquet(stage)
+    n = df.sparkSession.read.parquet(stage).count()
+    if _os.path.exists(path):
+        _os.rename(path, old)
+    _shutil.move(stage, path)
+    if _os.path.exists(old):
+        _shutil.rmtree(old)
+    return n
+
+
+def _rewrite_touched_partitions(
+    kept: DataFrame, path: str, bucket_col: str, touched: list[int]
+) -> int:
+    """Dynamic-partition-overwrite the TOUCHED buckets of the table at
+    ``path`` with the surviving rows; untouched partitions are never
+    read or written (byte-identical, asserted in tests). A touched
+    bucket whose rows were ALL erased produces no output partition —
+    dynamic overwrite would silently leave it behind, so those
+    directories are removed explicitly. Returns surviving-row count."""
+    import os as _os
+    import shutil as _shutil
+
+    if not touched:
+        return 0
+    spark = kept.sparkSession
+    # materialize before overwriting a path the plan reads from
+    kept = kept.localCheckpoint(eager=True)
+    n = kept.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        kept.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    kept_buckets = {r[0] for r in kept.select(bucket_col).distinct().collect()}
+    for b in set(touched) - kept_buckets:
+        d = f"{path}/{bucket_col}={b}"
+        if _os.path.isdir(d):
+            _shutil.rmtree(d)
+    return n
 
 
 def erasure_cascade_stream(
@@ -567,9 +680,32 @@ def erasure_cascade_stream(
     batch through the foreign-key chain customer → orders → lineitem
     (plus the behavioral log keyed on the user id) against the
     PERSISTED tables under ``store_path`` (``orders/``, ``lineitem/``,
-    ``events/``), rewrites the survivors staged-then-swap, and appends
-    one audit row per batch to ``audit/`` recording per-table erased
-    counts and the kept + erased == total residual invariant.
+    ``events/``), rewrites the survivors, and appends one audit row per
+    batch to ``audit/`` recording per-table erased counts and the
+    kept + erased == total residual invariant (totals are the audited
+    SCOPE: whole tables on the legacy layout, touched partitions on the
+    partition-scoped layout below).
+
+    Rewrite strategy — two layouts:
+
+    * **Partition-scoped** (``prepare_erasure_store`` wrote a
+      ``_layout.json``): every table is hive-partitioned by
+      pmod(hash(erasure key), buckets). The batch prunes each table to
+      the victim keys' buckets (lineitem via the victims' order keys,
+      themselves read from the pruned orders partitions), anti-joins
+      survivors, and rewrites ONLY the touched partitions via dynamic
+      partition overwrite — untouched partitions are never read or
+      written, so a DSAR batch against a 100 TB store costs |touched
+      buckets|, the same contract as sinks.merge_upsert_parquet. The
+      bucket-value collects are bounded by the bucket count, never the
+      data.
+    * **Legacy whole-store** (no layout file): staged rewrite with a
+      RECOVERABLE swap (stage-write → live→'._old' → stage→live →
+      delete old). At every crash point either the live dir or a
+      complete stage exists; ``_recover_swap`` finishes an interrupted
+      swap before the replay reads the table — the rmtree-then-move of
+      r12 had a window where the table existed nowhere and the replay
+      wedged permanently (ADVICE r12).
 
     Replay safety: the marker stores (batch_id, victim fingerprint),
     and a batch is skipped only when BOTH match — unlike the sibling
@@ -579,34 +715,36 @@ def erasure_cascade_stream(
     is idempotent (anti-joining absent keys removes 0 rows), so the
     safe default on any mismatch is reprocess, never skip; a
     crash-replayed batch's audit row then records only the RESIDUAL
-    work (0s if the crash happened after all swaps). Tables swap
+    work (0s if the crash happened after all rewrites). Tables rewrite
     leaf-first (lineitem, events, then orders) so a crash between
-    swaps always replays to the converged store — the lineitem cascade
-    is keyed off the orders table, which survives until last.
+    rewrites always replays to the converged store — the lineitem
+    cascade is keyed off the orders table, which survives until last.
 
-    Scale posture: per batch, work is three keyed anti/semi joins
-    (victim side sized by the DSAR batch — no forced broadcast, AQE
-    decides, matching the batch query's stance) plus the survivor
-    rewrite, which production scopes to affected partitions via
-    partition pruning on the cascaded key set; the staged full-table
-    swap here is the same whole-store contract as the other
-    foreachBatch sinks at test scale.
+    NULL victim ids are dropped up front: a NULL carries no identity —
+    it matches no rows in any cascade join and would crash the
+    fingerprint sort (ADVICE r12) — the same stance as
+    connected_components' null-endpoint filter.
 
     ``stream`` schema: one column ``c_custkey`` (long).
     """
     import json as _json
     import os as _os
-    import shutil as _shutil
 
     paths = {t: store_path.rstrip("/") + f"/{t}" for t in ("orders", "lineitem", "events")}
     audit_path = store_path.rstrip("/") + "/audit"
+    layout_path = store_path.rstrip("/") + "/" + _ERASURE_LAYOUT_FILE
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         import hashlib as _hashlib
 
         spark = batch_df.sparkSession
         marker = store_path.rstrip("/") + "/_last_batch"
-        victims = batch_df.select("c_custkey").distinct().localCheckpoint(eager=True)
+        victims = (
+            batch_df.select("c_custkey")
+            .filter(F.col("c_custkey").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         # Content fingerprint of the victim batch (bounded: a DSAR batch
         # is driver-collectable by definition here). The skip requires
         # BOTH the batch id AND the fingerprint to match the applied
@@ -614,8 +752,13 @@ def erasure_cascade_stream(
         # after a checkpoint reset, where Spark restarts ids at 0 and
         # re-delivers all source files as one batch (code-review r12).
         # Re-processing an already-applied victim set is safe — the
-        # cascade is idempotent (anti-joining absent keys removes 0
-        # rows) — so when in doubt we reprocess, never skip.
+        # cascade is idempotent — so when in doubt we reprocess, never
+        # skip.
+        n_victims = victims.count()
+        if n_victims == 0:
+            # an empty (or all-NULL) DSAR batch erases nothing; skip
+            # before touching the store at all
+            return
         fp = _hashlib.sha256(
             ",".join(str(r["c_custkey"]) for r in sorted(victims.collect())).encode()
         ).hexdigest()
@@ -624,14 +767,56 @@ def erasure_cascade_stream(
                 last = _json.load(fh)
             if batch_id <= last["batch_id"] and fp == last.get("fp"):
                 return
-        orders = spark.read.parquet(paths["orders"])
-        li = spark.read.parquet(paths["lineitem"])
-        ev = spark.read.parquet(paths["events"])
-        totals = {t: df.count() for t, df in (("orders", orders), ("lineitem", li), ("events", ev))}
 
-        vo = orders.join(
-            victims, orders["o_custkey"] == victims["c_custkey"], "left_semi"
-        ).localCheckpoint(eager=True)
+        partitioned = _os.path.exists(layout_path)
+        if partitioned:
+            with open(layout_path) as fh:
+                buckets = int(_json.load(fh)["buckets"])
+            ob, lb, eb = (
+                _ERASURE_BUCKET_COLS["orders"],
+                _ERASURE_BUCKET_COLS["lineitem"],
+                _ERASURE_BUCKET_COLS["events"],
+            )
+            # victim buckets, hashed IN SPARK so they match the ingest
+            # layout bit-for-bit; the collect is bounded by the bucket
+            # count. orders and events share the victim key domain
+            # (o_custkey / user_id are both the customer id).
+            v_bkts = [
+                r["b"]
+                for r in victims.select(
+                    F.pmod(F.hash("c_custkey"), F.lit(buckets)).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            orders = spark.read.parquet(paths["orders"]).filter(F.col(ob).isin(v_bkts))
+            ev = spark.read.parquet(paths["events"]).filter(F.col(eb).isin(v_bkts))
+            vo = orders.join(
+                victims, orders["o_custkey"] == victims["c_custkey"], "left_semi"
+            ).localCheckpoint(eager=True)
+            l_bkts = [
+                r["b"]
+                for r in vo.select(
+                    F.pmod(F.hash("o_orderkey"), F.lit(buckets)).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            li = spark.read.parquet(paths["lineitem"]).filter(F.col(lb).isin(l_bkts))
+        else:
+            # finish any interrupted swap BEFORE reading (ADVICE r12:
+            # a crash mid-swap must wedge nothing)
+            for t in paths.values():
+                _recover_swap(t)
+            orders = spark.read.parquet(paths["orders"])
+            li = spark.read.parquet(paths["lineitem"])
+            ev = spark.read.parquet(paths["events"])
+            vo = orders.join(
+                victims, orders["o_custkey"] == victims["c_custkey"], "left_semi"
+            ).localCheckpoint(eager=True)
+
+        # audited scope: whole tables (legacy) / touched partitions only
+        totals = {t: df.count() for t, df in (("orders", orders), ("lineitem", li), ("events", ev))}
         o_kept = orders.join(
             victims, orders["o_custkey"] == victims["c_custkey"], "left_anti"
         )
@@ -652,27 +837,30 @@ def erasure_cascade_stream(
             ).count(),
         }
 
-        # Swap LEAF tables first, the root (orders) LAST: the lineitem
-        # cascade key set is recomputed from the orders table on a
-        # crash replay, so if orders swapped before lineitem and the
-        # marker was never written, the replay would find the victims'
-        # orders already gone and orphan their lineitems forever
-        # (code-review r12). Leaf-first, any crash point replays to a
-        # converged store: children already erased anti-join to 0 rows,
-        # then the root erase completes.
+        # Rewrite LEAF tables first, the root (orders) LAST: the
+        # lineitem cascade key set is recomputed from the orders table
+        # on a crash replay, so if orders rewrote before lineitem and
+        # the marker was never written, the replay would find the
+        # victims' orders already gone and orphan their lineitems
+        # forever (code-review r12). Leaf-first, any crash point
+        # replays to a converged store.
         kept = {}
-        for t, df in (("lineitem", l_kept), ("events", e_kept), ("orders", o_kept)):
-            stage = paths[t] + "._stage"
-            df.write.mode("overwrite").parquet(stage)
-            kept[t] = spark.read.parquet(stage).count()
-            _shutil.rmtree(paths[t])
-            _shutil.move(stage, paths[t])
+        if partitioned:
+            for t, df, bcol, touched in (
+                ("lineitem", l_kept, lb, l_bkts),
+                ("events", e_kept, eb, v_bkts),
+                ("orders", o_kept, ob, v_bkts),
+            ):
+                kept[t] = _rewrite_touched_partitions(df, paths[t], bcol, touched)
+        else:
+            for t, df in (("lineitem", l_kept), ("events", e_kept), ("orders", o_kept)):
+                kept[t] = _recoverable_swap(df, paths[t])
 
         residual_ok = all(kept[t] + erased[t] == totals[t] for t in totals)
         spark.createDataFrame(
             [(
                 int(batch_id),
-                victims.count(),
+                n_victims,
                 erased["orders"],
                 erased["lineitem"],
                 erased["events"],

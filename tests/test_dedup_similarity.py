@@ -639,3 +639,25 @@ def test_ivf_compaction_equals_rebuild(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     # compaction really dropped the dead postings
     assert compacted.count() == 45
+
+
+def test_connected_components_mixed_endpoint_types(spark):
+    """ADVICE r12: an int src with a bigint dst must widen to bigint in
+    both paths (not truncate or crash in the union-find createDataFrame),
+    and a non-integral mix must raise loudly."""
+    pairs = spark.createDataFrame(
+        [(1, 2**40), (2, 2**40 + 1)], "id_a int, id_b long"
+    )
+    fast = {r["node"]: r["label"] for r in D.connected_components(pairs).collect()}
+    assert fast[2**40] == 1 and fast[2**40 + 1] == 2
+    slow = {
+        r["node"]: r["label"]
+        for r in D.connected_components(pairs, small_graph_max_edges=0).collect()
+    }
+    assert slow == fast
+
+    bad = spark.createDataFrame([(1, "x")], "id_a int, id_b string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="endpoint types differ"):
+        D.connected_components(bad)

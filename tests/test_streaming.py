@@ -1111,3 +1111,169 @@ def test_erasure_cascade_stream_matches_batch_and_skips_replay(spark, sf_dir, tm
         .count()
         == 0
     )
+
+
+def test_erasure_cascade_partition_scoped_rewrite(spark, sf_dir, tmp_path):
+    """Partition-scoped erasure (VERDICT r12 #2): on a
+    prepare_erasure_store layout, a DSAR batch must (a) leave every
+    UNTOUCHED bucket's files byte-identical (same paths, sizes, bytes —
+    proof the rewrite never read or wrote them), (b) erase exactly what
+    the whole-store batch cascade erases, and (c) delete a touched
+    partition dir outright when every row in it belonged to victims."""
+    import glob
+    import hashlib
+    import os
+
+    store = str(tmp_path / "pstore")
+    src = str(tmp_path / "dsar")
+    from cse_datapipeline_and_mls_spark.sources import load_table
+
+    orders0 = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li0 = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ev0 = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    B = 64
+    ST.prepare_erasure_store(orders0, li0, ev0, store, buckets=B)
+
+    # victims: every customer whose hash lands in bucket 3 → after the
+    # batch, orders/o_bucket=3 must be GONE (the all-erased case), plus
+    # one customer from another bucket (the partial-rewrite case)
+    bucketed = orders0.select(
+        "o_custkey", F.pmod(F.hash("o_custkey"), F.lit(B)).alias("b")
+    ).distinct()
+    bucket3 = [r["o_custkey"] for r in bucketed.filter(F.col("b") == 3).collect()]
+    other = bucketed.filter(F.col("b") != 3).first()
+    victims = sorted(set(bucket3) | {other["o_custkey"]})
+    touched_o_buckets = {3, other["b"]}
+
+    def snap(table):
+        return {
+            f: (os.path.getsize(f), hashlib.sha1(open(f, "rb").read()).hexdigest())
+            for f in glob.glob(f"{store}/{table}/**/*.parquet", recursive=True)
+        }
+
+    before = {t: snap(t) for t in ("orders", "lineitem", "events")}
+    spark.createDataFrame([(int(c),) for c in victims], "c_custkey long").write.parquet(src)
+    from pyspark.sql import types as T
+
+    st = T.StructType([T.StructField("c_custkey", T.LongType())])
+    q = ST.erasure_cascade_stream(
+        spark.readStream.schema(st).parquet(src), store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # (c) the all-erased bucket directory is gone
+    assert not os.path.exists(f"{store}/orders/o_bucket=3")
+
+    # (a) untouched partitions byte-identical
+    vb = {r[0] for r in spark.createDataFrame(
+        [(int(c),) for c in victims], "c_custkey long"
+    ).select(F.pmod(F.hash("c_custkey"), F.lit(B))).distinct().collect()}
+    assert vb == touched_o_buckets
+    after = {t: snap(t) for t in ("orders", "lineitem", "events")}
+    # lineitem's touched buckets derive from the victims' orderkeys
+    lb = {
+        r[0]
+        for r in orders0.join(
+            spark.createDataFrame([(int(c),) for c in victims], "c_custkey long"),
+            orders0["o_custkey"] == F.col("c_custkey"),
+            "left_semi",
+        ).select(F.pmod(F.hash("o_orderkey"), F.lit(B))).distinct().collect()
+    }
+    for t, bcol, touched in (
+        ("orders", "o_bucket", vb),
+        ("events", "e_bucket", vb),
+        ("lineitem", "l_bucket", lb),
+    ):
+        untouched_before = {
+            f: v
+            for f, v in before[t].items()
+            if not any(f"{bcol}={b}/" in f for b in touched)
+        }
+        assert untouched_before, f"test must cover untouched partitions for {t}"
+        for f, v in untouched_before.items():
+            assert after[t].get(f) == v, f"untouched partition file changed: {f}"
+
+    # (b) erased == whole-store batch cascade reference
+    vdf = spark.createDataFrame([(int(c),) for c in victims], "c_custkey long")
+    ref_orders = orders0.join(vdf, orders0["o_custkey"] == vdf["c_custkey"], "left_anti")
+    vo = orders0.join(vdf, orders0["o_custkey"] == vdf["c_custkey"], "left_semi")
+    ref_li = li0.join(vo, li0["l_orderkey"] == vo["o_orderkey"], "left_anti")
+    ref_ev = ev0.join(vdf, ev0["user_id"] == vdf["c_custkey"], "left_anti")
+    live_orders = spark.read.parquet(store + "/orders")
+    live_li = spark.read.parquet(store + "/lineitem")
+    live_ev = spark.read.parquet(store + "/events")
+    assert live_orders.count() == ref_orders.count()
+    assert live_orders.select("o_orderkey", "o_custkey").exceptAll(ref_orders).count() == 0
+    assert live_li.count() == ref_li.count()
+    assert live_ev.count() == ref_ev.count()
+
+    audit = spark.read.parquet(store + "/audit").collect()
+    assert len(audit) == 1 and audit[0]["residual_consistent"]
+    assert audit[0]["n_orders_erased"] == orders0.count() - ref_orders.count()
+
+
+def test_erasure_cascade_null_victims_and_recoverable_swap(spark, sf_dir, tmp_path):
+    """ADVICE r12: (1) a DSAR batch containing NULL victim ids must not
+    kill the stream — nulls are dropped, real victims still cascade;
+    (2) a crash between the two legacy-swap renames must be recovered
+    on replay — simulate every crash state and assert _recover_swap
+    restores a readable table."""
+    import os
+    import shutil
+
+    from cse_datapipeline_and_mls_spark.sources import load_table
+
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "dsar")
+    orders0 = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li0 = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    ev0 = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    orders0.write.parquet(store + "/orders")
+    li0.write.parquet(store + "/lineitem")
+    ev0.write.parquet(store + "/events")
+
+    victim = orders0.select("o_custkey").first()[0]
+    from pyspark.sql import types as T
+
+    st = T.StructType([T.StructField("c_custkey", T.LongType())])
+    spark.createDataFrame(
+        [(int(victim),), (None,), (None,)], st
+    ).write.parquet(src)
+    q = ST.erasure_cascade_stream(
+        spark.readStream.schema(st).parquet(src), store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    ex = q.exception()
+    q.stop()
+    assert ex is None, f"stream died on NULL victims: {ex}"
+    assert spark.read.parquet(store + "/orders").filter(
+        F.col("o_custkey") == victim
+    ).count() == 0
+    audit = spark.read.parquet(store + "/audit").collect()
+    assert len(audit) == 1 and audit[0]["n_victims"] == 1
+
+    from cse_datapipeline_and_mls_spark.streaming.pipeline import _recover_swap
+
+    # crash-state recovery: table renamed away, complete stage present
+    path = store + "/orders"
+    n0 = spark.read.parquet(path).count()
+    shutil.copytree(path, path + "._stage")
+    os.rename(path, path + "._old")
+    _recover_swap(path)
+    assert os.path.exists(path) and not os.path.exists(path + "._old")
+    assert not os.path.exists(path + "._stage")
+    assert spark.read.parquet(path).count() == n0
+
+    # crash-state: stage promoted but old never deleted
+    shutil.copytree(path, path + "._old")
+    _recover_swap(path)
+    assert os.path.exists(path) and not os.path.exists(path + "._old")
+
+    # crash-state: mid-stage-write (table intact, partial stage)
+    os.makedirs(path + "._stage", exist_ok=True)
+    _recover_swap(path)
+    assert os.path.exists(path) and not os.path.exists(path + "._stage")
+    assert spark.read.parquet(path).count() == n0
