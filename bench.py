@@ -381,6 +381,21 @@ def _production_legs():
             )
         )
 
+    # The triangle family's headline rows measure the amortized
+    # (memoized) path — the right production posture, but the
+    # ~once-per-session bucketed-edge + oriented-wedge setup cost was
+    # invisible in the artifact (VERDICT r12 #2). This leg forces a
+    # COLD build each timed run (drop table + memo first), so
+    # BENCH_local carries the setup cost explicitly.
+    def triangle_setup(spark, sf_dir):
+        from cse_datapipeline_and_mls_spark.queries.coverage_q import (
+            _copurchase_tri_stats,
+            _drop_copurchase_artifacts,
+        )
+
+        _drop_copurchase_artifacts(spark, sf_dir)
+        return _copurchase_tri_stats(spark, sf_dir)
+
     return {
         "x_minhash_neardup_pairs": minhash,
         "x_simhash_neardup_pairs": simhash,
@@ -388,6 +403,7 @@ def _production_legs():
         "x_ann_ivf_kmeans_topk": ivf_kmeans,
         "x_ann_pq_topk": pq,
         "ml_item_recs_incremental": item_recs_refresh,
+        "x_triangle_setup_cold": triangle_setup,
     }
 
 
@@ -423,6 +439,25 @@ def main() -> None:
         "nation", "region", "documents", "embeddings",
     ):
         load_table(spark, sf_dir, _t).write.format("noop").mode("overwrite").save()
+
+    # Contention sentinel (VERDICT r12 #5): time one fixed trivial query
+    # immediately after warmup AND again at the very end of the run. The
+    # plan is identical both times, so a >2x spread between the two
+    # numbers marks the RUN as contended (co-tenant load / thermal), and
+    # a reader can adjudicate outlier rows (e.g. BENCH_r12's 11.3s
+    # ml_kfold_assignment vs three committed 0.4s regens) without a
+    # re-run.
+    def _sentinel_run() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES["distinct_segments"](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    sentinel_first = _sentinel_run()
 
     # Three runs per query, report the min: run 1 pays one-time costs
     # (query compilation, codegen, file listing) that a long-lived engine
@@ -464,12 +499,27 @@ def main() -> None:
     production: dict[str, float] = {}
     if "--r1-subset" not in sys.argv[1:]:
         for name, fn in _production_legs().items():
+            # "_cold" legs force a full rebuild per run (drop + ingest +
+            # compute) — one timed run is the honest number and min-of-N
+            # would just re-pay the whole build N times
+            runs = 1 if name.endswith("_cold") else 3
             best = float("inf")
-            for _ in range(3):
+            for _ in range(runs):
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             production[name] = round(best, 3)
+
+    sentinel_last = _sentinel_run()
+    sentinel = {
+        "query": "distinct_segments",
+        "first_sec": sentinel_first,
+        "last_sec": sentinel_last,
+        "contended": bool(
+            max(sentinel_first, sentinel_last)
+            > 2.0 * max(min(sentinel_first, sentinel_last), 1e-9)
+        ),
+    }
 
     total = round(sum(timings.values()), 3)
     # Round-over-round comparability: BENCH_r01 recorded the first 17
@@ -497,6 +547,7 @@ def main() -> None:
         "r7_subset_total_sec": r7_subset,
         "r8_subset_total_sec": r8_subset,
         "production_sec": production,
+        "sentinel": sentinel,
         "coverage_queries": coverage,
         "coverage_total_sec": round(sum(coverage.values()), 3),
         "n_registry": len(QUERIES),
@@ -543,6 +594,7 @@ def compact_summary_line(full_payload: dict) -> str:
         },
         "n_registry": full_payload["n_registry"],
         "n_benched": full_payload["n_benched"],
+        "sentinel": full_payload.get("sentinel"),
         "full_artifact": "BENCH_local.json",
         "sf": full_payload["sf"],
     }

@@ -35,5 +35,8 @@ def test_production_legs_are_headline_rows():
     # every production-leg timing shadows a headline row of the same
     # name (the bracket-verdict pairs) — a renamed query must rename
     # its production leg too
-    legs = set(bench._production_legs())
+    # "_cold" entries are SETUP legs (they time an ingest-side build the
+    # memoized headline rows amortize away — VERDICT r12 #2), not
+    # shadows of a query row, so they're exempt from the name pairing
+    legs = {n for n in bench._production_legs() if not n.endswith("_cold")}
     assert legs <= set(bench.HEADLINE), legs - set(bench.HEADLINE)
