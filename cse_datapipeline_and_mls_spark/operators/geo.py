@@ -133,6 +133,17 @@ def radius_pairs(
         "px",
         "py",
     )
+    # A dimension-sized point table often scans as ONE input split (a
+    # few MB of parquet < maxPartitionBytes), and when the home-cell
+    # side broadcasts, the candidate join inherits the probe side's
+    # partitioning — leaving ALL quadratic pair work in a single task
+    # (measured: geo_dbscan_clusters 688 s at sf1, one core pinned,
+    # 31 idle). Spread the probe side round-robin first; the |9·points|
+    # shuffle is trivial next to the pair work it parallelizes, and
+    # under a non-broadcast plan the exchange is simply re-keyed.
+    par = max(points.sparkSession.sparkContext.defaultParallelism, 1)
+    if points.rdd.getNumPartitions() < par:
+        a = a.repartition(par)
     b = with_point_cell(points, key, cell_deg).select(
         F.col(key).alias("b_key"),
         F.col("lat").alias("b_lat"),

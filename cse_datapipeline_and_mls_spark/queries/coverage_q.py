@@ -3988,6 +3988,18 @@ def j_fellegi_sunter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
     )
     a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
+    # The part table scans as ONE input split (a few MB of parquet), and
+    # the blocked self-join broadcasts the build side — which leaves the
+    # ENTIRE sum-of-block²/2 pair scoring in a single task (measured at
+    # sf1: 1441 s with one core pinned and 31 idle; 8 noun blocks of
+    # ~25k parts ≈ 2.5e9 comparisons). Spread the probe side round-robin
+    # first: with a broadcast build ANY probe partitioning is valid, so
+    # the pair work fans out across the cluster; under a non-broadcast
+    # plan the exchange is re-keyed on the block key anyway (where AQE
+    # skew-split takes over, per the docstring).
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    if p.rdd.getNumPartitions() < par:
+        a = a.repartition(par)
     b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
     wt = _FS_WEIGHTS
     score = (

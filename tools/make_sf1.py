@@ -46,6 +46,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument(
+        "--disjoint-docs",
+        action="store_true",
+        help="tag every document word with the replica id so replica texts "
+        "are content-DISJOINT (pair counts scale linearly — the right "
+        "corpus for near-dup/minhash checks, same stance as "
+        "scale_smoke.py's dedup_survivors_docs case); the default exact-"
+        "duplicate replication preserves text distributions but is "
+        "ADVERSARIAL for banded near-dup oracles (every doc gains "
+        "replicas-1 identical twins, so candidate pairs grow x replicas^2)",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
@@ -70,6 +81,21 @@ def main() -> None:
                 exprs.append(f"({c} + r.i * {offs[c]}) AS {c}")
             elif t == "events" and c == "ts":
                 exprs.append("CAST(ts AS TIMESTAMP) AS ts")
+            elif t == "documents" and c == "text" and args.disjoint_docs:
+                exprs.append(
+                    "CASE WHEN r.i = 0 THEN text ELSE array_to_string("
+                    "list_transform(string_split(text, ' '), "
+                    "x -> x || 'x' || CAST(r.i AS VARCHAR)), ' ') END AS text"
+                )
+            elif t == "documents" and c == "n_chars" and args.disjoint_docs:
+                # recompute after the word tagging so the metadata column
+                # stays consistent with the text
+                exprs.append(
+                    "CASE WHEN r.i = 0 THEN n_chars ELSE CAST(length("
+                    "array_to_string(list_transform(string_split(text, ' '), "
+                    "x -> x || 'x' || CAST(r.i AS VARCHAR)), ' ')) AS BIGINT) "
+                    "END AS n_chars"
+                )
             elif t == "embeddings" and c == "embedding":
                 # break exact cross-replica distance ties deterministically
                 exprs.append(
