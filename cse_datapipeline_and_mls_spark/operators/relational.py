@@ -238,6 +238,15 @@ def fuzzy_join_blocked(
     rows keep their multiplicity and map-typed payload columns survive.
     """
     tau = int(max_distance)
+    # A dim-sized left side often scans as ONE input split; when the
+    # keyed right side broadcasts, the candidate join inherits that
+    # single partition and every in-block levenshtein runs on one core
+    # (the j_fellegi_sunter_parts sf1 finding — same blocked-self-join
+    # class). Spread BEFORE assigning _lid: monotonically_increasing_id
+    # is partition-dependent, so ids must be minted on the final layout.
+    par = max(left.sparkSession.sparkContext.defaultParallelism, 1)
+    if left.rdd.getNumPartitions() < par:
+        left = left.repartition(par)
     lid = left.withColumn("_lid", F.monotonically_increasing_id())
     rid = right.withColumn("_rid", F.monotonically_increasing_id())
 
