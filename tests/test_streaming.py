@@ -1277,3 +1277,42 @@ def test_erasure_cascade_null_victims_and_recoverable_swap(spark, sf_dir, tmp_pa
     _recover_swap(path)
     assert os.path.exists(path) and not os.path.exists(path + "._stage")
     assert spark.read.parquet(path).count() == n0
+
+
+def test_erasure_audit_alerts_stream_batch_parity(spark, tmp_path):
+    """The governance monitor must flag exactly the suspicious audit
+    rows — broken residual, oversized batch, silent cascade leg — and,
+    being stateless, produce identical rows in stream and batch mode."""
+    rows = [
+        # healthy batch: no alert
+        (0, 3, 5, 12, 7, True),
+        # broken residual invariant
+        (1, 2, 4, 9, 3, False),
+        # oversized victim batch
+        (2, 5000, 10, 20, 30, True),
+        # orders erased but lineitem leg silent
+        (3, 2, 6, 0, 4, True),
+    ]
+    schema = (
+        "batch_id long, n_victims long, n_orders_erased long, "
+        "n_lineitems_erased long, n_events_erased long, residual_consistent boolean"
+    )
+    audit = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "audit")
+    audit.write.parquet(path)
+
+    batch_out = {
+        r["batch_id"]: sorted(r["alert_reasons"])
+        for r in ST.erasure_audit_alerts(spark.read.parquet(path)).collect()
+    }
+    assert set(batch_out) == {1, 2, 3}
+    assert batch_out[1] == ["residual_broken"]
+    assert batch_out[2] == ["victim_volume"]
+    assert batch_out[3] == ["lineitem_leg_silent"]
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    got = ST.run_to_memory_sink(ST.erasure_audit_alerts(stream), "erasure_alerts_test")
+    stream_out = {
+        r["batch_id"]: sorted(r["alert_reasons"]) for r in got.collect()
+    }
+    assert stream_out == batch_out
