@@ -515,9 +515,14 @@ def main() -> None:
         "query": "distinct_segments",
         "first_sec": sentinel_first,
         "last_sec": sentinel_last,
+        # Contention DEGRADES over a run (co-tenant load ramps, thermal
+        # throttling); a last-run slower than the first marks it. The
+        # other direction — first slower than last — is ordinary JIT/
+        # cache warm-up on a quiet box and must NOT trip the flag (the
+        # first close regen after adding the sentinel measured
+        # 0.457 → 0.135 s on a quiet box).
         "contended": bool(
-            max(sentinel_first, sentinel_last)
-            > 2.0 * max(min(sentinel_first, sentinel_last), 1e-9)
+            sentinel_last > 2.0 * max(sentinel_first, 1e-9)
         ),
     }
 
