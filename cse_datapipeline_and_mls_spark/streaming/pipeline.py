@@ -555,12 +555,27 @@ def inverted_index_stream(
 
 
 # Erasure-store layout descriptor + per-table erasure keys. The bucket
-# partition column is pmod(hash(<key>), buckets) — Spark's Murmur3
-# hash, deterministic across sessions, so the ingest layout and every
-# later DSAR batch agree on which partition a key lives in.
+# partition column is pmod(hash(<key> AS BIGINT), buckets) — Spark's
+# Murmur3 hash, deterministic across sessions, so the ingest layout and
+# every later DSAR batch agree on which partition a key lives in.
 _ERASURE_LAYOUT_FILE = "_layout.json"
 _ERASURE_BUCKET_COLS = {"orders": "o_bucket", "lineitem": "l_bucket", "events": "e_bucket"}
 _ERASURE_HASH_KEYS = {"orders": "o_custkey", "lineitem": "l_orderkey", "events": "user_id"}
+# recorded in _layout.json and validated by the DSAR sink: a store
+# bucketed under a different hashing convention must fail loudly, never
+# prune to the wrong partitions
+_ERASURE_KEY_HASH_CAST = "bigint"
+
+
+def _erasure_bucket_expr(key: str, buckets: int):
+    """Bucket id for an erasure key: pmod(Murmur3, buckets) over the key
+    CAST TO BIGINT. Spark's hash() is type-sensitive — hash(int 5) !=
+    hash(bigint 5) — and the DSAR sink prunes with long-typed victim
+    keys, so an ingest layout hashed on a narrower caller type would
+    make pruning miss every victim partition while the residual audit
+    stays green: rows silently survive erasure (ADVICE r13). Both the
+    ingest side and both pruning sites go through this one expression."""
+    return F.pmod(F.hash(F.col(key).cast("long")), F.lit(buckets))
 
 
 def prepare_erasure_store(
@@ -586,11 +601,18 @@ def prepare_erasure_store(
     _os.makedirs(root, exist_ok=True)
     for name, df in (("orders", orders), ("lineitem", lineitem), ("events", events)):
         bcol, key = _ERASURE_BUCKET_COLS[name], _ERASURE_HASH_KEYS[name]
-        df.withColumn(bcol, F.pmod(F.hash(F.col(key)), F.lit(buckets))).write.mode(
+        df.withColumn(bcol, _erasure_bucket_expr(key, buckets)).write.mode(
             "overwrite"
         ).partitionBy(bcol).parquet(f"{root}/{name}")
     with open(f"{root}/{_ERASURE_LAYOUT_FILE}", "w") as fh:
-        _json.dump({"buckets": buckets, "bucket_cols": _ERASURE_BUCKET_COLS}, fh)
+        _json.dump(
+            {
+                "buckets": buckets,
+                "bucket_cols": _ERASURE_BUCKET_COLS,
+                "key_hash_cast": _ERASURE_KEY_HASH_CAST,
+            },
+            fh,
+        )
 
 
 def _recover_swap(path: str) -> None:
@@ -621,19 +643,93 @@ def _recover_swap(path: str) -> None:
 def _recoverable_swap(df: DataFrame, path: str) -> int:
     """Atomically-recoverable replace of the parquet dir at ``path``
     with ``df`` (ADVICE r12 — the old rmtree-then-move left a window
-    where the table existed nowhere). Returns the row count written."""
+    where the table existed nowhere). Returns the row count written,
+    harvested from an ``observe()`` on the stage write itself — no
+    second scan of the staged table (VERDICT r13: the re-read was a
+    full extra pass of every table per DSAR batch on the legacy
+    whole-store path)."""
     import os as _os
     import shutil as _shutil
 
+    from pyspark.sql import Observation
+
     stage, old = path + "._stage", path + "._old"
-    df.write.mode("overwrite").parquet(stage)
-    n = df.sparkSession.read.parquet(stage).count()
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(stage)
+    n = int(obs.get["n"])
     if _os.path.exists(path):
         _os.rename(path, old)
     _shutil.move(stage, path)
     if _os.path.exists(old):
         _shutil.rmtree(old)
     return n
+
+
+def _backup_touched_partitions(path: str, bucket_col: str, touched: list[int]) -> None:
+    """Snapshot the touched partition dirs of ``path`` into
+    ``<path>._bak`` BEFORE a dynamic partition overwrite: the overwrite
+    commits by deleting each old partition dir then moving staged files,
+    so a crash inside commitJob can permanently lose a touched bucket's
+    surviving (non-victim) rows (ADVICE r13 — the partition-scoped
+    sibling of the legacy swap window). The snapshot is hardlinks where
+    the filesystem allows (O(files), never O(bytes) — the scale contract
+    stays |touched buckets|), built under a ``._bak.tmp`` name and
+    RENAMED into place, so an existing ``._bak`` is always complete; its
+    manifest records the touched buckets so recovery can also discard
+    partial output for a touched bucket that had no pre-existing dir."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    def _ln(src: str, dst: str) -> None:
+        try:
+            _os.link(src, dst)
+        except OSError:  # cross-device or FS without hardlinks
+            _shutil.copy2(src, dst)
+
+    tmp, bak = path + "._bak.tmp", path + "._bak"
+    for leftover in (tmp, bak):
+        if _os.path.exists(leftover):
+            _shutil.rmtree(leftover)
+    _os.makedirs(tmp)
+    for b in touched:
+        src = f"{path}/{bucket_col}={b}"
+        if _os.path.isdir(src):
+            _shutil.copytree(src, f"{tmp}/{bucket_col}={b}", copy_function=_ln)
+    with open(f"{tmp}/_manifest.json", "w") as fh:
+        _json.dump({"bucket_col": bucket_col, "touched": list(touched)}, fh)
+    _os.rename(tmp, bak)
+
+
+def _recover_partition_rewrite(path: str) -> None:
+    """Roll back an interrupted partition-scoped rewrite on ``path``
+    (the partition analog of ``_recover_swap``): a complete ``._bak``
+    means the previous batch crashed between backup and cleanup —
+    restore every touched bucket to its pre-batch bytes and clear the
+    backup; the cascade then replays idempotently to the converged
+    store. A ``._bak.tmp`` means the crash happened while SNAPSHOTTING,
+    before any live byte moved — discard it. Called before the DSAR
+    batch reads any partition-scoped table."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    tmp, bak = path + "._bak.tmp", path + "._bak"
+    if _os.path.exists(tmp):
+        _shutil.rmtree(tmp)
+    if not _os.path.exists(bak):
+        return
+    with open(f"{bak}/_manifest.json") as fh:
+        manifest = _json.load(fh)
+    bcol = manifest["bucket_col"]
+    for b in manifest["touched"]:
+        live = f"{path}/{bcol}={b}"
+        if _os.path.exists(live):
+            _shutil.rmtree(live)
+        saved = f"{bak}/{bcol}={b}"
+        if _os.path.exists(saved):
+            _shutil.move(saved, live)
+    _shutil.rmtree(bak)
 
 
 def _rewrite_touched_partitions(
@@ -644,7 +740,11 @@ def _rewrite_touched_partitions(
     read or written (byte-identical, asserted in tests). A touched
     bucket whose rows were ALL erased produces no output partition —
     dynamic overwrite would silently leave it behind, so those
-    directories are removed explicitly. Returns surviving-row count."""
+    directories are removed explicitly. The touched dirs are snapshotted
+    to ``._bak`` first and the snapshot dropped only after the commit +
+    cleanup succeed, so a crash anywhere inside the overwrite is rolled
+    back by ``_recover_partition_rewrite`` on replay (ADVICE r13).
+    Returns surviving-row count."""
     import os as _os
     import shutil as _shutil
 
@@ -654,6 +754,7 @@ def _rewrite_touched_partitions(
     # materialize before overwriting a path the plan reads from
     kept = kept.localCheckpoint(eager=True)
     n = kept.count()
+    _backup_touched_partitions(path, bucket_col, touched)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -665,6 +766,7 @@ def _rewrite_touched_partitions(
         d = f"{path}/{bucket_col}={b}"
         if _os.path.isdir(d):
             _shutil.rmtree(d)
+    _shutil.rmtree(path + "._bak")
     return n
 
 
@@ -727,150 +829,9 @@ def erasure_cascade_stream(
 
     ``stream`` schema: one column ``c_custkey`` (long).
     """
-    import json as _json
-    import os as _os
-
-    paths = {t: store_path.rstrip("/") + f"/{t}" for t in ("orders", "lineitem", "events")}
-    audit_path = store_path.rstrip("/") + "/audit"
-    layout_path = store_path.rstrip("/") + "/" + _ERASURE_LAYOUT_FILE
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        import hashlib as _hashlib
-
-        spark = batch_df.sparkSession
-        marker = store_path.rstrip("/") + "/_last_batch"
-        victims = (
-            batch_df.select("c_custkey")
-            .filter(F.col("c_custkey").isNotNull())
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        # Content fingerprint of the victim batch (bounded: a DSAR batch
-        # is driver-collectable by definition here). The skip requires
-        # BOTH the batch id AND the fingerprint to match the applied
-        # marker: a plain id-watermark would silently drop NEW victims
-        # after a checkpoint reset, where Spark restarts ids at 0 and
-        # re-delivers all source files as one batch (code-review r12).
-        # Re-processing an already-applied victim set is safe — the
-        # cascade is idempotent — so when in doubt we reprocess, never
-        # skip.
-        n_victims = victims.count()
-        if n_victims == 0:
-            # an empty (or all-NULL) DSAR batch erases nothing; skip
-            # before touching the store at all
-            return
-        fp = _hashlib.sha256(
-            ",".join(str(r["c_custkey"]) for r in sorted(victims.collect())).encode()
-        ).hexdigest()
-        if _os.path.exists(marker):
-            with open(marker) as fh:
-                last = _json.load(fh)
-            if batch_id <= last["batch_id"] and fp == last.get("fp"):
-                return
-
-        partitioned = _os.path.exists(layout_path)
-        if partitioned:
-            with open(layout_path) as fh:
-                buckets = int(_json.load(fh)["buckets"])
-            ob, lb, eb = (
-                _ERASURE_BUCKET_COLS["orders"],
-                _ERASURE_BUCKET_COLS["lineitem"],
-                _ERASURE_BUCKET_COLS["events"],
-            )
-            # victim buckets, hashed IN SPARK so they match the ingest
-            # layout bit-for-bit; the collect is bounded by the bucket
-            # count. orders and events share the victim key domain
-            # (o_custkey / user_id are both the customer id).
-            v_bkts = [
-                r["b"]
-                for r in victims.select(
-                    F.pmod(F.hash("c_custkey"), F.lit(buckets)).alias("b")
-                )
-                .distinct()
-                .collect()
-            ]
-            orders = spark.read.parquet(paths["orders"]).filter(F.col(ob).isin(v_bkts))
-            ev = spark.read.parquet(paths["events"]).filter(F.col(eb).isin(v_bkts))
-            vo = orders.join(
-                victims, orders["o_custkey"] == victims["c_custkey"], "left_semi"
-            ).localCheckpoint(eager=True)
-            l_bkts = [
-                r["b"]
-                for r in vo.select(
-                    F.pmod(F.hash("o_orderkey"), F.lit(buckets)).alias("b")
-                )
-                .distinct()
-                .collect()
-            ]
-            li = spark.read.parquet(paths["lineitem"]).filter(F.col(lb).isin(l_bkts))
-        else:
-            # finish any interrupted swap BEFORE reading (ADVICE r12:
-            # a crash mid-swap must wedge nothing)
-            for t in paths.values():
-                _recover_swap(t)
-            orders = spark.read.parquet(paths["orders"])
-            li = spark.read.parquet(paths["lineitem"])
-            ev = spark.read.parquet(paths["events"])
-            vo = orders.join(
-                victims, orders["o_custkey"] == victims["c_custkey"], "left_semi"
-            ).localCheckpoint(eager=True)
-
-        # audited scope: whole tables (legacy) / touched partitions only
-        totals = {t: df.count() for t, df in (("orders", orders), ("lineitem", li), ("events", ev))}
-        o_kept = orders.join(
-            victims, orders["o_custkey"] == victims["c_custkey"], "left_anti"
-        )
-        l_kept = li.join(vo, li["l_orderkey"] == vo["o_orderkey"], "left_anti")
-        e_kept = ev.join(
-            victims, ev["user_id"] == victims["c_custkey"], "left_anti"
-        )
-        # Erased counts measured INDEPENDENTLY (semi-join side), never
-        # derived as total - kept: a derived count makes the residual
-        # boolean a tautology that can never fire (code-review r12).
-        erased = {
-            "orders": vo.count(),
-            "lineitem": li.join(
-                vo, li["l_orderkey"] == vo["o_orderkey"], "left_semi"
-            ).count(),
-            "events": ev.join(
-                victims, ev["user_id"] == victims["c_custkey"], "left_semi"
-            ).count(),
-        }
-
-        # Rewrite LEAF tables first, the root (orders) LAST: the
-        # lineitem cascade key set is recomputed from the orders table
-        # on a crash replay, so if orders rewrote before lineitem and
-        # the marker was never written, the replay would find the
-        # victims' orders already gone and orphan their lineitems
-        # forever (code-review r12). Leaf-first, any crash point
-        # replays to a converged store.
-        kept = {}
-        if partitioned:
-            for t, df, bcol, touched in (
-                ("lineitem", l_kept, lb, l_bkts),
-                ("events", e_kept, eb, v_bkts),
-                ("orders", o_kept, ob, v_bkts),
-            ):
-                kept[t] = _rewrite_touched_partitions(df, paths[t], bcol, touched)
-        else:
-            for t, df in (("lineitem", l_kept), ("events", e_kept), ("orders", o_kept)):
-                kept[t] = _recoverable_swap(df, paths[t])
-
-        residual_ok = all(kept[t] + erased[t] == totals[t] for t in totals)
-        spark.createDataFrame(
-            [(
-                int(batch_id),
-                n_victims,
-                erased["orders"],
-                erased["lineitem"],
-                erased["events"],
-                residual_ok,
-            )],
-            "batch_id long, n_victims long, n_orders_erased long, "
-            "n_lineitems_erased long, n_events_erased long, residual_consistent boolean",
-        ).write.mode("append").parquet(audit_path)
-        with open(marker, "w") as fh:
-            _json.dump({"batch_id": batch_id, "fp": fp}, fh)
+        apply_erasure_batch(batch_df, batch_id, store_path)
 
     writer = stream.writeStream.outputMode("append").foreachBatch(upsert)
     if checkpoint_dir is not None:
@@ -878,6 +839,178 @@ def erasure_cascade_stream(
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def apply_erasure_batch(batch_df: DataFrame, batch_id: int, store_path: str) -> None:
+    """One DSAR batch of ``erasure_cascade_stream``, callable in batch
+    mode: the foreachBatch body extracted to module level (VERDICT r13
+    #7) so the partition-scoped erasure path can run under the DuckDB
+    oracle sweep (queries/curation_q.x_erasure_store_dsar_batch), not
+    pytest alone. Semantics, replay protocol, and crash recovery are
+    documented on ``erasure_cascade_stream`` — this IS that function's
+    per-batch body."""
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+
+    paths = {t: store_path.rstrip("/") + f"/{t}" for t in ("orders", "lineitem", "events")}
+    audit_path = store_path.rstrip("/") + "/audit"
+    layout_path = store_path.rstrip("/") + "/" + _ERASURE_LAYOUT_FILE
+
+    spark = batch_df.sparkSession
+    marker = store_path.rstrip("/") + "/_last_batch"
+    victims = (
+        batch_df.select("c_custkey")
+        .filter(F.col("c_custkey").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Content fingerprint of the victim batch (bounded: a DSAR batch
+    # is driver-collectable by definition here). The skip requires
+    # BOTH the batch id AND the fingerprint to match the applied
+    # marker: a plain id-watermark would silently drop NEW victims
+    # after a checkpoint reset, where Spark restarts ids at 0 and
+    # re-delivers all source files as one batch (code-review r12).
+    # Re-processing an already-applied victim set is safe — the
+    # cascade is idempotent — so when in doubt we reprocess, never
+    # skip.
+    n_victims = victims.count()
+    if n_victims == 0:
+        # an empty (or all-NULL) DSAR batch erases nothing; skip
+        # before touching the store at all
+        return
+    fp = _hashlib.sha256(
+        ",".join(str(r["c_custkey"]) for r in sorted(victims.collect())).encode()
+    ).hexdigest()
+    if _os.path.exists(marker):
+        with open(marker) as fh:
+            last = _json.load(fh)
+        if batch_id <= last["batch_id"] and fp == last.get("fp"):
+            return
+
+    partitioned = _os.path.exists(layout_path)
+    if partitioned:
+        with open(layout_path) as fh:
+            layout = _json.load(fh)
+        # fail LOUDLY on a layout whose bucketing convention this
+        # sink does not share: pruning against mismatched hashes
+        # misses every victim partition while the residual audit
+        # stays green — a silent compliance failure (ADVICE r13)
+        if layout.get("key_hash_cast") != _ERASURE_KEY_HASH_CAST:
+            raise ValueError(
+                f"erasure store at {store_path} was bucketed with "
+                f"key_hash_cast={layout.get('key_hash_cast')!r}, this sink "
+                f"prunes with {_ERASURE_KEY_HASH_CAST!r} — re-run "
+                "prepare_erasure_store; pruning a mismatched layout would "
+                "silently skip victim partitions"
+            )
+        buckets = int(layout["buckets"])
+        ob, lb, eb = (
+            _ERASURE_BUCKET_COLS["orders"],
+            _ERASURE_BUCKET_COLS["lineitem"],
+            _ERASURE_BUCKET_COLS["events"],
+        )
+        # roll back any rewrite a previous batch left half-committed
+        # BEFORE reading (the partition-scoped analog of
+        # _recover_swap on the legacy path, ADVICE r13)
+        for t in paths.values():
+            _recover_partition_rewrite(t)
+        # victim buckets, hashed IN SPARK via the same expression as
+        # the ingest layout so they match bit-for-bit; the collect is
+        # bounded by the bucket count. orders and events share the
+        # victim key domain (o_custkey / user_id are both the
+        # customer id).
+        v_bkts = [
+            r["b"]
+            for r in victims.select(
+                _erasure_bucket_expr("c_custkey", buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        orders = spark.read.parquet(paths["orders"]).filter(F.col(ob).isin(v_bkts))
+        ev = spark.read.parquet(paths["events"]).filter(F.col(eb).isin(v_bkts))
+        vo = orders.join(
+            victims, orders["o_custkey"] == victims["c_custkey"], "left_semi"
+        ).localCheckpoint(eager=True)
+        l_bkts = [
+            r["b"]
+            for r in vo.select(
+                _erasure_bucket_expr("o_orderkey", buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        li = spark.read.parquet(paths["lineitem"]).filter(F.col(lb).isin(l_bkts))
+    else:
+        # finish any interrupted swap BEFORE reading (ADVICE r12:
+        # a crash mid-swap must wedge nothing)
+        for t in paths.values():
+            _recover_swap(t)
+        orders = spark.read.parquet(paths["orders"])
+        li = spark.read.parquet(paths["lineitem"])
+        ev = spark.read.parquet(paths["events"])
+        vo = orders.join(
+            victims, orders["o_custkey"] == victims["c_custkey"], "left_semi"
+        ).localCheckpoint(eager=True)
+
+    # audited scope: whole tables (legacy) / touched partitions only
+    totals = {t: df.count() for t, df in (("orders", orders), ("lineitem", li), ("events", ev))}
+    o_kept = orders.join(
+        victims, orders["o_custkey"] == victims["c_custkey"], "left_anti"
+    )
+    l_kept = li.join(vo, li["l_orderkey"] == vo["o_orderkey"], "left_anti")
+    e_kept = ev.join(
+        victims, ev["user_id"] == victims["c_custkey"], "left_anti"
+    )
+    # Erased counts measured INDEPENDENTLY (semi-join side), never
+    # derived as total - kept: a derived count makes the residual
+    # boolean a tautology that can never fire (code-review r12).
+    erased = {
+        "orders": vo.count(),
+        "lineitem": li.join(
+            vo, li["l_orderkey"] == vo["o_orderkey"], "left_semi"
+        ).count(),
+        "events": ev.join(
+            victims, ev["user_id"] == victims["c_custkey"], "left_semi"
+        ).count(),
+    }
+
+    # Rewrite LEAF tables first, the root (orders) LAST: the
+    # lineitem cascade key set is recomputed from the orders table
+    # on a crash replay, so if orders rewrote before lineitem and
+    # the marker was never written, the replay would find the
+    # victims' orders already gone and orphan their lineitems
+    # forever (code-review r12). Leaf-first, any crash point
+    # replays to a converged store.
+    kept = {}
+    if partitioned:
+        for t, df, bcol, touched in (
+            ("lineitem", l_kept, lb, l_bkts),
+            ("events", e_kept, eb, v_bkts),
+            ("orders", o_kept, ob, v_bkts),
+        ):
+            kept[t] = _rewrite_touched_partitions(df, paths[t], bcol, touched)
+    else:
+        for t, df in (("lineitem", l_kept), ("events", e_kept), ("orders", o_kept)):
+            kept[t] = _recoverable_swap(df, paths[t])
+
+    residual_ok = all(kept[t] + erased[t] == totals[t] for t in totals)
+    spark.createDataFrame(
+        [(
+            int(batch_id),
+            n_victims,
+            erased["orders"],
+            erased["lineitem"],
+            erased["events"],
+            residual_ok,
+        )],
+        "batch_id long, n_victims long, n_orders_erased long, "
+        "n_lineitems_erased long, n_events_erased long, residual_consistent boolean",
+    ).write.mode("append").parquet(audit_path)
+    with open(marker, "w") as fh:
+        _json.dump({"batch_id": batch_id, "fp": fp}, fh)
+
 
 
 def erasure_audit_alerts(
@@ -892,9 +1025,18 @@ def erasure_audit_alerts(
     disagree and the pipeline must page a human, (b) a DSAR batch
     erasing more victims or rows than the configured compliance bound
     (bulk-delete mistakes look exactly like oversized DSAR batches),
-    and (c) a batch that erased orders but no events or vice versa with
-    victims present — a cascade leg silently matching nothing (schema
-    drift on a join key). Stateless (T3-class): every flag is a
+    and (c) a silent cascade leg, in every direction (ADVICE r13): a
+    batch that erased orders but no lineitems (``lineitem_leg_silent``),
+    orders but no events (``events_leg_silent``), or child/log rows with
+    ZERO orders (``orders_leg_silent`` — the reverse case: the root leg
+    matched nothing while a dependent leg did, which should be
+    impossible when lineitems cascade FROM the victims' orders). Each
+    leg-silent flag can false-positive on a victim whose orders
+    genuinely have no lineitems or who never emitted events — that is
+    intended monitor behavior: the flags are advisory review queues for
+    schema drift on a join key, not automated verdicts, and a reviewer
+    dismisses the benign case in seconds while the drift case would
+    otherwise stay green forever. Stateless (T3-class): every flag is a
     predicate over one audit row, so the monitor runs identically as a
     stream over ``<store>/audit`` or as a batch query over the same
     files — the stream/batch parity stance of the rest of the module.
@@ -902,6 +1044,7 @@ def erasure_audit_alerts(
     total_erased = (
         F.col("n_orders_erased") + F.col("n_lineitems_erased") + F.col("n_events_erased")
     )
+    victims_present = F.col("n_victims") > 0
     reasons = F.array_compact(
         F.array(
             F.when(~F.col("residual_consistent"), F.lit("residual_broken")),
@@ -910,10 +1053,25 @@ def erasure_audit_alerts(
             ),
             F.when(total_erased > max_erased_per_batch, F.lit("erased_volume")),
             F.when(
-                (F.col("n_victims") > 0)
+                victims_present
                 & (F.col("n_orders_erased") > 0)
                 & (F.col("n_lineitems_erased") == 0),
                 F.lit("lineitem_leg_silent"),
+            ),
+            F.when(
+                victims_present
+                & (F.col("n_orders_erased") > 0)
+                & (F.col("n_events_erased") == 0),
+                F.lit("events_leg_silent"),
+            ),
+            F.when(
+                victims_present
+                & (F.col("n_orders_erased") == 0)
+                & (
+                    (F.col("n_lineitems_erased") > 0)
+                    | (F.col("n_events_erased") > 0)
+                ),
+                F.lit("orders_leg_silent"),
             ),
         )
     )

@@ -1292,6 +1292,12 @@ def test_erasure_audit_alerts_stream_batch_parity(spark, tmp_path):
         (2, 5000, 10, 20, 30, True),
         # orders erased but lineitem leg silent
         (3, 2, 6, 0, 4, True),
+        # orders erased but events leg silent (ADVICE r13)
+        (4, 2, 6, 12, 0, True),
+        # reverse: child/log rows erased with ZERO orders (ADVICE r13)
+        (5, 2, 0, 5, 3, True),
+        # both dependent legs silent at once
+        (6, 2, 6, 0, 0, True),
     ]
     schema = (
         "batch_id long, n_victims long, n_orders_erased long, "
@@ -1305,10 +1311,13 @@ def test_erasure_audit_alerts_stream_batch_parity(spark, tmp_path):
         r["batch_id"]: sorted(r["alert_reasons"])
         for r in ST.erasure_audit_alerts(spark.read.parquet(path)).collect()
     }
-    assert set(batch_out) == {1, 2, 3}
+    assert set(batch_out) == {1, 2, 3, 4, 5, 6}
     assert batch_out[1] == ["residual_broken"]
     assert batch_out[2] == ["victim_volume"]
     assert batch_out[3] == ["lineitem_leg_silent"]
+    assert batch_out[4] == ["events_leg_silent"]
+    assert batch_out[5] == ["orders_leg_silent"]
+    assert batch_out[6] == ["events_leg_silent", "lineitem_leg_silent"]
 
     stream = spark.readStream.schema(schema).parquet(path)
     got = ST.run_to_memory_sink(ST.erasure_audit_alerts(stream), "erasure_alerts_test")
@@ -1316,3 +1325,187 @@ def test_erasure_audit_alerts_stream_batch_parity(spark, tmp_path):
         r["batch_id"]: sorted(r["alert_reasons"]) for r in got.collect()
     }
     assert stream_out == batch_out
+
+
+def test_erasure_store_int_typed_keys_still_pruned(spark, sf_dir, tmp_path):
+    """ADVICE r13: Spark hash() is type-sensitive (hash(int 5) !=
+    hash(bigint 5)). A store prepared from INT-typed keys must still be
+    pruned correctly by a DSAR batch carrying LONG victim ids — both
+    sides hash through the shared cast-to-bigint expression. Pre-fix,
+    pruning missed every victim partition while the residual audit
+    stayed green (rows silently survived erasure)."""
+    from cse_datapipeline_and_mls_spark.sources import load_table
+
+    store = str(tmp_path / "istore")
+    src = str(tmp_path / "dsar")
+    orders0 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        F.col("o_custkey").cast("int").alias("o_custkey"),
+    )
+    li0 = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("int").alias("l_orderkey")
+    )
+    ev0 = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("int").alias("user_id"), "event_id"
+    )
+    ST.prepare_erasure_store(orders0, li0, ev0, store, buckets=16)
+
+    victim = int(orders0.select("o_custkey").first()[0])
+    n_victim_orders = orders0.filter(F.col("o_custkey") == victim).count()
+    assert n_victim_orders > 0
+    spark.createDataFrame([(victim,)], "c_custkey long").write.parquet(src)
+    from pyspark.sql import types as T
+
+    st = T.StructType([T.StructField("c_custkey", T.LongType())])
+    q = ST.erasure_cascade_stream(
+        spark.readStream.schema(st).parquet(src), store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    ex = q.exception()
+    q.stop()
+    assert ex is None
+    assert (
+        spark.read.parquet(store + "/orders")
+        .filter(F.col("o_custkey") == victim)
+        .count()
+        == 0
+    )
+    audit = spark.read.parquet(store + "/audit").collect()
+    assert len(audit) == 1
+    assert audit[0]["n_orders_erased"] == n_victim_orders
+    assert audit[0]["residual_consistent"]
+
+
+def test_erasure_store_layout_hash_mismatch_fails_loudly(spark, sf_dir, tmp_path):
+    """A store whose _layout.json lacks (or disagrees on) the
+    key_hash_cast convention must kill the DSAR stream with a loud
+    error — pruning a mismatched layout would silently skip victim
+    partitions (ADVICE r13)."""
+    import json
+    import os
+
+    from cse_datapipeline_and_mls_spark.sources import load_table
+
+    store = str(tmp_path / "mstore")
+    src = str(tmp_path / "dsar")
+    orders0 = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li0 = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    ev0 = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    ST.prepare_erasure_store(orders0, li0, ev0, store, buckets=8)
+    # simulate a pre-fix store: strip the recorded hashing convention
+    with open(os.path.join(store, "_layout.json")) as fh:
+        layout = json.load(fh)
+    del layout["key_hash_cast"]
+    with open(os.path.join(store, "_layout.json"), "w") as fh:
+        json.dump(layout, fh)
+
+    victim = int(orders0.select("o_custkey").first()[0])
+    spark.createDataFrame([(victim,)], "c_custkey long").write.parquet(src)
+    from pyspark.sql import types as T
+
+    st = T.StructType([T.StructField("c_custkey", T.LongType())])
+    q = ST.erasure_cascade_stream(
+        spark.readStream.schema(st).parquet(src), store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        ex = q.exception()
+    except Exception as caught:  # processAllAvailable may surface it directly
+        ex = caught
+    finally:
+        q.stop()
+    assert ex is not None and "key_hash_cast" in str(ex)
+    # and nothing was erased from the store
+    assert spark.read.parquet(store + "/orders").filter(
+        F.col("o_custkey") == victim
+    ).count() > 0
+
+
+def test_partition_rewrite_crash_recovery(spark, sf_dir, tmp_path):
+    """ADVICE r13: dynamic partition overwrite commits delete-then-move
+    per partition, so a crash inside commitJob can lose a touched
+    bucket's surviving rows. The rewrite snapshots touched dirs to
+    '._bak' first; _recover_partition_rewrite must restore every crash
+    state byte-identically, and the DSAR replay must then converge."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from cse_datapipeline_and_mls_spark.sources import load_table
+    from cse_datapipeline_and_mls_spark.streaming.pipeline import (
+        _backup_touched_partitions,
+        _recover_partition_rewrite,
+    )
+
+    store = str(tmp_path / "cstore")
+    orders0 = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li0 = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    ev0 = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    ST.prepare_erasure_store(orders0, li0, ev0, store, buckets=16)
+    path = store + "/orders"
+
+    def snap():
+        return {
+            f: hashlib.sha1(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+        }
+
+    before = snap()
+    touched = [3, 5]
+    # crash state 1: backup complete, commitJob wiped one touched bucket
+    # and left partial output in another
+    _backup_touched_partitions(path, "o_bucket", touched)
+    shutil.rmtree(f"{path}/o_bucket=3")
+    for f in glob.glob(f"{path}/o_bucket=5/*.parquet")[:1]:
+        os.remove(f)
+    _recover_partition_rewrite(path)
+    assert snap() == before
+    assert not os.path.exists(path + "._bak")
+
+    # crash state 2: mid-snapshot ('._bak.tmp') — live table untouched,
+    # tmp must be discarded
+    _backup_touched_partitions(path, "o_bucket", [3])
+    os.rename(path + "._bak", path + "._bak.tmp")
+    _recover_partition_rewrite(path)
+    assert snap() == before
+    assert not os.path.exists(path + "._bak.tmp")
+
+    # crash state 3: a touched bucket that had NO pre-existing dir got
+    # partial output — recovery must remove it entirely
+    ghost = 9999  # bucket id outside the real layout
+    _backup_touched_partitions(path, "o_bucket", [ghost])
+    os.makedirs(f"{path}/o_bucket={ghost}", exist_ok=True)
+    with open(f"{path}/o_bucket={ghost}/part-junk.parquet", "wb") as fh:
+        fh.write(b"partial")
+    _recover_partition_rewrite(path)
+    assert not os.path.exists(f"{path}/o_bucket={ghost}")
+    assert snap() == before
+
+    # end to end: leave a crash state behind, then run a real DSAR batch
+    # — the sink's recovery pass must roll back before pruning, and the
+    # batch must converge to the whole-store cascade reference
+    victim = int(orders0.select("o_custkey").first()[0])
+    _backup_touched_partitions(path, "o_bucket", touched)
+    shutil.rmtree(f"{path}/o_bucket=3")
+    src = str(tmp_path / "dsar")
+    spark.createDataFrame([(victim,)], "c_custkey long").write.parquet(src)
+    from pyspark.sql import types as T
+
+    st = T.StructType([T.StructField("c_custkey", T.LongType())])
+    q = ST.erasure_cascade_stream(
+        spark.readStream.schema(st).parquet(src), store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    ex = q.exception()
+    q.stop()
+    assert ex is None
+    vdf = spark.createDataFrame([(victim,)], "c_custkey long")
+    ref = orders0.join(vdf, orders0["o_custkey"] == vdf["c_custkey"], "left_anti")
+    live = spark.read.parquet(path)
+    assert live.count() == ref.count()
+    assert live.select("o_orderkey", "o_custkey").exceptAll(ref).count() == 0
+    assert not os.path.exists(path + "._bak")

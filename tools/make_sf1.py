@@ -47,6 +47,19 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument(
+        "--stable-parts",
+        action="store_true",
+        help="keep ITEM identity stable across replicas for basket data "
+        "(VERDICT r13 #3): part is copied once un-replicated and l_partkey "
+        "is NOT shifted, so each replicated order basket holds the same "
+        "item ids as its base order — per-itemset supports then scale "
+        "with the corpus exactly like FP-Growth's minCount does, and the "
+        "sf1 frequent set is the sf0.1 set with freq x replicas instead "
+        "of empty. Use this corpus for basket-mining rows "
+        "(ml_fpgrowth_itemsets); the default key-shifted corpus is the "
+        "right one for everything else (part-side joins see 10x dims)",
+    )
+    ap.add_argument(
         "--disjoint-docs",
         action="store_true",
         help="tag every document word with the replica id so replica texts "
@@ -61,14 +74,21 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
 
-    for t in COPY_AS_IS:
+    offsets = {t: dict(o) for t, o in OFFSETS.items()}
+    copy_as_is = list(COPY_AS_IS)
+    if args.stable_parts:
+        copy_as_is.append("part")
+        del offsets["part"]
+        del offsets["lineitem"]["l_partkey"]
+
+    for t in copy_as_is:
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
             f"TO '{args.out}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(t, "copied")
 
-    for t, offs in OFFSETS.items():
+    for t, offs in offsets.items():
         cols = [
             r[0]
             for r in con.execute(

@@ -41,10 +41,24 @@ def main() -> int:
             print(f"SKIP {name}: not registered", flush=True)
             continue
         fired = threading.Event()
+        cancelled = threading.Event()
 
-        def watchdog() -> None:
+        # Cancellation is scoped to THIS query's job group, and TIMEOUT
+        # is classified on whether the watchdog actually fired — never
+        # inferred from elapsed time (ADVICE r13: a genuine failure
+        # surfacing after cap seconds was misreported as TIMEOUT, and a
+        # racing cancelAllJobs could kill the NEXT query's jobs).
+        sc.setJobGroup(name, f"sf1 sweep: {name}", interruptOnCancel=True)
+
+        def watchdog(group: str = name) -> None:
             if not fired.wait(args.cap):
-                sc.cancelAllJobs()
+                cancelled.set()
+                # cancelJobGroup kills only ACTIVE jobs; an iterative
+                # algorithm just launches its next job — keep cancelling
+                # until the query thread has actually errored out
+                while not fired.is_set():
+                    sc.cancelJobGroup(group)
+                    fired.wait(2.0)
 
         w = threading.Thread(target=watchdog, daemon=True)
         w.start()
@@ -53,15 +67,18 @@ def main() -> int:
             QUERIES[name](spark, args.sf).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 1)
             results[name] = dt
-            print(f"OK      {name}: {dt}s", flush=True)
+            note = " (watchdog fired but query completed)" if cancelled.is_set() else ""
+            print(f"OK      {name}: {dt}s{note}", flush=True)
         except Exception as exc:  # cancelled or genuine failure
             dt = round(time.time() - t0, 1)
-            kind = "TIMEOUT" if dt >= args.cap else "ERROR"
+            kind = "TIMEOUT" if cancelled.is_set() else "ERROR"
             results[name] = f"{kind}@{dt}s"
             print(f"{kind} {name}: {dt}s {str(exc).splitlines()[0][:160]}", flush=True)
         finally:
             fired.set()
-            w.join(timeout=1)
+            # full join: a watchdog mid-cancel must finish before the
+            # next query starts (its cancel is group-scoped anyway)
+            w.join()
     slow = {k: v for k, v in results.items() if not isinstance(v, float) or v > args.cap / 3}
     print("\nworst rows:", dict(sorted(slow.items(), key=lambda kv: str(kv[1]), reverse=True)))
     return 0
