@@ -601,7 +601,13 @@ def prepare_erasure_store(
     _os.makedirs(root, exist_ok=True)
     for name, df in (("orders", orders), ("lineitem", lineitem), ("events", events)):
         bcol, key = _ERASURE_BUCKET_COLS[name], _ERASURE_HASH_KEYS[name]
-        df.withColumn(bcol, _erasure_bucket_expr(key, buckets)).write.mode(
+        # cluster by bucket BEFORE the partitioned write: without it every
+        # input task writes a file into every bucket dir (tasks × buckets
+        # small files); clustered, each bucket is one file — the layout a
+        # pruned read wants. At 100 TB size buckets to a few GB and let
+        # maxRecordsPerFile split within a bucket.
+        bucketed = df.withColumn(bcol, _erasure_bucket_expr(key, buckets))
+        bucketed.repartition(buckets, F.col(bcol)).write.mode(
             "overwrite"
         ).partitionBy(bcol).parquet(f"{root}/{name}")
     with open(f"{root}/{_ERASURE_LAYOUT_FILE}", "w") as fh:
@@ -758,7 +764,11 @@ def _rewrite_touched_partitions(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        kept.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
+        # cluster by bucket so each rewritten partition is one file (same
+        # stance as prepare_erasure_store's ingest write)
+        kept.repartition(max(len(touched), 1), F.col(bucket_col)).write.mode(
+            "overwrite"
+        ).partitionBy(bucket_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     kept_buckets = {r[0] for r in kept.select(bucket_col).distinct().collect()}
