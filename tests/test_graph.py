@@ -281,14 +281,25 @@ def test_pagerank_warm_start_converges_faster_after_perturbation(spark):
 
 def test_pagerank_empty_graph_releases_persist(spark):
     """ADVICE r5: the empty-graph early return on the persist path must
-    unpersist the edge cache, not leave a catalog-held entry per call."""
+    unpersist the edge cache, not leave a catalog-held entry per call.
+    Compared by RDD ID, not catalog SIZE: earlier tests' caches
+    unpersist ASYNCHRONOUSLY, so the count can legitimately drop while
+    this test runs (r14 close saw 52 → 44) — the invariant is that no
+    NEW entry created by this call survives it."""
     from cse_datapipeline_and_mls_spark.operators.graph import pagerank
 
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    def persistent_ids() -> set:
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    before = persistent_ids()
     empty = spark.createDataFrame([], "src long, dst long")
     out = pagerank(empty, iters=2, edge_storage="persist")
     assert out.count() == 0
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+    leaked = persistent_ids() - before
+    assert not leaked, f"empty-graph pagerank left persistent RDDs: {leaked}"
 
 
 def test_personalized_pagerank_concentrates_on_seeds(spark):
