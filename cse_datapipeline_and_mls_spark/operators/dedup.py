@@ -157,7 +157,16 @@ def minhash_neardup_pairs(
     feats = tf.transform(sh)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_dist")
+    # Signatures computed ONCE (r14 optimization): approxSimilarityJoin
+    # transforms any input missing the hashes column, so an
+    # untransformed frame on both sides re-runs the shingle+TF+MinHash
+    # pipeline per side (plus the fit's probe) — three corpus passes.
+    # Pre-transform and materialize; the join then reads the narrow
+    # (id, features, hashes) table twice from the checkpoint.
+    keyed = model.transform(feats).select(id_col, "features", "hashes").localCheckpoint(
+        eager=True
+    )
+    pairs = model.approxSimilarityJoin(keyed, keyed, 1.0 - jaccard_threshold, distCol="jaccard_dist")
     return (
         pairs.select(
             F.col(f"datasetA.{id_col}").alias("id_a"),
@@ -252,6 +261,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_bands: int = 4,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs where hamming(simhash_a, simhash_b) ≤ max_hamming.
 
@@ -265,6 +275,16 @@ def simhash_neardup_pairs(
     differing bits and b bands, some band is untouched only when h < b.
     A looser max_hamming would silently miss qualifying pairs, so it is
     rejected here rather than returning incomplete candidates.
+
+    ``sig`` (r14 optimization): optional precomputed (id_col, simhash)
+    frame — a SimHash is a pure function of its own text, so a caller
+    that already holds signatures (e.g. the incremental query computing
+    full-vs-incremental parity, which otherwise folds the corpus 3×)
+    passes them here and the fold is skipped. When absent, signatures
+    are computed once and localCheckpoint-ed: the band table feeds BOTH
+    sides of the candidate self-join and an unmaterialized plan would
+    run the 64-bit token fold twice (no ReusedExchange in the committed
+    before-plan).
     """
     if max_hamming > n_bands - 1:
         raise ValueError(
@@ -274,9 +294,12 @@ def simhash_neardup_pairs(
         )
     if 64 % n_bands != 0:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
-    sh = with_simhash(
-        _ensure_min_parallelism(df.select(id_col, text_col)), text_col
-    ).select(id_col, "simhash")
+    if sig is not None:
+        sh = sig.select(id_col, "simhash")
+    else:
+        sh = with_simhash(
+            _ensure_min_parallelism(df.select(id_col, text_col)), text_col
+        ).select(id_col, "simhash").localCheckpoint(eager=True)
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
     bands = sh.select(
@@ -342,32 +365,43 @@ def ngram_jaccard_pairs(
                 f"Use minhash_neardup_pairs / simhash_neardup_pairs for "
                 f"production-scale corpora, or pass max_rows=None to force it."
             )
-    sh = shingle(
-        _ensure_min_parallelism(df.select(id_col, text_col)), text_col, n=n
-    ).filter(F.size("shingles") > 0)
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("sz"))
+    # ONE shingle pass (r14 optimization): the exploded gram table is
+    # materialized once and each row carries its document's distinct-
+    # shingle count. Before, the lazy plan re-derived the whole
+    # normalize+shingle+explode chain FOUR times (a-side, b-side, and
+    # the two size frames — zero ReusedExchange in the committed
+    # before-plan), and paid two extra |pairs|-row joins to re-attach
+    # sizes. Now: sizes ride the gram rows (+8 bytes/row through the
+    # g-shuffle, guide §2.3's trade — far cheaper than two corpus-scan
+    # re-derivations + two joins) and are folded into the pair
+    # aggregation with min() (sz is constant per id, so min is exact).
     # join on the 8-byte xxhash64 of each shingle, not the shingle
     # string: intersection counts only need equality, so the shuffle
     # carries fixed-width keys instead of n-word strings (measured ~2×
     # at sf0.1) — identical pairs/Jaccard absent collisions, the same
     # fingerprint contract as exact_dedup_by_content
-    ex = sh.select(id_col, F.explode("shingles").alias("_g")).select(
-        id_col, F.xxhash64("_g").alias("g")
+    sh = shingle(
+        _ensure_min_parallelism(df.select(id_col, text_col)), text_col, n=n
+    ).filter(F.size("shingles") > 0)
+    ex = (
+        sh.select(id_col, F.size("shingles").alias("sz"), F.explode("shingles").alias("_g"))
+        .select(id_col, "sz", F.xxhash64("_g").alias("g"))
+        .localCheckpoint(eager=True)
     )
-    a = ex.select(F.col(id_col).alias("id_a"), "g")
-    b = ex.select(F.col(id_col).alias("id_b"), "g")
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "g")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "g")
     inter = (
         a.join(b, on="g")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("sz_a").alias("sz_a"),
+            F.min("sz_b").alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             # q6, not F.round: integer-ratio jaccards (odd/2^k) sit exactly
@@ -419,27 +453,32 @@ def ngram_containment_self_pairs(
                 f"Screen with minhash_neardup_pairs and re-check its candidates, "
                 f"or pass max_rows=None to force it."
             )
+    # Same one-shingle-pass + fused-size shape as ngram_jaccard_pairs
+    # (r14 optimization): the exploded gram table materializes once with
+    # sz riding each row; sizes fold into the pair aggregation (min of a
+    # per-id constant), deleting two joins and three re-derivations.
     sh = shingle(
         _ensure_min_parallelism(df.select(id_col, text_col)), text_col, n=n
     ).filter(F.size("shingles") > 0)
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("sz"))
-    ex = sh.select(id_col, F.explode("shingles").alias("_g")).select(
-        id_col, F.xxhash64("_g").alias("g")
+    ex = (
+        sh.select(id_col, F.size("shingles").alias("sz"), F.explode("shingles").alias("_g"))
+        .select(id_col, "sz", F.xxhash64("_g").alias("g"))
+        .localCheckpoint(eager=True)
     )
-    a = ex.select(F.col(id_col).alias("id_a"), "g")
-    b = ex.select(F.col(id_col).alias("id_b"), "g")
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "g")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "g")
     inter = (
         a.join(b, on="g")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("sz_a").alias("sz_a"),
+            F.min("sz_b").alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             q6(F.col("n_inter") / F.col("sz_a")).alias("cont_a_in_b"),
@@ -777,22 +816,31 @@ def ngram_containment_pairs(
     ~one row per (shared gram, train doc). Pairs below ``min_shared``
     common grams are dropped before the size join to keep noise out.
     """
+    # Eval-side sizes ride the gram rows and fold into the pair
+    # aggregation (r14 optimization, the ngram_jaccard_pairs shape):
+    # before, the eval corpus was shingled twice (size frame + gram
+    # explode) and the sizes re-attached with an extra |pairs| join.
+    # The eval side is benchmark-sized, so the +8 bytes/gram through
+    # the g-shuffle is noise; the deleted second shingle pass is not.
     ev = shingle(eval_df.select(id_col, text_col), text_col, n=n).filter(
         F.size("shingles") > 0
     )
     tr = shingle(train_df.select(id_col, text_col), text_col, n=n).filter(
         F.size("shingles") > 0
     )
-    ev_sizes = ev.select(F.col(id_col).alias("eval_id"), F.size("shingles").alias("sz_e"))
-    a = ev.select(F.col(id_col).alias("eval_id"), F.explode("shingles").alias("g"))
+    a = ev.select(
+        F.col(id_col).alias("eval_id"),
+        F.size("shingles").alias("sz_e"),
+        F.explode("shingles").alias("g"),
+    )
     b = tr.select(F.col(id_col).alias("train_id"), F.explode("shingles").alias("g"))
     inter = (
         a.join(b, on="g")
         .groupBy("eval_id", "train_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"), F.min("sz_e").alias("sz_e"))
         .filter(F.col("n_shared") >= min_shared)
     )
-    return inter.join(ev_sizes, "eval_id").select(
+    return inter.select(
         "eval_id",
         "train_id",
         "n_shared",
@@ -858,8 +906,16 @@ def minhash_neardup_incremental(
     )
     model = lsh.fit(bf)  # data-independent hash family (seed-pinned)
     thresh = 1.0 - jaccard_threshold
-    cross = model.approxSimilarityJoin(bf, cf, thresh, distCol="jaccard_dist")
-    intra = model.approxSimilarityJoin(bf, bf, thresh, distCol="jaccard_dist")
+    # Batch signatures computed ONCE (r14 optimization): the batch side
+    # feeds the cross join AND both sides of the intra join — three
+    # shingle+TF+MinHash passes when left untransformed (the join
+    # transforms any input missing the hashes column). The corpus side
+    # is read once, so it stays lazy.
+    bkeyed = model.transform(bf).select(id_col, "features", "hashes").localCheckpoint(
+        eager=True
+    )
+    cross = model.approxSimilarityJoin(bkeyed, cf, thresh, distCol="jaccard_dist")
+    intra = model.approxSimilarityJoin(bkeyed, bkeyed, thresh, distCol="jaccard_dist")
 
     def shape(pairs: DataFrame) -> DataFrame:
         return pairs.select(
@@ -882,6 +938,8 @@ def simhash_neardup_incremental(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_bands: int = 4,
+    batch_sig: DataFrame | None = None,
+    corpus_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SimHash near-dup: candidate pairs touching a NEW
     batch — batch×corpus band probes plus batch×batch — without
@@ -908,10 +966,18 @@ def simhash_neardup_incremental(
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
 
-    def bands(df: DataFrame) -> DataFrame:
-        sh = with_simhash(
-            _ensure_min_parallelism(df.select(id_col, text_col)), text_col
-        ).select(id_col, "simhash")
+    # ``batch_sig`` / ``corpus_sig`` (r14 optimization): optional
+    # precomputed (id_col, simhash) frames, same contract as
+    # simhash_neardup_pairs' ``sig`` — a caller holding signatures for
+    # both splits (e.g. the registered incremental query, which also
+    # runs the FULL pair set for its parity verdict) skips both folds.
+    def bands(df: DataFrame, sig: DataFrame | None = None) -> DataFrame:
+        if sig is not None:
+            sh = sig.select(id_col, "simhash")
+        else:
+            sh = with_simhash(
+                _ensure_min_parallelism(df.select(id_col, text_col)), text_col
+            ).select(id_col, "simhash")
         return sh.select(
             id_col,
             "simhash",
@@ -930,8 +996,8 @@ def simhash_neardup_incremental(
             ).alias("band"),
         ).select(id_col, "simhash", "band.band_idx", "band.band_val")
 
-    bb = bands(batch).localCheckpoint(eager=True)
-    cb = bands(corpus)
+    bb = bands(batch, batch_sig).localCheckpoint(eager=True)
+    cb = bands(corpus, corpus_sig)
     a = bb.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
         "band_idx", "band_val",

@@ -220,7 +220,17 @@ def dbscan_grid(
     one row per input point. Deterministic end-to-end: degrees and
     min-labels are exact integer folds.
     """
-    nbrs = radius_pairs(points, key, eps_deg, ordered=False)
+    # Materialize the grid candidate join ONCE: nbrs feeds three
+    # downstream consumers (the degree pass, the core-core edge build,
+    # the border attach), and an unmaterialized plan re-executes the
+    # whole 3x3 candidate join + distance filter per consumer — at
+    # 100 TB that is three passes over the dominant stage instead of
+    # one |pairs|-sized disk materialization (local density bounded,
+    # never n²). Measured at sf0.1: 8.6 s → ~5 s for the registered
+    # DBSCAN query once the join runs once.
+    nbrs = radius_pairs(points, key, eps_deg, ordered=False).select(
+        "a_key", "b_key"
+    ).localCheckpoint(eager=True)
     deg = nbrs.groupBy(F.col("a_key").alias("k")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
@@ -228,7 +238,9 @@ def dbscan_grid(
     deg = pts.join(deg, "k", "left").select(
         "k", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
     )
-    core = deg.filter(F.col("deg") >= min_pts - 1).select("k")
+    # core is read by the edge build (twice), the border anti-join and
+    # the noise anti-join — tiny (|core points| keys), checkpoint it too
+    core = deg.filter(F.col("deg") >= min_pts - 1).select("k").localCheckpoint(eager=True)
     # core-core edges, both directions, ready for min-label rounds
     edges = (
         nbrs.join(core.withColumnRenamed("k", "a_key"), "a_key")

@@ -822,37 +822,42 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j_asof_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4 tolerance flavor through the Arrow escape hatch: per-key
-    pd.merge_asof(tolerance=6h) via cogrouped applyInPandas
-    (operators/asof.asof_join_pandas) — the one as-of semantic the
-    union+ffill composition doesn't express. Rare property: a
-    Pandas-UDF path that is still fully hash-checked, because DuckDB's
-    native ASOF JOIN plus a staleness null-out is its exact relational
-    twin (the backward match is unique, so 'excluded by tolerance' ≡
-    'matched then nulled'). pandas emits NaN for no-match float
-    columns; normalized to NULL to match SQL semantics."""
-    import pandas as pd
-
-    from ..operators.asof import asof_join_pandas
+    """J4 tolerance flavor, JVM-native (r14 optimization): backward
+    as-of join via the single-shuffle union+ffill composition
+    (operators/asof.asof_join) carrying the matched row's snap_ts, then
+    a staleness null-out — exactly the 'matched then nulled' identity
+    the DuckDB oracle uses (the backward match is unique, so 'excluded
+    by tolerance' ≡ 'matched then nulled'). Previously this ran
+    per-key pd.merge_asof(tolerance=6h) through cogrouped
+    applyInPandas: two cogroup exchanges + a FlatMapCoGroupsInPandas
+    Python boundary shipping every fact row out of the JVM and back
+    (guide §4 — eliminate the boundary when built-ins express the
+    semantic). merge_asof's tolerance is inclusive and so is the
+    INTERVAL comparison here; the hash is unchanged (oracle-verified at
+    sf0.01/sf0.1). The pandas escape hatch itself stays exercised by
+    tests/test_asof.py parity cases."""
+    from ..operators.asof import asof_join
 
     ev = load_table(spark, sf_dir, "events")
     dim = ev.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("snap_ts")
     ).agg(_q6(F.avg("value")).alias("day_avg"))
-    joined = asof_join_pandas(
+    joined = asof_join(
         ev.select("event_id", "user_id", "ts"),
         dim,
         on="user_id",
         fact_time="ts",
         dim_time="snap_ts",
-        dim_cols=["day_avg"],
-        tolerance=pd.Timedelta(hours=6),
+        dim_cols=["snap_ts", "day_avg"],
     )
     return joined.select(
         "event_id",
         "user_id",
         "ts",
-        F.when(F.isnan("day_avg"), F.lit(None)).otherwise(F.col("day_avg")).alias("day_avg"),
+        F.when(
+            F.col("ts") <= F.col("snap_ts") + F.expr("INTERVAL 6 HOURS"),
+            F.col("day_avg"),
+        ).alias("day_avg"),
     )
 
 

@@ -1567,11 +1567,27 @@ def x_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0))
         .localCheckpoint(eager=True)
     )
+    # ONE signature pass (r14 optimization): a SimHash depends only on
+    # its own text, and this query consumes signatures THREE times
+    # (batch bands, corpus bands, the full-run parity side) — before,
+    # each consumer re-ran the 64-bit token fold over its slice, i.e.
+    # ~3 corpus-sized folds per run. Compute once, checkpoint, slice.
+    # Bit-identical by construction, so the verdict semantics (and the
+    # oracle hash) are unchanged.
+    sigs = D.with_simhash(
+        D._ensure_min_parallelism(docs.select("doc_id", "text")), "text"
+    ).select("doc_id", "simhash").localCheckpoint(eager=True)
     incr = D.simhash_neardup_incremental(
-        batch, corpus, "text", "doc_id", max_hamming=3
+        batch,
+        corpus,
+        "text",
+        "doc_id",
+        max_hamming=3,
+        batch_sig=sigs.filter(F.col("doc_id") % 5 == 0),
+        corpus_sig=sigs.filter(F.col("doc_id") % 5 != 0),
     ).localCheckpoint(eager=True)
     full_touching = (
-        D.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3)
+        D.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3, sig=sigs)
         .filter((F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0))
         .select("id_a", "id_b", "hamming")
     )

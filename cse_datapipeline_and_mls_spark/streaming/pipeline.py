@@ -599,17 +599,39 @@ def prepare_erasure_store(
 
     root = store_path.rstrip("/")
     _os.makedirs(root, exist_ok=True)
-    for name, df in (("orders", orders), ("lineitem", lineitem), ("events", events)):
+
+    def _write(item) -> None:
+        name, df = item
         bcol, key = _ERASURE_BUCKET_COLS[name], _ERASURE_HASH_KEYS[name]
         # cluster by bucket BEFORE the partitioned write: without it every
         # input task writes a file into every bucket dir (tasks × buckets
         # small files); clustered, each bucket is one file — the layout a
         # pruned read wants. At 100 TB size buckets to a few GB and let
         # maxRecordsPerFile split within a bucket.
+        df.sparkSession.sparkContext.setJobDescription(
+            f"prepare_erasure_store: {name}"
+        )
         bucketed = df.withColumn(bcol, _erasure_bucket_expr(key, buckets))
         bucketed.repartition(buckets, F.col(bcol)).write.mode(
             "overwrite"
         ).partitionBy(bcol).parquet(f"{root}/{name}")
+
+    # The three table ingests are independent jobs writing disjoint
+    # directories; run them from a small driver pool (guide §2.6) so
+    # each write's tail (a `buckets`-task stage that leaves most cores
+    # idle) back-fills with the next table's tasks. Job descriptions
+    # are thread-local, so each stays labelled. Measured at sf0.1/16
+    # buckets: the build phase of x_erasure_store_dsar_batch overlaps
+    # 3 sequential 16-task writes on 32 cores.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(
+            pool.map(
+                _write,
+                (("orders", orders), ("lineitem", lineitem), ("events", events)),
+            )
+        )
     with open(f"{root}/{_ERASURE_LAYOUT_FILE}", "w") as fh:
         _json.dump(
             {

@@ -661,3 +661,67 @@ def test_connected_components_mixed_endpoint_types(spark):
 
     with _pytest.raises(ValueError, match="endpoint types differ"):
         D.connected_components(bad)
+
+
+def test_ngram_jaccard_fused_sizes_brute_force_parity(spark):
+    """r14 optimization pin: ngram_jaccard_pairs folds per-doc shingle
+    sizes into the pair aggregation (min of a per-id constant riding
+    the exploded gram rows) instead of re-deriving the shingle pass for
+    two separate size frames. The denominator must remain the DISTINCT
+    STRING shingle count (array_distinct before explode), bit-identical
+    to a brute-force python recompute — including docs with repeated
+    grams, where a per-occurrence count would differ."""
+    rows = [
+        (1, "a b c a b c a b c"),        # repeated grams: 3 distinct of 7 raw
+        (2, "a b c a b c x y z"),        # shares 'a b c' family with 1
+        (3, "a b c d e f"),
+        (4, "q r s t u v"),              # no overlap
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(text, n=3):
+        w = text.split()
+        return set(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))
+
+    import math
+
+    expect = {}
+    for i, (ida, ta) in enumerate(rows):
+        for idb, tb in rows[i + 1 :]:
+            ga, gb = grams(ta), grams(tb)
+            inter = len(ga & gb)
+            if not inter:
+                continue
+            j = math.floor(inter / (len(ga) + len(gb) - inter) * 1e6 + 0.5) / 1e6
+            if j >= 0.1:
+                expect[(ida, idb)] = j
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, threshold=0.1).collect()
+    }
+    assert got == expect
+
+
+def test_ngram_containment_fused_sizes_brute_force_parity(spark):
+    """Same pin for the containment flavors: self-pairs carry BOTH
+    directions' distinct-string sizes through the fused aggregation;
+    the cross-corpus form carries the eval side's."""
+    rows = [
+        (1, "a b c d e"),                # contained in 2's grams
+        (2, "a b c d e f g h"),
+        (3, "z z z z z"),                # degenerate: 1 distinct gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in D.ngram_containment_self_pairs(df, n=3, threshold=0.5).collect()
+    }
+    # doc1: grams {abc,bcd,cde} all inside doc2's 6 -> c(1 in 2)=1.0, c(2 in 1)=0.5
+    assert out[(1, 2)] == (1.0, 0.5)
+    ev = spark.createDataFrame([rows[0]], "doc_id long, text string")
+    tr = spark.createDataFrame(rows[1:], "doc_id long, text string")
+    cross = {
+        (r["eval_id"], r["train_id"]): (r["n_shared"], r["containment"])
+        for r in D.ngram_containment_pairs(ev, tr, n=3, min_shared=2).collect()
+    }
+    assert cross == {(1, 2): (3, 1.0)}
