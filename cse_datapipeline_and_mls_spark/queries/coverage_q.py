@@ -792,18 +792,43 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact NDVs become approx_count_distinct (mergeable sketches, same
     single-pass shape — agg_approx_distinct is the registered sibling)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    # STRING min/max live in their own aggregate (r14 optimization): a
+    # string agg BUFFER is immutable, which demotes the ENTIRE
+    # aggregation — including the 4x-Expand multi-distinct rewrite — to
+    # SortAggregate with a full sort of the expanded fact table
+    # (measured 5.5 s warm at sf0.1; HashAggregate form ~1 s). With
+    # flag_min/flag_max split out, the main agg hash-aggregates
+    # (strings as GROUPING keys in the distinct rewrite are fine — only
+    # buffers must be mutable), and the flag pass is a cheap
+    # sort-agg-free global fold joined back as a 1-row broadcast.
+    # Values and schema are identical; only the physical shape changes.
+    main = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.count(F.lit(1)) - F.count("l_quantity")).alias("qty_nulls"),
         F.countDistinct("l_quantity").alias("qty_ndv"),
         F.min("l_quantity").alias("qty_min"),
         F.max("l_quantity").alias("qty_max"),
         F.countDistinct("l_returnflag").alias("flag_ndv"),
-        F.min("l_returnflag").alias("flag_min"),
-        F.max("l_returnflag").alias("flag_max"),
         F.min("l_shipdate").alias("ship_min"),
         F.max("l_shipdate").alias("ship_max"),
         F.countDistinct("l_orderkey").alias("order_ndv"),
+    )
+    flags = li.agg(
+        F.min("l_returnflag").alias("flag_min"),
+        F.max("l_returnflag").alias("flag_max"),
+    )
+    return main.crossJoin(F.broadcast(flags)).select(
+        "n_rows",
+        "qty_nulls",
+        "qty_ndv",
+        "qty_min",
+        "qty_max",
+        "flag_ndv",
+        "flag_min",
+        "flag_max",
+        "ship_min",
+        "ship_max",
+        "order_ndv",
     )
 
 

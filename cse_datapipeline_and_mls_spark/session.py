@@ -52,6 +52,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
+    # Deployment-specific overrides ride in via SPARK_GRAFT_CONF
+    # ("k=v;k=v", empty default): cluster profiles tune shuffle codec /
+    # advisory partition size / join strategy WITHOUT code edits, and
+    # the bench stays comparable because the default is no-op. Explicit
+    # extra_conf (below) still wins over the env profile.
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        if k and v:
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -37,6 +37,10 @@ EXPECTED_CROSS = {
     "x_embedding_neardup_banded",  # 1-row hyperplane-matrix broadcast (similarity.py)
     "x_zorder_layout",        # 1-row min/max bounds broadcast (layout.add_zorder)
     "x_heavy_hitters",        # 1-row total-n broadcast (sketches.frequent_items)
+    # r14: string min/max split into a 1-row broadcast side agg so the
+    # main multi-distinct agg HashAggregates instead of sort-aggregating
+    # the 4x-expanded fact table (string agg buffers force SortAggregate)
+    "profile_lineitem",
     "x_pagerank_suppliers",   # 1-row dangling-mass broadcast per iteration (graph.pagerank)
     "x_bm25_search",          # 1-row (n_docs, avgdl) scalar broadcast (search.bm25_topk)
     "x_hybrid_search_rrf",    # same scalar broadcast inside the BM25 leg
