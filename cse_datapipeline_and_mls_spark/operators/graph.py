@@ -135,9 +135,10 @@ def pagerank(
     # "persist" (default when pre_partitioned, i.e. a bucketed layout):
     #   InMemoryRelation preserves the cached plan's HashPartitioning
     #   (the repartition above, or the bucket layout), so the
-    #   per-iteration edge-side exchange DISAPPEARS — only the |V|-sized
-    #   state shuffle and the partial-aggregated contribution shuffle
-    #   remain (asserted via _LAST_ITER_EXCHANGES in tests/test_graph).
+    #   per-iteration edge-side exchange DISAPPEARS — only the
+    #   partial-aggregated contribution shuffle and (at most) the
+    #   |V|-sized state shuffle remain (asserted via
+    #   _LAST_ITER_EXCHANGES in tests/test_graph).
     #   Locally the columnar decode per iteration costs more than the
     #   shuffle it saves; on a 1000-executor cluster the saved exchange
     #   is |E| over the NETWORK per iteration, which dominates — use
@@ -177,6 +178,21 @@ def pagerank(
         "node", F.coalesce("deg", F.lit(0)).alias("deg")
     )
     if init_ranks is None:
+        # Materialize base (|V| rows: node, deg) before iterating (r15):
+        # state_0 embeds it, and every iteration references the previous
+        # state THREE times (contributions, dangling mass, next state),
+        # so the first unmaterialized segment re-derives the
+        # nodes-distinct ⋈ out-degree build — two |E|-sized shuffling
+        # aggregations — up to 3^L times. Measured at sf0.1 local[32],
+        # interleaved fresh-process rounds: 7.0-7.8 s → 5.1-5.6 s warm
+        # min for the full supplier query. localCheckpoint, not persist:
+        # measured faster locally (6.1/5.6 s vs 7.4/7.8 s — columnar
+        # decode again), GC-reclaimed, and the trade it makes at scale —
+        # iteration 0's contribution join may re-shuffle the |V|-row
+        # state once where the lazy plan's partitioning would have been
+        # reused — is |V|-sized and paid once, vs |E|-sized re-derivation
+        # paid up to 3^L times without it.
+        base = base.localCheckpoint(eager=True)
         state = base.withColumn("rank", F.lit(1.0 / n_nodes))
     else:
         prev = init_ranks.select(F.col("node"), F.col("rank").alias("_prev"))
@@ -727,6 +743,19 @@ def hits(
             .agg(F.sum("s").alias("s"))
             .withColumnRenamed("dst", "node")
         )
+        # Checkpoint placement (r15): at a boundary, materialize auth
+        # BEFORE building hub from it. The previous shape checkpointed
+        # (auth, hub) as a pair AFTER both were built, so hub's plan
+        # still referenced the pre-checkpoint auth subtree and the hub
+        # checkpoint re-derived the whole auth chain of the segment a
+        # second time — the final post-loop pair paid a full extra
+        # segment. The final iteration is now a boundary too (it
+        # replaces the post-loop double checkpoint, same frames, same
+        # math). Measured at sf0.1 local[32], interleaved fresh-process
+        # rounds on the supplier query shape: 7.98/6.60 s → 5.82/5.62 s.
+        boundary = ((i + 1) % checkpoint_every == 0) or i == iters - 1
+        if boundary:
+            auth = auth.localCheckpoint(eager=True)
         hub = (
             e_dst.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
@@ -745,15 +774,16 @@ def hits(
             if edge_storage == "persist":
                 noise = _ensure_exchange_ids(e_src) | _ensure_exchange_ids(e_dst)
             _LAST_HITS_ITER_EXCHANGES = len(_ensure_exchange_ids(hub) - noise)
-        if (i + 1) % checkpoint_every == 0 and i != iters - 1:
-            auth = auth.localCheckpoint(eager=True)
+        if boundary:
+            # auth was already materialized above, so this checkpoint
+            # reads it instead of re-deriving the segment's auth chain.
+            # The final boundary also covers the normalizer below: the
+            # final frames are each read twice (normalizer agg + output
+            # join), and the checkpoint severs lineage from the cached
+            # edge tables so the persist path can release them
+            # (CacheManager entries are not GC-reclaimed — pagerank's
+            # recurring-job discipline).
             hub = hub.localCheckpoint(eager=True)
-    # final frames are each read twice (normalizer agg + output join);
-    # the checkpoint also severs lineage from the cached edge tables so
-    # the persist path can release them (CacheManager entries are not
-    # GC-reclaimed — pagerank's recurring-job discipline)
-    auth = auth.localCheckpoint(eager=True)
-    hub = hub.localCheckpoint(eager=True)
     if edge_storage == "persist":
         e_src.unpersist()
         e_dst.unpersist()
@@ -1149,8 +1179,15 @@ def katz_centrality(
             w = e.join(w, e["src"] == w["node"]).groupBy(
                 F.col("dst").alias("node")
             ).agg(F.sum("w").cast("long").alias("w"))
-        if k % checkpoint_every == 0 or k == iters:
-            w = w.localCheckpoint(eager=True)
+        # Every w_k has TWO consumers — the k+1 recurrence and the final
+        # per-node combine — so an unmaterialized w_k is re-derived by
+        # whichever consumer runs after the other's action (the final
+        # combine re-paid w1 and w3 under the old cadence-only rule).
+        # Materialize each round (r15; measured interleaved at sf0.1:
+        # 5.58/5.94 s → 5.31/5.50 s for x_katz_copurchase's shape).
+        # checkpoint_every stays validated for API compatibility; every
+        # round satisfies any cadence, so this is a strict refinement.
+        w = w.localCheckpoint(eager=True)
         walks.append(w.withColumnRenamed("w", f"w{k}"))
     out = nodes
     for k, wk in enumerate(walks, start=1):

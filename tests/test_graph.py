@@ -154,9 +154,14 @@ def test_pagerank_from_bucketed_edges_skips_the_edge_shuffle(spark):
         r["node"]: r["rank"]
         for r in G.pagerank(edges, iters=4, edge_storage="persist").collect()
     }
-    # exactly two runtime exchanges remain: the |V|-sized state join
-    # and the contribution aggregation — strictly fewer than checkpoint
-    assert G._LAST_ITER_EXCHANGES == 2 < ckpt_iter_exchanges
+    # at most two runtime exchanges remain — the contribution
+    # aggregation, plus (on graphs too big to broadcast the state) the
+    # |V|-sized state join against the r15 materialized base, whose
+    # LogicalRDD forgets its partitioning; on this tiny graph the
+    # planner broadcasts the state, leaving 1 — strictly fewer than
+    # checkpoint either way
+    assert G._LAST_ITER_EXCHANGES <= 2
+    assert G._LAST_ITER_EXCHANGES < ckpt_iter_exchanges
     assert all(abs(plain[k] - persisted[k]) < 1e-12 for k in plain)
 
     spark.sql("DROP TABLE IF EXISTS t_pr_edges_b")
@@ -171,7 +176,8 @@ def test_pagerank_from_bucketed_edges_skips_the_edge_shuffle(spark):
         assert G._LAST_EDGE_EXCHANGES == 0  # no ingest-side shuffle at all
         # bucket hash survives the cache: same reduced exchange count as
         # the persisted in-session path
-        assert G._LAST_ITER_EXCHANGES == 2 < ckpt_iter_exchanges
+        assert G._LAST_ITER_EXCHANGES <= 2
+        assert G._LAST_ITER_EXCHANGES < ckpt_iter_exchanges
     finally:
         spark.sql("DROP TABLE IF EXISTS t_pr_edges_b")
     assert set(plain) == set(bucketed)
