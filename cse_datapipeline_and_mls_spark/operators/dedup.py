@@ -295,7 +295,11 @@ def simhash_neardup_pairs(
     if 64 % n_bands != 0:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
     if sig is not None:
-        sh = sig.select(id_col, "simhash")
+        # same small-scan guard as the computed path (ADVICE r14): a
+        # caller passing a single-partition signature frame would
+        # otherwise serialize the band explode and the candidate
+        # self-join on one task; no-op when sig is already spread
+        sh = _ensure_min_parallelism(sig.select(id_col, "simhash"))
     else:
         sh = with_simhash(
             _ensure_min_parallelism(df.select(id_col, text_col)), text_col
@@ -973,7 +977,9 @@ def simhash_neardup_incremental(
     # runs the FULL pair set for its parity verdict) skips both folds.
     def bands(df: DataFrame, sig: DataFrame | None = None) -> DataFrame:
         if sig is not None:
-            sh = sig.select(id_col, "simhash")
+            # small-scan guard on the provided-signature fast path too
+            # (ADVICE r14), same as simhash_neardup_pairs' sig contract
+            sh = _ensure_min_parallelism(sig.select(id_col, "simhash"))
         else:
             sh = with_simhash(
                 _ensure_min_parallelism(df.select(id_col, text_col)), text_col

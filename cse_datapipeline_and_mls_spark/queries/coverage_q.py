@@ -1334,16 +1334,22 @@ def _bucketed_purchase_edges(spark: SparkSession, sf_dir: str) -> str:
         fs.delete(jpath, True)
         o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        n_buckets = max(spark.sparkContext.defaultParallelism, 1)
+        # dedup fused into the bucket layout (r15, same as the
+        # co-purchase ingest): repartition on the bucket column first,
+        # dropDuplicates exchange-free on it (HashPartitioning(src)
+        # satisfies the (src, dst) distinct), write assume_clustered —
+        # one ingest exchange instead of two
         edges = (
             o.join(li, o["o_orderkey"] == li["l_orderkey"])
             .select(
                 (-F.col("o_custkey")).alias("src"),
                 F.col("l_suppkey").alias("dst"),
             )
-            .distinct()
+            .repartition(n_buckets, F.col("src"))
+            .dropDuplicates(["src", "dst"])
         )
-        n_buckets = max(spark.sparkContext.defaultParallelism, 1)
-        write_bucketed(edges, table, "src", n_buckets)
+        write_bucketed(edges, table, "src", n_buckets, assume_clustered=True)
     return table
 
 
@@ -1380,14 +1386,22 @@ def _bucketed_copurchase_edges(spark: SparkSession, sf_dir: str) -> str:
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
         b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+        n_buckets = max(spark.sparkContext.defaultParallelism, 1)
+        # Fuse the dedup into the bucket layout (r15): repartition on the
+        # bucket column FIRST, then dropDuplicates — HashPartitioning(a)
+        # satisfies the (a, b) distinct's clustering, so the dedup runs
+        # exchange-free on already-placed rows and the bucketed write
+        # (assume_clustered) adds no second |E| shuffle. One exchange
+        # instead of two for the whole ingest; measured 2.7 → 2.0 s
+        # (interleaved min-of-3) with identical rows and file count.
         edges = (
             a.join(b, "k")
             .filter(F.col("a") < F.col("b"))
             .select("a", "b")
-            .distinct()
+            .repartition(n_buckets, F.col("a"))
+            .dropDuplicates(["a", "b"])
         )
-        n_buckets = max(spark.sparkContext.defaultParallelism, 1)
-        write_bucketed(edges, table, "a", n_buckets)
+        write_bucketed(edges, table, "a", n_buckets, assume_clustered=True)
     return table
 
 

@@ -60,7 +60,15 @@ def get_spark(
     for kv in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
         k, _, v = kv.partition("=")
         if k and v:
+            # log each applied override so a bench/verify run records the
+            # effective non-default config (ADVICE r14: silent overrides
+            # can desync results from the committed baseline); note that
+            # getOrCreate reuses any live session, in which case builder
+            # configs — env overrides included — do not take effect.
+            print(f"[session] SPARK_GRAFT_CONF override: {k.strip()}={v.strip()}")
             builder = builder.config(k.strip(), v.strip())
+        else:
+            print(f"[session] SPARK_GRAFT_CONF entry malformed (need k=v): {kv!r}")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -65,6 +65,7 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_col: str | None = None,
     mode: str = "overwrite",
+    assume_clustered: bool = False,
 ) -> None:
     """Bucketed managed-table write: pay the shuffle once at ingest so
     every later equi-join or aggregation on ``bucket_col`` between
@@ -79,12 +80,25 @@ def write_bucketed(
     hash as the bucketed-table layout, so after it each task holds
     exactly one bucket -> one file per bucket, and every later scan of
     the table opens n_buckets files instead of N x n_buckets (guide §6:
-    small files hurt twice — driver listing and per-file open cost)."""
-    w = (
-        df.repartition(n_buckets, F.col(bucket_col))
-        .write.mode(mode)
-        .bucketBy(n_buckets, bucket_col)
-    )
+    small files hurt twice — driver listing and per-file open cost).
+
+    ``assume_clustered=True`` (r15): the caller vouches ``df`` is
+    ALREADY ``repartition(n_buckets, bucket_col)``-clustered — e.g. it
+    fused a dedup into that layout with
+    ``repartition(n, col).dropDuplicates([...])`` (HashPartitioning on
+    the bucket column satisfies any distinct whose keys include it) —
+    so the write skips its own repartition instead of re-shuffling
+    rows that are already exactly placed. The file-count contract is
+    the caller's to keep in that case.
+
+    Parallelism trade-off (ADVICE r14): the clustering repartition caps
+    the write at ``n_buckets`` tasks and concentrates each bucket in
+    one task. At 100 TB pick ``n_buckets`` so one bucket is a few GB
+    (the erasure store's sizing rule) and pair with
+    ``spark.sql.files.maxRecordsPerFile`` to split within a bucket;
+    for skewed bucket keys prefer more buckets over bigger tasks."""
+    pre = df if assume_clustered else df.repartition(n_buckets, F.col(bucket_col))
+    w = pre.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)

@@ -778,21 +778,21 @@ def _rewrite_touched_partitions(
 
     if not touched:
         return 0
-    spark = kept.sparkSession
     # materialize before overwriting a path the plan reads from
     kept = kept.localCheckpoint(eager=True)
     n = kept.count()
     _backup_touched_partitions(path, bucket_col, touched)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # cluster by bucket so each rewritten partition is one file (same
-        # stance as prepare_erasure_store's ingest write)
-        kept.repartition(max(len(touched), 1), F.col(bucket_col)).write.mode(
-            "overwrite"
-        ).partitionBy(bucket_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite as a PER-WRITE option, not a session-conf flip
+    # (r15): the conf set/restore pattern is not thread-safe, and the
+    # DSAR batch now overlaps the independent leaf-table rewrites from a
+    # driver pool (guide §2.6) — a sibling thread restoring "static"
+    # mid-write would wipe untouched partitions. The writer option takes
+    # precedence over the session conf and is scoped to this write.
+    # cluster by bucket so each rewritten partition is one file (same
+    # stance as prepare_erasure_store's ingest write)
+    kept.repartition(max(len(touched), 1), F.col(bucket_col)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(bucket_col).parquet(path)
     kept_buckets = {r[0] for r in kept.select(bucket_col).distinct().collect()}
     for b in set(touched) - kept_buckets:
         d = f"{path}/{bucket_col}={b}"
@@ -986,8 +986,16 @@ def apply_erasure_batch(batch_df: DataFrame, batch_id: int, store_path: str) -> 
             victims, orders["o_custkey"] == victims["c_custkey"], "left_semi"
         ).localCheckpoint(eager=True)
 
-    # audited scope: whole tables (legacy) / touched partitions only
-    totals = {t: df.count() for t, df in (("orders", orders), ("lineitem", li), ("events", ev))}
+    from concurrent.futures import ThreadPoolExecutor
+
+    # audited scope: whole tables (legacy) / touched partitions only.
+    # The five pre-rewrite audit counts (three totals + two erased-side
+    # semi-join counts; vo's count is just reading back an already
+    # checkpointed frame) are independent jobs over disjoint reads —
+    # overlap them from a driver pool (guide §2.6, r15) so each count's
+    # few-task tail back-fills with the next count's tasks instead of
+    # leaving 32 cores idle. All of them read PRE-rewrite bytes, so they
+    # must (and do) complete before any rewrite below starts.
     o_kept = orders.join(
         victims, orders["o_custkey"] == victims["c_custkey"], "left_anti"
     )
@@ -998,15 +1006,26 @@ def apply_erasure_batch(batch_df: DataFrame, batch_id: int, store_path: str) -> 
     # Erased counts measured INDEPENDENTLY (semi-join side), never
     # derived as total - kept: a derived count makes the residual
     # boolean a tautology that can never fire (code-review r12).
-    erased = {
-        "orders": vo.count(),
-        "lineitem": li.join(
-            vo, li["l_orderkey"] == vo["o_orderkey"], "left_semi"
-        ).count(),
-        "events": ev.join(
+    _count_jobs = {
+        "t_orders": orders,
+        "t_lineitem": li,
+        "t_events": ev,
+        "e_orders": vo,
+        "e_lineitem": li.join(vo, li["l_orderkey"] == vo["o_orderkey"], "left_semi"),
+        "e_events": ev.join(
             victims, ev["user_id"] == victims["c_custkey"], "left_semi"
-        ).count(),
+        ),
     }
+
+    def _count(item):
+        name, df = item
+        df.sparkSession.sparkContext.setJobDescription(f"erasure dsar count: {name}")
+        return name, df.count()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        _counts = dict(pool.map(_count, _count_jobs.items()))
+    totals = {t: _counts[f"t_{t}"] for t in ("orders", "lineitem", "events")}
+    erased = {t: _counts[f"e_{t}"] for t in ("orders", "lineitem", "events")}
 
     # Rewrite LEAF tables first, the root (orders) LAST: the
     # lineitem cascade key set is recomputed from the orders table
@@ -1015,17 +1034,47 @@ def apply_erasure_batch(batch_df: DataFrame, batch_id: int, store_path: str) -> 
     # victims' orders already gone and orphan their lineitems
     # forever (code-review r12). Leaf-first, any crash point
     # replays to a converged store.
+    # ...within that contract, lineitem and events are BOTH leaves and
+    # their rewrites touch disjoint paths: overlap them (guide §2.6,
+    # r15 — the same driver-pool pattern as prepare_erasure_store, which
+    # is what VERDICT r14 #4 prescribed; events is independent of the
+    # orders→lineitem cascade). orders still rewrites strictly last.
+    # Job descriptions are thread-local, so each rewrite stays labelled.
     kept = {}
     if partitioned:
-        for t, df, bcol, touched in (
-            ("lineitem", l_kept, lb, l_bkts),
-            ("events", e_kept, eb, v_bkts),
-            ("orders", o_kept, ob, v_bkts),
-        ):
-            kept[t] = _rewrite_touched_partitions(df, paths[t], bcol, touched)
+
+        def _rw(args):
+            t, df, bcol, touched = args
+            df.sparkSession.sparkContext.setJobDescription(
+                f"erasure dsar rewrite: {t}"
+            )
+            return t, _rewrite_touched_partitions(df, paths[t], bcol, touched)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            kept.update(
+                pool.map(
+                    _rw,
+                    (
+                        ("lineitem", l_kept, lb, l_bkts),
+                        ("events", e_kept, eb, v_bkts),
+                    ),
+                )
+            )
+        kept.update([_rw(("orders", o_kept, ob, v_bkts))])
     else:
-        for t, df in (("lineitem", l_kept), ("events", e_kept), ("orders", o_kept)):
-            kept[t] = _recoverable_swap(df, paths[t])
+
+        def _swap(args):
+            t, df = args
+            df.sparkSession.sparkContext.setJobDescription(
+                f"erasure dsar swap: {t}"
+            )
+            return t, _recoverable_swap(df, paths[t])
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            kept.update(
+                pool.map(_swap, (("lineitem", l_kept), ("events", e_kept)))
+            )
+        kept.update([_swap(("orders", o_kept))])
 
     residual_ok = all(kept[t] + erased[t] == totals[t] for t in totals)
     spark.createDataFrame(

@@ -36,7 +36,14 @@ def main() -> int:
         "lineitem", "orders", "customer", "supplier", "part",
         "nation", "region", "documents", "embeddings",
     ):
-        load_table(spark, args.sf, t).write.format("noop").mode("overwrite").save()
+        # warmup only — an sf dir missing a table must not crash the
+        # probe before a single timing is taken (ADVICE r14)
+        try:
+            load_table(spark, args.sf, t).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001
+            print(f"warmup skip {t}: {type(exc).__name__}", file=sys.stderr)
 
     out = {}
     for name in args.names:
